@@ -1,0 +1,234 @@
+"""Deduplication operators for document corpora.
+
+Scale design (100 TB): every method is blocked/banded so no O(n^2)
+comparison ever materializes —
+
+- exact:      one hash-aggregate shuffle on the content fingerprint.
+- minhash:    signatures computed per-row (narrow), candidates via
+              LSH band-bucket self-join (shuffle on small band keys),
+              verified with exact Jaccard on the candidate set only.
+- simhash:    64-bit-ish fingerprint per row; near-dup = small Hamming
+              distance within blocking buckets.
+- ngram:      exact Jaccard restricted to explicit blocking keys.
+- embedding:  cosine near-dup restricted to blocking keys (plus the
+              ANN machinery in ``similarity``).
+
+All hashes are md5-derived => deterministic, seedable, portable to the
+DuckDB oracles (no engine-private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    hex_prefix_to_long,
+    jaccard,
+    minhash_value,
+    normalize_text,
+    tokenize,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content: groups identical texts by
+    md5 fingerprint, keeps the smallest id as the canonical doc.
+    Returns (fingerprint, keep_id, n_copies)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) pairs; docs with < n words are dropped (no
+    shingle support)."""
+    words = tokenize(F.col(text_col))
+    return (
+        df.select(F.col(id_col), word_shingles(words, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Append MinHash signature columns m0..m{k-1} (md5-string minima).
+    Narrow transformation — no shuffle."""
+    out = shingled
+    for i in range(num_hashes):
+        out = out.withColumn(f"m{i}", minhash_value(F.col("shingles"), i))
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Pipeline: shingle -> k MinHash components -> band keys (band_size
+    components concatenated) -> self-join on (band_id, band_key) for
+    candidates -> exact Jaccard verification >= threshold.
+
+    The self-join shuffles on band keys only; distinct-pair dedup
+    happens before the (expensive) verification join. Returns
+    (d1, d2, jac) with d1 < d2.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    shingled = with_shingles(df, text_col, id_col, shingle_n)
+    sig = minhash_signatures(shingled, num_hashes)
+    bands = F.array(
+        *[
+            F.concat(*[F.col(f"m{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    bt = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
+    )
+    a = bt.alias("a")
+    b = bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+    x = shingled.select(
+        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
+    )
+    y = shingled.select(
+        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
+    )
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .withColumn("jac", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", "jac")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocking groups (e.g. same
+    lang+source). The self-join shuffles on the block key; pair count
+    is bounded by the largest block, never by corpus size."""
+    words = tokenize(F.col(text_col))
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        word_shingles(words, shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "jac", F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
+        )
+        .filter(F.col("jac") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            "jac",
+        )
+    )
+
+
+def simhash_bits(token: Column, n_bits: int) -> Column:
+    """Token -> n_bits-wide hash int from the md5 hex prefix."""
+    return hex_prefix_to_long(F.md5(token), n_bits // 4)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """Per-document SimHash fingerprint: per-bit majority vote over
+    token hashes. Explode -> one shuffle keyed by doc id with per-bit
+    conditional sums (all JVM-side); fingerprint assembled from the
+    bit votes. Returns (id, n_tokens, simhash)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("h", simhash_bits(F.col("tok"), n_bits))
+    aggs = [F.count(F.lit(1)).alias("n_tokens")] + [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+        for j in range(n_bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(n_bits):
+        bit = F.when(
+            F.col(f"s{j}") * 2 > F.col("n_tokens"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select(
+        F.col(id_col), F.col("n_tokens"), fp.cast("bigint").alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance within blocks."""
+    base = df.select(*[F.col(c) for c in block_cols], F.col(id_col), F.col(text_col))
+    fps = simhash(base, text_col, id_col, n_bits).join(base, id_col).drop(text_col)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, cond)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("hamming"),
+        )
+    )

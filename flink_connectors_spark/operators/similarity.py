@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force top-k: exact, O(|Q| * N) — correct baseline; sane when
+  |Q| is small or N fits a broadcast.
+- cluster-probed (IVF-style) top-k: restrict each query to the
+  cluster(s) whose representative vector is most similar. At 100 TB
+  the cluster assignment is a narrow map + the search join shuffles
+  on cluster id only, so cost scales with probed clusters, not N.
+
+Vector math is sequential-fold float64 (see functions/__init__) —
+deterministic and portable to DuckDB oracles. For very wide vectors a
+vectorized Pandas-UDF path would beat per-element array folds; at
+64-dim the JVM expression path wins (no Python boundary at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cosine_similarity, l2_norm
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The (small) query set is broadcast against the corpus — the corpus
+    is scanned once, never shuffled; only the (|Q| x k)-sized ranked
+    result shuffles. Self-matches are excluded.
+    Returns (query_id, neighbor_id, score, rnk)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def cluster_representatives(
+    corpus: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-cluster representative: the vector of the
+    smallest id in the cluster. (A trained k-means centroid would be
+    the production choice; a deterministic medoid keeps the operator
+    reproducible and oracle-checkable without float-sum ordering
+    issues.) Returns (cluster, rvec)."""
+    w = Window.partitionBy(cluster_col).orderBy(F.asc(id_col))
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(cluster_col).alias("cluster"), F.col(vec_col).alias("rvec"))
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: route each query to its n_probe
+    most-similar cluster representatives, search only those clusters.
+
+    Shuffle profile: reps are tiny (one row per cluster, broadcast);
+    the candidate join shuffles on cluster id; per-query ranking
+    touches |probed clusters| rows instead of N.
+    Returns (query_id, neighbor_id, score, rnk)."""
+    reps = cluster_representatives(corpus, cluster_col, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_score"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn(
+            "rep_score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "qvec", "cluster")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).alias("cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold within
+    blocking groups (shuffle on block key; no global O(n^2))."""
+    v = df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            "score",
+        )
+    )
+
+
+def norm_stats(
+    df: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group L2-norm distribution (min/max/count — order-
+    independent aggregates only, so hashes are stable)."""
+    n = F.round(l2_norm(F.col(vec_col)), 6)
+    return (
+        df.select(F.col(group_col), n.alias("norm"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )

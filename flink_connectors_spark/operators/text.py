@@ -1,0 +1,165 @@
+"""Text analysis operators: token stats, quality scoring, language
+identification, document fingerprinting.
+
+All pure JVM-side column expressions (regex + array higher-order
+functions) — no Python in the row path, so these run inside
+whole-stage codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import minhash_value, normalize_text, tokenize, word_shingles
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language-ID heuristic. Deliberately small + deterministic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+}
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-approximating token count: splits on word boundaries AND
+    digit/punct transitions (a cheap stand-in for a real tokenizer's
+    token count, good enough for corpus sizing)."""
+    pieces = F.split(
+        F.regexp_replace(F.lower(c), "([0-9]+|[^a-z0-9\\s]+)", " $1 "),
+        "\\s+",
+    )
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def char_classes(c: Column) -> dict[str, Column]:
+    """Character-class counts used by quality scoring."""
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, "[a-zA-Z0-9\\s]", ""))
+    n_space = F.length(F.regexp_replace(c, "[^ ]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+        "n_space": n_space,
+    }
+
+
+def stopword_hits(words: Column, lang: str) -> Column:
+    """How many tokens are function words of ``lang``."""
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS[lang])))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics."""
+    t = F.col(text_col)
+    words = tokenize(t)
+    cc = char_classes(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        cc["n_chars"].alias("n_chars"),
+        F.size(F.array_distinct(words)).alias("n_unique_tokens"),
+        F.round(
+            cc["n_chars"].cast("double") / token_count(t).cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: alpha ratio, length band,
+    stopword presence, type-token ratio. Deterministic rational
+    arithmetic (counts divided as float64) -> oracle-portable."""
+    t = F.col(text_col)
+    words = tokenize(t)
+    cc = char_classes(t)
+    n_tok = F.size(words).cast("double")
+    alpha_ratio = cc["n_alpha"].cast("double") / F.greatest(
+        cc["n_chars"], F.lit(1)
+    ).cast("double")
+    any_stop = None
+    for lang in STOPWORDS:
+        h = stopword_hits(words, lang)
+        any_stop = h if any_stop is None else any_stop + h
+    stop_ratio = any_stop.cast("double") / F.greatest(n_tok, F.lit(1.0))
+    ttr = F.size(F.array_distinct(words)).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    length_ok = (
+        F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(0.0)
+    )
+    score = F.round(
+        alpha_ratio * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.2
+        + ttr * 0.2
+        + length_ok * 0.2,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        length_ok.alias("length_ok"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID over {en,es,de,fr} with 'und'
+    (undetermined) when no list scores > 0. Deterministic argmax with
+    fixed tie order en > es > de > fr."""
+    words = tokenize(F.col(text_col))
+    scores = {lang: stopword_hits(words, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, "und")
+    for lang in ("en", "es", "de", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in STOPWORDS],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the k lexicographically
+    smallest shingle hashes, joined — a compact, order-invariant
+    content signature (plus a full-content md5)."""
+    words = tokenize(F.col(text_col))
+    sh = word_shingles(words, shingle_n)
+    hashes = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
+        F.concat_ws("|", F.slice(hashes, 1, k)).alias("winnow_fp"),
+    )
+
+
+__all__ = [
+    "STOPWORDS",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "token_count",
+    "bpe_ish_token_count",
+    "minhash_value",
+]

@@ -1,0 +1,454 @@
+"""Registered query plans for the LLM-data-pipeline operators
+(SURVEY.md §2.3): dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force + IVF),
+text analysis, multimodal metadata.
+
+Each plan wraps an operator from ``flink_connectors_spark.operators``
+and carries a full DuckDB oracle — including the MinHash/SimHash
+pipelines, which are expressed in portable SQL (md5-derived hashes, no
+engine-private hash functions) precisely so the driver can verify them
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..registry import register
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirrors of functions/__init__.py)
+# ---------------------------------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+# 3-word distinct shingles with the same short-doc guard as
+# functions.word_shingles.
+_SHINGLES_CTE = f"""
+norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w)-1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM norm WHERE len(w) >= 3)
+"""
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"round({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}), 6)"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content md5."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_K = 8
+_BAND = 2
+_SIG_COLS = ",\n         ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS m{i}"
+    for i in range(_MINHASH_K)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, concat(m{2 * b}, m{2 * b + 1}) AS band_key FROM sig"
+    for b in range(_MINHASH_K // _BAND)
+)
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, shingles,
+         {_SIG_COLS}
+      FROM sh),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT c.d1, c.d2,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) AS jac
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.d1
+    JOIN sh y ON y.doc_id = c.d2
+    WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) >= 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands of 2) near-dup pairs, Jaccard-verified
+    at >= 0.5. No O(n^2): candidates come from band-bucket self-join."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        band_size=_BAND,
+        threshold=0.5,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    blocked AS (
+      SELECT d.lang, d.source, s.doc_id, s.shingles
+      FROM documents d JOIN sh s ON d.doc_id = s.doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 6) AS jac
+    FROM blocked a JOIN blocked b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 6) >= 0.3
+    """,
+    tags=("llm", "dedup", "ngram"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within (lang, source) blocks."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        threshold=0.3,
+    )
+
+
+_SIMHASH_BITS = 16
+_VOTE_COLS = ", ".join(f"SUM((h >> {j}) & 1) AS s{j}" for j in range(_SIMHASH_BITS))
+_FP_EXPR = " + ".join(
+    f"(CASE WHEN s{j} * 2 > n_tokens THEN {1 << j} ELSE 0 END)"
+    for j in range(_SIMHASH_BITS)
+)
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, {_SIMHASH_BITS // 4})) AS BIGINT) AS h
+      FROM toks),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, {_VOTE_COLS}
+      FROM hashed GROUP BY doc_id)
+    SELECT doc_id, n_tokens, CAST({_FP_EXPR} AS BIGINT) AS simhash
+    FROM votes
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (per-bit majority over
+    md5-derived token hashes)."""
+    return D.simhash(load_table(spark, sf_dir, "documents"), n_bits=_SIMHASH_BITS)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {_sql_cos("a.embedding", "b.embedding")} AS score
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.8
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.8 within label blocks."""
+    return S.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_sql_cos("q.qvec", "c.cvec")} AS score
+      FROM c CROSS JOIN q
+      WHERE c.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 20 —
+    the correctness baseline for ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(emb.filter(emb.vec_id < 20), emb, k=5)
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 20),
+    reps AS (
+      SELECT label AS cluster, embedding AS rvec FROM (
+        SELECT label, embedding,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qvec, cluster FROM (
+        SELECT q.query_id, q.qvec, r.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_sql_cos("q.qvec", "r.rvec")} DESC, r.cluster) AS pr
+        FROM q CROSS JOIN reps r) t WHERE pr <= 2),
+    c AS (SELECT vec_id AS neighbor_id, label AS cluster, embedding AS cvec
+          FROM embeddings),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             {_sql_cos("p.qvec", "c.cvec")} AS score
+      FROM c JOIN probes p USING (cluster)
+      WHERE c.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 2 most-similar clusters (deterministic
+    medoid representatives), search only those — the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(emb.filter(emb.vec_id < 20), emb, k=5, n_probe=2)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           MIN(round({_sql_norm("embedding")}, 6)) AS min_norm,
+           MAX(round({_sql_norm("embedding")}, 6)) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding corpus."""
+    return S.norm_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_BPE_SPLIT = (
+    r"list_filter(regexp_split_to_array("
+    r"regexp_replace(lower(text), '([0-9]+|[^a-z0-9\s]+)', ' \1 ', 'g'),"
+    r" '\s+'), p -> p <> '')"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len({_BPE_SPLIT}) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           len(list_distinct(w)) AS n_unique_tokens,
+           round(CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM base
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts (whitespace + BPE-ish), char counts,
+    vocabulary size."""
+    return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter(w, x -> x IN ({words})))"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+             CAST({" + ".join(_sql_stop_hits(lang) for lang in T.STOPWORDS)} AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0) AS stop_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0) AS ttr,
+             CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END AS length_ok
+      FROM base)
+    SELECT doc_id,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(ttr, 6) AS type_token_ratio,
+           length_ok,
+           round(alpha_ratio * 0.4 + least(stop_ratio * 4, 1.0) * 0.2
+                 + ttr * 0.2 + length_ok * 0.2, 6) AS quality_score
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (alpha ratio, stopword ratio,
+    type-token ratio, length band)."""
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_SCORES = ",\n           ".join(
+    f"{_sql_stop_hits(lang)} AS score_{lang}" for lang in T.STOPWORDS
+)
+_BEST = "greatest(score_en, score_es, score_de, score_fr)"
+_PRED = (
+    f"CASE WHEN {_BEST} <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_BEST} THEN '{lang}'"
+        for lang in ("en", "es", "de", "fr")
+    )
+    + " END"
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    scored AS (
+      SELECT doc_id,
+           {_LANG_SCORES}
+      FROM base)
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           {_PRED} AS pred_lang
+    FROM scored
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-breaking."""
+    return T.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT n.doc_id,
+           md5({_NORM.replace("text", "d.text")}) AS content_md5,
+           coalesce(array_to_string(
+             list_sort(list_transform(s.shingles, x -> md5(x)))[1:3], '|'), '')
+             AS winnow_fp
+    FROM norm n
+    JOIN documents d ON d.doc_id = n.doc_id
+    LEFT JOIN sh s ON s.doc_id = n.doc_id
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint (3 smallest shingle hashes) +
+    content md5."""
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata projection (binary column itself is
+    pruned from the scan — columnar fast path)."""
+    mm = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.metadata_only(mm).select(
+        "doc_id", "mime", "modality", "byte_len", "content_md5"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           concat('text:', CAST(octet_length(encode(text)) AS VARCHAR), ':',
+                  lower(hex(encode(substr(text, 1, 8)))), ':',
+                  lower(hex(encode(substr(text, greatest(length(text) - 7, 1), 8)))))
+             AS feature
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "pandas_udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/featurize stage (stubbed codec, real Arrow
+    plumbing) — verified value-for-value against the SQL oracle."""
+    mm = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(mm)

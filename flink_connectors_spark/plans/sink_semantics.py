@@ -1,0 +1,176 @@
+"""Changelog -> table-state translation: the reference connector's
+core semantics (SURVEY.md §2.1 S8-S11), expressed as verifiable batch
+queries.
+
+The reference consumes a Flink changelog stream where each row carries
+a RowKind in {INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE} (reference
+`table/ClickHouseDynamicTableSink.java:24-32`) and translates it for a
+ClickHouse MergeTree engine:
+
+- insert-only (`table/internal/executor/ClickHouseBatchExecutor.java:49-53`):
+  keep I/UA, drop UB/D.
+- collapsing (`table/internal/executor/ClickHouseCollapsingExecutor.java:45-64`,
+  sign append `table/internal/converter/ClickHouseRowConverter.java:71-82`):
+  append every row with sign = +1 (I/UA) or -1 (UB/D); the engine
+  collapses rows whose per-key sign-sum cancels.
+- replacing (`table/internal/executor/ClickHouseReplacingExecutor.java:45-64`,
+  flag append `ClickHouseRowConverter.java:83-94`): append with
+  deleted-flag 0 (I/UA) / 1 (UB/D) + a version; last version wins.
+- upsert (the reference's dead code path,
+  `table/internal/executor/ClickHouseUpsertExecutor.java:60-79`, fixed
+  here): apply ops in order; final state is the last I/UA per key,
+  absent if the last op was D.
+
+Here we derive a deterministic changelog from the `events` table
+(op := event_type mapping, version := event_id) and express each
+mode's *resulting table state* as a DataFrame plan, so the driver's
+oracle can check the semantics exactly. The runtime writer lives in
+``flink_connectors_spark.sink``; these plans are its semantic spec.
+
+Scale note: compaction is one shuffle on the primary key; the
+replacing/upsert "last version wins" uses max_by-style aggregation
+(single agg) rather than a sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..session import load_table
+
+# event_type -> RowKind op code (I / UB / UA / D), chosen so every kind
+# appears: signup=I, click/view=UA, error=D, purchase=UB.
+_OP_SQL = """
+    CASE event_type WHEN 'signup' THEN 'I'
+                    WHEN 'error' THEN 'D'
+                    WHEN 'purchase' THEN 'UB'
+                    ELSE 'UA' END
+"""
+
+_CHANGELOG_SQL = f"""
+    SELECT user_id AS pk, event_id AS ver, value AS payload,
+           {_OP_SQL} AS op
+    FROM events
+"""
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "purchase", "UB")
+        .otherwise("UA")
+    )
+    return e.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("ver"),
+        F.col("value").alias("payload"),
+        op.alias("op"),
+    )
+
+
+@register(
+    "sink_insert_only",
+    oracle=f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT pk, ver, payload FROM changelog WHERE op IN ('I', 'UA')
+    """,
+    tags=("sink", "changelog"),
+)
+def sink_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only mode: UB/D silently dropped (reference
+    `ClickHouseBatchExecutor.java:49-53`)."""
+    return _changelog(spark, sf_dir).filter(F.col("op").isin("I", "UA")).select(
+        "pk", "ver", "payload"
+    )
+
+
+@register(
+    "sink_collapsing_state",
+    oracle=f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    signed AS (
+      SELECT pk, CASE WHEN op IN ('I','UA') THEN 1 ELSE -1 END AS sign
+      FROM changelog)
+    SELECT pk, SUM(sign) AS sign_sum
+    FROM signed GROUP BY pk HAVING SUM(sign) <> 0
+    """,
+    tags=("sink", "changelog", "collapsing"),
+)
+def sink_collapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree state: sign = +1/-1 per row (reference
+    `ClickHouseRowConverter.java:71-82`); surviving keys have non-zero
+    sign-sum. One shuffle, map-side partial sums."""
+    cl = _changelog(spark, sf_dir)
+    signed = cl.select(
+        "pk", F.when(F.col("op").isin("I", "UA"), 1).otherwise(-1).alias("sign")
+    )
+    return (
+        signed.groupBy("pk")
+        .agg(F.sum("sign").alias("sign_sum"))
+        .filter(F.col("sign_sum") != 0)
+    )
+
+
+@register(
+    "sink_replacing_state",
+    oracle=f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    flagged AS (
+      SELECT pk, ver, payload,
+             CASE WHEN op IN ('I','UA') THEN 0 ELSE 1 END AS deleted
+      FROM changelog),
+    latest AS (
+      SELECT pk, MAX(ver) AS ver FROM flagged GROUP BY pk)
+    SELECT f.pk, f.ver, f.payload
+    FROM flagged f JOIN latest l ON f.pk = l.pk AND f.ver = l.ver
+    WHERE f.deleted = 0
+    """,
+    tags=("sink", "changelog", "replacing"),
+)
+def sink_replacing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree state: deleted-flag 0/1 + version (reference
+    `ClickHouseRowConverter.java:83-94`); last version per key wins,
+    surviving only if deleted=0."""
+    cl = _changelog(spark, sf_dir)
+    flagged = cl.select(
+        "pk",
+        "ver",
+        "payload",
+        F.when(F.col("op").isin("I", "UA"), 0).otherwise(1).alias("deleted"),
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("ver"))
+    return (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("deleted") == 0))
+        .select("pk", "ver", "payload")
+    )
+
+
+@register(
+    "sink_upsert_state",
+    oracle=f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    applied AS (SELECT pk, ver, payload, op FROM changelog WHERE op <> 'UB'),
+    latest AS (SELECT pk, MAX(ver) AS ver FROM applied GROUP BY pk)
+    SELECT a.pk, a.ver, a.payload
+    FROM applied a JOIN latest l ON a.pk = l.pk AND a.ver = l.ver
+    WHERE a.op <> 'D'
+    """,
+    tags=("sink", "changelog", "upsert"),
+)
+def sink_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed upsert mode (reference's unreachable S11 path,
+    `ClickHouseUpsertExecutor.java:60-79`): UB ignored; ops applied in
+    version order; key absent if last op was DELETE."""
+    cl = _changelog(spark, sf_dir).filter(F.col("op") != "UB")
+    w = Window.partitionBy("pk").orderBy(F.desc("ver"))
+    return (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("pk", "ver", "payload")
+    )

@@ -1,0 +1,187 @@
+"""Batch-expressible streaming semantics over the `events` table:
+tumbling/sliding windows, session windows (gap-based), streaming
+dedup, watermark late-data horizon.
+
+The reference's host engine provides these upstream of the sink
+(SURVEY.md §2.2 streaming rows); the live Structured Streaming
+pipelines are in ``flink_connectors_spark.streaming`` — these batch
+twins pin the exact semantics so the driver can oracle-check them.
+
+Window starts are emitted as epoch **seconds BIGINT**, not timestamps:
+Spark's `window()` struct and DuckDB's `time_bucket` use different
+bucket origins and tz-ness, while `floor(epoch/width)*width` is
+unambiguous in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..session import load_table
+from ._util import dec, dsum
+
+
+def _epoch(col: str = "ts"):
+    # unix_timestamp truncates to seconds; fine for bucketing.
+    return F.unix_timestamp(F.col(col))
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregate — the batch twin of
+    `groupBy(F.window(ts, '10 minutes'), event_type)`. One shuffle on
+    (bucket, type); map-side partial aggregation applies."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(_epoch() / 600) * 600).cast("bigint")
+    return (
+        e.groupBy(bucket.alias("window_start_s"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value")).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type FROM events),
+    assigned AS (
+      SELECT (es // 300) * 300 AS window_start_s, event_type FROM ev
+      UNION ALL
+      SELECT (es // 300) * 300 - 300 AS window_start_s, event_type FROM ev
+    )
+    SELECT window_start_s, event_type, COUNT(*) AS n_events
+    FROM assigned GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 minutes: each event lands in
+    exactly two windows (start = floor(es/300)*300 and that minus 300)
+    — the batch twin of `F.window(ts, '10 minutes', '5 minutes')`,
+    expressed as an explicit 2-way window assignment."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(_epoch()).cast("bigint").alias("es"), "event_type"
+    )
+    base = (F.floor(F.col("es") / 300) * 300).cast("bigint")
+    assigned = e.select(base.alias("window_start_s"), "event_type").unionAll(
+        e.select((base - 300).alias("window_start_s"), "event_type")
+    )
+    return assigned.groupBy("window_start_s", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_start
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min gap) via lag + running sum of
+    session starts — the batch twin of `F.session_window(ts, '30
+    minutes')`. Two window passes over one shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((_epoch("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("is_start").over(wrun).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("bigint").alias("session_start_s"),
+    )
+
+
+@register(
+    "stream_dedup_first_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_id, ts FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) — batch twin of
+    streaming `dropDuplicates(['user_id','event_type'])` with an
+    event-time tiebreak so the result is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "stream_watermark_horizon",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT e.event_id, e.user_id, e.ts
+    FROM events e, mx
+    WHERE e.ts >= mx.max_ts - INTERVAL 24 HOUR
+    """,
+    tags=("streaming", "watermark"),
+)
+def stream_watermark_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch twin: rows within the 24h horizon of
+    max event time survive; older rows are 'late' and dropped —
+    mirrors `withWatermark('ts', '24 hours')` admission."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .select("event_id", "user_id", "ts")
+    )

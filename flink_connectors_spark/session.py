@@ -1,0 +1,91 @@
+"""SparkSession construction and table loading.
+
+Scale notes: every session enables AQE (runtime re-planning, skew-join
+splitting, partition coalescing) and Arrow for the Python boundary.
+``shuffle.partitions`` defaults small for local runs; on a real cluster
+this is overridden to ~2-3x total cores (or left to AQE's coalescing
+with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import TABLES
+
+# UTC everywhere: parquet timestamps must mean the same instants in
+# Spark and in any oracle engine (DuckDB) reading the same files.
+_BASE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 64 MiB scan splits: good parallelism without tiny-task overhead.
+    "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+    # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
+    # vectorized reader rejects; read as long and convert (see
+    # load_table). DuckDB coerces the same column to µs TIMESTAMP, so
+    # truncating ns -> µs keeps both engines value-identical.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def build_session(
+    app_name: str = "flink_connectors_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's scale-aware defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    b = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _BASE_CONF.items():
+        b = b.config(k, v)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Plain ``spark.read.parquet`` so Catalyst keeps
+    full pushdown/pruning freedom (filters and projections reach the
+    parquet scan as PushedFilters / ReadSchema).
+
+    The ``events`` table stores ts as INT64 TIMESTAMP(NANOS): it is
+    read under the nanosAsLong conf (set here so it also applies on a
+    driver-owned session) and converted ns -> µs TimestampType, which
+    matches DuckDB's µs coercion of the same file bit-for-bit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view so plans can be written in
+    Spark SQL as well as the DataFrame API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
