@@ -1,0 +1,238 @@
+"""The sink writer: changelog translation + per-partition batched
+writes with count/time triggers and retry.
+
+Reference mapping (SURVEY.md §2.1):
+- S3  batch output format -> ``_write_partition`` (buffer, count
+      trigger `ClickHouseBatchOutputFormat.java:45-52`, final flush on
+      close `:64-93`)
+- S8  insert-only executor -> ``translate_changelog('insert_only')``
+      (kind filter `ClickHouseBatchExecutor.java:49-53`) — with
+      `ignore_delete` actually honored (the reference parses it at
+      `ClickHouseDynamicTableFactory.java:115-120` but never reads it)
+- S9  collapsing -> sign column +1/-1
+      (`ClickHouseRowConverter.java:71-82`)
+- S10 replacing -> deleted flag 0/1 + version
+      (`ClickHouseRowConverter.java:83-94`)
+- S11 upsert (reference dead code, fixed here) -> split by op: insert
+      batch, per-key UPDATE / DELETE mutations
+      (`ClickHouseUpsertExecutor.java:60-79`)
+- retry w/ backoff -> ``_flush_with_retry``
+      (`ClickHouseBatchExecutor.java:103-123`; backoff kept linear
+      1s*attempt to match, but synchronous — see package docstring)
+
+Time-triggered flush: in batch/micro-batch execution the epoch IS the
+time trigger (trigger interval == the reference's flush-interval,
+SURVEY.md §3 EP2); a wall-clock check is still kept in the partition
+loop so a slow upstream iterator can't hold a buffer indefinitely.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import statements
+from .backends import backend_factory_for
+from .options import SinkOptions
+from .partitioner import apply_partitioning
+
+# RowKind codes, matching the reference's four kinds
+# (`ClickHouseDynamicTableSink.java:26-31`).
+OP_INSERT = "I"
+OP_UPDATE_BEFORE = "UB"
+OP_UPDATE_AFTER = "UA"
+OP_DELETE = "D"
+_UPSERT_KINDS = (OP_INSERT, OP_UPDATE_AFTER, OP_DELETE)
+
+
+def translate_changelog(df: DataFrame, opts: SinkOptions) -> DataFrame:
+    """Apply the write-mode's changelog translation declaratively (so
+    Catalyst folds it into the upstream plan — no row loop)."""
+    op = F.col(opts.op_column)
+    has_op = opts.op_column in df.columns
+    if opts.write_mode == "insert_only":
+        if not has_op:
+            return df
+        if not opts.ignore_delete:
+            # The reference parses sink.ignore-delete but never honors
+            # it (SURVEY.md §2.1 quirks); here False is an explicit
+            # config error steering users to a delete-capable mode.
+            raise ValueError(
+                "insert_only cannot apply deletes; set ignore_delete=true "
+                "or use write_mode 'replacing'/'upsert'"
+            )
+        return df.filter(op.isin(OP_INSERT, OP_UPDATE_AFTER)).drop(opts.op_column)
+    if not has_op:
+        raise ValueError(
+            f"write mode '{opts.write_mode}' requires an "
+            f"'{opts.op_column}' changelog column"
+        )
+    if opts.write_mode == "collapsing":
+        sign = F.when(op.isin(OP_INSERT, OP_UPDATE_AFTER), 1).otherwise(-1)
+        return df.withColumn(opts.sign_column, sign).drop(opts.op_column)
+    if opts.write_mode == "replacing":
+        deleted = F.when(op.isin(OP_INSERT, OP_UPDATE_AFTER), 0).otherwise(1)
+        if opts.version_column not in df.columns:
+            raise ValueError(
+                f"replacing mode requires version column "
+                f"'{opts.version_column}'"
+            )
+        return df.withColumn(opts.deleted_column, deleted).drop(opts.op_column)
+    # upsert keeps the op column; the writer splits on it
+    return df.filter(op.isin(*_UPSERT_KINDS))
+
+
+def _flush_with_retry(flush_fn, opts: SinkOptions) -> None:
+    """Retry loop mirroring `ClickHouseBatchExecutor.java:103-123`
+    (linear 1s*attempt backoff, max_retries attempts) but synchronous
+    in the task so Spark's own task retry is the outer layer."""
+    last = None
+    for attempt in range(1, opts.max_retries + 1):
+        try:
+            flush_fn()
+            return
+        except Exception as e:  # noqa: BLE001 - transport errors vary
+            last = e
+            if attempt < opts.max_retries:
+                time.sleep(min(1.0 * attempt, 10.0))
+    raise RuntimeError(
+        f"sink flush failed after {opts.max_retries} attempts"
+    ) from last
+
+
+class _PartitionWriter:
+    """Per-task writer closure: picklable config, lazy connection."""
+
+    def __init__(
+        self, opts: SinkOptions, columns: list[str], factory
+    ) -> None:
+        self.opts = opts
+        self.columns = columns
+        self.factory = factory
+
+    def __call__(self, rows_iter) -> None:
+        opts = self.opts
+        backend = self.factory()
+        try:
+            if opts.write_mode == "upsert":
+                self._write_upsert(backend, rows_iter)
+            else:
+                self._write_append(backend, rows_iter)
+        finally:
+            backend.close()
+
+    def _write_append(self, backend, rows_iter) -> None:
+        opts = self.opts
+        buf: list[tuple] = []
+        last_flush = time.monotonic()
+
+        def flush() -> None:
+            nonlocal buf, last_flush
+            if buf:
+                batch = buf
+                _flush_with_retry(
+                    lambda: backend.insert_rows(
+                        opts.table_name, self.columns, batch
+                    ),
+                    opts,
+                )
+                buf = []
+            last_flush = time.monotonic()
+
+        for row in rows_iter:
+            buf.append(tuple(row))
+            if (
+                len(buf) >= opts.batch_size
+                or time.monotonic() - last_flush >= opts.flush_interval_s
+            ):
+                flush()
+        flush()
+
+    def _write_upsert(self, backend, rows_iter) -> None:
+        """Split-by-op upsert (fixed S11): inserts batched, updates/
+        deletes as keyed mutations — three buffers like the
+        reference's `ClickHouseUpsertExecutor.java:46-48`."""
+        opts = self.opts
+        cols = self.columns
+        op_idx = cols.index(opts.op_column)
+        data_cols = [c for c in cols if c != opts.op_column]
+        keep_idx = [i for i, c in enumerate(cols) if c != opts.op_column]
+        key_cols = list(opts.primary_key)
+        val_cols = [c for c in data_cols if c not in set(key_cols)]
+        upd_sql = statements.update_statement(
+            opts.table_name, data_cols, key_cols
+        )
+        del_sql = statements.delete_statement(opts.table_name, key_cols)
+        col_pos = {c: i for i, c in enumerate(cols)}
+
+        for chunk in _chunks(rows_iter, opts.batch_size):
+            inserts: list[tuple] = []
+            mutations: list[tuple[str, tuple]] = []
+            for row in chunk:
+                r = tuple(row)
+                kind = r[op_idx]
+                if kind == OP_INSERT:
+                    inserts.append(tuple(r[i] for i in keep_idx))
+                elif kind == OP_UPDATE_AFTER:
+                    params = tuple(r[col_pos[c]] for c in val_cols) + tuple(
+                        r[col_pos[c]] for c in key_cols
+                    )
+                    mutations.append((upd_sql, params))
+                elif kind == OP_DELETE:
+                    params = tuple(r[col_pos[c]] for c in key_cols)
+                    mutations.append((del_sql, params))
+                # UPDATE_BEFORE dropped (reference `:60-79`)
+            if inserts:
+                _flush_with_retry(
+                    lambda b=inserts: backend.insert_rows(
+                        opts.table_name, data_cols, b
+                    ),
+                    opts,
+                )
+            for sql, params in mutations:
+                _flush_with_retry(
+                    lambda s=sql, p=params: backend.execute(s, p), opts
+                )
+
+
+def _chunks(it, size: int):
+    it = iter(it)
+    while True:
+        chunk = list(itertools.islice(it, size))
+        if not chunk:
+            return
+        yield chunk
+
+
+def write_batch(
+    df: DataFrame,
+    opts: SinkOptions,
+    n_shards: int = 0,
+    backend_factory=None,
+) -> None:
+    """Write a (batch or foreachBatch micro-batch) DataFrame through
+    the sink: changelog translation -> optional shard repartitioning
+    -> per-partition batched writes."""
+    out = translate_changelog(df, opts)
+    if opts.write_local and n_shards > 0:
+        out = apply_partitioning(out, opts, n_shards)
+    factory = backend_factory or backend_factory_for(opts)
+    writer = _PartitionWriter(opts, list(out.columns), factory)
+    out.foreachPartition(writer)
+
+
+def foreach_batch_writer(
+    opts: SinkOptions, n_shards: int = 0, backend_factory=None
+):
+    """Adapter for Structured Streaming:
+    ``stream.writeStream.foreachBatch(foreach_batch_writer(opts))`` —
+    the micro-batch trigger interval plays the reference's
+    flush-interval role (SURVEY.md §3 EP2)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        write_batch(batch_df, opts, n_shards, backend_factory)
+
+    return write

@@ -1,0 +1,216 @@
+"""Sink writer end-to-end: changelog modes against local backends,
+compacted-state oracles per FIXTURES.md §B, retry behavior,
+partitioner routing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_connectors_spark.sink.backends import (
+    DuckDBBackendFactory,
+    ParquetDirBackendFactory,
+)
+from flink_connectors_spark.sink.options import SinkOptions
+from flink_connectors_spark.sink.partitioner import apply_partitioning
+from flink_connectors_spark.sink.writer import (
+    _flush_with_retry,
+    foreach_batch_writer,
+    translate_changelog,
+    write_batch,
+)
+
+# FIXTURES.md §B changelog: key (name, grade); ops I/UB/UA/D.
+CHANGELOG = [
+    ("alice", 1, 10.0, 1, "I"),
+    ("bob", 1, 20.0, 2, "I"),
+    ("alice", 1, 10.0, 3, "UB"),
+    ("alice", 1, 11.0, 4, "UA"),
+    ("carol", 2, 30.0, 5, "I"),
+    ("bob", 1, 20.0, 6, "UB"),
+    ("bob", 1, 21.0, 7, "UA"),
+    ("carol", 2, 30.0, 8, "D"),
+]
+SCHEMA = "name string, grade int, rate double, ver long, op string"
+
+
+def _changelog_df(spark):
+    return spark.createDataFrame(CHANGELOG, SCHEMA)
+
+
+def _opts(tmp_path, mode, **kw):
+    base = dict(
+        url=f"parquet://{tmp_path}/sink",
+        table_name="sink_t",
+        write_mode=mode,
+        batch_size=3,
+    )
+    if mode in ("replacing", "upsert"):
+        base["primary_key"] = ("name", "grade")
+    base.update(kw)
+    return SinkOptions(**base)
+
+
+def _read_sink(tmp_path):
+    files = glob.glob(f"{tmp_path}/sink/sink_t/*.parquet")
+    assert files
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT * FROM read_parquet({files!r})"
+    ).fetchall()
+    cols = [d[0] for d in con.description]
+    con.close()
+    return cols, rows
+
+
+def test_insert_only_drops_retractions(spark, tmp_path):
+    write_batch(_changelog_df(spark), _opts(tmp_path, "insert_only"))
+    cols, rows = _read_sink(tmp_path)
+    # I/UA kept (5 rows), UB/D dropped, op column stripped
+    assert "op" not in cols
+    assert len(rows) == 5
+    vers = sorted(r[cols.index("ver")] for r in rows)
+    assert vers == [1, 2, 4, 5, 7]
+
+
+def test_collapsing_appends_sign(spark, tmp_path):
+    write_batch(_changelog_df(spark), _opts(tmp_path, "collapsing"))
+    cols, rows = _read_sink(tmp_path)
+    assert "sign" in cols
+    assert len(rows) == len(CHANGELOG)
+    # MergeTree-collapse oracle: per-key sign sum != 0 -> key survives
+    by_key: dict = {}
+    for r in rows:
+        k = (r[cols.index("name")], r[cols.index("grade")])
+        by_key[k] = by_key.get(k, 0) + r[cols.index("sign")]
+    surviving = {k for k, s in by_key.items() if s != 0}
+    assert surviving == {("alice", 1), ("bob", 1)}
+
+
+def test_replacing_appends_deleted_flag(spark, tmp_path):
+    write_batch(_changelog_df(spark), _opts(tmp_path, "replacing"))
+    cols, rows = _read_sink(tmp_path)
+    assert "deleted" in cols
+    # Replacing oracle: last-by-ver per key with deleted=0
+    latest: dict = {}
+    for r in rows:
+        k = (r[cols.index("name")], r[cols.index("grade")])
+        v = r[cols.index("ver")]
+        if k not in latest or v > latest[k][0]:
+            latest[k] = (v, r[cols.index("deleted")], r[cols.index("rate")])
+    state = {k: v for k, v in latest.items() if v[1] == 0}
+    assert set(state) == {("alice", 1), ("bob", 1)}
+    assert state[("alice", 1)][2] == 11.0
+    assert state[("bob", 1)][2] == 21.0
+
+
+def test_upsert_mode_applies_mutations(spark, tmp_path):
+    db = f"{tmp_path}/upsert.db"
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE sink_t(name VARCHAR, grade INT, rate DOUBLE, ver BIGINT)"
+    )
+    con.close()
+    opts = _opts(tmp_path, "upsert", url=f"duckdb://{db}")
+    # single partition => single writer => DuckDB single-writer safe
+    df = _changelog_df(spark).repartition(1)
+    write_batch(df, opts, backend_factory=DuckDBBackendFactory(db))
+    con = duckdb.connect(db)
+    rows = con.execute(
+        "SELECT name, grade, rate FROM sink_t ORDER BY name"
+    ).fetchall()
+    con.close()
+    # carol deleted; alice/bob updated in place
+    assert rows == [("alice", 1, 11.0), ("bob", 1, 21.0)]
+
+
+def test_upsert_requires_op_column(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "name string, grade int")
+    with pytest.raises(ValueError, match="op"):
+        translate_changelog(df, _opts(tmp_path, "collapsing"))
+
+
+def test_insert_only_strict_rejects_deletes(spark, tmp_path):
+    with pytest.raises(ValueError, match="insert_only"):
+        translate_changelog(
+            _changelog_df(spark),
+            _opts(tmp_path, "insert_only", ignore_delete=False),
+        )
+
+
+def test_retry_linear_backoff(monkeypatch):
+    opts = SinkOptions(
+        url="parquet:///tmp/x", table_name="t", max_retries=3
+    )
+    sleeps: list[float] = []
+    monkeypatch.setattr(
+        "flink_connectors_spark.sink.writer.time.sleep", sleeps.append
+    )
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+
+    _flush_with_retry(flaky, opts)
+    assert calls["n"] == 3
+    assert sleeps == [1.0, 2.0]  # linear 1s*attempt, like the reference
+
+    calls["n"] = 0
+
+    def always_fails():
+        calls["n"] += 1
+        raise IOError("hard")
+
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        _flush_with_retry(always_fails, opts)
+    assert calls["n"] == 3
+
+
+@pytest.mark.parametrize("strategy", ["balanced", "shuffle", "hash"])
+def test_partitioning_strategies(spark, tmp_path, strategy):
+    opts = SinkOptions(
+        url="parquet:///tmp/x",
+        table_name="t",
+        partition_strategy=strategy,
+        partition_key=("name",) if strategy == "hash" else (),
+    )
+    df = _changelog_df(spark)
+    out = apply_partitioning(df, opts, 4)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == len(CHANGELOG)
+    if strategy == "hash":
+        # hash routing must co-locate key-equal rows in one partition
+        parts = out.select("name").rdd.mapPartitions(
+            lambda it: [set(r["name"] for r in it)]
+        ).collect()
+        seen: dict[str, int] = {}
+        for i, names in enumerate(parts):
+            for n in names:
+                assert n not in seen, f"{n} split across partitions"
+                seen[n] = i
+
+
+def test_partitioning_missing_key(spark):
+    opts = SinkOptions(
+        url="parquet:///tmp/x",
+        table_name="t",
+        partition_strategy="hash",
+        partition_key=("nope",),
+    )
+    with pytest.raises(ValueError, match="nope"):
+        apply_partitioning(_changelog_df(spark), opts, 4)
+
+
+def test_foreach_batch_writer_adapter(spark, tmp_path):
+    opts = _opts(tmp_path, "insert_only")
+    fn = foreach_batch_writer(opts)
+    fn(_changelog_df(spark), 0)
+    _, rows = _read_sink(tmp_path)
+    assert len(rows) == 5
