@@ -1,0 +1,120 @@
+"""Streaming pipeline builders over an events-shaped stream.
+
+Each builder takes a *streaming* DataFrame (from readStream) with the
+events schema (event_id, ts timestamp, user_id, event_type, value,
+props) and returns the transformed streaming DataFrame; tests replay
+the static events table through a file stream and run with
+Trigger.availableNow against the memory sink.
+
+Scale notes: all aggregations are keyed (bounded state per key +
+window); watermarks bound state retention; sliding windows use the
+built-in `window()` (state shared across overlapping panes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with watermarked
+    late-data handling — the streaming twin of
+    plans.streaming_batch.stream_tumbling_window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts per event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per user via the built-in
+    session_window — state merges adjacent events within the gap."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_events(
+    stream: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup: first event per key wins; watermark bounds the
+    dedup state (keys older than the watermark are evicted)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(
+        keys or ["event_id"]
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: running per-user value totals via
+    applyInPandasWithState (the Spark analogue of a Flink keyed
+    process function)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,154 @@
+"""Live Structured Streaming tests: replay the static events table as
+a file stream, run each pipeline with Trigger.availableNow into the
+memory sink, and check the results against batch equivalents."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_connectors_spark.session import load_table
+from flink_connectors_spark.sink.options import SinkOptions
+from flink_connectors_spark.sink.writer import foreach_batch_writer
+from flink_connectors_spark.streaming import pipelines as P
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events replayed as parquet files with µs timestamps (the raw
+    file carries ns, which streaming schema inference rejects too)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, stream_df, name, mode="append"):
+    """mode='complete' for windowed aggregations: in append mode,
+    windows newer than the final watermark are (correctly) withheld,
+    so end-of-replay tail windows would be missing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _events_stream(spark, events_stream_dir):
+    static = spark.read.parquet(events_stream_dir)
+    return spark.readStream.schema(static.schema).parquet(events_stream_dir)
+
+
+def test_tumbling_counts_match_batch(spark, events_stream_dir):
+    stream = _events_stream(spark, events_stream_dir)
+    res = _run_stream(spark, P.tumbling_counts(stream), "t_tumbling", "complete")
+    static = spark.read.parquet(events_stream_dir)
+    batch = (
+        static.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in res.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sliding_counts_double_assignment(spark, events_stream_dir):
+    stream = _events_stream(spark, events_stream_dir)
+    res = _run_stream(spark, P.sliding_counts(stream), "t_sliding", "complete")
+    n_events = spark.read.parquet(events_stream_dir).count()
+    total = res.agg(F.sum("n_events")).collect()[0][0]
+    # 10-min window / 5-min slide => every event in exactly 2 windows
+    assert total == 2 * n_events
+
+
+def test_session_counts(spark, events_stream_dir):
+    stream = _events_stream(spark, events_stream_dir)
+    res = _run_stream(spark, P.session_counts(stream), "t_session", "complete")
+    rows = res.collect()
+    assert rows, "expected at least one session"
+    n_events = spark.read.parquet(events_stream_dir).count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    # sessions honor the gap: start <= end everywhere
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_streaming_dedup(spark, events_stream_dir):
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    res = _run_stream(
+        spark, P.dedup_events(stream, keys=["user_id", "event_type"]), "t_dedup"
+    )
+    got = res.select("user_id", "event_type").distinct().count()
+    want = static.select("user_id", "event_type").distinct().count()
+    assert res.count() == got == want
+
+
+def test_stateful_running_totals(spark, events_stream_dir):
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    q = (
+        P.running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("t_stateful")
+    # final state per user matches the batch aggregate
+    final = (
+        res.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    want = static.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    got_map = {r["user_id"]: r["n_events"] for r in final.collect()}
+    want_map = {r["user_id"]: r["n_events"] for r in want.collect()}
+    assert got_map == want_map
+
+
+def test_stream_through_sink_foreach_batch(spark, events_stream_dir, tmp_path):
+    """Full EP2 path: stream -> changelog translation -> batched sink
+    writes (micro-batch as flush-interval)."""
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    cl = stream.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("ver"),
+        F.col("value").alias("payload"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "purchase", "UB")
+        .otherwise("UA")
+        .alias("op"),
+    )
+    opts = SinkOptions(
+        url=f"parquet://{tmp_path}/stream_sink",
+        table_name="events_sink",
+        write_mode="replacing",
+        primary_key=("pk",),
+        batch_size=256,
+    )
+    q = (
+        cl.writeStream.foreachBatch(foreach_batch_writer(opts))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = glob.glob(f"{tmp_path}/stream_sink/events_sink/*.parquet")
+    assert files
+    written = spark.read.parquet(*files)
+    assert written.count() == static.count()
+    assert "deleted" in written.columns
