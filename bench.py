@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, no
+driver-side collect cost). One warm-up pass of the flagship query
+absorbs JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_connectors_spark.registry import all_specs
+from flink_connectors_spark.session import build_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "window_rank_per_group",
+    "stream_session_windows",
+    "sink_replacing_state",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_quality_score",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="fcs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    run("q3_shipping_priority")  # warm-up: JVM, codegen, parquet footers
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = run(name)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

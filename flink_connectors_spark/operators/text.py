@@ -142,13 +142,19 @@ def fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: the k lexicographically
     smallest shingle hashes, joined — a compact, order-invariant
-    content signature (plus a full-content md5)."""
-    words = tokenize(F.col(text_col))
-    sh = word_shingles(words, shingle_n)
-    hashes = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
-    return df.select(
+    content signature (plus a full-content md5). Tokens are
+    materialized in their own projection (see dedup.with_shingles)."""
+    words = df.select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("content_md5"),
+        tokenize(F.col(text_col)).alias("__words__"),
+    )
+    hashes = F.array_sort(
+        F.transform(word_shingles(F.col("__words__"), shingle_n), lambda s: F.md5(s))
+    )
+    return words.select(
+        F.col(id_col),
+        F.col("content_md5"),
         F.concat_ws("|", F.slice(hashes, 1, k)).alias("winnow_fp"),
     )
 
