@@ -71,6 +71,15 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .plans import relational, scalar, windows, llm_ops, sink_semantics, streaming_batch  # noqa: F401
+    from .plans import (  # noqa: F401
+        llm_ops,
+        relational,
+        relational2,
+        scalar,
+        scalar2,
+        sink_semantics,
+        streaming_batch,
+        windows,
+    )
 
     _LOADED = True
