@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: lock in the scale-critical plan
+shapes (broadcast joins, pushed filters, column pruning, top-k
+without global sort). A green correctness suite with a bad plan is a
+100 TB outage waiting — these tests fail if Catalyst stops choosing
+the plan we designed for."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from flink_connectors_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan, "customer dim should broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+    # mktsegment filter must reach the customer parquet scan
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:2000] or (
+        "EqualTo(c_mktsegment,BUILDING)" in plan
+    )
+
+
+def test_q6_full_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_revenue_forecast")
+    assert "PushedFilters" in plan
+    scan = plan.split("ReadSchema")[1]
+    # only the 4 needed columns read, not all 11
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in scan
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in scan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan = plan.split("ReadSchema")[1]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_q5_single_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    # all five dimension joins broadcast; only lineitem<->orders shuffles
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    # scalar families must stay inside codegen (no Python in row path)
+    for q in ("scalar_string_funcs", "scalar_math_funcs", "scalar_json_extract"):
+        plan = _plan(spark, sf_dir, q)
+        assert "codegen id" in plan, q  # inside whole-stage codegen spans
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_similarity_bruteforce_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus side must not be exchanged before the join
+    assert "ArrowEvalPython" not in plan  # vector math is JVM-side
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_exact")
+    # hash aggregate with partial (map-side) phase before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "hashpartitioning(fingerprint" in plan
