@@ -25,6 +25,14 @@ give at-least-once without a lossy window.
 
 from .options import SinkOptions
 from .partitioner import apply_partitioning
+from .types import clickhouse_type_for, create_table_statement, ddl_columns
 from .writer import write_batch
 
-__all__ = ["SinkOptions", "apply_partitioning", "write_batch"]
+__all__ = [
+    "SinkOptions",
+    "apply_partitioning",
+    "clickhouse_type_for",
+    "create_table_statement",
+    "ddl_columns",
+    "write_batch",
+]
