@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         llm_ops,
         relational,
         relational2,
+        relational3,
         scalar,
         scalar2,
         sink_semantics,

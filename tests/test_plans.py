@@ -83,3 +83,37 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "partial_min" in plan and "partial_count" in plan
     assert "hashpartitioning(fingerprint" in plan
+
+
+def test_q2_single_lineitem_shuffle_for_window_min(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_price_supplier")
+    # correlated MIN subquery == one window over l_partkey: lineitem is
+    # shuffled once; suppliers/nation/region/part all broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    # the NOT IN exclusion (6 suppliers) must be a broadcast anti join,
+    # never a shuffle of lineitem against a 6-row table
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # part filter pushed to the scan
+    assert "PushedFilters" in plan
+
+
+def test_q21_one_pass_culprit_detection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    # EXISTS/NOT-EXISTS pair is one aggregation, not three lineitem
+    # self-joins: at most 2 big-table shuffle joins in the whole plan
+    big_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert big_joins <= 2, f"expected <=2 shuffle joins, saw {big_joins}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # orderdate filter pushed to the orders scan
+    assert "PushedFilters" in plan
