@@ -46,9 +46,25 @@ def davg(c: Column) -> Column:
     return F.sum(c).cast("double") / F.count(F.lit(1))
 
 
+def cents(col: str) -> Column:
+    """2-dp money column as exact int64 hundredths. For the hottest
+    full-scan aggregates: integer multiply/add stays in whole-stage
+    codegen (no 128-bit decimal path), and integer sums are exact in
+    any order, so the final double matches DuckDB bit-for-bit.
+    Domain note: products of two/three cents-scaled factors keep row
+    values < ~1e9 and running sums safe to ~9e18 — fine through
+    SF~1000 lineitem; beyond that, fall back to the decimal helpers."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
 # SQL-side mirrors (DuckDB) of the helpers above, for oracle strings.
 SQL_DEC = "DECIMAL(18,2)"
 
 
 def sql_dec(expr: str) -> str:
     return f"CAST({expr} AS {SQL_DEC})"
+
+
+def sql_cents(col: str) -> str:
+    """DuckDB mirror of :func:`cents`."""
+    return f"CAST(round({col} * 100) AS BIGINT)"

@@ -76,6 +76,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Ensure a DataFrame has at least cluster-parallelism partitions
+    before a CPU-bound narrow pipeline (hashing, shingling, vector
+    math).
+
+    Why: a small table stored as one parquet file scans as ONE input
+    split, so every per-row transform downstream runs serially on a
+    single core no matter how many executors exist. At real scale the
+    scan produces splits >> cores (64 MiB each) and this is a no-op —
+    the round-robin shuffle only ever pays for itself on under-split
+    inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
