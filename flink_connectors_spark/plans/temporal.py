@@ -1,0 +1,194 @@
+"""Temporal join operators over the events stream table: as-of join,
+interval (range) join, and a pivoted time-bucket rollup.
+
+The reference's host engine (Flink SQL 1.12 blink planner,
+`pom.xml:60-72`) exposes interval joins and temporal/as-of semantics
+upstream of the sink (`README.md:4-28` assumes arbitrary Flink SQL
+feeding it); Spark has no built-in as-of join, so it is re-expressed
+here as compositions of shuffle-once primitives (SURVEY.md §2.3
+"custom operators": composition of DataFrame ops before any UDF).
+
+Scale notes (100 TB):
+- as-of join: union + one window over the join key — events shuffle
+  ONCE on user_id; no per-row lookups, no broadcast of the build side
+  needed, skew handled by AQE.
+- interval join: equi-join on the key with the time range as a join
+  predicate — one shuffle per side on user_id. For extreme per-key
+  cardinality, pre-bucket both sides by (key, time_bucket) so the
+  range only scans two buckets; at this corpus's fan-out the plain
+  keyed join is the better plan (no row duplication).
+- pivot: fixed pivot-value list (no discovery pass over the data),
+  conditional map-side partial aggregation, single shuffle on the
+  day bucket.
+
+Determinism: window order is the total order (ts, event_id);
+`value` is 2-dp money so sums use exact int64 hundredths
+(_util.cents); gap seconds computed in whole microseconds-to-seconds
+integer math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+from ._util import sql_cents
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "join_asof_last_view",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, ts, user_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS view_id,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS view_ts
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    )
+    SELECT event_id AS click_id, ts AS click_ts, user_id,
+           view_id, view_ts,
+           CAST(floor(date_part('epoch', ts) )
+                - floor(date_part('epoch', view_ts)) AS BIGINT) AS gap_s
+    FROM tagged WHERE event_type = 'click'
+    """,
+    tags=("temporal", "asof", "window"),
+)
+def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the same user's most recent
+    view at-or-before it (total order: ts, then event_id). Expressed
+    as union + running last_value(ignorenulls) — the distributed
+    as-of formulation: ONE shuffle of events on user_id, no point
+    lookups. Clicks with no prior view keep NULL (left as-of)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("view_id"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+    )
+    gap = (
+        F.floor(F.unix_timestamp("ts"))
+        - F.floor(F.unix_timestamp("view_ts"))
+    ).cast("bigint")
+    return tagged.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+        "view_id",
+        "view_ts",
+        gap.alias("gap_s"),
+    )
+
+
+@register(
+    "join_interval_clicks_before_error",
+    oracle="""
+    SELECT e.event_id AS error_id, e.ts AS error_ts, e.user_id,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events e
+    JOIN events c
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 30 MINUTE
+     AND c.ts < e.ts
+    WHERE e.event_type = 'error'
+    """,
+    tags=("temporal", "interval", "join"),
+)
+def join_interval_clicks_before_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval (range) join: clicks within the 30 minutes before
+    each same-user error — the batch analogue of a Flink stream
+    interval join. Planned as an equi-join on user_id with the time
+    range as join predicate: each side shuffles once on the key; the
+    range never degenerates into a cross product."""
+    ev = _events(spark, sf_dir)
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        "user_id",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"),
+    )
+    return e.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (
+            F.col("click_ts")
+            >= F.col("error_ts") - F.expr("INTERVAL 30 MINUTES")
+        )
+        & (F.col("click_ts") < F.col("error_ts")),
+    ).select("error_id", "error_ts", "user_id", "click_id", "click_ts")
+
+
+_PIVOT_SQL = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+    f"{sql_cents('value')} ELSE 0 END) AS DOUBLE) / 100.0 AS {t}_value"
+    for t in _EVENT_TYPES
+)
+
+
+@register(
+    "pivot_daily_event_values",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {_PIVOT_SQL}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("temporal", "pivot", "agg"),
+)
+def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value totals pivoted into one column per event type.
+    The pivot value list is fixed up front (no extra discovery scan);
+    partial aggregation happens map-side, one shuffle on the day
+    bucket. Money sums in exact int64 hundredths."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    pivoted = (
+        ev.groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum("value_c"))
+    )
+    out = [F.col("day")] + [
+        (F.coalesce(F.col(t), F.lit(0)).cast("double") / F.lit(100.0)).alias(
+            f"{t}_value"
+        )
+        for t in _EVENT_TYPES
+    ]
+    return pivoted.select(*out)

@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         scalar2,
         sink_semantics,
         streaming_batch,
+        temporal,
         windows,
     )
 
