@@ -153,6 +153,72 @@ def join_interval_clicks_before_error(
     ).select("error_id", "error_ts", "user_id", "click_id", "click_ts")
 
 
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+           (s3.t_purchase IS NOT NULL) AS completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    tags=("temporal", "funnel", "agg", "join"),
+)
+def funnel_signup_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered-sequence funnel: signup -> first click strictly after
+    it -> first purchase strictly after that, per user. Three keyed
+    aggregations + left joins, all hashed on user_id — the exchanges
+    reuse one partitioning, and per-stage state is one timestamp per
+    user (bounded, streaming-friendly)."""
+    ev = _events(spark, sf_dir)
+
+    def stage(etype: str, prev: DataFrame, prev_t: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("u"), "ts"
+        )
+        return (
+            e.join(prev, e.u == prev.user_id)
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("u")
+            .agg(F.min("ts").alias(out))
+            .withColumnRenamed("u", "user_id")
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = stage("click", s1, "t_signup", "t_click")
+    s3 = stage("purchase", s2, "t_click", "t_purchase")
+    return (
+        s1.join(s2, "user_id", "left_outer")
+        .join(s3, "user_id", "left_outer")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+    )
+
+
 _PIVOT_SQL = ",\n           ".join(
     f"CAST(SUM(CASE WHEN event_type = '{t}' THEN "
     f"{sql_cents('value')} ELSE 0 END) AS DOUBLE) / 100.0 AS {t}_value"

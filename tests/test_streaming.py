@@ -152,3 +152,45 @@ def test_stream_through_sink_foreach_batch(spark, events_stream_dir, tmp_path):
     written = spark.read.parquet(*files)
     assert written.count() == static.count()
     assert "deleted" in written.columns
+
+
+def test_stateful_tws_matches_batch(spark, events_stream_dir):
+    """transformWithStateInPandas (modern typed-state API) reaches the
+    same final per-user state as the batch aggregate.
+
+    Skipped where protobuf is unavailable: Spark 4.x's
+    transformWithState driver<->worker state protocol imports
+    google.protobuf; applyInPandasWithState (tested above) is the
+    executed stateful path in that case."""
+    pytest.importorskip("google.protobuf")
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    # transformWithState requires the RocksDB state store provider.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            P.user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    res = spark.table("t_tws")
+    final = res.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    want = static.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    got_map = {r["user_id"]: r["n_events"] for r in final.collect()}
+    want_map = {r["user_id"]: r["n_events"] for r in want.collect()}
+    assert got_map == want_map
