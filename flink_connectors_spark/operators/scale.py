@@ -1,0 +1,122 @@
+"""Scale-out primitives: skew salting and bucketed co-located joins.
+
+These are the two knobs the engine reaches for when AQE alone isn't
+enough at 100 TB:
+
+- **Salting** splits a hot key across N sub-partitions. A join
+  against a salted fact requires replicating the matching dimension
+  rows N ways (explode over the salt domain) — bounded, explicit
+  cost instead of one straggler task holding the whole hot key.
+  Aggregations salt cheaper: partial-agg on (key, salt), then final
+  agg on key — two small shuffles instead of one skewed one.
+- **Bucketing** pre-shuffles a table ONCE at write time
+  (`bucketBy(n, key)` + sortBy); every later equi-join or
+  aggregation on that key reads co-located buckets and skips the
+  exchange entirely. The write is the shuffle you never pay again —
+  the Spark analogue of the reference's direct-to-shard layout
+  (`ClickHouseShardOutputFormat`, SURVEY.md §2.1 S4): rows land
+  hash-routed by key at rest.
+
+Both are plan-shape-tested in tests/test_scale.py (salted agg never
+exceeds the unsalted row width; bucketed join plans contain no
+Exchange).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "__salt__") -> DataFrame:
+    """Append a uniform int salt in [0, n_salts). Uses a hash of
+    monotonically_increasing_id — deterministic within a run, no RNG
+    state on executors."""
+    return df.withColumn(
+        col_name,
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof aggregation: partial aggregate on (keys + salt),
+    final aggregate on keys.
+
+    ``aggs`` maps output column name -> (partial_agg_expr,
+    final_agg_expr_over_partial); e.g. a count is
+    ``(F.count(F.lit(1)), F.sum(...))``, a sum is (sum, sum), a min is
+    (min, min). Only algebraic (decomposable) aggregates qualify —
+    exactly the ones Spark itself computes with map-side partials.
+
+    The first shuffle spreads any hot key over ``n_salts`` reducers;
+    the second shuffles at most |groups| * n_salts tiny rows.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "__salt__").agg(
+        *[p.alias(f"__p_{name}") for name, (p, _) in aggs.items()]
+    )
+    final_exprs = []
+    for name, (_, fin) in aggs.items():
+        final_exprs.append(fin(F.col(f"__p_{name}")).alias(name))
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side gets a random salt, the
+    (smaller) dim side is replicated across the full salt domain, and
+    the join key becomes (key, salt). A hot fact key now lands on
+    n_salts reducers instead of one. Dim replication cost is
+    |dim| * n_salts — use for moderate dims when broadcast is too big
+    and AQE's skew split isn't available (e.g. bucketed inputs)."""
+    f = with_salt(fact, n_salts)
+    d = dim.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt__"),
+    )
+    out = f.join(d, on=[key, "__salt__"], how=how)
+    return out.drop("__salt__")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str | Sequence[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
+) -> None:
+    """Materialize a table bucketed (and optionally sorted) by key —
+    pay the shuffle once at rest, never again on reads that join or
+    aggregate on the bucket key."""
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(n_buckets, keys[0], *keys[1:])
+    if sort:
+        w = w.sortBy(keys[0], *keys[1:])
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With equal
+    bucket counts Spark plans a sort-merge join with NO exchange on
+    either side (verify: no Exchange above either scan in .explain)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
