@@ -30,7 +30,10 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_revenue_forecast",
     "q10_returned_items",
+    "q21_waiting_suppliers",
     "window_rank_per_group",
+    "join_asof_last_view",
+    "pivot_daily_event_values",
     "stream_session_windows",
     "sink_replacing_state",
     "dedup_exact",

@@ -409,14 +409,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("nlate"),
+    # Distinct (order, supplier) pairs with an any-late flag first:
+    # avoids the Expand (input duplication) a two-countDistinct
+    # aggregate would plan, and the pairs feed both the per-order
+    # stats and the culprit lookup.
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("is_late")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum("is_late").alias("nlate"),
     )
     culprit = (
-        li.filter(F.col("late"))
+        pairs.filter(F.col("is_late") == 1)
         .join(
             per_order.filter(
                 (F.col("nsupp") > 1) & (F.col("nlate") == 1)
@@ -424,7 +429,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     nation = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_2", "NATION_5", "NATION_8")
