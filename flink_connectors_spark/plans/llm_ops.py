@@ -461,3 +461,86 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing) — verified value-for-value against the SQL oracle."""
     mm = M.attach_binary_payload(_load(spark, sf_dir, "documents"))
     return M.extract_features(mm)
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, lang, n_chars,
+             md5({_NORM}) AS fp,
+             len({_WORDS}) AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM norm),
+    flagged AS (
+      SELECT source,
+             (rn = 1 AND lang = 'en'
+              AND n_chars BETWEEN 100 AND 2000) AS kept,
+             (rn > 1) AS dupe,
+             n_tokens
+      FROM ranked)
+    SELECT source,
+           COUNT(*) AS n_candidates,
+           COUNT(*) FILTER (kept) AS n_kept,
+           COUNT(*) FILTER (dupe) AS n_dupes_removed,
+           COALESCE(SUM(n_tokens) FILTER (kept), 0) AS tokens_kept
+    FROM flagged
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "dedup", "quality"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning, the operators composed the way a
+    training-data job runs them: normalize -> fingerprint -> exact
+    dedup (keep lowest doc_id) -> language + length gate -> per-source
+    yield accounting.
+
+    Plan shape: one shuffle on the fingerprint (window row_number),
+    one on source (final small agg). No UDFs, no collects; at 100 TB
+    the fingerprint shuffle is the dedup cost you pay anyway."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text, tokenize
+
+    d = _load(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+        F.size(tokenize(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = norm.withColumn("rn", F.row_number().over(w))
+    kept = (
+        (F.col("rn") == 1)
+        & (F.col("lang") == "en")
+        & F.col("n_chars").between(100, 2000)
+    )
+    return (
+        ranked.select(
+            "source",
+            kept.alias("kept"),
+            (F.col("rn") > 1).alias("dupe"),
+            "n_tokens",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.count(F.when(F.col("dupe"), 1)).alias("n_dupes_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+            ).alias("tokens_kept"),
+        )
+    )

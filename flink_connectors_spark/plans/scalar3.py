@@ -1,0 +1,73 @@
+"""Scalar coverage, wave 3: regex family and cryptographic hash
+functions — both pure JVM expressions inside whole-stage codegen
+(plan-shape guarded like the other scalar families).
+
+Hash parity note: md5 and sha2-256 produce identical digests in every
+engine (the algorithms are specifications); sha1/crc32 exist in Spark
+but not DuckDB, so the oracle-checked set is md5 + sha256 and the
+hex-prefix-to-bigint bridge used by the dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+
+@register(
+    "scalar_regex_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '^(\w+)', 1) AS first_word,
+           len(regexp_extract_all(text, '[aeiou]{2,}')) AS n_vowel_runs,
+           regexp_matches(text, 'spark') AS mentions_spark,
+           length(regexp_replace(text, '[aeiou]', '_', 'g')) AS masked_len,
+           regexp_extract(source, '([0-9]+)$', 1) AS source_num
+    FROM documents
+    """,
+    tags=("scalar", "regex"),
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract (group), extract_all + count, rlike,
+    global replace — all codegen'd JVM expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[aeiou]{2,}"), 0)).alias(
+            "n_vowel_runs"
+        ),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.length(F.regexp_replace("text", "[aeiou]", "_")).alias(
+            "masked_len"
+        ),
+        F.regexp_extract("source", r"([0-9]+)$", 1).alias("source_num"),
+    )
+
+
+@register(
+    "scalar_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS h_bucket
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5, sha2-256, and the hex-prefix bigint bridge
+    (the same construction the dedup/simhash operators rely on)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h_bucket"),
+    )

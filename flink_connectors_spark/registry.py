@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         relational3,
         scalar,
         scalar2,
+        scalar3,
         sink_semantics,
         streaming_batch,
         temporal,

@@ -64,7 +64,13 @@ def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
 
 def test_whole_stage_codegen_everywhere(spark, sf_dir):
     # scalar families must stay inside codegen (no Python in row path)
-    for q in ("scalar_string_funcs", "scalar_math_funcs", "scalar_json_extract"):
+    for q in (
+        "scalar_string_funcs",
+        "scalar_math_funcs",
+        "scalar_json_extract",
+        "scalar_regex_funcs",
+        "scalar_hash_funcs",
+    ):
         plan = _plan(spark, sf_dir, q)
         assert "codegen id" in plan, q  # inside whole-stage codegen spans
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
