@@ -25,6 +25,7 @@ give at-least-once without a lossy window.
 
 from .options import SinkOptions
 from .partitioner import apply_partitioning
+from .topology import discover_shards, shard_addresses
 from .types import clickhouse_type_for, create_table_statement, ddl_columns
 from .writer import write_batch
 
@@ -34,5 +35,7 @@ __all__ = [
     "clickhouse_type_for",
     "create_table_statement",
     "ddl_columns",
+    "discover_shards",
+    "shard_addresses",
     "write_batch",
 ]

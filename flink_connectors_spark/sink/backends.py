@@ -36,6 +36,8 @@ class SinkBackend(Protocol):
 
     def execute(self, sql: str, params: tuple = ()) -> None: ...
 
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]: ...
+
     def close(self) -> None: ...
 
 
@@ -74,6 +76,12 @@ class ParquetDirBackend:
         raise NotImplementedError(
             "ParquetDirBackend is append-only; mutations need DuckDBBackend "
             "or ClickHouseHTTPBackend"
+        )
+
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]:
+        raise NotImplementedError(
+            "ParquetDirBackend has no query surface; topology discovery "
+            "needs DuckDBBackend or ClickHouseHTTPBackend"
         )
 
     def close(self) -> None:
@@ -134,6 +142,9 @@ class DuckDBBackend:
         # DuckDB shares the reference statements' `?` placeholder style.
         self.con.execute(self._translate(sql), list(params))
 
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]:
+        return self.con.execute(self._translate(sql), list(params)).fetchall()
+
     def close(self) -> None:
         self.con.close()
 
@@ -182,6 +193,9 @@ class ClickHouseHTTPBackend:
 
     def execute(self, sql: str, params: tuple = ()) -> None:  # pragma: no cover
         self.client.command(sql, parameters=list(params))
+
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]:  # pragma: no cover
+        return [tuple(r) for r in self.client.query(sql, parameters=list(params)).result_rows]
 
     def close(self) -> None:  # pragma: no cover
         self.client.close()
