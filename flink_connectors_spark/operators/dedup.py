@@ -186,6 +186,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iters: int = 50
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: every doc gets
+    the minimum doc id reachable through the pair graph as its
+    cluster id (the canonical representative).
+
+    Iterative min-label propagation, Spark-first: each round is one
+    join + one aggregation (both keyed shuffles); the loop stops when
+    a round changes no label. Rounds needed = graph diameter, which
+    for near-dup clusters is tiny (they are dense cliques-ish);
+    ``max_iters`` bounds the worst case. The driver only ever sees a
+    one-row convergence count — never the data.
+
+    Returns (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("doc_id"),
+            F.least("a", "nbr_min").alias("cluster_id"),
+        )
+    )
+    for _ in range(max_iters):
+        # propagate: my new label = min(my label, labels of neighbors)
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                    "cluster_id", "nbr_label"
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, labels.doc_id == nbr.a, "left_outer")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_bits(token: Column, n_bits: int) -> Column:
     """Token -> n_bits-wide hash int from the md5 hex prefix."""
     return hex_prefix_to_long(F.md5(token), n_bits // 4)

@@ -544,3 +544,55 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_kept"),
         )
     )
+
+
+_PAIRS_CTES = f"""{_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, shingles,
+         {_SIG_COLS}
+      FROM sh),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.d1, c.d2
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.d1
+      JOIN sh y ON y.doc_id = c.d2
+      WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                  / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) >= 0.5)"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    tags=("llm", "dedup", "clustering", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: MinHash-LSH pairs -> connected
+    components via iterative min-label propagation (each doc labeled
+    with the smallest doc_id in its component — the canonical doc a
+    training pipeline keeps). The DuckDB oracle computes the same
+    components with a recursive transitive-closure CTE."""
+    pairs = D.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        band_size=_BAND,
+        threshold=0.5,
+    )
+    return D.connected_components(pairs)

@@ -144,3 +144,18 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
     )
     plan = _plan(df)
     assert "Exchange" not in plan, "agg on bucket key must not shuffle"
+
+
+def test_connected_components_chain_converges(spark):
+    """A 5-node chain (diameter 4) exercises multiple propagation
+    rounds; a separate 2-clique and the chain must not merge."""
+    from flink_connectors_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["d1", "d2"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
