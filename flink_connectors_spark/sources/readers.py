@@ -35,6 +35,53 @@ def read_json(
     return spark.read.schema(schema).options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC carries its own schema, same pushdown/pruning as parquet."""
+    return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options,
+) -> DataFrame:
+    """JDBC scan. Always pass the partition-column quartet for any
+    table of size — without it Spark reads the whole table through ONE
+    connection. Requires the vendor driver jar on the classpath (none
+    ships in this environment; exercised only against in-memory
+    JDBC-less stubs in tests)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source: the readStream smoke/load generator
+    (timestamp, value) — the Spark analogue of Flink's datagen."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
 def register_table(
     spark: SparkSession, df: DataFrame, name: str, cache: bool = False
 ) -> DataFrame:

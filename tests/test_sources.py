@@ -82,3 +82,52 @@ def test_changelog_replay_stream(spark, sf_dir, tmp_path):
     assert set(got.columns) == set(events.columns)
     # micro-batching actually happened (>= total/rows_per_batch batches)
     assert len(q.recentProgress) >= 2
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from flink_connectors_spark.sources.readers import read_orc
+
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_jdbc_reader_validates_partition_bounds(spark):
+    from flink_connectors_spark.sources.readers import read_jdbc
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(
+            spark, "jdbc:x://h/db", "t", partition_column="id"
+        )
+
+
+def test_rate_stream_produces_rows(spark):
+    from flink_connectors_spark.sources.readers import rate_stream
+
+    stream = rate_stream(spark, rows_per_second=500)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            if spark.table("t_rate").count() > 0:
+                break
+            _time.sleep(0.5)
+        assert spark.table("t_rate").count() > 0
+        assert spark.table("t_rate").columns == ["timestamp", "value"]
+    finally:
+        q.stop()
