@@ -596,3 +596,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
     )
     return D.connected_components(pairs)
+
+
+@register(
+    "multimodal_dispatch",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(doc_id % 4 AS INT) AS m,
+             octet_length(encode(text)) AS byte_len,
+             md5(text) AS content_md5,
+             text
+      FROM documents)
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                  WHEN 2 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(byte_len AS BIGINT) AS byte_len,
+           content_md5,
+           CASE m
+             WHEN 0 THEN concat('text:', CAST(byte_len AS VARCHAR), ':',
+                    lower(hex(encode(substr(text, 1, 8)))), ':',
+                    lower(hex(encode(substr(text, greatest(length(text) - 7, 1), 8)))))
+             WHEN 1 THEN concat('img:', CAST(byte_len % 640 + 1 AS VARCHAR),
+                    'x', CAST(byte_len % 480 + 1 AS VARCHAR), '->224x224')
+             WHEN 2 THEN concat('aud:',
+                    CAST(greatest(byte_len // 800, 1) AS VARCHAR), 'f@25ms')
+             ELSE concat('vid:',
+                    CAST(greatest(byte_len // 1024, 1) // 30 + 1 AS VARCHAR),
+                    's/30')
+           END AS feature
+    FROM base
+    """,
+    tags=("llm", "multimodal", "pandas_udf"),
+)
+def multimodal_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality corpus through the modality-dispatched
+    mapInPandas featurize stage (codec stubs, real Arrow plumbing) —
+    every stub's output is value-checked against the SQL oracle."""
+    mm = M.attach_mixed_modalities(_load(spark, sf_dir, "documents"))
+    return M.extract_features_dispatched(mm)
