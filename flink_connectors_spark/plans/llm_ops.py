@@ -635,3 +635,27 @@ def multimodal_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stub's output is value-checked against the SQL oracle."""
     mm = M.attach_mixed_modalities(_load(spark, sf_dir, "documents"))
     return M.extract_features_dispatched(mm)
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(concat('0x', substr(
+            md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 12))
+          AS BIGINT) % 100
+          < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 ELSE 10 END
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (md5-bucket, per-source
+    rates): reproducible corpus subsets — same rows every run, every
+    engine, any partitioning (engine RNG sampling is neither)."""
+    from ..operators.sampling import sample_stratified
+
+    d = _load(spark, sf_dir, "documents")
+    return sample_stratified(
+        d, "source", "doc_id", {"src0": 50, "src1": 25}, default_pct=10
+    ).select("doc_id", "source")

@@ -170,3 +170,40 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_bal).alias("quartile"),
         F.dense_rank().over(w_nat).alias("nation_dense_rank"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0 AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per user, events and
+    value total within the trailing hour. Ordered on epoch seconds so
+    the frame bound is numeric in both engines; peer rows (equal
+    epoch) are included together, which RANGE defines deterministically.
+    Money sums in int64 hundredths."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.floor(F.unix_timestamp("ts")).cast("bigint"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents_v = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum(cents_v).over(w).cast("double") / F.lit(100.0)).alias(
+            "value_last_hour"
+        ),
+    )
