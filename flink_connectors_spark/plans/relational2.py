@@ -366,3 +366,54 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(dec("l_extendedprice") * one_minus("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_matches"),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, verified bit-identical on this data). For 100 TB
+    interactive use, approx_percentile trades exactness for a
+    mergeable sketch — agg_approx_distinct covers that family."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+    )
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   round(o_totalprice * 100) * 10000000 + o_orderkey)
+             AS best_order,
+           arg_min(o_orderkey,
+                   round(o_totalprice * 100) * 10000000 + o_orderkey)
+             AS worst_order
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "argminmax"),
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates: each customer's highest/lowest
+    priced order. The ordering key is (price cents, orderkey) packed
+    into one int64 so ties are impossible — arg_min/arg_max tie
+    behavior is engine-defined and would not hash-match otherwise."""
+    o = _t(spark, sf_dir, "orders")
+    arg = "round(o_totalprice*100)*10000000 + o_orderkey"
+    return o.groupBy("o_custkey").agg(
+        F.expr(f"max_by(o_orderkey, {arg})").alias("best_order"),
+        F.expr(f"min_by(o_orderkey, {arg})").alias("worst_order"),
+    )
