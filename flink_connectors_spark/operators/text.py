@@ -169,3 +169,43 @@ __all__ = [
     "bpe_ish_token_count",
     "minhash_value",
 ]
+
+
+def feature_hash_embedding(
+    df: DataFrame,
+    dims: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick text embedding: each token lands in
+    md5-derived bucket `h % dims` with sign from the next hash bit,
+    summed per document — the classic feature-hashing vectorizer
+    (Weinberger et al.), the deterministic no-vocabulary bridge from
+    a text corpus to the vector operators.
+
+    Shape: explode -> one keyed shuffle on doc id with `dims`
+    conditional sums (all JVM, like simhash). Returns
+    (doc_id, f0..f{dims-1}, embedding array<double>).
+    """
+    from ..functions import hex_prefix_to_long
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    h = hex_prefix_to_long(F.md5(F.col("tok")), 12)
+    toks = toks.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(dims)).alias("bucket"),
+        F.when(F.pmod(F.floor(h / dims), 2) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("bucket") == j, F.col("sign")).otherwise(0))
+        .cast("long")
+        .alias(f"f{j}")
+        for j in range(dims)
+    ]
+    out = toks.groupBy(id_col).agg(*aggs)
+    emb = F.array(*[F.col(f"f{j}").cast("double") for j in range(dims)])
+    return out.withColumn("embedding", emb)

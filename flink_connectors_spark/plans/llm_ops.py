@@ -659,3 +659,36 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(
         d, "source", "doc_id", {"src0": 50, "src1": 25}, default_pct=10
     ).select("doc_id", "source")
+
+
+_FH_DIMS = 8
+_FH_H = "CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT)"
+_FH_COLS = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN {_FH_H} % {_FH_DIMS} = {j} THEN "
+    f"(CASE WHEN ({_FH_H} // {_FH_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) "
+    f"ELSE 0 END) AS BIGINT) AS f{j}"
+    for j in range(_FH_DIMS)
+)
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
+    SELECT doc_id,
+           {_FH_COLS}
+    FROM toks GROUP BY doc_id
+    """,
+    tags=("llm", "text", "embedding", "hashing"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) text vectorizer: deterministic
+    no-vocabulary embeddings, the bridge from documents to the vector
+    similarity operators. Flat f0..f7 columns for the oracle (the
+    operator also emits the assembled array column)."""
+    from ..operators.text import feature_hash_embedding
+
+    out = feature_hash_embedding(
+        _load(spark, sf_dir, "documents"), dims=_FH_DIMS
+    )
+    return out.drop("embedding")
