@@ -1,0 +1,133 @@
+"""Queries authored as Spark SQL *text* over registered views — the
+engine's user-facing surface, matching how the reference is driven
+(Flink SQL DDL + INSERT INTO ... SELECT, `README.md:4-28`). The rest
+of the registry exercises the DataFrame API; these prove the same
+plans come out of the SQL front-end (Catalyst parses both into the
+same logical plans, and the correctness gate hash-checks the
+results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..session import load_table
+
+_VIEWS = ("lineitem", "orders", "customer", "events")
+
+
+def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in _VIEWS:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "sql_text_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("sql", "scan", "agg"),
+)
+def sql_text_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape written as SQL text (int64-cents money math,
+    same determinism discipline as the DataFrame plans)."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "sql_text_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 25
+    """,
+    tags=("sql", "join", "agg", "topk"),
+)
+def sql_text_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + top-k as SQL text; plans identically to the
+    DataFrame twin (broadcast dim, TakeOrderedAndProject)."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_spend
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_spend DESC, c_custkey
+        LIMIT 25
+        """
+    )
+
+
+@register(
+    "sql_text_window_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("sql", "window", "session"),
+)
+def sql_text_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization written as SQL text (lag + running
+    sum): the batch formulation of session windows, all within one
+    user_id partitioning."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH gaps AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ts) AS session_start
+        FROM sess GROUP BY user_id, session_id
+        """
+    )

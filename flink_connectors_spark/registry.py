@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         scalar2,
         scalar3,
         sink_semantics,
+        sql_surface,
         streaming_batch,
         temporal,
         windows,
