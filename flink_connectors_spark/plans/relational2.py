@@ -417,3 +417,48 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"max_by(o_orderkey, {arg})").alias("best_order"),
         F.expr(f"min_by(o_orderkey, {arg})").alias("worst_order"),
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM orders o RIGHT OUTER JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join with a join-side predicate (kept in the ON
+    clause — moving it to WHERE would silently drop the null-extended
+    rows, the classic outer-join bug)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        c,
+        (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "F"),
+        "right_outer",
+    ).select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+    SELECT k, label FROM (
+      SELECT n_nationkey AS k, n_name AS label FROM nation
+      UNION ALL
+      SELECT r_regionkey AS k, r_name AS label FROM region)
+    """,
+    tags=("setop",),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered projections — column
+    resolution by name, not position (positional union on mismatched
+    layouts is a silent-corruption class of bug)."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("label"), F.col("n_nationkey").alias("k")
+    )
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("label")
+    )
+    return n.unionByName(r).select("k", "label")

@@ -232,3 +232,50 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
     )
+
+
+@register(
+    "grouped_map_demean",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CAST(round(value * 100) AS BIGINT) * n - s AS DOUBLE)
+             / (100.0 * n) AS demeaned
+    FROM (
+      SELECT event_id, event_type, value,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type) AS s
+      FROM events) t
+    """,
+    tags=("udf", "pandas", "grouped_map"),
+)
+def grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped map): demean `value` within each event
+    type. The UDF does the centering in exact integer hundredths
+    (value_cents * n - sum_cents, one float division at the end) so
+    the result is order-independent and bit-matches the SQL oracle —
+    the discipline any numeric Pandas UDF needs to be testable."""
+    import pandas as pd
+
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        n = len(pdf)
+        s = int(cents.sum())
+        out = (cents * n - s).astype("float64") / (100.0 * n)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "demeaned": out,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        demean, "event_id bigint, event_type string, demeaned double"
+    )
