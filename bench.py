@@ -68,6 +68,33 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = run(name)
 
+    # Sink throughput: the reference IS a sink connector, so rows/sec
+    # through the batched writer (production batch-size 100k,
+    # README.md:21) is the directly comparable number. Local parquet
+    # backend = no network; measures the connector machinery itself.
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.sink.options import SinkOptions
+    from flink_connectors_spark.sink.writer import write_batch
+    from flink_connectors_spark.session import load_table
+
+    sink_dir = tempfile.mkdtemp(prefix="fcs_bench_sink_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        n_rows = li.count()
+        opts = SinkOptions(
+            url=f"parquet://{sink_dir}",
+            table_name="lineitem_out",
+            batch_size=100_000,
+        )
+        t0 = time.perf_counter()
+        write_batch(li, opts)
+        sink_secs = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    sink_rows_per_sec = round(n_rows / sink_secs)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -77,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_cold": cold,
+                "sink_rows_per_sec": sink_rows_per_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -38,6 +38,8 @@ class SinkBackend(Protocol):
 
     def query(self, sql: str, params: tuple = ()) -> list[tuple]: ...
 
+    def insert_arrow(self, table: str, arrow_table) -> None: ...
+
     def close(self) -> None: ...
 
 
@@ -60,17 +62,26 @@ class ParquetDirBackend:
         self, table: str, columns: list[str], rows: list[tuple]
     ) -> None:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         if not rows:
             return
         cols = list(zip(*rows))
-        t = pa.table(
-            {c: pa.array(list(v)) for c, v in zip(columns, cols)}
+        self.insert_arrow(
+            table, pa.table({c: pa.array(list(v)) for c, v in zip(columns, cols)})
         )
+
+    def insert_arrow(self, table: str, arrow_table) -> None:
+        """Zero-copy fast path: one parquet part per flush, straight
+        from the Arrow batch — no per-row Python."""
+        import pyarrow.parquet as pq
+
+        if arrow_table.num_rows == 0:
+            return
         tdir = os.path.join(self.path, table)
         os.makedirs(tdir, exist_ok=True)
-        pq.write_table(t, os.path.join(tdir, f"part-{uuid.uuid4().hex}.parquet"))
+        pq.write_table(
+            arrow_table, os.path.join(tdir, f"part-{uuid.uuid4().hex}.parquet")
+        )
 
     def execute(self, sql: str, params: tuple = ()) -> None:
         raise NotImplementedError(
@@ -145,6 +156,19 @@ class DuckDBBackend:
     def query(self, sql: str, params: tuple = ()) -> list[tuple]:
         return self.con.execute(self._translate(sql), list(params)).fetchall()
 
+    def insert_arrow(self, table: str, arrow_table) -> None:
+        """Arrow-native ingestion: DuckDB scans the registered Arrow
+        table directly (vectorized, no row conversion)."""
+        if arrow_table.num_rows == 0:
+            return
+        self.con.register("__arrow_batch__", arrow_table)
+        try:
+            self.con.execute(
+                f"INSERT INTO {table} SELECT * FROM __arrow_batch__"
+            )
+        finally:
+            self.con.unregister("__arrow_batch__")
+
     def close(self) -> None:
         self.con.close()
 
@@ -196,6 +220,9 @@ class ClickHouseHTTPBackend:
 
     def query(self, sql: str, params: tuple = ()) -> list[tuple]:  # pragma: no cover
         return [tuple(r) for r in self.client.query(sql, parameters=list(params)).result_rows]
+
+    def insert_arrow(self, table: str, arrow_table) -> None:  # pragma: no cover
+        self.client.insert_arrow(table, arrow_table)
 
     def close(self) -> None:  # pragma: no cover
         self.client.close()
