@@ -1,0 +1,75 @@
+"""Edge-case guards: empty inputs, degenerate documents, and boundary
+rows through the operators most likely to break on them. Cheap tests
+that pin behaviors the big parametrized suites never hit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_connectors_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+    with_shingles,
+)
+from flink_connectors_spark.sink.options import SinkOptions
+from flink_connectors_spark.sink.writer import translate_changelog
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_empty_corpus_through_dedup(spark):
+    empty = _docs(spark, [])
+    assert exact_dedup(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert simhash(empty).count() == 0
+
+
+def test_short_docs_dropped_from_shingles_not_exact(spark):
+    docs = _docs(
+        spark, [(1, "one two"), (2, "one two three four"), (3, "x")]
+    )
+    # < 3 words -> no 3-shingles -> excluded from the LSH pipeline
+    assert sorted(
+        r["doc_id"] for r in with_shingles(docs).collect()
+    ) == [2]
+    # ...but exact dedup still sees every doc
+    assert exact_dedup(docs).agg(F.sum("n_copies")).first()[0] == 3
+
+
+def test_whitespace_normalization_collapses_duplicates(spark):
+    docs = _docs(
+        spark,
+        [(1, "Hello   World"), (2, "hello world"), (3, " HELLO  WORLD ")],
+    )
+    out = exact_dedup(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_copies"] == 3 and out[0]["keep_id"] == 1
+
+
+def test_connected_components_empty_and_selfless(spark):
+    empty = spark.createDataFrame([], "d1 bigint, d2 bigint")
+    assert connected_components(empty).count() == 0
+
+
+def test_translate_changelog_empty_batch(spark):
+    df = spark.createDataFrame([], "op string, k int, v int, ver int")
+    opts = SinkOptions(
+        url="parquet://x", table_name="t", write_mode="replacing",
+        primary_key=("k",),
+    )
+    out = translate_changelog(df, opts)
+    assert out.count() == 0
+    assert "deleted" in out.columns and "op" not in out.columns
+
+
+def test_insert_only_without_op_column_passthrough(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    opts = SinkOptions(url="parquet://x", table_name="t")
+    out = translate_changelog(df, opts)
+    assert out.collect() == df.collect()
