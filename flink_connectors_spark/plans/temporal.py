@@ -258,3 +258,65 @@ def pivot_daily_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in _EVENT_TYPES
     ]
     return pivoted.select(*out)
+
+
+@register(
+    "resample_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM events WHERE event_type = 'purchase'),
+    grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS v_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT g.bucket,
+           COALESCE(a.n, 0) AS n_events,
+           CAST(COALESCE(a.v_cents, 0) AS DOUBLE) / 100.0 AS total_value
+    FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+    """,
+    tags=("temporal", "resample", "gapfill"),
+)
+def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resampling: hourly purchase totals with
+    zero-filled gaps. The bucket grid is generated with sequence()
+    from the (tiny, broadcast) min/max bounds — never collected to
+    the driver — and outer-joined to the hourly aggregate. At scale:
+    one keyed shuffle for the aggregate; the grid side is O(hours),
+    broadcast."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    agg = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "v_cents"
+            ),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    return (
+        grid.join(agg, "bucket", "left_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            (
+                F.coalesce(F.col("v_cents"), F.lit(0)).cast("double")
+                / F.lit(100.0)
+            ).alias("total_value"),
+        )
+    )

@@ -159,3 +159,30 @@ def test_connected_components_chain_converges(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_salting_spreads_hot_key_across_partitions(spark):
+    """90% of rows share one key: hash-partitioning on the bare key
+    sends them all to ONE reducer; (key, salt) spreads them."""
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    plain_max = max(
+        r["count"]
+        for r in df.repartition(8, "k")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    salted_max = max(
+        r["count"]
+        for r in with_salt(df, 8)
+        .repartition(8, "k", "__salt__")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert plain_max >= 9000, "hot key lands on one reducer unsalted"
+    assert salted_max <= 6000, f"salt must spread the hot key, got {salted_max}"
