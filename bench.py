@@ -42,7 +42,11 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "text_quality_score",
+    "text_feature_hashing",
     "multimodal_features",
+    "pipeline_clean_corpus",
+    "funnel_signup_click_purchase",
+    "resample_gapfill_hourly",
 ]
 
 
@@ -88,9 +92,11 @@ def main() -> None:
             table_name="lineitem_out",
             batch_size=100_000,
         )
-        t0 = time.perf_counter()
-        write_batch(li, opts)
-        sink_secs = time.perf_counter() - t0
+        sink_secs = float("inf")
+        for _ in range(2):  # best-of-2: first pass pays plan/codegen
+            t0 = time.perf_counter()
+            write_batch(li, opts)
+            sink_secs = min(sink_secs, time.perf_counter() - t0)
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
     sink_rows_per_sec = round(n_rows / sink_secs)
