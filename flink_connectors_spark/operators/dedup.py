@@ -206,6 +206,10 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # Materialize once: edges feed every round's join — without
+        # this the whole upstream pair-producing pipeline (e.g. the
+        # LSH candidate generation) re-executes per iteration.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.groupBy("a")
