@@ -214,3 +214,36 @@ def test_foreach_batch_writer_adapter(spark, tmp_path):
     fn(_changelog_df(spark), 0)
     _, rows = _read_sink(tmp_path)
     assert len(rows) == 5
+
+
+def test_replacing_replay_is_effectively_once(spark, tmp_path):
+    """At-least-once delivery + ReplacingMergeTree versions =
+    effectively-once: writing the same micro-batch TWICE (a retried
+    epoch) must compact to the same final state as writing it once —
+    the fault-tolerance contract the reference's README recommends
+    version columns for (README.md:20)."""
+    opts = _opts(tmp_path, "replacing")
+    df = _changelog_df(spark)
+    write_batch(df, opts)
+    write_batch(df, opts)  # replayed epoch
+    cols, rows = _read_sink(tmp_path)
+    # ReplacingMergeTree compaction: max ver per key, deleted = 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(" + ", ".join(repr(v) for v in r) + ")" for r in rows
+        )
+        + f") v({', '.join(cols)})"
+    )
+    final = con.execute(
+        """
+        SELECT name, grade, rate FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY name, grade
+                                       ORDER BY ver DESC) AS rn
+          FROM t) WHERE rn = 1 AND deleted = 0
+        ORDER BY name
+        """
+    ).fetchall()
+    con.close()
+    assert final == [("alice", 1, 11.0), ("bob", 1, 21.0)]
