@@ -209,3 +209,76 @@ def feature_hash_embedding(
     out = toks.groupBy(id_col).agg(*aggs)
     emb = F.array(*[F.col(f"f{j}").cast("double") for j in range(dims)])
     return out.withColumn("embedding", emb)
+
+
+_PII_PATTERNS = {
+    # order matters: URLs before bare domains would, emails before words
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Privacy scrub: redact emails / URLs / phone numbers with typed
+    placeholders and count what was removed — the audit trail a
+    curation pipeline keeps. Pure regexp_replace/regexp_extract_all
+    chains, fully codegen'd. Returns
+    (id, clean_text, n_emails, n_urls, n_phones)."""
+    c = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(text_col, F.lit(p), 0)).alias(f"n_{k}s")
+        for k, p in _PII_PATTERNS.items()
+    }
+    clean = c
+    for k, p in _PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, p, f"<{k.upper()}>")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        counts["email"],
+        counts["url"],
+        counts["phone"],
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap —
+    context-window preparation for training/embedding. Chunk starts
+    step by (chunk_tokens - overlap); each chunk carries its index and
+    token count. Built from sequence + transform + posexplode (no
+    UDF); one narrow pass, rows fan out by ~n_tokens/step.
+    Returns (id, chunk_id, n_tokens, chunk_text)."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    words = tokenize(F.col(text_col))
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * step + 1, chunk_tokens),
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("chunks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("chunks")).alias("chunk_id", "chunk_words"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size("chunk_words").alias("n_tokens"),
+            F.concat_ws(" ", F.col("chunk_words")).alias("chunk_text"),
+        )
+    )

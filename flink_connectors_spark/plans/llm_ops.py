@@ -692,3 +692,86 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "documents"), dims=_FH_DIMS
     )
     return out.drop("embedding")
+
+
+_PLANT = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+    " '@example.com or https://ex.com/d/', CAST(doc_id AS VARCHAR),"
+    " ' tel +1 555-000-', CAST(1000 + doc_id AS VARCHAR))"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PLANT} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '\\+?\\d[\\d\\- ]{{7,}}\\d', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{{7,}}\\d')) AS n_phones
+    FROM aug
+    """,
+    tags=("llm", "text", "pii", "privacy"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy scrub with audit counts. The corpus is synthetic and
+    PII-free, so deterministic fake PII (email/URL/phone derived from
+    doc_id) is planted first — the scrubber must then find and redact
+    exactly it, value-checked both engines."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import pii_scrub
+
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +1 555-000-"),
+            (F.col("doc_id") + 1000).cast("string"),
+        ),
+    )
+    return pii_scrub(d)
+
+
+_CHUNK, _OVER, _STEP = 32, 4, 28
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    sized AS (
+      SELECT doc_id, w,
+             CAST(greatest(ceil((len(w) - {_OVER}) / {_STEP}.0), 1) AS INT)
+               AS n_chunks
+      FROM norm)
+    SELECT s.doc_id,
+           CAST(gs.i AS INT) AS chunk_id,
+           len(w[gs.i * {_STEP} + 1 : gs.i * {_STEP} + {_CHUNK}]) AS n_tokens,
+           array_to_string(
+             w[gs.i * {_STEP} + 1 : gs.i * {_STEP} + {_CHUNK}], ' ')
+             AS chunk_text
+    FROM sized s, LATERAL unnest(generate_series(0, s.n_chunks - 1)) AS gs(i)
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (32-token chunks,
+    4-token overlap): context-window preparation, rows fan out
+    ~n_tokens/28 per doc — all higher-order functions, no UDF."""
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK,
+        overlap=_OVER,
+    )
