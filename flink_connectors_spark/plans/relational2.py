@@ -462,3 +462,41 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").alias("k"), F.col("r_name").alias("label")
     )
     return n.unionByName(r).select("k", "label")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, CASE WHEN c_nationkey % 7 = 3 THEN NULL
+                             ELSE c_nationkey END AS nk
+      FROM customer),
+    b AS (
+      SELECT s_suppkey, CASE WHEN s_nationkey % 5 = 2 THEN NULL
+                             ELSE s_nationkey END AS nk
+      FROM supplier)
+    SELECT a.c_custkey, b.s_suppkey
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    """,
+    tags=("join", "nullsafe"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantic corner
+    plain equi-joins silently drop. Synthetic NULLs are planted on
+    both sides. Note the scale hazard this demonstrates: all NULLs
+    hash to one reducer (it is a join *key value*), so a NULL-heavy
+    null-safe join needs the salting primitives."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") % 7 == 3, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_nationkey") % 5 == 2, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk"),
+    )
+    return c.join(s, c.nk.eqNullSafe(s.nk)).select("c_custkey", "s_suppkey")
