@@ -500,3 +500,48 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nk"),
     )
     return c.join(s, c.nk.eqNullSafe(s.nk)).select("c_custkey", "s_suppkey")
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_or(CAST(l_linenumber AS BIGINT)) AS flags_or,
+           bit_and(CAST(l_linenumber AS BIGINT)) AS flags_and,
+           bit_xor(CAST(l_orderkey AS BIGINT)) AS keys_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (or/and/xor) — order-independent by
+    construction, so exact cross-engine. XOR over keys doubles as a
+    cheap order-insensitive checksum idiom."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_or(CAST(l_linenumber AS BIGINT))").alias("flags_or"),
+        F.expr("bit_and(CAST(l_linenumber AS BIGINT))").alias("flags_and"),
+        F.expr("bit_xor(CAST(l_orderkey AS BIGINT))").alias("keys_xor"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list flattened deterministically: array order after a
+    shuffle is nondeterministic, so any collected array MUST be
+    sorted (or the collection expressed as sort-by within group)
+    before leaving the operator — pinned here as the idiom."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+            "nations"
+        )
+    )
