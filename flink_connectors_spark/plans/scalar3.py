@@ -71,3 +71,48 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h_bucket"),
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN concat('x', CAST(doc_id AS VARCHAR))
+               ELSE NULL END AS s
+      FROM documents)
+    SELECT doc_id,
+           TRY_CAST(s AS INT) AS as_int,
+           CAST(n_chars AS DOUBLE) / nullif(CAST(doc_id % 5 AS INT) - 2, 0)
+             AS safe_div,
+           CASE WHEN doc_id > 0 THEN NULL
+                ELSE 9223372036854775807 + doc_id END AS overflow_add
+    FROM t
+    """,
+    tags=("scalar", "try", "nullsafety"),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_cast on malformed strings,
+    try_divide by zero, try_add at int64 max — NULL instead of
+    runtime failure, the ANSI-adjacent behavior batch pipelines need
+    to survive dirty data. The oracle emulates with TRY_CAST /
+    nullif / a guard CASE (DuckDB errors on real overflow)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "try_cast(CASE CAST(doc_id % 3 AS INT)"
+            " WHEN 0 THEN CAST(doc_id AS STRING)"
+            " WHEN 1 THEN concat('x', CAST(doc_id AS STRING))"
+            " ELSE NULL END AS INT)"
+        ).alias("as_int"),
+        F.expr(
+            "try_divide(CAST(n_chars AS DOUBLE),"
+            " CAST(doc_id % 5 AS INT) - 2)"
+        ).alias("safe_div"),
+        F.expr("try_add(9223372036854775807, doc_id)").alias(
+            "overflow_add"
+        ),
+    )
