@@ -116,7 +116,7 @@ def minhash_lsh_pairs(
     )
     bt = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
-    )
+    ).persist()  # both sides of the self-join read it: hash once, not twice
     a = bt.alias("a")
     b = bt.alias("b")
     cand = (
