@@ -235,6 +235,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    oracle=None,  # KLL/GK sketches are engine-specific; rows-only check
+    tags=("agg", "approx", "percentile"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based quantile for interactive
+    100 TB use (bounded memory, mergeable, no global sort). Estimates
+    are engine-specific, so rows-only; exact-quantile parity is
+    covered by agg_percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
+        ).alias("price_quantiles")
+    )
+
+
+@register(
     "grouped_map_demean",
     oracle="""
     SELECT event_id, event_type,
