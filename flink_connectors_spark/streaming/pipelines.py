@@ -163,3 +163,54 @@ def user_stats_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def clicks_before_errors_stream(stream: DataFrame) -> DataFrame:
+    """Stream-stream interval join (the live twin of the batch
+    `join_interval_clicks_before_error` plan): clicks joined to the
+    same user's errors arriving within 30 minutes after them.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark can expire join state — unbounded
+    state otherwise. The Flink-SQL analogue is an interval join."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+            F.col("user_id").alias("e_user"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    return clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("click_id", "click_ts", "error_id", "error_ts", "c_user")
+
+
+def enrich_with_static_profile(
+    stream: DataFrame, profile: DataFrame
+) -> DataFrame:
+    """Stream-static join: each event enriched with a (batch) profile
+    table. The static side is planned per micro-batch — broadcast
+    when small — and needs no watermark; the standard dimension-
+    enrichment topology."""
+    return stream.join(
+        F.broadcast(profile), "user_id", "left_outer"
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value", "user_tier"
+    )

@@ -194,3 +194,60 @@ def test_stateful_tws_matches_batch(spark, events_stream_dir):
     got_map = {r["user_id"]: r["n_events"] for r in final.collect()}
     want_map = {r["user_id"]: r["n_events"] for r in want.collect()}
     assert got_map == want_map
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    res = _run_stream(
+        spark,
+        P.clicks_before_errors_stream(stream),
+        "t_ss_join",
+        mode="append",
+    )
+    want = (
+        static.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        .join(
+            static.filter(F.col("event_type") == "error").select(
+                F.col("event_id").alias("error_id"),
+                F.col("ts").alias("error_ts"),
+                F.col("user_id").alias("e_user"),
+            ),
+            (F.col("c_user") == F.col("e_user"))
+            & (F.col("error_ts") > F.col("click_ts"))
+            & (
+                F.col("error_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .count()
+    )
+    assert res.count() == want and want > 0
+
+
+def test_stream_static_enrichment(spark, events_stream_dir):
+    static = spark.read.parquet(events_stream_dir)
+    profile = (
+        static.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") > 60, "heavy").otherwise("light").alias(
+                "user_tier"
+            ),
+        )
+    )
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    res = _run_stream(
+        spark,
+        P.enrich_with_static_profile(stream, profile),
+        "t_enrich",
+        mode="append",
+    )
+    assert res.count() == static.count()
+    assert res.filter(F.col("user_tier").isNull()).count() == 0
