@@ -73,3 +73,25 @@ def test_insert_only_without_op_column_passthrough(spark):
     opts = SinkOptions(url="parquet://x", table_name="t")
     out = translate_changelog(df, opts)
     assert out.collect() == df.collect()
+
+
+def test_minhash_lsh_recall_on_constructed_near_dups(spark):
+    """LSH banding math check: 10 constructed near-dup pairs
+    (~0.85 shingle Jaccard, disjoint vocabularies between pairs).
+    Detection probability per pair is 1-(1-s^2)^4 ~ 0.99, and the
+    md5-based pipeline is fully deterministic, so requiring >=8/10
+    leaves margin only for the construction, not for flakiness. No
+    cross-pair matches may appear (vocabularies are disjoint)."""
+    rows = []
+    for i in range(10):
+        words = [f"w{i}_{j}" for j in range(40)]
+        near = words[:-1] + [f"w{i}_alt"]
+        rows.append((2 * i, " ".join(words)))
+        rows.append((2 * i + 1, " ".join(near)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    found = {(r["d1"], r["d2"]) for r in pairs}
+    expected = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert found <= expected, f"false positives: {found - expected}"
+    assert len(found) >= 8, f"recall too low: {sorted(found)}"
+    assert all(r["jac"] >= 0.5 for r in pairs)
