@@ -120,3 +120,65 @@ def bucketed_join(
     bucket counts Spark plans a sort-merge join with NO exchange on
     either side (verify: no Exchange above either scan in .explain)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def morton_code(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) interleaving of N non-negative int columns,
+    `bits` bits each — the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER. Rows close in EVERY dimension get
+    close codes, so sorting by the code co-locates them into the same
+    parquet row groups and min/max stats prune on all dimensions at
+    once (a plain sort only prunes its leading column).
+
+    Pure JVM bit expressions (shift/and/or), whole-stage codegen'd;
+    values are masked to `bits` bits. N*bits must fit in int64."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds int64")
+    mask = (1 << bits) - 1
+    cs = [c.cast("long").bitwiseAND(F.lit(mask)) for c in cs]
+    code = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return code
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    bits: int = 16,
+    n_files: int = 32,
+) -> None:
+    """Materialize parquet clustered on a Z-order of ``zorder_cols``:
+    min-max normalize each dimension into the full `bits` range (an
+    un-normalized Morton is dominated by whichever column has the
+    widest magnitude — narrow columns would get no clustering),
+    range-partition by the code (balanced files), sort within
+    partitions (clustered row groups), drop helpers. The bounds pass
+    is one tiny all-min/max aggregate. Pay the layout shuffle once;
+    every later scan filtering on ANY z-ordered dimension prunes row
+    groups via min/max stats."""
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in zorder_cols:
+        mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        span = max(int(mx) - int(mn), 1)
+        scaled.append(
+            ((F.col(c).cast("long") - int(mn)) * top / span).cast("long")
+        )
+    z = df.withColumn("__z__", morton_code(scaled, bits))
+    (
+        z.repartitionByRange(n_files, "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -186,3 +186,62 @@ def test_salting_spreads_hot_key_across_partitions(spark):
     )
     assert plain_max >= 9000, "hot key lands on one reducer unsalted"
     assert salted_max <= 6000, f"salt must spread the hot key, got {salted_max}"
+
+
+def test_morton_code_matches_python_reference(spark):
+    from flink_connectors_spark.operators.scale import morton_code
+
+    def ref(x, y, bits=16):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (65535, 65535)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_code(["x", "y"]).alias("z")
+        ).collect()
+    }
+    assert got == {(x, y): ref(x, y) for x, y in rows}
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """After Z-order layout, each file's min/max span in EACH
+    z-ordered column is far narrower than the global span — the
+    property row-group pruning feeds on."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from flink_connectors_spark.operators.scale import write_zordered
+    from flink_connectors_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+    spans = {"l_partkey": [], "l_suppkey": []}
+    globals_ = {}
+    for c in spans:
+        r = li.agg(F.min(c), F.max(c)).first()
+        globals_[c] = r[1] - r[0]
+    for f in g.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for idx in range(row.num_columns):
+                col = row.column(idx)
+                name = col.path_in_schema
+                if name in spans:
+                    st = col.statistics
+                    spans[name].append(st.max - st.min)
+    for c, sp in spans.items():
+        avg_span = sum(sp) / len(sp)
+        assert avg_span < 0.62 * globals_[c], (
+            f"{c}: avg row-group span {avg_span} not clustered vs "
+            f"global {globals_[c]}"
+        )
