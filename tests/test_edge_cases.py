@@ -95,3 +95,16 @@ def test_minhash_lsh_recall_on_constructed_near_dups(spark):
     assert found <= expected, f"false positives: {found - expected}"
     assert len(found) >= 8, f"recall too low: {sorted(found)}"
     assert all(r["jac"] >= 0.5 for r in pairs)
+
+
+def test_observed_null_rate_single_pass(spark):
+    from flink_connectors_spark.observability import observed_null_rate
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c"), (None, "d")], "k int, v string"
+    )
+    out, obs = observed_null_rate(df, "k")
+    n = out.filter(F.col("v") != "zzz").count()  # one action, metrics ride along
+    assert n == 4
+    m = obs.get
+    assert m["n_rows"] == 4 and m["n_null_keys"] == 2
