@@ -545,3 +545,29 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nations"
         )
     )
+
+
+@register(
+    "sort_global_order",
+    oracle="""
+    SELECT event_id, ts, user_id
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY ts, event_id
+    """,
+    tags=("sort", "global"),
+)
+def sort_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY without a limit: plans as a range-partitioning
+    exchange (sampled split points) + per-partition sort — the
+    distributed total order, distinct from top-k's
+    TakeOrderedAndProject. The (ts, event_id) key is a total order so
+    output is deterministic."""
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+        .orderBy("ts", "event_id")
+    )

@@ -123,3 +123,10 @@ def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
     assert "LeftAnti" in plan
     # orderdate filter pushed to the orders scan
     assert "PushedFilters" in plan
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_global_order")
+    assert "Sort" in plan
+    assert "rangepartitioning" in plan or "Exchange" in plan
+    assert "TakeOrderedAndProject" not in plan
