@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation: the engine's training-data operators
+composed the way a production job would run them.
+
+    documents.parquet
+      |> PII scrub (redact emails/URLs/phones, keep audit counts)
+      |> quality gate (alpha/stopword/TTR/length score >= threshold)
+      |> exact dedup (md5 fingerprint, keep lowest doc_id)
+      |> near-dup clustering (MinHash-LSH pairs -> connected
+         components; keep each cluster's canonical doc)
+      |> deterministic stratified sampling (per-source rates)
+      |> chunking (32-token windows, 4 overlap)
+      |> Z-ordered parquet (clustered on (source-hash, doc_id))
+
+Run:  python examples/curate_corpus.py [SF_DIR] [OUT_DIR]
+
+Every stage is a declarative DataFrame op from
+flink_connectors_spark.operators — no collects, one keyed shuffle per
+stage, Arrow only at the (stubbed) multimodal boundary. Stage yields
+are printed from single-pass Observation metrics.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from flink_connectors_spark.observability import observed_null_rate
+from flink_connectors_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from flink_connectors_spark.operators.sampling import sample_stratified
+from flink_connectors_spark.operators.scale import write_zordered
+from flink_connectors_spark.operators.text import (
+    chunk_documents,
+    pii_scrub,
+    quality_score,
+)
+from flink_connectors_spark.session import build_session, load_table, spread
+
+
+def curate(spark, sf_dir: str, out_dir: str) -> dict:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n0 = docs.count()
+
+    # 1. PII scrub (audit counts kept as columns)
+    scrubbed = pii_scrub(docs).join(
+        docs.select("doc_id", "source", "lang", "n_chars"), "doc_id"
+    ).withColumnRenamed("clean_text", "text")
+
+    # 2. quality gate
+    q = quality_score(scrubbed.select("doc_id", "text"))
+    gated = scrubbed.join(
+        q.filter(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
+    )
+    n_gated = gated.count()
+
+    # 3. exact dedup: keep the canonical (lowest) doc id per fingerprint
+    keep_exact = exact_dedup(gated).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    exact_kept = gated.join(keep_exact, "doc_id")
+
+    # 4. near-dup clustering: drop every non-canonical cluster member
+    pairs = minhash_lsh_pairs(exact_kept, threshold=0.5)
+    clusters = connected_components(pairs)
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    deduped = exact_kept.join(non_canonical, "doc_id", "left_anti")
+    n_deduped = deduped.count()
+
+    # 5. deterministic sampling per source
+    sampled = sample_stratified(
+        deduped, "source", "doc_id",
+        {"src0": 100, "src1": 80}, default_pct=60,
+    )
+
+    # 6. chunking for the context window
+    chunks = chunk_documents(sampled, chunk_tokens=32, overlap=4)
+    chunks, obs = observed_null_rate(chunks, "doc_id", "chunks")
+
+    # 7. clustered layout for downstream scans
+    out = chunks.withColumn(
+        "source_bucket",
+        F.pmod(F.xxhash64(F.lit("s"), F.col("doc_id")), F.lit(1024)),
+    )
+    write_zordered(
+        out, out_dir, ["source_bucket", "doc_id"], n_files=8
+    )
+    m = obs.get
+    return {
+        "input_docs": n0,
+        "after_quality_gate": n_gated,
+        "after_dedup": n_deduped,
+        "chunks_written": m["n_rows"],
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = build_session(app_name="curate-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = curate(spark, sf_dir, out_dir)
+    for k, v in stats.items():
+        print(f"{k:22s} {v}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

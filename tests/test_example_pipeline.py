@@ -1,0 +1,22 @@
+"""Smoke the composed curation example end to end at sf0.001."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "examples")
+    from curate_corpus import curate
+
+    out = str(tmp_path / "curated")
+    stats = curate(spark, sf_dir, out)
+    assert stats["input_docs"] > 0
+    assert 0 < stats["after_quality_gate"] <= stats["input_docs"]
+    assert 0 < stats["after_dedup"] <= stats["after_quality_gate"]
+    assert stats["chunks_written"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == stats["chunks_written"]
+    assert {"doc_id", "chunk_id", "n_tokens", "chunk_text"} <= set(
+        back.columns
+    )
