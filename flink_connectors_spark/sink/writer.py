@@ -296,9 +296,42 @@ def foreach_batch_writer(
     """Adapter for Structured Streaming:
     ``stream.writeStream.foreachBatch(foreach_batch_writer(opts))`` —
     the micro-batch trigger interval plays the reference's
-    flush-interval role (SURVEY.md §3 EP2)."""
+    flush-interval role (SURVEY.md §3 EP2). Delivery is at-least-once
+    (a retried epoch re-appends); combine with replacing-mode versions
+    for the effectively-once the reference README recommends, or use
+    ``idempotent_foreach_batch_writer`` for append-only exactness."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         write_batch(batch_df, opts, n_shards, backend_factory)
+
+    return write
+
+
+def idempotent_foreach_batch_writer(opts: SinkOptions):
+    """Exactly-once APPEND sink for parquet-dir targets: each epoch
+    lands in its own subdirectory written with mode=overwrite, so a
+    retried epoch REPLACES its own partial output instead of
+    double-appending. This is the standard foreachBatch idempotency
+    recipe (epoch id as the write key); the reference has no
+    equivalent — its async flush can both lose and (on retry) repeat
+    batches (SURVEY.md §2.1 quirks).
+
+    Only meaningful for the ``parquet://`` transport, where an epoch
+    directory is atomic-by-rename; SQL backends get exactness from
+    replacing-mode versions instead."""
+    if not opts.url.startswith("parquet://"):
+        raise ValueError(
+            "idempotent epoch writes need a parquet:// target; use "
+            "replacing-mode versions for SQL backends"
+        )
+    root = opts.url[len("parquet://"):]
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = translate_changelog(batch_df, opts)
+        (
+            out.write.mode("overwrite").parquet(
+                f"{root}/{opts.table_name}/epoch={epoch_id}"
+            )
+        )
 
     return write

@@ -247,3 +247,36 @@ def test_replacing_replay_is_effectively_once(spark, tmp_path):
     ).fetchall()
     con.close()
     assert final == [("alice", 1, 11.0), ("bob", 1, 21.0)]
+
+
+def test_idempotent_epoch_writer_no_duplicates(spark, tmp_path):
+    """Replaying the SAME epoch must not duplicate rows (overwrite of
+    the epoch directory), while a new epoch appends."""
+    from flink_connectors_spark.sink.writer import (
+        idempotent_foreach_batch_writer,
+    )
+
+    opts = _opts(tmp_path, "insert_only")
+    w = idempotent_foreach_batch_writer(opts)
+    df = _changelog_df(spark)
+    w(df, 7)
+    w(df, 7)  # retried epoch — replaces, not appends
+    base = f"{tmp_path}/sink/sink_t"
+    once = spark.read.parquet(f"{base}/epoch=7").count()
+    # insert-only translation keeps I/UA rows only
+    assert once == sum(1 for r in CHANGELOG if r[4] in ("I", "UA"))
+    w(df, 8)  # genuinely new epoch appends alongside
+    total = spark.read.parquet(base).count()
+    assert total == 2 * once
+
+
+def test_idempotent_writer_requires_parquet_target(tmp_path):
+    from flink_connectors_spark.sink.writer import (
+        idempotent_foreach_batch_writer,
+    )
+
+    opts = _opts(tmp_path, "insert_only", url="duckdb:///x.db")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parquet://"):
+        idempotent_foreach_batch_writer(opts)
