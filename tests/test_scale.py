@@ -245,3 +245,53 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
             f"{c}: avg row-group span {avg_span} not clustered vs "
             f"global {globals_[c]}"
         )
+
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_part"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    return out
+
+
+def test_partition_pruning_on_partitioned_layout(spark, partitioned_events):
+    """Hive-style partition layout: a day filter must prune at the
+    directory level (PartitionFilters), never scanning other days."""
+    df = spark.read.parquet(partitioned_events)
+    one_day = df.select("day").distinct().orderBy("day").first()["day"]
+    q = df.filter(F.col("day") == F.lit(one_day))
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    assert str(one_day) is not None and q.count() > 0
+    # the pruned scan reads only the one partition's rows
+    total = df.count()
+    assert q.count() < total
+
+
+def test_dynamic_partition_pruning_from_dim_filter(
+    spark, partitioned_events
+):
+    """DPP: a filter on a joined dimension prunes the partitioned
+    fact at runtime — the partition values come from executing the
+    dim side, not from a static predicate."""
+    fact = spark.read.parquet(partitioned_events)
+    days = (
+        fact.select("day").distinct().orderBy("day").limit(3)
+        .withColumn("keep", F.lit(1))
+    )
+    # materialize the dim as a table so DPP sees a filterable relation
+    days.write.mode("overwrite").saveAsTable("dpp_days")
+    try:
+        dim = spark.table("dpp_days").filter(F.col("keep") == 1)
+        q = fact.join(dim, "day")
+        plan = _plan(q)
+        assert (
+            "dynamicpruning" in plan.lower()
+            or "PartitionFilters: [isnotnull(day" in plan
+        ), "expected dynamic partition pruning on the fact scan"
+        assert q.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dpp_days")
