@@ -775,3 +775,56 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=_CHUNK,
         overlap=_OVER,
     )
+
+
+@register(
+    "text_fuzzy_title_match",
+    oracle="""
+    WITH firsts AS (
+      SELECT doc_id, lang, source,
+             array_to_string(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')[1:4], ' ') AS head
+      FROM documents)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM firsts a JOIN firsts b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 3
+    """,
+    tags=("llm", "dedup", "fuzzy", "levenshtein"),
+)
+def text_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching on document heads (first 4
+    tokens) within (lang, source) blocks — the string-metric
+    complement to MinHash (catches small typo-level edits exact
+    shingles miss). Levenshtein is identically defined in both
+    engines; blocking bounds the pair count."""
+    from pyspark.sql import functions as F
+
+    from ..functions import tokenize
+
+    d = _load(spark, sf_dir, "documents")
+    firsts = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 4)).alias(
+            "head"
+        ),
+    )
+    a, b = firsts.alias("a"), firsts.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            dist.alias("edit_dist"),
+        )
+    )

@@ -116,3 +116,30 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflow_add"
         ),
     )
+
+
+@register(
+    "lateral_explode_outer",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN []
+                  ELSE regexp_extract_all(text, '[a-z]+ing\b') END AS hits
+      FROM documents)
+    SELECT doc_id, u.hit
+    FROM t LEFT JOIN LATERAL unnest(t.hits) AS u(hit) ON TRUE
+    """,
+    tags=("scalar", "explode", "lateral"),
+)
+def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with EMPTY arrays survive with a NULL
+    element (plain explode silently drops them — the lateral-join
+    analogue of the inner-vs-outer join bug). Every 10th doc's match
+    list is emptied to exercise the preserved branch."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.when(
+        F.col("doc_id") % 10 == 0, F.array().cast("array<string>")
+    ).otherwise(F.regexp_extract_all("text", F.lit(r"[a-z]+ing\b"), 0))
+    return d.select(
+        "doc_id", F.explode_outer(hits).alias("hit")
+    )
