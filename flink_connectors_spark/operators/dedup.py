@@ -117,7 +117,8 @@ def minhash_lsh_pairs(
     bt = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
     ).persist()  # both sides of the self-join read it: hash once, not twice
-    a = bt.alias("a")
+    # merge-hint: equal-size self-join sides, never broadcast either
+    a = bt.alias("a").hint("merge")
     b = bt.alias("b")
     cand = (
         a.join(
@@ -137,6 +138,14 @@ def minhash_lsh_pairs(
     y = shingled.select(
         F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
     )
+    # The shingle sides are O(corpus * tokens) but Catalyst estimates
+    # them from the (tiny) source file, so left alone they get
+    # *broadcast* — an OOM at real corpus sizes (observed live at 50k
+    # docs). Merge-hint each shingle side so both verify joins plan as
+    # sort-merge (no build side at all); hints on `cand` would not
+    # survive into the second join.
+    x = x.hint("merge")
+    y = y.hint("merge")
     return (
         cand.join(x, "d1")
         .join(y, "d2")
@@ -167,7 +176,10 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         word_shingles(F.col("__words__"), shingle_n).alias("shingles"),
     )
-    a = sh.alias("a")
+    # Both self-join sides carry shingle arrays (O(corpus * tokens))
+    # with a tiny-file size estimate: pin to a shuffle join so neither
+    # side is ever broadcast (see minhash_lsh_pairs note).
+    a = sh.alias("a").hint("merge")
     b = sh.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:

@@ -130,3 +130,14 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     assert "Sort" in plan
     assert "rangepartitioning" in plan or "Exchange" in plan
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_minhash_verify_joins_never_broadcast_shingles(spark, sf_dir):
+    """The shingle-carrying verify joins must plan as sort-merge:
+    Catalyst size-estimates the shingle table from its tiny source
+    file and would broadcast it — an OOM at real corpus scale
+    (observed live at 50k docs before the merge hints)."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert plan.count("SortMergeJoin") >= 2, "verify joins must be SMJ"
+    ngram = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "SortMergeJoin" in ngram
