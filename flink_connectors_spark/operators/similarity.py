@@ -37,17 +37,27 @@ def cosine_topk_bruteforce(
     result shuffles. Self-matches are excluded.
     Returns (query_id, neighbor_id, score, rnk)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
     )
+    # norms precomputed per row: the |Q| x N pair stage only pays the
+    # dot product (cosine_similarity would re-fold both norms per pair)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "score",
-            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6),
+            F.round(
+                dot_product(F.col("qvec"), F.col("cvec"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -102,6 +112,7 @@ def cosine_topk_ivf(
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("rep_score"), F.asc("cluster")
     )
+    q = q.withColumn("qn", l2_norm(F.col("qvec")))
     probes = (
         q.crossJoin(F.broadcast(reps))
         .withColumn(
@@ -110,19 +121,24 @@ def cosine_topk_ivf(
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "qvec", "cluster")
+        .select("query_id", "qvec", "qn", "cluster")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(cluster_col).alias("cluster"),
         F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "score",
-            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6),
+            F.round(
+                dot_product(F.col("qvec"), F.col("cvec"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
