@@ -143,3 +143,74 @@ def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(hits).alias("hit")
     )
+
+
+@register(
+    "scalar_struct_funcs",
+    oracle="""
+    SELECT doc_id,
+           struct_pack(lang := lang, source := source, n := n_chars).lang
+             AS s_lang,
+           to_json(struct_pack(lang := lang, n := n_chars)) AS s_json,
+           struct_pack(lang := lang, n := n_chars)
+             = struct_pack(lang := lang, n := n_chars) AS s_eq
+    FROM documents
+    """,
+    tags=("scalar", "struct"),
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT family: construction, field access, JSON serialization
+    (byte-identical across engines), struct equality."""
+    d = load_table(spark, sf_dir, "documents")
+    s3 = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.col("n_chars").alias("n"),
+    )
+    s2 = F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n"))
+    return d.select(
+        "doc_id",
+        s3.getField("lang").alias("s_lang"),
+        F.to_json(s2).alias("s_json"),
+        (s2 == s2).alias("s_eq"),
+    )
+
+
+@register(
+    "arrow_batch_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) AS n_chars_exact
+    FROM documents
+    """,
+    tags=("udf", "arrow", "map_in_arrow"),
+)
+def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy RecordBatch API (the same boundary
+    the Arrow sink writer uses) — per-batch pyarrow.compute kernels,
+    no pandas materialization at all. Completes the Python API
+    matrix: pandas_udf / applyInPandas / mapInPandas / UDTF /
+    mapInArrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for rb in batches:
+            text = rb.column(rb.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pc.cast(
+                        pc.binary_length(pc.cast(text, pa.binary())),
+                        pa.int64(),
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_chars_exact"],
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInArrow(
+        stats, "doc_id bigint, n_bytes long, n_chars_exact long"
+    )
