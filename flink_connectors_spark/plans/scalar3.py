@@ -214,3 +214,75 @@ def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInArrow(
         stats, "doc_id bigint, n_bytes long, n_chars_exact long"
     )
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           rpad(lang, 5, '.') AS lang_padded,
+           translate(source, 'src', 'SRC') AS source_up,
+           repeat(lang, 2) AS lang2,
+           split_part(source, 'c', 2) AS src_num,
+           reverse(lang) AS lang_rev,
+           ascii(lang) AS first_cp,
+           left(text, 10) AS head10,
+           right(text, 5) AS tail5
+    FROM documents
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family, wave 2: padding, translate, repeat, split_part,
+    reverse, ascii, left/right slices."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.rpad("lang", 5, ".").alias("lang_padded"),
+        F.translate("source", "src", "SRC").alias("source_up"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.split_part("source", F.lit("c"), F.lit(2)).alias("src_num"),
+        F.reverse("lang").alias("lang_rev"),
+        F.ascii("lang").alias("first_cp"),
+        F.expr("left(text, 10)").alias("head10"),
+        F.expr("right(text, 5)").alias("tail5"),
+    )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+           quarter(o_orderdate) AS q,
+           dayofweek(o_orderdate) + 1 AS dow,
+           weekofyear(o_orderdate) AS woy,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+             AS days_to_2002
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family, wave 2: last_day, quarter truncation, quarter /
+    week numbers, calendar-aware month addition, day difference.
+    Engine quirk pinned: DuckDB's dayofweek is 0-based (Sunday=0),
+    Spark's is 1-based — the oracle adds 1."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("q_start"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+        F.add_months(d, 1).alias("next_month"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias(
+            "days_to_2002"
+        ),
+    )
