@@ -131,3 +131,33 @@ def sql_text_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sess GROUP BY user_id, session_id
         """
     )
+
+
+@register(
+    "sql_text_hinted_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS gross
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("sql", "hint", "join"),
+)
+def sql_text_hinted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-side optimizer hints: /*+ BROADCAST(o) */ forces the
+    orders build side from SQL text — the hint surface a SQL-first
+    user controls join strategy with (the DataFrame twin is
+    F.broadcast). The hint changes only the physical plan, so the
+    oracle is the same query unhinted."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(o) */
+               o.o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS gross
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        """
+    )
