@@ -330,3 +330,46 @@ def simhash_pairs(
             F.col("hamming"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs that match the
+    eval set exactly (normalized fingerprint) OR share >= min_overlap
+    distinct n-gram shingles with any eval doc (catches paraphrase-
+    level leakage that exact matching misses).
+
+    Scale shape: exact pass is one broadcast/hash anti-join on the
+    fingerprint; the n-gram pass explodes eval shingles (eval sets
+    are small — thousands of docs) into a lookup side, joins corpus
+    shingles against it on the shingle value, and counts overlaps per
+    (corpus doc, any-eval) before an anti-join. No corpus self-join
+    anywhere; cost is corpus-linear.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    corpus_fp = corpus.withColumn("__fp__", fp)
+    eval_fp = eval_set.select(fp.alias("__fp__")).distinct()
+    stage1 = corpus_fp.join(eval_fp, "__fp__", "left_anti").drop("__fp__")
+
+    eval_shingles = (
+        with_shingles(eval_set, text_col, id_col, shingle_n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus_shingles = with_shingles(stage1, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    contaminated = (
+        corpus_shingles.join(eval_shingles, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits__"))
+        .filter(F.col("__hits__") >= min_overlap)
+        .select(id_col)
+    )
+    return stage1.join(contaminated, id_col, "left_anti")

@@ -828,3 +828,51 @@ def text_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH eval_set AS (
+      SELECT * FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    efp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM eval_set),
+    stage1 AS (
+      SELECT c.* FROM corpus c
+      WHERE md5({_NORM.replace('text', 'c.text')}) NOT IN (SELECT fp FROM efp)),
+    esh AS (
+      SELECT DISTINCT unnest(sh.shingles) AS shingle
+      FROM (SELECT doc_id, {_WORDS} AS w FROM eval_set) n,
+      LATERAL (SELECT list_distinct(list_transform(range(1, len(n.w)-1),
+                 i -> concat_ws(' ', n.w[i], n.w[i+1], n.w[i+2]))) AS shingles
+               WHERE len(n.w) >= 3) sh),
+    csh AS (
+      SELECT n.doc_id, unnest(sh.shingles) AS shingle
+      FROM (SELECT doc_id, {_WORDS} AS w FROM stage1) n,
+      LATERAL (SELECT list_distinct(list_transform(range(1, len(n.w)-1),
+                 i -> concat_ws(' ', n.w[i], n.w[i+1], n.w[i+2]))) AS shingles
+               WHERE len(n.w) >= 3) sh),
+    contaminated AS (
+      SELECT c.doc_id FROM csh c JOIN esh e ON c.shingle = e.shingle
+      GROUP BY c.doc_id HAVING COUNT(*) >= 2)
+    SELECT s.doc_id, s.source
+    FROM stage1 s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    tags=("llm", "pipeline", "decontamination", "dedup"),
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th doc plays the eval set;
+    the remaining corpus drops exact fingerprint matches AND docs
+    sharing >= 2 distinct 3-gram shingles with any eval doc — the
+    paraphrase-level leakage filter a training pipeline runs before
+    release. Corpus-linear (no self-join)."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents")
+    eval_set = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(corpus, eval_set, min_overlap=2).select(
+        "doc_id", "source"
+    )
