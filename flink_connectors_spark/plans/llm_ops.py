@@ -876,3 +876,44 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(corpus, eval_set, min_overlap=2).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                 v -> abs(CAST(v AS DOUBLE)))) AS max_abs
+      FROM embeddings)
+    SELECT vec_id, label,
+           round(127.0 / max_abs, 6) AS scale,
+           array_to_string(list_transform(embedding,
+             v -> CAST(CAST(round(CAST(v AS DOUBLE) * (127.0 / max_abs))
+                       AS BIGINT) AS VARCHAR)), ',') AS q8
+    FROM scaled
+    """,
+    tags=("llm", "similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (per-vector scale =
+    127/max|v|): 4x smaller embeddings for the 100 TB tier where
+    vector storage and shuffle bytes dominate. All higher-order array
+    functions; the quantized codes are flattened to a string for the
+    cross-engine hash (DuckDB renders lists differently)."""
+    from pyspark.sql import functions as F
+
+    emb = _load(spark, sf_dir, "embeddings")
+    vabs = F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    max_abs = F.array_max(vabs)
+    scale = F.lit(127.0) / max_abs
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * scale).cast("bigint").cast("string"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", q8).alias("q8"),
+    )

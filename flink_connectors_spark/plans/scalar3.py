@@ -286,3 +286,31 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_2002"
         ),
     )
+
+
+@register(
+    "scalar_bit_ops",
+    oracle="""
+    SELECT doc_id,
+           doc_id & 255 AS low_byte,
+           doc_id | 4096 AS with_flag,
+           xor(doc_id, 21845) AS toggled,
+           doc_id << 3 AS shifted_l,
+           doc_id >> 2 AS shifted_r
+    FROM documents
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit manipulation: and/or/xor, shifts — the primitives
+    under the Morton codes and hash bucketing."""
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        i.bitwiseAND(F.lit(255)).alias("low_byte"),
+        i.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        i.bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.shiftleft(i, 3).alias("shifted_l"),
+        F.shiftright(i, 2).alias("shifted_r"),
+    )
