@@ -1,0 +1,225 @@
+"""Relational coverage, wave 4: unpivot/melt, regression & correlation
+aggregates from exact sufficient statistics, boolean aggregates +
+median, positional explode (ordinality), and URL parsing / printf
+formatting.
+
+All host-engine surface per SURVEY.md §2.2 (the reference delegates the
+entire relational layer to the Flink SQL planner, `pom.xml:60-72`;
+these are the Spark-native equivalents the sink assumes upstream).
+
+Determinism notes follow `plans/_util.py`: float aggregates are built
+from exact decimal sufficient statistics cast to double, and any
+derived expression (slope/corr) is written with the *same* operation
+order on both engines — IEEE doubles then round identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+from ._util import dec, dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "unpivot_lineitem_charges",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, charge, amount
+    FROM (UNPIVOT (SELECT l_orderkey, l_linenumber,
+                          l_extendedprice, l_discount, l_tax
+                   FROM lineitem WHERE l_shipdate >= DATE '1998-11-01')
+          ON l_extendedprice, l_discount, l_tax
+          INTO NAME charge VALUE amount)
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (melt): three charge columns become
+    (charge, amount) pairs. Narrow Expand node, no shuffle — the
+    inverse of `pivot_daily_event_values`. Values pass through from
+    the scan untouched, so they hash-match without decimal staging."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= "1998-11-01")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "charge",
+            "amount",
+        )
+    )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats", "regression"),
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope/intercept and Pearson correlation of
+    quantity vs extended price per return flag.
+
+    Native corr()/regr_slope() sum doubles in engine-specific order and
+    never hash-match cross-engine; instead the five sufficient
+    statistics are accumulated as *exact* decimals (order-independent),
+    cast once to double, and combined in an identical expression on
+    both engines. One shuffle (partial -> final agg), derivation is a
+    free post-projection. Decimal sums stay exact through ~SF1000
+    (38-digit headroom), mirroring `_util.cents`' domain note."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_boolean_median",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           median(o_totalprice) AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (count_if / bool_or / bool_and) plus
+    exact median. Both engines interpolate the two middle values with
+    lower + (upper-lower)*frac on doubles, which is bit-identical for
+    identical inputs (verified by hex comparison); DECIMAL staging
+    would NOT work here — DuckDB's decimal median is discrete-lower
+    while Spark's interpolates. Boolean aggs are cheap
+    partial-aggregable counters — map-side combine keeps the shuffle
+    tiny; exact median is the expensive one (full value shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(price > 150000).alias("n_big"),
+        F.bool_or(price > 400000).alias("any_huge"),
+        F.bool_and(price > 1000).alias("all_over_1k"),
+        F.median("o_totalprice").alias("median_price"),
+    )
+
+
+@register(
+    "lateral_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(g.pos AS INT) - 1 AS pos, d.toks[g.pos] AS tok
+    FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents WHERE doc_id % 20 = 0) d,
+         LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS pos) g
+    """,
+    tags=("scalar", "explode", "ordinality"),
+)
+def lateral_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — explode WITH ORDINALITY: token position survives
+    the flatten, the input order any sequence-labeling / chunking
+    pipeline needs. Narrow generator node, no shuffle; position is
+    computed during generation, not by a window afterward (a
+    row_number() rebuild would force a sort per document)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " ")
+    return d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+
+
+@register(
+    "scalar_url_format_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS url_host,
+           regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS url_path,
+           regexp_extract(url, '\?(.*)$', 1) AS url_query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS url_lang,
+           printf('%s-%04d', source, doc_id) AS doc_slug,
+           CAST(round(n_chars * 100 / 1024.0) AS BIGINT) AS size_centikb
+    FROM (SELECT *,
+                 concat('https://', source, '.example.com/docs/', doc_id,
+                        '?lang=', lang, '&v=2') AS url
+          FROM documents)
+    """,
+    tags=("scalar", "url", "format"),
+)
+def scalar_url_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction (parse_url HOST/PATH/QUERY + keyed
+    query param) and printf-style formatting (format_string). The URL
+    is synthesized from table columns so the round-trip is verifiable;
+    the oracle mirrors parse_url with anchored regexes. All JVM
+    expressions inside whole-stage codegen. Float printf (%.2f) is
+    deliberately absent: Java's Formatter (HALF_UP) and DuckDB's fmt
+    round borderline doubles differently — fixed-point labels go
+    through integer arithmetic instead (size_centikb)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY")).alias("url_query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("url_lang"),
+        F.format_string("%s-%04d", "source", "doc_id").alias("doc_slug"),
+        F.round(F.col("n_chars") * 100 / F.lit(1024.0))
+        .cast("long")
+        .alias("size_centikb"),
+    )

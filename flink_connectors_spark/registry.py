@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         scalar,
         scalar2,
         scalar3,
