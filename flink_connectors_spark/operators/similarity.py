@@ -149,6 +149,116 @@ def cosine_topk_ivf(
     )
 
 
+def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH, derived
+    from md5 — pure arithmetic, no RNG state, so Python / Spark / any
+    SQL oracle can reproduce the exact same planes. Weights are
+    uniform in [-0.5, 0.5); for sign tests only the direction matters,
+    so no Gaussian shaping is needed."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:12], 16)
+            / float(1 << 48)
+            - 0.5
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _band_keys(vec, planes: list[list[float]], bits_per_band: int):
+    """array<int> of per-band LSH keys: each band packs
+    ``bits_per_band`` hyperplane sign bits into a small int."""
+    keys = []
+    for b in range(0, len(planes), bits_per_band):
+        key = F.lit(0)
+        for i in range(bits_per_band):
+            w = F.array(*[F.lit(float(x)) for x in planes[b + i]])
+            key = key + (dot_product(vec, w) >= 0).cast("int") * (1 << i)
+        keys.append(key)
+    return F.array(*keys)
+
+
+def cosine_topk_rplsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH approximate top-k cosine search —
+    the bucketed alternative to the IVF path when no cluster labels
+    exist.
+
+    Each vector gets ``n_planes`` sign bits, banded into
+    ``n_planes/bits_per_band`` small integer keys; a query only scores
+    corpus rows sharing at least one (band_id, band_key). Two cosine-
+    close vectors agree on most sign bits, so they collide in some
+    band with high probability; a random pair matches a 4-bit band
+    1/16 of the time, pruning ~3/4 of the corpus at these defaults.
+
+    Scale shape: the signature table is a narrow map over the corpus
+    (id + band keys only — vectors are NOT carried through the
+    explode), the candidate join shuffles on (band_id, band_key), and
+    vectors are re-attached to the slim distinct pair list afterward.
+    The pair->corpus join is pinned to sort-merge: the pair table
+    descends from an exploded signature table whose size Catalyst
+    misestimates from the parquet file stats (see SCALING.md hazard
+    class). Returns (query_id, neighbor_id, score, rnk)."""
+    planes = random_hyperplanes(n_planes, dim)
+    bands = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.posexplode(_band_keys(F.col(vec_col), planes, bits_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    pairs = (
+        bands(corpus)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            F.broadcast(bands(queries).withColumnRenamed(id_col, "query_id")),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        pairs.hint("merge")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                dot_product(F.col("qvec"), F.col("cvec"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     block_col: str = "label",

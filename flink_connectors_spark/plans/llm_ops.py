@@ -277,6 +277,70 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(emb.filter(emb.vec_id < 20), emb, k=5, n_probe=2)
 
 
+def _rplsh_oracle() -> str:
+    """DuckDB mirror of the sign-LSH search: the same md5-derived
+    hyperplanes (python float repr round-trips exactly, so both
+    engines see bit-identical plane weights), the same band keys, the
+    same candidate join and ranking."""
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(16, 64)
+
+    def lit(row: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in row) + "]"
+
+    keys = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {_sql_dot('embedding', lit(planes[b * 4 + i]))} >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(4)
+        )
+        + f") AS key{b}"
+        for b in range(4)
+    )
+    return f"""
+    WITH keys AS (SELECT vec_id,
+         {keys}
+    FROM embeddings),
+    sig AS (
+      SELECT vec_id, band_id,
+             CASE band_id WHEN 0 THEN key0 WHEN 1 THEN key1
+                          WHEN 2 THEN key2 ELSE key3 END AS band_key
+      FROM keys CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id)),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig q JOIN sig c
+        ON q.band_id = c.band_id AND q.band_key = c.band_key
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             {_sql_cos("qe.embedding", "ce.embedding")} AS score
+      FROM pairs p
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ce ON ce.vec_id = p.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@register(
+    "similarity_topk_rplsh",
+    oracle=_rplsh_oracle(),
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (random hyperplane) ANN: 16 deterministic hyperplanes
+    banded 4x4; queries only score corpus rows sharing a band key —
+    the label-free bucketed scale path (IVF needs cluster labels)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_rplsh(emb.filter(emb.vec_id < 20), emb, k=5)
+
+
 @register(
     "embedding_norm_stats",
     oracle=f"""

@@ -108,3 +108,28 @@ def test_observed_null_rate_single_pass(spark):
     assert n == 4
     m = obs.get
     assert m["n_rows"] == 4 and m["n_null_keys"] == 2
+
+
+def test_rplsh_finds_cosine_identical_vectors(spark):
+    """Sign-LSH invariant: vectors that are positive scalar multiples
+    of each other have identical sign bits on every hyperplane, so
+    they MUST share all band keys and be returned as each other's top
+    neighbor with score 1.0 (cosine is scale-invariant). Orthogonal
+    basis-vector rows exist as distractors."""
+    from flink_connectors_spark.operators.similarity import cosine_topk_rplsh
+
+    dim = 64
+    base = [(i % 7) - 3.0 + 0.1 * i for i in range(dim)]
+    rows = [(0, base), (1, [2.5 * x for x in base])]
+    for i in range(2, 12):
+        rows.append((i, [1.0 if d == (i * 5) % dim else 0.0 for d in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = cosine_topk_rplsh(emb.filter("vec_id < 2"), emb, k=3, dim=dim)
+    top = {r["query_id"]: r["neighbor_id"] for r in out.collect() if r["rnk"] == 1}
+    scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in out.collect()
+        if r["rnk"] == 1
+    }
+    assert top == {0: 1, 1: 0}, top
+    assert scores[(0, 1)] == 1.0 and scores[(1, 0)] == 1.0
