@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    "similarity_topk_rplsh",
     "text_quality_score",
     "text_feature_hashing",
     "multimodal_features",

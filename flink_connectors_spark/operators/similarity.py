@@ -170,13 +170,22 @@ def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 def _band_keys(vec, planes: list[list[float]], bits_per_band: int):
     """array<int> of per-band LSH keys: each band packs
-    ``bits_per_band`` hyperplane sign bits into a small int."""
+    ``bits_per_band`` hyperplane sign bits into a small int.
+
+    The plane matrix enters the plan as ONE nested array literal and
+    the sign bits come from a transform() over it — a few dozen
+    expression nodes total. Unrolling 16 planes x 64 dims into scalar
+    literals instead costs ~4 s of driver-side analysis/codegen per
+    query (measured), for identical results."""
+    plane_mat = F.array(*[F.lit(row) for row in planes])
+    bits = F.transform(
+        plane_mat, lambda p: (dot_product(vec, p) >= 0).cast("int")
+    )
     keys = []
     for b in range(0, len(planes), bits_per_band):
         key = F.lit(0)
         for i in range(bits_per_band):
-            w = F.array(*[F.lit(float(x)) for x in planes[b + i]])
-            key = key + (dot_product(vec, w) >= 0).cast("int") * (1 << i)
+            key = key + bits[b + i] * (1 << i)
         keys.append(key)
     return F.array(*keys)
 
@@ -206,10 +215,13 @@ def cosine_topk_rplsh(
     (id + band keys only — vectors are NOT carried through the
     explode), the candidate join shuffles on (band_id, band_key), and
     vectors are re-attached to the slim distinct pair list afterward.
-    The pair->corpus join is pinned to sort-merge: the pair table
+    The pair->corpus join is pinned to shuffle-hash: the pair table
     descends from an exploded signature table whose size Catalyst
     misestimates from the parquet file stats (see SCALING.md hazard
-    class). Returns (query_id, neighbor_id, score, rnk)."""
+    class), so an unpinned plan would broadcast it and OOM at scale —
+    and shuffle-hash beats sort-merge here because neither side needs
+    the corpus sorted by id. Returns (query_id, neighbor_id, score,
+    rnk)."""
     planes = random_hyperplanes(n_planes, dim)
     bands = lambda df: df.select(  # noqa: E731
         F.col(id_col),
@@ -239,7 +251,7 @@ def cosine_topk_rplsh(
         l2_norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
-        pairs.hint("merge")
+        pairs.hint("shuffle_hash")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn(

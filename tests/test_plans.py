@@ -141,3 +141,35 @@ def test_minhash_verify_joins_never_broadcast_shingles(spark, sf_dir):
     assert plan.count("SortMergeJoin") >= 2, "verify joins must be SMJ"
     ngram = _plan(spark, sf_dir, "dedup_ngram_jaccard")
     assert "SortMergeJoin" in ngram
+
+
+def test_unpivot_is_narrow_expand_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "unpivot_lineitem_charges")
+    assert "Expand" in plan, "unpivot should plan as an Expand node"
+    assert "Exchange" not in plan, "melt is per-row; any shuffle is a bug"
+    # shipdate filter still reaches the scan under the Expand
+    assert "PushedFilters" in plan
+
+
+def test_posexplode_is_generate_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lateral_posexplode_tokens")
+    assert "Generate" in plan, "posexplode should plan as Generate"
+    assert "Exchange" not in plan, "ordinality must come from the generator, not a window sort"
+
+
+def test_corr_regression_partial_aggregation(spark, sf_dir):
+    # sufficient statistics must combine map-side: partial + final HashAggregate
+    plan = _plan(spark, sf_dir, "agg_corr_regression")
+    assert plan.count("HashAggregate") >= 2
+    # "Exchange (" matches tree lines only (detail headers are "(n) Exchange")
+    assert plan.count("Exchange (") == 1, "one shuffle on the group key only"
+
+
+def test_rplsh_signature_table_never_carries_vectors(spark, sf_dir):
+    # the exploded signature join must move (id, band) pairs, not embeddings;
+    # vectors re-attach to the slim pair list afterward via shuffle-hash
+    # (pinned: Catalyst misestimates the explode-derived pair table and
+    # would broadcast it — the SCALING.md hazard class; sort-merge would
+    # needlessly sort the corpus side)
+    plan = _plan(spark, sf_dir, "similarity_topk_rplsh")
+    assert "ShuffledHashJoin" in plan, "pair->corpus join must stay shuffle-hash (broadcast misestimation hazard)"
