@@ -190,6 +190,92 @@ def _band_keys(vec, planes: list[list[float]], bits_per_band: int):
     return F.array(*keys)
 
 
+def band_signatures(
+    df: DataFrame,
+    planes: list[list[float]],
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Narrow signature table (id, band_id, band_key) — the bucketed
+    index both LSH search and LSH dedup join on. Vectors are NOT
+    carried through the explode."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(_band_keys(F.col(vec_col), planes, bits_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 64,
+    n_planes: int = 16,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label-free embedding near-duplicate pairs: sign-LSH banding
+    replaces the blocking column `cosine_near_dup_pairs` needs.
+
+    The candidate generator is a self-join of the narrow signature
+    table on (band_id, band_key) — cost scales with bucket occupancy,
+    not N^2; cosine-close vectors collide in some band with high
+    probability while random pairs share a 4-bit band 1/16 of the
+    time. Both joins are pinned shuffle-hash: every side descends from
+    an exploded/derived table whose size Catalyst misestimates from
+    the source file stats (SCALING.md hazard class — an unpinned plan
+    broadcasts the expanded side and OOMs at scale).
+    Returns (id1, id2, score) with cosine >= threshold."""
+    planes = random_hyperplanes(n_planes, dim)
+    sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__nrm__"),
+    )
+    score = F.round(
+        dot_product(F.col("v1.embedding_v"), F.col("v2.embedding_v"))
+        / (F.col("v1.__nrm__") * F.col("v2.__nrm__")),
+        6,
+    )
+    v1 = v.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("embedding_v"),
+        "__nrm__",
+    ).alias("v1")
+    v2 = v.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("embedding_v"),
+        "__nrm__",
+    ).alias("v2")
+    return (
+        pairs.hint("shuffle_hash")
+        .join(v1, "id1")
+        .hint("shuffle_hash")
+        .join(v2, "id2")
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("id1", "id2", "score")
+    )
+
+
 def cosine_topk_rplsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -223,11 +309,8 @@ def cosine_topk_rplsh(
     the corpus sorted by id. Returns (query_id, neighbor_id, score,
     rnk)."""
     planes = random_hyperplanes(n_planes, dim)
-    bands = lambda df: df.select(  # noqa: E731
-        F.col(id_col),
-        F.posexplode(_band_keys(F.col(vec_col), planes, bits_per_band)).alias(
-            "band_id", "band_key"
-        ),
+    bands = lambda df: band_signatures(  # noqa: E731
+        df, planes, bits_per_band, id_col, vec_col
     )
     pairs = (
         bands(corpus)

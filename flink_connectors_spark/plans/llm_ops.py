@@ -277,11 +277,11 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_ivf(emb.filter(emb.vec_id < 20), emb, k=5, n_probe=2)
 
 
-def _rplsh_oracle() -> str:
-    """DuckDB mirror of the sign-LSH search: the same md5-derived
-    hyperplanes (python float repr round-trips exactly, so both
-    engines see bit-identical plane weights), the same band keys, the
-    same candidate join and ranking."""
+def _rplsh_sig_cte() -> str:
+    """Shared CTE fragment: the sign-LSH signature table. Same
+    md5-derived hyperplanes as the Spark operator (python float repr
+    round-trips exactly, so both engines see bit-identical plane
+    weights), same packed band keys."""
     from ..operators.similarity import random_hyperplanes
 
     planes = random_hyperplanes(16, 64)
@@ -299,15 +299,21 @@ def _rplsh_oracle() -> str:
         + f") AS key{b}"
         for b in range(4)
     )
-    return f"""
-    WITH keys AS (SELECT vec_id,
+    return f"""keys AS (SELECT vec_id,
          {keys}
     FROM embeddings),
     sig AS (
       SELECT vec_id, band_id,
              CASE band_id WHEN 0 THEN key0 WHEN 1 THEN key1
                           WHEN 2 THEN key2 ELSE key3 END AS band_key
-      FROM keys CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id)),
+      FROM keys CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id))"""
+
+
+def _rplsh_oracle() -> str:
+    """DuckDB mirror of the sign-LSH search: signature CTE + the same
+    candidate join and ranking as the Spark operator."""
+    return f"""
+    WITH {_rplsh_sig_cte()},
     pairs AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM sig q JOIN sig c
@@ -339,6 +345,39 @@ def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label-free bucketed scale path (IVF needs cluster labels)."""
     emb = _load(spark, sf_dir, "embeddings")
     return S.cosine_topk_rplsh(emb.filter(emb.vec_id < 20), emb, k=5)
+
+
+def _lsh_dedup_oracle() -> str:
+    return f"""
+    WITH {_rplsh_sig_cte()},
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM sig a JOIN sig b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT p.id1, p.id2,
+             {_sql_cos("e1.embedding", "e2.embedding")} AS score
+      FROM pairs p
+      JOIN embeddings e1 ON e1.vec_id = p.id1
+      JOIN embeddings e2 ON e2.vec_id = p.id2)
+    SELECT id1, id2, score FROM scored WHERE score >= 0.4
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_lsh_dedup_oracle(),
+    tags=("llm", "dedup", "embedding", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free embedding near-dup pairs (cosine >= 0.4): sign-LSH
+    banding generates the candidate pairs instead of the label
+    blocking `dedup_embedding_cosine` relies on — the corpus-scale
+    path when no grouping column exists. Candidate cost scales with
+    bucket occupancy, never N^2."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs_lsh(emb, threshold=0.4)
 
 
 @register(

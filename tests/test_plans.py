@@ -173,3 +173,11 @@ def test_rplsh_signature_table_never_carries_vectors(spark, sf_dir):
     # needlessly sort the corpus side)
     plan = _plan(spark, sf_dir, "similarity_topk_rplsh")
     assert "ShuffledHashJoin" in plan, "pair->corpus join must stay shuffle-hash (broadcast misestimation hazard)"
+
+
+def test_lsh_dedup_joins_all_pinned_shuffle_hash(spark, sf_dir):
+    # every join side descends from exploded/derived tables with
+    # misestimated sizes — nothing may broadcast
+    plan = _plan(spark, sf_dir, "dedup_embedding_lsh")
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("ShuffledHashJoin") >= 3
