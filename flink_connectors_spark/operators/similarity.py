@@ -168,21 +168,16 @@ def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _band_keys(vec, planes: list[list[float]], bits_per_band: int):
+def _band_keys(plane_col, vec, n_planes: int, bits_per_band: int):
     """array<int> of per-band LSH keys: each band packs
     ``bits_per_band`` hyperplane sign bits into a small int.
-
-    The plane matrix enters the plan as ONE nested array literal and
-    the sign bits come from a transform() over it — a few dozen
-    expression nodes total. Unrolling 16 planes x 64 dims into scalar
-    literals instead costs ~4 s of driver-side analysis/codegen per
-    query (measured), for identical results."""
-    plane_mat = F.array(*[F.lit(row) for row in planes])
+    ``plane_col`` is an array<array<double>> column (see
+    ``band_signatures`` for why it is a column, not a literal)."""
     bits = F.transform(
-        plane_mat, lambda p: (dot_product(vec, p) >= 0).cast("int")
+        plane_col, lambda p: (dot_product(vec, p) >= 0).cast("int")
     )
     keys = []
-    for b in range(0, len(planes), bits_per_band):
+    for b in range(0, n_planes, bits_per_band):
         key = F.lit(0)
         for i in range(bits_per_band):
             key = key + bits[b + i] * (1 << i)
@@ -199,12 +194,31 @@ def band_signatures(
 ) -> DataFrame:
     """Narrow signature table (id, band_id, band_key) — the bucketed
     index both LSH search and LSH dedup join on. Vectors are NOT
-    carried through the explode."""
-    return df.select(
-        F.col(id_col),
-        F.posexplode(_band_keys(F.col(vec_col), planes, bits_per_band)).alias(
-            "band_id", "band_key"
-        ),
+    carried through the explode.
+
+    The plane matrix joins in as a broadcast ONE-ROW table rather
+    than an expression literal: 16x64 scalar literals in the tree
+    cost ~1 s of driver-side analysis/optimization per signature
+    computation (measured — a real tax when a search plan builds the
+    signature table 2-4 times); as broadcast data the plan stays a
+    few dozen nodes and execution is identical."""
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [(planes,)], "__planes__: array<array<double>>"
+    )
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                _band_keys(
+                    F.col("__planes__"),
+                    F.col(vec_col),
+                    len(planes),
+                    bits_per_band,
+                )
+            ).alias("band_id", "band_key"),
+        )
     )
 
 
