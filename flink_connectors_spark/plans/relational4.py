@@ -153,6 +153,37 @@ def agg_boolean_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram_prices",
+    oracle="""
+    SELECT CAST(least(floor(l_extendedprice / 10000.0), 10) AS INT) AS bucket,
+           COUNT(*) AS n_items,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(price / width) with a
+    top catch-all — the binning shape behind distribution dashboards
+    and quantile pre-aggregation. Expressed as integer floor math
+    (identical on both engines) rather than width_bucket(), which
+    DuckDB lacks; one partial-aggregated shuffle on ~11 keys. At
+    100 TB the map-side combine reduces each partition to <=
+    n_buckets rows before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(10000.0)), F.lit(10)
+    ).cast("int")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
     "lateral_posexplode_tokens",
     oracle="""
     SELECT doc_id, CAST(g.pos AS INT) - 1 AS pos, d.toks[g.pos] AS tok
