@@ -242,6 +242,13 @@ def cosine_near_dup_pairs_lsh(
     an exploded/derived table whose size Catalyst misestimates from
     the source file stats (SCALING.md hazard class — an unpinned plan
     broadcasts the expanded side and OOMs at scale).
+
+    SIZING RULE (the other OOM, found by a 20k-vector stress run):
+    the candidate join emits ~sum(occupancy^2) rows over buckets, so
+    ``bits_per_band`` must grow with the corpus — target
+    ``bits_per_band >= log2(N) - ~6`` (bucket occupancy <= ~64). The
+    4-bit default suits the <=5k-row test tables; the 50k stress run
+    needs 32 planes x 16-bit bands (see SCALING.md for numbers).
     Returns (id1, id2, score) with cosine >= threshold."""
     planes = random_hyperplanes(n_planes, dim)
     sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)

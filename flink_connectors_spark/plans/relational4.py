@@ -77,9 +77,9 @@ def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
-           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+           round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
     FROM s
     """,
     tags=("agg", "stats", "regression"),
@@ -92,8 +92,11 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     never hash-match cross-engine; instead the five sufficient
     statistics are accumulated as *exact* decimals (order-independent),
     cast once to double, and combined in an identical expression on
-    both engines. One shuffle (partial -> final agg), derivation is a
-    free post-projection. Decimal sums stay exact through ~SF1000
+    both engines; the final round(_, 6) absorbs the one remaining
+    divergence — DuckDB's DECIMAL->DOUBLE cast double-rounds
+    (int128 -> double -> /10^scale) where Spark single-rounds, a
+    1-ulp difference observed at sf0.001. One shuffle (partial ->
+    final agg), derivation is a free post-projection. Decimal sums stay exact through ~SF1000
     (38-digit headroom), mirroring `_util.cents`' domain note."""
     li = _t(spark, sf_dir, "lineitem")
     x, y = dec("l_quantity"), dec("l_extendedprice")
@@ -114,9 +117,9 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
-        slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
-        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
     )
 
 

@@ -45,9 +45,17 @@ def build_session(
     """Build a SparkSession with the engine's scale-aware defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # local mode runs every task inside the driver JVM; the 1g default
+    # heap mis-sizes a 32-core box (found via a 50k-vector LSH stress
+    # OOM). Max-heap is reserved lazily, so a generous cap is free.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
-    b = SparkSession.builder.appName(app_name).master(master)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.driver.memory", driver_mem)
+    )
     for k, v in _BASE_CONF.items():
         b = b.config(k, v)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

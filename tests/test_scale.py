@@ -295,3 +295,29 @@ def test_dynamic_partition_pruning_from_dim_filter(
         assert q.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS dpp_days")
+
+
+def test_lsh_dedup_wide_bands_full_twin_recall(spark, sf_dir):
+    """Codifies the 10x-union stress finding (SCALING.md): with band
+    width sized to the corpus (bits_per_band ~ log2(N) - 6), sign-LSH
+    dedup must find EVERY identical-twin pair — identical vectors
+    share all sign bits, so recall on exact duplicates is structural,
+    not probabilistic. 4x union of the embeddings table; 32 planes x
+    16-bit bands keeps bucket occupancy ~1 so the candidate join
+    stays near-linear."""
+    from flink_connectors_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    big = emb
+    for i in range(1, 4):
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        )
+    out = cosine_near_dup_pairs_lsh(
+        big, threshold=0.99, n_planes=32, bits_per_band=16
+    )
+    # 4 copies of each vector -> C(4,2)=6 twin pairs per original
+    assert out.filter(F.col("score") >= 0.999999).count() == 6 * n
