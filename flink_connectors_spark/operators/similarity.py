@@ -16,6 +16,8 @@ vectorized Pandas-UDF path would beat per-element array folds; at
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -172,7 +174,17 @@ def _band_keys(plane_col, vec, n_planes: int, bits_per_band: int):
     """array<int> of per-band LSH keys: each band packs
     ``bits_per_band`` hyperplane sign bits into a small int.
     ``plane_col`` is an array<array<double>> column (see
-    ``band_signatures`` for why it is a column, not a literal)."""
+    ``band_signatures`` for why it is a column, not a literal).
+
+    ``n_planes`` must be a multiple of ``bits_per_band``: a partial
+    final band would index past the sign-bit array, turn the whole
+    packed key NULL, and silently drop that band from candidate
+    generation (recall loss with no error)."""
+    if n_planes % bits_per_band != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of bits_per_band "
+            f"({bits_per_band}); a partial band would be silently dropped"
+        )
     bits = F.transform(
         plane_col, lambda p: (dot_product(vec, p) >= 0).cast("int")
     )
@@ -222,12 +234,47 @@ def band_signatures(
     )
 
 
+def auto_lsh_bands(
+    n_rows: int,
+    threshold: float = 0.8,
+    recall_target: float = 0.9,
+    min_bits: int = 8,
+    max_bits: int = 24,
+    max_bands: int = 128,
+) -> tuple[int, int]:
+    """(n_planes, bits_per_band) sized from the corpus, enforcing the
+    SCALING.md occupancy rule in code instead of prose.
+
+    Band width: ``bits_per_band = ceil(log2(N))`` keeps expected
+    bucket occupancy ~1, so the candidate self-join (cost ~
+    sum(occupancy^2) per band) stays linear in N — the documented
+    minimum is log2(N)-6 (occupancy <=64); occupancy ~1 is the
+    setting the 10x stress run validated (32 planes x 16-bit bands
+    at ~50k vectors, SCALING.md).
+
+    Band count: from the standard sign-LSH recall formula. A pair at
+    cosine ``threshold`` matches one hyperplane sign with
+    p = 1 - acos(threshold)/pi, a whole b-bit band with p^b, and at
+    least one of r bands with 1 - (1-p^b)^r; r is chosen to reach
+    ``recall_target`` (capped — identical vectors always collide in
+    every band, so exact-twin recall is 1.0 regardless)."""
+    bits = max(min_bits, min(max_bits, math.ceil(math.log2(max(n_rows, 2)))))
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = max(p_bit, 1e-12) ** bits
+    if p_band >= 1.0:
+        bands = 1
+    else:
+        bands = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_band))
+    bands = max(2, min(max_bands, bands))
+    return bands * bits, bits
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.8,
     dim: int = 64,
-    n_planes: int = 16,
-    bits_per_band: int = 4,
+    n_planes: int | None = None,
+    bits_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -243,13 +290,38 @@ def cosine_near_dup_pairs_lsh(
     the source file stats (SCALING.md hazard class — an unpinned plan
     broadcasts the expanded side and OOMs at scale).
 
-    SIZING RULE (the other OOM, found by a 20k-vector stress run):
-    the candidate join emits ~sum(occupancy^2) rows over buckets, so
-    ``bits_per_band`` must grow with the corpus — target
-    ``bits_per_band >= log2(N) - ~6`` (bucket occupancy <= ~64). The
-    4-bit default suits the <=5k-row test tables; the 50k stress run
-    needs 32 planes x 16-bit bands (see SCALING.md for numbers).
+    SIZING (enforced in code, not prose): the candidate join emits
+    ~sum(occupancy^2) rows over buckets, so band width must grow with
+    the corpus. When ``n_planes``/``bits_per_band`` are not passed,
+    they are derived from a cheap ``df.count()`` via
+    ``auto_lsh_bands`` — ``bits_per_band = ceil(log2(N))`` (bucket
+    occupancy ~1, the setting the SCALING.md 10x stress validated)
+    and the band count from the sign-LSH recall formula at
+    ``threshold``. Explicit values are honored (the registered
+    ``dedup_embedding_lsh`` query pins 16x4 for oracle parity on the
+    tiny test table) but must satisfy n_planes % bits_per_band == 0.
     Returns (id1, id2, score) with cosine >= threshold."""
+    if bits_per_band is None or n_planes is None:
+        n_auto, bits_auto = auto_lsh_bands(df.count(), threshold)
+        if n_planes is None and bits_per_band is None:
+            n_planes, bits_per_band = n_auto, bits_auto
+        elif bits_per_band is None:
+            # explicit plane budget: widest band width that divides it,
+            # capped at the occupancy-safe auto width
+            bits_per_band = max(
+                b for b in range(1, min(bits_auto, n_planes) + 1)
+                if n_planes % b == 0
+            )
+        else:
+            # explicit band width: band count from the recall formula
+            p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+            p_band = max(p_bit, 1e-12) ** bits_per_band
+            bands = (
+                1
+                if p_band >= 1.0
+                else math.ceil(math.log(0.1) / math.log(1.0 - p_band))
+            )
+            n_planes = max(2, min(128, bands)) * bits_per_band
     planes = random_hyperplanes(n_planes, dim)
     sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
     a, b = sig.alias("a"), sig.alias("b")

@@ -375,9 +375,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding generates the candidate pairs instead of the label
     blocking `dedup_embedding_cosine` relies on — the corpus-scale
     path when no grouping column exists. Candidate cost scales with
-    bucket occupancy, never N^2."""
+    bucket occupancy, never N^2.
+
+    16x4 banding is pinned explicitly: the SQL oracle replicates this
+    exact banding, and the operator's corpus-sized auto-sizing
+    (`auto_lsh_bands`) would pick different planes for the tiny test
+    table and change which candidate pairs exist."""
     emb = _load(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs_lsh(emb, threshold=0.4)
+    return S.cosine_near_dup_pairs_lsh(
+        emb, threshold=0.4, n_planes=16, bits_per_band=4
+    )
 
 
 @register(
@@ -445,7 +452,8 @@ def _sql_stop_hits(lang: str) -> str:
                / greatest(CAST(len(w) AS DOUBLE), 1.0) AS stop_ratio,
              CAST(len(list_distinct(w)) AS DOUBLE)
                / greatest(CAST(len(w) AS DOUBLE), 1.0) AS ttr,
-             CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END AS length_ok
+             CAST(CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END
+                  AS DOUBLE) AS length_ok
       FROM base)
     SELECT doc_id,
            round(alpha_ratio, 6) AS alpha_ratio,
@@ -594,7 +602,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_candidates,
            COUNT(*) FILTER (kept) AS n_kept,
            COUNT(*) FILTER (dupe) AS n_dupes_removed,
-           COALESCE(SUM(n_tokens) FILTER (kept), 0) AS tokens_kept
+           CAST(COALESCE(SUM(n_tokens) FILTER (kept), 0) AS BIGINT) AS tokens_kept
     FROM flagged
     GROUP BY source
     """,

@@ -94,7 +94,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(p_size - 25) AS size_dev,
            CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
            CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-           round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS price_round1,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_round1,
            p_size % 7 AS size_mod7,
            sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
            CAST(power(CAST(p_size AS DOUBLE), 2) AS DOUBLE) AS size_sq,
@@ -113,7 +113,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p_size") - 25).alias("size_dev"),
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
-        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1).alias("price_round1"),
+        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_round1"),
         (F.col("p_size") % 7).alias("size_mod7"),
         F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
         F.pow(F.col("p_size").cast("double"), 2).cast("double").alias("size_sq"),

@@ -219,36 +219,69 @@ def udtf_char_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    oracle="""
+    SELECT o_orderstatus, TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the at-scale form of
     COUNT(DISTINCT): no expand, single pass, mergeable sketches. The
-    estimate is engine-specific, so the driver's weaker rows-only
-    check applies (exact-count parity is covered by
-    agg_distinct_count)."""
+    HLL estimate itself is engine-private, so the checkable output is
+    an error-bound predicate: |approx - exact| / exact < 0.05,
+    computed inside the query (rsd=0.01, so 5% is a wide margin).
+    The oracle asserts the bound holds for every group; exact-count
+    parity is separately covered by agg_distinct_count."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .select(
+            "o_orderstatus",
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                / F.col("exact").cast("double")
+                < 0.05
+            ).alias("within_bound"),
+        )
     )
 
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # KLL/GK sketches are engine-specific; rows-only check
+    oracle="""
+    SELECT l_returnflag, TRUE AS p50_within, TRUE AS p95_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "percentile"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch-based quantile for interactive
-    100 TB use (bounded memory, mergeable, no global sort). Estimates
-    are engine-specific, so rows-only; exact-quantile parity is
-    covered by agg_percentiles."""
+    100 TB use (bounded memory, mergeable, no global sort). Sketch
+    values are engine-private, so the checkable output is a relative
+    error-bound predicate per quantile (approx within 5% of the exact
+    interpolated percentile), asserted by the oracle for every group.
+    Exact-quantile parity is covered by agg_percentiles."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
-        ).alias("price_quantiles")
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ex"),
+    )
+
+    def within(i: int):
+        a, e = F.col("ap").getItem(i), F.col("ex").getItem(i)
+        return F.abs(a - e) / e < 0.05
+
+    return agged.select(
+        "l_returnflag",
+        within(0).alias("p50_within"),
+        within(1).alias("p95_within"),
     )
 
 

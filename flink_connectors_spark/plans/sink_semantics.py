@@ -96,7 +96,7 @@ def sink_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed AS (
       SELECT pk, CASE WHEN op IN ('I','UA') THEN 1 ELSE -1 END AS sign
       FROM changelog)
-    SELECT pk, SUM(sign) AS sign_sum
+    SELECT pk, CAST(SUM(sign) AS BIGINT) AS sign_sum
     FROM signed GROUP BY pk HAVING SUM(sign) <> 0
     """,
     tags=("sink", "changelog", "collapsing"),

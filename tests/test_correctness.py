@@ -83,3 +83,28 @@ def test_query_matches_oracle(spark, sf_dir, name):
         f"{name}: {len(mismatches)} mismatched rows; first 3: "
         f"{mismatches[:3]} (cols={n_cols})"
     )
+
+
+def test_no_hugeint_or_decimal_oracle_outputs(sf_dir):
+    """The driver's value-hash goes through Arrow: DuckDB HUGEINT
+    (int128, e.g. from SUM over integers) and DECIMAL outputs do not
+    round-trip to the same Arrow type Spark emits, so they hash-
+    mismatch even when values are numerically equal (observed:
+    `pipeline_clean_corpus` r1 red row). Every final oracle column
+    must resolve to a plain BIGINT/DOUBLE/VARCHAR/... type."""
+    con = _duck(sf_dir)
+    offenders = []
+    try:
+        for name, spec in _SPECS.items():
+            if spec.oracle is None:
+                continue
+            rel = con.sql(spec.oracle)
+            for col, ty in zip(rel.columns, rel.types):
+                ts = str(ty)
+                if ts in ("HUGEINT", "UHUGEINT", "INT128") or ts.startswith(
+                    "DECIMAL"
+                ):
+                    offenders.append((name, col, ts))
+    finally:
+        con.close()
+    assert not offenders, f"cast these oracle columns: {offenders}"

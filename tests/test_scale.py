@@ -321,3 +321,59 @@ def test_lsh_dedup_wide_bands_full_twin_recall(spark, sf_dir):
     )
     # 4 copies of each vector -> C(4,2)=6 twin pairs per original
     assert out.filter(F.col("score") >= 0.999999).count() == 6 * n
+
+
+def test_auto_lsh_bands_sizing_rule():
+    """SCALING.md's band-width rule is now enforced in code: a 50k-row
+    corpus must auto-size to >=16-bit bands (occupancy ~1 so the
+    candidate self-join stays linear), band count must come from the
+    recall formula, and every (n_planes, bits) pair must divide
+    evenly (partial bands would be silently dropped — see
+    _band_keys)."""
+    from flink_connectors_spark.operators.similarity import auto_lsh_bands
+
+    n_planes, bits = auto_lsh_bands(50_000)
+    assert bits >= 16
+    assert n_planes % bits == 0
+    # tighter threshold -> fewer bands needed for the same recall
+    p_loose, _ = auto_lsh_bands(50_000, threshold=0.8)
+    p_tight, _ = auto_lsh_bands(50_000, threshold=0.99)
+    assert p_tight < p_loose
+    for n in (2, 100, 5_000, 1_000_000, 10**9):
+        p, b = auto_lsh_bands(n)
+        assert p % b == 0 and 8 <= b <= 24 and p >= 2 * b
+
+
+def test_band_keys_rejects_partial_band(spark, sf_dir):
+    """n_planes not divisible by bits_per_band used to NULL out the
+    final band's key and silently drop it from candidate generation;
+    it must raise instead."""
+    import pytest
+
+    from flink_connectors_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="multiple of bits_per_band"):
+        cosine_near_dup_pairs_lsh(
+            emb, threshold=0.9, n_planes=10, bits_per_band=4
+        ).count()
+
+
+def test_lsh_auto_sizing_twin_recall(spark, sf_dir):
+    """Auto-sized banding (no explicit n_planes/bits_per_band) must
+    still find every identical-twin pair: identical vectors share all
+    sign bits, so exact-duplicate recall is structural regardless of
+    the chosen width."""
+    from flink_connectors_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    n = emb.count()
+    big = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    out = cosine_near_dup_pairs_lsh(big, threshold=0.99)
+    assert out.filter(F.col("score") >= 0.999999).count() == n
