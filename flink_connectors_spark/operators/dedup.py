@@ -199,7 +199,11 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iters: int = 50
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: every doc gets
     the minimum doc id reachable through the pair graph as its
@@ -212,16 +216,33 @@ def connected_components(
     ``max_iters`` bounds the worst case. The driver only ever sees a
     one-row convergence count — never the data.
 
+    Durability: by default iteration state is pinned with
+    ``localCheckpoint`` (executor-local blocks — fastest, but an
+    executor loss kills the job since the lineage is truncated). For
+    long multi-hour runs at the 100 TB design point, pass
+    ``checkpoint_dir`` (HDFS/S3/DBFS path) to switch to reliable
+    ``checkpoint()``: each round's labels are persisted to fault-
+    tolerant storage and survive executor loss, at the cost of one
+    distributed write per round.
+
     Returns (doc_id, cluster_id).
     """
-    edges = (
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _pin(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         # Materialize once: edges feed every round's join — without
         # this the whole upstream pair-producing pipeline (e.g. the
         # LSH candidate generation) re-executes per iteration.
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.groupBy("a")
@@ -253,7 +274,7 @@ def connected_components(
                 ).alias("cluster_id"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        updated = _pin(updated)  # cut lineage growth
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")
@@ -348,9 +369,13 @@ def decontaminate(
     Scale shape: exact pass is one broadcast/hash anti-join on the
     fingerprint; the n-gram pass explodes eval shingles (eval sets
     are small — thousands of docs) into a lookup side, joins corpus
-    shingles against it on the shingle value, and counts overlaps per
-    (corpus doc, any-eval) before an anti-join. No corpus self-join
-    anywhere; cost is corpus-linear.
+    shingles against it on the shingle value, and counts distinct
+    shared shingles per (corpus doc, eval doc) PAIR before the
+    anti-join — a doc sharing one shingle each with two different
+    eval docs is NOT contaminated. No corpus self-join anywhere;
+    cost is corpus-linear (the pair pre-aggregate is bounded by
+    corpus shingle hits x matching eval docs, and eval sets are
+    small by construction).
     """
     fp = F.md5(normalize_text(F.col(text_col)))
     corpus_fp = corpus.withColumn("__fp__", fp)
@@ -359,7 +384,10 @@ def decontaminate(
 
     eval_shingles = (
         with_shingles(eval_set, text_col, id_col, shingle_n)
-        .select(F.explode("shingles").alias("shingle"))
+        .select(
+            F.col(id_col).alias("__eval_id__"),
+            F.explode("shingles").alias("shingle"),
+        )
         .distinct()
     )
     corpus_shingles = with_shingles(stage1, text_col, id_col, shingle_n).select(
@@ -367,9 +395,10 @@ def decontaminate(
     )
     contaminated = (
         corpus_shingles.join(eval_shingles, "shingle")
-        .groupBy(id_col)
+        .groupBy(id_col, "__eval_id__")
         .agg(F.count(F.lit(1)).alias("__hits__"))
         .filter(F.col("__hits__") >= min_overlap)
         .select(id_col)
+        .distinct()
     )
     return stage1.join(contaminated, id_col, "left_anti")

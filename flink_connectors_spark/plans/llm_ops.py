@@ -953,7 +953,7 @@ def text_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.* FROM corpus c
       WHERE md5({_NORM.replace('text', 'c.text')}) NOT IN (SELECT fp FROM efp)),
     esh AS (
-      SELECT DISTINCT unnest(sh.shingles) AS shingle
+      SELECT DISTINCT n.doc_id AS eval_id, unnest(sh.shingles) AS shingle
       FROM (SELECT doc_id, {_WORDS} AS w FROM eval_set) n,
       LATERAL (SELECT list_distinct(list_transform(range(1, len(n.w)-1),
                  i -> concat_ws(' ', n.w[i], n.w[i+1], n.w[i+2]))) AS shingles
@@ -964,9 +964,10 @@ def text_fuzzy_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       LATERAL (SELECT list_distinct(list_transform(range(1, len(n.w)-1),
                  i -> concat_ws(' ', n.w[i], n.w[i+1], n.w[i+2]))) AS shingles
                WHERE len(n.w) >= 3) sh),
-    contaminated AS (
+    pairhits AS (
       SELECT c.doc_id FROM csh c JOIN esh e ON c.shingle = e.shingle
-      GROUP BY c.doc_id HAVING COUNT(*) >= 2)
+      GROUP BY c.doc_id, e.eval_id HAVING COUNT(*) >= 2),
+    contaminated AS (SELECT DISTINCT doc_id FROM pairhits)
     SELECT s.doc_id, s.source
     FROM stage1 s
     WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)

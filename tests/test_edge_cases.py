@@ -133,3 +133,31 @@ def test_rplsh_finds_cosine_identical_vectors(spark):
     }
     assert top == {0: 1, 1: 0}, top
     assert scores[(0, 1)] == 1.0 and scores[(1, 0)] == 1.0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint:
+    results identical, and RDD checkpoint files actually land in the
+    directory (the property that makes a multi-hour 100 TB run
+    survive executor loss)."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "d1 int, d2 int"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    out = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(ckpt)
+        for f in fns
+    ]
+    assert written, "no reliable checkpoint files were written"
