@@ -188,9 +188,18 @@ class ClickHouseHTTPBackendFactory:
 
 class ClickHouseHTTPBackend:
     """Production transport (clickhouse-connect, HTTP). Discovery of
-    local shard nodes would issue the reference's two system queries
+    local shard nodes issues the reference's two system queries
     (`ClickHouseConnectionProvider.java:98` system.clusters,
-    `:161` system.tables engine lookup) through this client."""
+    `:161` system.tables engine lookup) through this client.
+
+    Placeholder dialect: ``sink.statements`` / ``sink.topology`` emit
+    JDBC-style ``?`` positional placeholders (the reference's dialect,
+    `ClickHouseUpsertExecutor.java:60-79`), which clickhouse-connect
+    does NOT understand — it supports ``%s`` client-side binding with
+    a sequence or ``{name:Type}`` server-side binding with a dict.
+    ``_qmarks_to_pyformat`` rewrites ``?`` -> ``%s`` (skipping string
+    literals, escaping pre-existing ``%``) so every statement binds
+    correctly against a real server."""
 
     def __init__(
         self,
@@ -198,7 +207,12 @@ class ClickHouseHTTPBackend:
         database: str,
         username: str | None,
         password: str | None,
+        client=None,
     ) -> None:
+        if client is not None:
+            # injected client (contract tests mock the transport)
+            self.client = client
+            return
         try:
             import clickhouse_connect  # type: ignore
         except ImportError as e:  # pragma: no cover - not installed here
@@ -210,21 +224,61 @@ class ClickHouseHTTPBackend:
             dsn=url, database=database, username=username, password=password
         )
 
-    def insert_rows(  # pragma: no cover - needs a live server
+    @staticmethod
+    def _qmarks_to_pyformat(sql: str) -> str:
+        """Rewrite JDBC ``?`` placeholders to pyformat ``%s``.
+
+        A ``?`` inside a single-quoted SQL string literal is data, not
+        a placeholder; literal ``%`` (e.g. ``LIKE '%x%'``) must double
+        to ``%%`` or clickhouse-connect's client-side formatting
+        consumes it."""
+        out: list[str] = []
+        in_str = False
+        i = 0
+        while i < len(sql):
+            ch = sql[i]
+            if in_str:
+                if ch == "'" and i + 1 < len(sql) and sql[i + 1] == "'":
+                    out.append("''")
+                    i += 2
+                    continue
+                if ch == "'":
+                    in_str = False
+                out.append("%%" if ch == "%" else ch)
+            elif ch == "'":
+                in_str = True
+                out.append(ch)
+            elif ch == "?":
+                out.append("%s")
+            elif ch == "%":
+                out.append("%%")
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def insert_rows(
         self, table: str, columns: list[str], rows: list[tuple]
     ) -> None:
         self.client.insert(table, rows, column_names=columns)
 
-    def execute(self, sql: str, params: tuple = ()) -> None:  # pragma: no cover
-        self.client.command(sql, parameters=list(params))
+    def execute(self, sql: str, params: tuple = ()) -> None:
+        self.client.command(
+            self._qmarks_to_pyformat(sql), parameters=list(params)
+        )
 
-    def query(self, sql: str, params: tuple = ()) -> list[tuple]:  # pragma: no cover
-        return [tuple(r) for r in self.client.query(sql, parameters=list(params)).result_rows]
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]:
+        return [
+            tuple(r)
+            for r in self.client.query(
+                self._qmarks_to_pyformat(sql), parameters=list(params)
+            ).result_rows
+        ]
 
-    def insert_arrow(self, table: str, arrow_table) -> None:  # pragma: no cover
+    def insert_arrow(self, table: str, arrow_table) -> None:
         self.client.insert_arrow(table, arrow_table)
 
-    def close(self) -> None:  # pragma: no cover
+    def close(self) -> None:
         self.client.close()
 
 
@@ -239,3 +293,41 @@ def backend_factory_for(opts: Any):
     return ClickHouseHTTPBackendFactory(
         url, opts.database, opts.username, opts.password
     )
+
+
+def shard_backend_factories(opts: Any, addresses: list[str]) -> list:
+    """One backend factory per shard node — the write-local fan-out
+    the reference's `ClickHouseShardOutputFormat.java:72-81` does with
+    per-shard connections. ``addresses`` comes from
+    ``topology.shard_addresses`` (configured write-local-nodes, or
+    system.clusters discovery).
+
+    ClickHouse targets get one HTTP client per shard address; the
+    local test transports map each shard to its own directory/file so
+    routing is observable without a server (shard i of a
+    ``parquet://base`` target lands in ``base/shard-i=<address>``)."""
+    url = opts.url
+    out = []
+    for i, addr in enumerate(addresses):
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", addr)
+        if url.startswith("parquet://"):
+            base = url[len("parquet://"):]
+            out.append(
+                ParquetDirBackendFactory(
+                    os.path.join(base, f"shard-{i}={safe}")
+                )
+            )
+        elif url.startswith("duckdb://"):
+            base = url[len("duckdb://"):]
+            out.append(DuckDBBackendFactory(f"{base}.shard-{i}-{safe}"))
+        else:
+            host, _, port = addr.partition(":")
+            out.append(
+                ClickHouseHTTPBackendFactory(
+                    f"http://{host}:{port or 8123}",
+                    opts.database,
+                    opts.username,
+                    opts.password,
+                )
+            )
+    return out

@@ -35,9 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import statements
-from .backends import backend_factory_for
+from .backends import backend_factory_for, shard_backend_factories
 from .options import SinkOptions
-from .partitioner import apply_partitioning
+from .partitioner import SHARD_COLUMN, apply_partitioning, with_shard_column
 
 # RowKind codes, matching the reference's four kinds
 # (`ClickHouseDynamicTableSink.java:26-31`).
@@ -104,17 +104,33 @@ def _flush_with_retry(flush_fn, opts: SinkOptions) -> None:
 
 
 class _PartitionWriter:
-    """Per-task writer closure: picklable config, lazy connection."""
+    """Per-task writer closure: picklable config, lazy connection.
+
+    With ``shard_factories`` set (write-local mode), each row carries
+    a shard id column and is routed to THAT shard's backend — one
+    lazy connection + buffer per shard id seen in the partition
+    (after the shard repartition that is almost always exactly one).
+    Routing keys off the row's shard column, never the Spark
+    partition id: hash-repartitioning does not map shard id i to
+    partition i, so partition-id routing would mis-deliver."""
 
     def __init__(
-        self, opts: SinkOptions, columns: list[str], factory
+        self,
+        opts: SinkOptions,
+        columns: list[str],
+        factory,
+        shard_factories: list | None = None,
     ) -> None:
         self.opts = opts
         self.columns = columns
         self.factory = factory
+        self.shard_factories = shard_factories
 
     def __call__(self, rows_iter) -> None:
         opts = self.opts
+        if self.shard_factories is not None:
+            self._write_sharded(rows_iter)
+            return
         backend = self.factory()
         try:
             if opts.write_mode == "upsert":
@@ -123,6 +139,55 @@ class _PartitionWriter:
                 self._write_append(backend, rows_iter)
         finally:
             backend.close()
+
+    def _write_sharded(self, rows_iter) -> None:
+        """Row path with per-shard routing: strip the shard column,
+        buffer per shard id, flush each shard's buffer through its own
+        backend with the same count/time triggers."""
+        opts = self.opts
+        sid_idx = self.columns.index(SHARD_COLUMN)
+        keep_idx = [i for i, c in enumerate(self.columns) if c != SHARD_COLUMN]
+        data_cols = [c for c in self.columns if c != SHARD_COLUMN]
+        upsert = opts.write_mode == "upsert"
+        backends: dict[int, object] = {}
+        bufs: dict[int, list[tuple]] = {}
+        last: dict[int, float] = {}
+
+        def flush(sid: int) -> None:
+            buf = bufs[sid]
+            if buf:
+                batch, bufs[sid] = buf, []
+                backend = backends[sid]
+                if upsert:
+                    _apply_upsert_chunk(backend, opts, data_cols, batch)
+                else:
+                    _flush_with_retry(
+                        lambda: backend.insert_rows(
+                            opts.table_name, data_cols, batch
+                        ),
+                        opts,
+                    )
+            last[sid] = time.monotonic()
+
+        try:
+            for row in rows_iter:
+                r = tuple(row)
+                sid = int(r[sid_idx])
+                if sid not in backends:
+                    backends[sid] = self.shard_factories[sid]()
+                    bufs[sid] = []
+                    last[sid] = time.monotonic()
+                bufs[sid].append(tuple(r[i] for i in keep_idx))
+                if (
+                    len(bufs[sid]) >= opts.batch_size
+                    or time.monotonic() - last[sid] >= opts.flush_interval_s
+                ):
+                    flush(sid)
+            for sid in backends:
+                flush(sid)
+        finally:
+            for b in backends.values():
+                b.close()
 
     def _write_append(self, backend, rows_iter) -> None:
         opts = self.opts
@@ -156,46 +221,52 @@ class _PartitionWriter:
         deletes as keyed mutations — three buffers like the
         reference's `ClickHouseUpsertExecutor.java:46-48`."""
         opts = self.opts
-        cols = self.columns
-        op_idx = cols.index(opts.op_column)
-        data_cols = [c for c in cols if c != opts.op_column]
-        keep_idx = [i for i, c in enumerate(cols) if c != opts.op_column]
-        key_cols = list(opts.primary_key)
-        val_cols = [c for c in data_cols if c not in set(key_cols)]
-        upd_sql = statements.update_statement(
-            opts.table_name, data_cols, key_cols
-        )
-        del_sql = statements.delete_statement(opts.table_name, key_cols)
-        col_pos = {c: i for i, c in enumerate(cols)}
-
         for chunk in _chunks(rows_iter, opts.batch_size):
-            inserts: list[tuple] = []
-            mutations: list[tuple[str, tuple]] = []
-            for row in chunk:
-                r = tuple(row)
-                kind = r[op_idx]
-                if kind == OP_INSERT:
-                    inserts.append(tuple(r[i] for i in keep_idx))
-                elif kind == OP_UPDATE_AFTER:
-                    params = tuple(r[col_pos[c]] for c in val_cols) + tuple(
-                        r[col_pos[c]] for c in key_cols
-                    )
-                    mutations.append((upd_sql, params))
-                elif kind == OP_DELETE:
-                    params = tuple(r[col_pos[c]] for c in key_cols)
-                    mutations.append((del_sql, params))
-                # UPDATE_BEFORE dropped (reference `:60-79`)
-            if inserts:
-                _flush_with_retry(
-                    lambda b=inserts: backend.insert_rows(
-                        opts.table_name, data_cols, b
-                    ),
-                    opts,
-                )
-            for sql, params in mutations:
-                _flush_with_retry(
-                    lambda s=sql, p=params: backend.execute(s, p), opts
-                )
+            _apply_upsert_chunk(
+                backend, opts, self.columns, [tuple(r) for r in chunk]
+            )
+
+
+def _apply_upsert_chunk(
+    backend, opts: SinkOptions, cols: list[str], chunk: list[tuple]
+) -> None:
+    """One upsert batch against one backend: inserts batched,
+    updates/deletes as keyed mutations (`ClickHouseUpsertExecutor
+    .java:60-79`). ``cols`` names the positions in ``chunk`` rows and
+    must still contain the op column."""
+    op_idx = cols.index(opts.op_column)
+    data_cols = [c for c in cols if c != opts.op_column]
+    keep_idx = [i for i, c in enumerate(cols) if c != opts.op_column]
+    key_cols = list(opts.primary_key)
+    val_cols = [c for c in data_cols if c not in set(key_cols)]
+    upd_sql = statements.update_statement(opts.table_name, data_cols, key_cols)
+    del_sql = statements.delete_statement(opts.table_name, key_cols)
+    col_pos = {c: i for i, c in enumerate(cols)}
+
+    inserts: list[tuple] = []
+    mutations: list[tuple[str, tuple]] = []
+    for r in chunk:
+        kind = r[op_idx]
+        if kind == OP_INSERT:
+            inserts.append(tuple(r[i] for i in keep_idx))
+        elif kind == OP_UPDATE_AFTER:
+            params = tuple(r[col_pos[c]] for c in val_cols) + tuple(
+                r[col_pos[c]] for c in key_cols
+            )
+            mutations.append((upd_sql, params))
+        elif kind == OP_DELETE:
+            params = tuple(r[col_pos[c]] for c in key_cols)
+            mutations.append((del_sql, params))
+        # UPDATE_BEFORE dropped (reference `:60-79`)
+    if inserts:
+        _flush_with_retry(
+            lambda b=inserts: backend.insert_rows(
+                opts.table_name, data_cols, b
+            ),
+            opts,
+        )
+    for sql, params in mutations:
+        _flush_with_retry(lambda s=sql, p=params: backend.execute(s, p), opts)
 
 
 def _chunks(it, size: int):
@@ -217,12 +288,85 @@ class _ArrowPartitionWriter:
     batch slicing; the wall-clock flush guard is kept (package
     docstring, EP2)."""
 
-    def __init__(self, opts: SinkOptions, factory) -> None:
+    def __init__(
+        self, opts: SinkOptions, factory, shard_factories: list | None = None
+    ) -> None:
         self.opts = opts
         self.factory = factory
+        self.shard_factories = shard_factories
+
+    def _sharded(self, batches):
+        """Arrow path with per-shard routing: split each record batch
+        by its shard-id column (vectorized filter — no per-row
+        Python), strip the column, and run the count/time-triggered
+        buffer per shard backend. After the shard repartition a task
+        usually sees exactly one shard id, so the split is a no-op
+        mask in the common case."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        opts = self.opts
+        backends: dict[int, object] = {}
+        bufs: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        last: dict[int, float] = {}
+
+        def flush(sid: int) -> None:
+            if counts[sid]:
+                table = pa.Table.from_batches(bufs[sid])
+                backend = backends[sid]
+                _flush_with_retry(
+                    lambda: backend.insert_arrow(opts.table_name, table),
+                    opts,
+                )
+                bufs[sid], counts[sid] = [], 0
+            last[sid] = time.monotonic()
+
+        try:
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                sid_arr = rb.column(rb.schema.get_field_index(SHARD_COLUMN))
+                data_names = [
+                    f.name for f in rb.schema if f.name != SHARD_COLUMN
+                ]
+                for sid_val in pc.unique(sid_arr).to_pylist():
+                    sid = int(sid_val)
+                    sub = rb.filter(pc.equal(sid_arr, sid_val)).select(
+                        data_names
+                    )
+                    if sid not in backends:
+                        backends[sid] = self.shard_factories[sid]()
+                        bufs[sid], counts[sid] = [], 0
+                        last[sid] = time.monotonic()
+                    start = 0
+                    while start < sub.num_rows:
+                        take = min(
+                            sub.num_rows - start,
+                            opts.batch_size - counts[sid],
+                        )
+                        bufs[sid].append(sub.slice(start, take))
+                        counts[sid] += take
+                        start += take
+                        if (
+                            counts[sid] >= opts.batch_size
+                            or time.monotonic() - last[sid]
+                            >= opts.flush_interval_s
+                        ):
+                            flush(sid)
+            for sid in backends:
+                flush(sid)
+        finally:
+            for b in backends.values():
+                b.close()
+        yield pa.RecordBatch.from_pydict({"rows_written": [0]})
 
     def __call__(self, batches):
         import pyarrow as pa
+
+        if self.shard_factories is not None:
+            yield from self._sharded(batches)
+            return
 
         opts = self.opts
         backend = self.factory()
@@ -268,6 +412,7 @@ def write_batch(
     opts: SinkOptions,
     n_shards: int = 0,
     backend_factory=None,
+    shard_factories: list | None = None,
 ) -> None:
     """Write a (batch or foreachBatch micro-batch) DataFrame through
     the sink: changelog translation -> optional shard repartitioning
@@ -275,8 +420,39 @@ def write_batch(
 
     Append-shaped modes take the Arrow path (`mapInArrow`); upsert
     keeps the row path — its updates/deletes are inherently per-key
-    statements (`ClickHouseUpsertExecutor.java:60-79`)."""
+    statements (`ClickHouseUpsertExecutor.java:60-79`).
+
+    Write-local routing (`ClickHouseShardOutputFormat.java:72-81`):
+    when per-shard backends are known — ``shard_factories`` passed
+    explicitly, or derivable from configured ``write-local-nodes`` —
+    every row is delivered to ITS shard's backend: the shard id
+    becomes a column, the repartition co-locates each shard's rows in
+    one task, and the task writes through that shard's connection.
+    With ``n_shards`` alone (no node list) the shuffle still shapes
+    one-partition-per-shard but all partitions write the single
+    configured url — layout-only, kept for single-endpoint targets
+    (e.g. a load balancer in front of the cluster)."""
     out = translate_changelog(df, opts)
+    if opts.write_local and shard_factories is None and opts.local_nodes:
+        shard_factories = shard_backend_factories(
+            opts, list(opts.local_nodes)
+        )
+    if shard_factories:
+        n = len(shard_factories)
+        out = with_shard_column(out, opts, n)
+        out = out.repartition(n, F.col(SHARD_COLUMN))
+        if opts.write_mode == "upsert":
+            out.foreachPartition(
+                _PartitionWriter(
+                    opts, list(out.columns), None, shard_factories
+                )
+            )
+            return
+        arrow_writer = _ArrowPartitionWriter(opts, None, shard_factories)
+        out.mapInArrow(arrow_writer, "rows_written long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return
     if opts.write_local and n_shards > 0:
         out = apply_partitioning(out, opts, n_shards)
     factory = backend_factory or backend_factory_for(opts)
