@@ -3,11 +3,16 @@ metadata, plus decode/feature-extraction plumbing over mapInPandas.
 
 Design: media bytes ride as a `binary` column next to a metadata
 struct (modality, mime, byte_len, content hash). The *decode* step
-(image resize, audio features, video frame-sample) is a Pandas-UDF
-stage over Arrow batches — the real scale-relevant machinery is the
-schema, partitioning, and batch shape; the codec call itself is
-stubbed here because image/audio libraries are not available in this
-environment (clearly marked below).
+is a Pandas-UDF stage over Arrow batches. Two tiers:
+
+- REAL decode for codec-free formats (`synthesize_media` /
+  `decode_media`): byte-for-byte valid BMP and RIFF-WAVE files are
+  built and struct-parsed back — header fields and full payload
+  checksums come from the actual bytes (stdlib-`wave`-validated in
+  tests). This is the production plumbing end-to-end.
+- STUB codecs for formats that need external libraries (PIL/librosa/
+  ffmpeg are not in this container): `_image_resize_stub` etc. keep
+  the real signatures over the same Arrow machinery, clearly marked.
 
 At 100 TB: binary payloads dominate bytes, so the pipeline (a) never
 shuffles the binary column unless the operator needs it co-located,
@@ -187,6 +192,157 @@ def extract_features_dispatched(mm: DataFrame) -> DataFrame:
             )
 
     return mm.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --- real codec-free decode (BMP / WAV header + payload parse) ---------
+# Not a stub: these build REAL on-disk formats byte-for-byte (BMP v3
+# 24-bpp with 4-byte row padding; RIFF/WAVE PCM16) and parse them back
+# with struct — the decode path exercises actual payload bytes, no
+# media libraries required. The deterministic pixel/sample patterns
+# exist so a SQL oracle can predict header fields AND payload
+# checksums without parsing binary.
+
+import struct
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bits_per_pixel", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("payload_checksum", LongType()),
+    ]
+)
+
+
+def _make_bmp(width: int, height: int, doc_id: int) -> bytes:
+    """A real, openable 24-bpp BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER + bottom-up pixel array with rows padded to 4
+    bytes. Pixel bytes follow the deterministic (i*7 + doc_id) % 256
+    pattern so the checksum is SQL-predictable."""
+    stride = (width * 3 + 3) // 4 * 4
+    pixel_bytes = bytes(
+        (i * 7 + doc_id) % 256 for i in range(stride * height)
+    )
+    size = 54 + len(pixel_bytes)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    return header + info + pixel_bytes
+
+
+def _make_wav(sample_rate: int, n_samples: int, doc_id: int) -> bytes:
+    """A real, playable RIFF/WAVE file: PCM, 1 channel, 16-bit.
+    Samples follow (i*31 + doc_id) % 65536 (as unsigned LE) so the
+    data-chunk byte checksum is SQL-predictable."""
+    data = b"".join(
+        struct.pack("<H", (i * 31 + doc_id) % 65536)
+        for i in range(n_samples)
+    )
+    byte_rate = sample_rate * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _parse_media(payload: bytes) -> dict:
+    """Parse real payload bytes: BMP or WAV detected by magic.
+    Everything returned is read from the bytes themselves."""
+    if payload[:2] == b"BM":
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        pixels = payload[data_offset:]
+        return {
+            "format": "bmp",
+            "width": width,
+            "height": abs(height),
+            "bits_per_pixel": bpp,
+            "sample_rate": None,
+            "n_samples": None,
+            "byte_len": len(payload),
+            "payload_checksum": sum(pixels),
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, channels, rate, bits, data = 12, None, None, None, b""
+        while pos + 8 <= len(payload):
+            cid, clen = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                _, channels, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen % 2)
+        n = len(data) // (channels * bits // 8)
+        return {
+            "format": "wav",
+            "width": None,
+            "height": None,
+            "bits_per_pixel": None,
+            "sample_rate": rate,
+            "n_samples": n,
+            "byte_len": len(payload),
+            "payload_checksum": sum(data),
+        }
+    raise NotImplementedError("unknown media magic")
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Ingest-simulation stage: build real BMP (even ids) / WAV (odd
+    ids) payloads whose header parameters derive from row attributes.
+    mapInPandas so payload construction is Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, nch in zip(pdf[id_col], pdf[chars_col]):
+                did, nch = int(did), int(nch)
+                if did % 2 == 0:
+                    payloads.append(
+                        _make_bmp(did % 31 + 1, nch % 17 + 1, did)
+                    )
+                else:
+                    payloads.append(
+                        _make_wav(
+                            8000 * (did % 3 + 1), nch % 256 + 16, did
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.mapInPandas(run, "doc_id long, payload binary")
+
+
+def decode_media(mm: DataFrame) -> DataFrame:
+    """The real decode stage: parse every payload's actual bytes
+    (struct-unpacked headers, full pixel/sample checksum) over
+    mapInPandas. This replaces the labeled stub for formats that need
+    no codec library; image/audio/video codecs (JPEG/FLAC/MP4) keep
+    the stub path until libs are present."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_parse_media(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
+            yield out[[f.name for f in DECODE_SCHEMA.fields]]
+
+    return mm.mapInPandas(run, DECODE_SCHEMA)
 
 
 def metadata_only(mm: DataFrame) -> DataFrame:

@@ -749,6 +749,49 @@ def multimodal_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+           CASE WHEN doc_id % 2 = 0 THEN doc_id % 31 + 1 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN n_chars % 17 + 1 END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 24 END AS bits_per_pixel,
+           CASE WHEN doc_id % 2 = 1 THEN 8000 * (doc_id % 3 + 1) END
+             AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars % 256 + 16 END
+             AS n_samples,
+           CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((doc_id % 31 + 1) * 3 + 3) // 4 * 4
+                          * (n_chars % 17 + 1)
+                ELSE 44 + 2 * (n_chars % 256 + 16) END AS byte_len,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN list_sum(list_transform(
+                       range(0, ((doc_id % 31 + 1) * 3 + 3) // 4 * 4
+                                * (n_chars % 17 + 1)),
+                       i -> (i * 7 + doc_id) % 256))
+                ELSE list_sum(list_transform(
+                       range(0, n_chars % 256 + 16),
+                       i -> (i * 31 + doc_id) % 65536 % 256
+                            + (i * 31 + doc_id) % 65536 // 256))
+                END AS BIGINT) AS payload_checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "decode", "pandas_udf"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode, no codec library: synthesize_media builds valid
+    BMP (even ids) / RIFF-WAVE PCM16 (odd ids) files byte-for-byte,
+    decode_media struct-parses the actual bytes back (header fields +
+    full pixel/sample-data checksum). The oracle predicts every field
+    arithmetically from the doc attributes, so a synthesis/parse
+    disagreement at any byte offset fails the hash check. Two chained
+    mapInPandas stages — the exact plumbing a PIL/librosa decode
+    drops into."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return M.decode_media(M.synthesize_media(d))
+
+
+@register(
     "sample_stratified_hash",
     oracle="""
     SELECT doc_id, source
