@@ -48,6 +48,14 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "funnel_signup_click_purchase",
     "resample_gapfill_hourly",
+    # r2 additions: newly-oracle-checked families (the 23 names above
+    # are stable for round-over-round regression comparison)
+    "q9_product_profit",
+    "scalar_string_funcs",
+    "window_running_sum",
+    "sql_text_window_sessions",
+    "grouped_map_demean",
+    "multimodal_decode",
 ]
 
 

@@ -60,6 +60,21 @@ def word_shingles(words: Column, n: int = 3) -> Column:
     ).otherwise(empty)
 
 
+def raw_word_ngrams(words: Column, n: int = 3) -> Column:
+    """NON-distinct n-word grams (one per position) — the repetition
+    signals need multiplicity, unlike the dedup shingle set. Same
+    higher-order-function construction as ``word_shingles`` minus the
+    array_distinct."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(
+        F.size(words) >= n, F.transform(idx, parts)
+    ).otherwise(empty)
+
+
 def minhash_value(shingles: Column, seed: int) -> Column:
     """One MinHash signature component: the lexicographic min of
     md5(seed || '|' || shingle) over the shingle set. Using the hex

@@ -155,6 +155,85 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_bipartite(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest dedup: which NEW docs are near-dups of the
+    EXISTING corpus — the nightly-batch question a training pipeline
+    asks, where re-running the full self-join over corpus+batch would
+    redo O(corpus) work for an O(batch)-sized answer.
+
+    Bipartite LSH: both sides get the same shingle->MinHash->band
+    signatures, candidates come from joining NEW band keys against
+    CORPUS band keys (cost ~ batch bands x bucket occupancy, never
+    |corpus|^2 and never |corpus|x|batch|), then exact-Jaccard
+    verification. At 100 TB the corpus band table is the persistent
+    index you keep between ingests; only the batch side is computed
+    fresh.
+
+    Same misestimated-broadcast hazard as `minhash_lsh_pairs`: every
+    join side descends from an exploded table whose size Catalyst
+    reads from tiny file stats, so all sides are merge-pinned.
+
+    Returns (new_id, corpus_id, jac) with jac >= threshold.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+
+    def band_table(df: DataFrame):
+        shingled = with_shingles(df, text_col, id_col, shingle_n).persist()
+        sig = minhash_signatures(shingled, num_hashes)
+        bands = F.array(
+            *[
+                F.concat(
+                    *[F.col(f"m{b * band_size + j}") for j in range(band_size)]
+                )
+                for b in range(n_bands)
+            ]
+        )
+        bt = sig.select(
+            F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
+        )
+        return shingled, bt
+
+    new_sh, new_bt = band_table(new_batch)
+    cor_sh, cor_bt = band_table(corpus)
+    cand = (
+        new_bt.alias("n")
+        .hint("merge")
+        .join(
+            cor_bt.alias("c").hint("merge"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    x = new_sh.select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh1")
+    ).hint("merge")
+    y = cor_sh.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh2")
+    ).hint("merge")
+    return (
+        cand.join(x, "new_id")
+        .join(y, "corpus_id")
+        .withColumn("jac", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
+        .filter(F.col("jac") >= threshold)
+        .select("new_id", "corpus_id", "jac")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_cols: list[str],

@@ -133,6 +133,115 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w)-1),
+                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                  ELSE [] END AS g3
+      FROM norm)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                 / greatest(CAST(len(w) AS DOUBLE), 1.0), 6)
+             AS dup_token_ratio,
+           round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                 / greatest(CAST(len(g3) AS DOUBLE), 1.0), 6)
+             AS dup_3gram_ratio
+    FROM grams
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    gates): duplicate-token fraction and duplicate-3-gram fraction.
+    High values flag boilerplate/spam docs a pretraining pipeline
+    drops. Pure codegen'd array expressions — narrow map, no shuffle,
+    no UDF; at 100 TB this is a free rider on any scan."""
+    from pyspark.sql import functions as F
+
+    from ..functions import raw_word_ngrams, tokenize
+
+    d = _load(spark, sf_dir, "documents")
+    w = tokenize(F.col("text"))
+    frame = d.select("doc_id", w.alias("w")).withColumn(
+        "g3", raw_word_ngrams(F.col("w"), 3)
+    )
+
+    def dup_ratio(col):
+        return F.round(
+            1.0
+            - F.size(F.array_distinct(col)).cast("double")
+            / F.greatest(F.size(col).cast("double"), F.lit(1.0)),
+            6,
+        )
+
+    return frame.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        dup_ratio(F.col("w")).alias("dup_token_ratio"),
+        dup_ratio(F.col("g3")).alias("dup_3gram_ratio"),
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH nnorm AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 10 = 0),
+    cnorm AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 10 <> 0),
+    nsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM nnorm WHERE len(w) >= 3),
+    csh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+      FROM cnorm WHERE len(w) >= 3),
+    nsig AS (SELECT doc_id, shingles, {_SIG_COLS} FROM nsh),
+    csig AS (SELECT doc_id, shingles, {_SIG_COLS} FROM csh),
+    nbands AS ({_BAND_SELECTS.replace("FROM sig", "FROM nsig")}),
+    cbands AS ({_BAND_SELECTS.replace("FROM sig", "FROM csig")}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM nbands n JOIN cbands c
+        ON n.band_id = c.band_id AND n.band_key = c.band_key)
+    SELECT d.new_id, d.corpus_id,
+           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) AS jac
+    FROM cand d
+    JOIN nsh x ON x.doc_id = d.new_id
+    JOIN csh y ON y.doc_id = d.corpus_id
+    WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) >= 0.5
+    """,
+    tags=("llm", "dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: every 10th doc plays the NEW batch;
+    bipartite MinHash-LSH finds which new docs are near-dups of the
+    existing corpus without any corpus self-join — the nightly-batch
+    shape where the corpus band table is a persistent index and only
+    the batch side is computed fresh."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_bipartite(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        num_hashes=_MINHASH_K,
+        band_size=_BAND,
+        threshold=0.5,
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
