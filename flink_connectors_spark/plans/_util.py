@@ -68,3 +68,18 @@ def sql_dec(expr: str) -> str:
 def sql_cents(col: str) -> str:
     """DuckDB mirror of :func:`cents`."""
     return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+def ntz(df, *cols: str):
+    """Timestamp outputs as TIMESTAMP_NTZ (naive, matching DuckDB's
+    TIMESTAMP exactly). The session runs in UTC so the cast is
+    value-preserving; emitting tz-aware TIMESTAMP_LTZ instead risks
+    the driver's value hash seeing a different Arrow type
+    (timestamp[us, tz=UTC] vs timestamp[us]) for identical instants —
+    the same hazard class as DuckDB HUGEINT vs Spark BIGINT.
+    Parquet-sourced timestamp columns (e.g. o_orderdate) already read
+    as NTZ; this aligns derived event-time columns with them."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return out

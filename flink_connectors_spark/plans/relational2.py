@@ -568,6 +568,8 @@ def sort_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "ts", "user_id")
+        .select(
+            "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id"
+        )
         .orderBy("ts", "event_id")
     )

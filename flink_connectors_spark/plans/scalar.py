@@ -79,7 +79,9 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.quarter("o_orderdate").alias("order_quarter"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
         F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
             "days_to_2002"

@@ -127,7 +127,8 @@ def sql_text_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ROWS UNBOUNDED PRECEDING) AS session_id
           FROM gaps)
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-               COUNT(*) AS n_events, MIN(ts) AS session_start
+               COUNT(*) AS n_events,
+               CAST(MIN(ts) AS TIMESTAMP_NTZ) AS session_start
         FROM sess GROUP BY user_id, session_id
         """
     )

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..session import load_table
+from . import _util as U
 from ._util import dec, dsum
 
 
@@ -161,6 +162,7 @@ def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
+        .transform(lambda d: U.ntz(d, "ts"))
     )
 
 
@@ -184,4 +186,5 @@ def stream_watermark_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(mx))
         .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
         .select("event_id", "user_id", "ts")
+        .transform(lambda d: U.ntz(d, "ts"))
     )

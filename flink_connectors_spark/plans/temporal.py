@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import load_table
+from . import _util as U
 from ._util import sql_cents
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -98,7 +99,7 @@ def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("ts"))
         - F.floor(F.unix_timestamp("view_ts"))
     ).cast("bigint")
-    return tagged.filter(F.col("event_type") == "click").select(
+    out = tagged.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
         "user_id",
@@ -106,6 +107,7 @@ def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         gap.alias("gap_s"),
     )
+    return U.ntz(out, "click_ts", "view_ts")
 
 
 @register(
@@ -142,7 +144,7 @@ def join_interval_clicks_before_error(
         F.col("ts").alias("click_ts"),
         F.col("user_id").alias("c_user_id"),
     )
-    return e.join(
+    out = e.join(
         c,
         (F.col("user_id") == F.col("c_user_id"))
         & (
@@ -151,6 +153,7 @@ def join_interval_clicks_before_error(
         )
         & (F.col("click_ts") < F.col("error_ts")),
     ).select("error_id", "error_ts", "user_id", "click_id", "click_ts")
+    return U.ntz(out, "error_ts", "click_ts")
 
 
 @register(
@@ -216,6 +219,7 @@ def funnel_signup_click_purchase(
             "t_purchase",
             F.col("t_purchase").isNotNull().alias("completed"),
         )
+        .transform(lambda d: U.ntz(d, "t_signup", "t_click", "t_purchase"))
     )
 
 
@@ -319,4 +323,5 @@ def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(100.0)
             ).alias("total_value"),
         )
+        .transform(lambda d: U.ntz(d, "bucket"))
     )

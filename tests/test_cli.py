@@ -23,11 +23,16 @@ def test_cli_list_and_tag_filter():
     assert "join_asof_last_view" in out and "q1_pricing_summary" not in out
 
 
-def test_cli_oracle_print_and_rows_only():
+def test_cli_oracle_print_and_full_coverage():
     rc, out = _run(["oracle", "q6_revenue_forecast"])
     assert rc == 0 and "SELECT" in out
+    # r2: the approx aggregates gained error-bound oracles, leaving
+    # ZERO rows-only queries — every registered query is value-checked
+    from flink_connectors_spark.registry import all_specs
+
+    assert [n for n, s in all_specs().items() if s.oracle is None] == []
     rc, out = _run(["oracle", "agg_approx_distinct"])
-    assert rc == 1 and "rows-only" in out
+    assert rc == 0 and "within_bound" in out
 
 
 def test_cli_verify_single_query(spark, sf_dir):
