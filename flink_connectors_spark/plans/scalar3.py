@@ -151,7 +151,8 @@ def lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            struct_pack(lang := lang, source := source, n := n_chars).lang
              AS s_lang,
-           to_json(struct_pack(lang := lang, n := n_chars)) AS s_json,
+           CAST(to_json(struct_pack(lang := lang, n := n_chars))
+                AS VARCHAR) AS s_json,
            struct_pack(lang := lang, n := n_chars)
              = struct_pack(lang := lang, n := n_chars) AS s_eq
     FROM documents
