@@ -377,3 +377,39 @@ def test_lsh_auto_sizing_twin_recall(spark, sf_dir):
     )
     out = cosine_near_dup_pairs_lsh(big, threshold=0.99)
     assert out.filter(F.col("score") >= 0.999999).count() == n
+
+
+def test_bipartite_incremental_dedup_stress_twin_recall(spark, sf_dir):
+    """Scale shape of the incremental-ingest dedup: corpus unioned 3x
+    (the 'existing' index side grows), batch = pristine copy of the
+    docs. Every batch doc has exact twins in the corpus; identical
+    texts share all MinHash band keys, so recall on exact twins is
+    structural — the bipartite join must find every (batch doc,
+    corpus twin) pair with jac == 1.0 while never self-joining the
+    corpus."""
+    from flink_connectors_spark.operators.dedup import (
+        minhash_lsh_pairs_bipartite,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    # only docs with >= 3 words carry shingles (same guard as operator)
+    eligible = docs.filter(
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")) >= 3
+    )
+    n = eligible.count()
+    corpus = docs
+    for i in range(1, 4):
+        corpus = corpus.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    out = minhash_lsh_pairs_bipartite(docs, corpus, threshold=0.99).cache()
+    twins = out.filter(F.col("jac") >= 0.999999)
+    # each eligible batch doc matches >= 3 shifted copies (plus any
+    # natural exact dups in the data)
+    per_doc = twins.groupBy("new_id").count()
+    assert per_doc.count() == n
+    assert per_doc.filter(F.col("count") < 3).count() == 0
