@@ -151,6 +151,121 @@ def cosine_topk_ivf(
     )
 
 
+def kmeans_assign_quantized(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic quantized Lloyd k-means — the IVF *build* path
+    for an unlabeled corpus (cosine_topk_ivf consumes any cluster
+    column; this produces one without labels).
+
+    Cross-engine-exact by construction: vectors quantize to integer
+    units (round(v*scale)), centroids stay as EXACT integer
+    (sum-vector, count) pairs — never divided — and the assignment
+    key is sq_dist(c*x - s)/c^2, whose numerator/denominator are
+    identical integers in every engine, so the one float division
+    rounds identically (IEEE) and the argmin is reproducible
+    bit-for-bit. Floating-point centroid averaging would diverge in
+    the last ulp across engines/partitionings and flip boundary
+    assignments — the same determinism discipline as the decimal
+    money math in plans/_util.
+
+    Scale shape per iteration: one broadcast of the k-row centroid
+    table, one argmin over a k-way expression (no shuffle), one
+    keyed shuffle (cluster, dim) for the exact centroid update.
+    Init: the k lowest-id vectors (deterministic, no RNG).
+    Bound: |x| <= scale/2 and cluster size n_c must keep
+    n_c * scale/2 within int64 when squared (~3e9), i.e. clusters up
+    to ~2M members at scale=1024 — switch to decimal(38,0) sums past
+    that.
+
+    Returns (id, cluster, dist) with dist = round(sq_dist/scale^2, 6)
+    in original vector units.
+    """
+    spark = df.sparkSession
+    # float->double is exact and *2^10 is an exponent shift (exact in
+    # both engines), so round() sees bit-identical doubles everywhere
+    qv = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * scale).cast("long"),
+    )
+    q = df.select(F.col(id_col), qv.alias("qv"))
+    # init: k lowest-id vectors, cluster ids 0..k-1
+    init = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
+                "cluster"
+            ),
+            F.col("qv").alias("s"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    centroids = [(r["cluster"], r["s"], r["c"]) for r in init.collect()]
+
+    def assign(cent_rows) -> DataFrame:
+        cent = spark.createDataFrame(
+            cent_rows, "cluster int, s array<long>, c long"
+        )
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("s"),
+                lambda x, sv: (F.col("c") * x - sv) * (F.col("c") * x - sv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        key = sq.cast("double") / (F.col("c") * F.col("c")).cast("double")
+        w = Window.partitionBy(id_col).orderBy("dist_key", "cluster")
+        return (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("dist_key", key)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "cluster", "dist_key", "qv")
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("qv").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s_d"), F.count(F.lit(1)).alias("c"))
+            .groupBy("cluster", "c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s_d"))
+                ).alias("ps")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("ps"), lambda p: p["s_d"]).alias("s"),
+                "c",
+            )
+        )
+        new_rows = {
+            r["cluster"]: (r["cluster"], r["s"], r["c"])
+            for r in upd.collect()
+        }
+        # empty clusters keep their previous centroid
+        centroids = [new_rows.get(cl, (cl, s, c)) for cl, s, c in centroids]
+
+    final = assign(centroids)
+    return final.select(
+        F.col(id_col),
+        "cluster",
+        F.round(F.col("dist_key") / float(scale * scale), 6).alias("dist"),
+    )
+
+
 def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH, derived
     from md5 — pure arithmetic, no RNG state, so Python / Spark / any

@@ -496,6 +496,72 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_SQ = (
+    "CAST(list_sum(list_transform(list_zip(q.qv, {C}.s), "
+    "p -> ({C}.c*p[1]-p[2])*({C}.c*p[1]-p[2]))) AS DOUBLE) "
+    "/ CAST({C}.c*{C}.c AS DOUBLE)"
+)
+
+
+def _km_assign(name: str, cent: str) -> str:
+    sq = _KM_SQ.format(C=cent)
+    return f"""{name} AS (
+      SELECT vec_id, cluster, qv, dist_key FROM (
+        SELECT q.vec_id, {cent}.cluster, q.qv, {sq} AS dist_key,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sq}, {cent}.cluster) AS rn
+        FROM q CROSS JOIN {cent}) t WHERE rn = 1)"""
+
+
+def _km_update(a: str, prev: str, nxt: str) -> str:
+    return f"""{nxt}d AS (
+      SELECT cluster, pos, CAST(SUM(qv[pos]) AS BIGINT) AS s_d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {a}, UNNEST(range(1, 65)) AS r(pos)
+      GROUP BY cluster, pos),
+    {nxt}u AS (
+      SELECT cluster, list(s_d ORDER BY pos) AS s, any_value(c) AS c
+      FROM {nxt}d GROUP BY cluster),
+    {nxt} AS (
+      SELECT {prev}.cluster, COALESCE({nxt}u.s, {prev}.s) AS s,
+             COALESCE({nxt}u.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN {nxt}u ON {prev}.cluster = {nxt}u.cluster)"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster,
+             qv AS s, CAST(1 AS BIGINT) AS c
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT 8)),
+    {_km_assign("a1", "c0")},
+    {_km_update("a1", "c0", "c1")},
+    {_km_assign("a2", "c1")},
+    {_km_update("a2", "c1", "c2")},
+    {_km_assign("af", "c2")}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           round(dist_key / 1048576.0, 6) AS dist
+    FROM af
+    """,
+    tags=("llm", "embedding", "kmeans", "ivf", "iterative"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free IVF build: 2 Lloyd iterations of deterministic
+    quantized k-means (k=8) over the embeddings — exact integer
+    centroid sums, IEEE-identical distance keys, so the iterative
+    algorithm itself is value-hash-verifiable against the unrolled
+    SQL oracle. Produces the cluster column `cosine_topk_ivf`
+    consumes when no label exists."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
+
+
 @register(
     "embedding_norm_stats",
     oracle=f"""
