@@ -251,3 +251,45 @@ def test_stream_static_enrichment(spark, events_stream_dir):
     )
     assert res.count() == static.count()
     assert res.filter(F.col("user_tier").isNull()).count() == 0
+
+
+def test_stream_sharded_foreach_batch_routes_per_shard(
+    spark, events_stream_dir, tmp_path
+):
+    """EP3 live: streaming micro-batches through write-local shard
+    routing — every micro-batch's rows land in the backend of the
+    shard their key hashes to, across ALL epochs (routing must be
+    stable batch-over-batch for MergeTree part locality)."""
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    rows = stream.select(
+        F.col("user_id").alias("k"), F.col("value").alias("v")
+    )
+    opts = SinkOptions(
+        url=f"parquet://{tmp_path}/shard_sink",
+        table_name="ev",
+        write_mode="insert_only",
+        write_local=True,
+        partition_strategy="hash",
+        partition_key=("k",),
+        local_nodes=("n1:8123", "n2:8123"),
+        batch_size=512,
+    )
+    q = (
+        rows.writeStream.foreachBatch(foreach_batch_writer(opts))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = 0
+    for i in range(2):
+        d = glob.glob(f"{tmp_path}/shard_sink/shard-{i}=*/ev")
+        assert d, f"shard {i} missing"
+        got = spark.read.parquet(d[0])
+        n = got.count()
+        total += n
+        assert (
+            got.filter(F.pmod(F.hash("k"), F.lit(2)) != F.lit(i)).count()
+            == 0
+        )
+    assert total == static.count()
