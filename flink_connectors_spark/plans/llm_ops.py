@@ -133,6 +133,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    runs AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens - ((cum - n_tokens) // 2048) * 2048
+                AS BIGINT) AS pack_offset
+    FROM runs
+    """,
+    tags=("llm", "pipeline", "packing", "window"),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign each doc to a fixed
+    2048-token training sequence (pack) by contiguous cumulative
+    token count within its source — the deterministic, shuffle-light
+    formulation of 'concat the corpus and cut every N tokens' (docs
+    straddling a boundary start the next pack, the standard
+    document-boundary variant). One shuffle on source + one window
+    cumsum; at 100 TB this replaces the serial concat step that
+    otherwise bottlenecks tokenizer sharding. Deterministic: pack
+    layout depends only on (source, doc_id) order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import tokenize
+
+    budget = 2048
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    out = d.withColumn("start", start)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("start") / budget).cast("bigint").alias("pack_id"),
+        (F.col("start") - (F.col("start") / budget).cast("bigint") * budget)
+        .cast("bigint")
+        .alias("pack_offset"),
+    )
+
+
+@register(
     "text_repetition_ratio",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
