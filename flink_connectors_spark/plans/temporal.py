@@ -157,6 +157,73 @@ def join_interval_clicks_before_error(
 
 
 @register(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT e.event_id AS error_id, e.ts AS error_ts, e.user_id,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events e
+    JOIN events c
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 30 MINUTE
+     AND c.ts < e.ts
+    WHERE e.event_type = 'error'
+    """,
+    tags=("temporal", "interval", "join", "bucketed"),
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB formulation of the same interval join: quantize
+    event time into buckets the width of the interval (30 min) and
+    equi-join on (user_id, bucket) — each error probes its own bucket
+    and the previous one (a click at most 30 min earlier can only
+    live there), then the exact range predicate filters within the
+    tiny candidate set.
+
+    Why it matters at scale: the plain formulation joins on user_id
+    alone with time as a post-condition, so a power user's whole
+    multi-year history lands in one task and the per-key candidate
+    set is O(clicks_per_user x errors_per_user). Bucketing puts TIME
+    into the shuffle key: candidates are bounded by activity within
+    two 30-minute windows regardless of history length — the same
+    windowing trick Flink's stream-stream interval join applies via
+    state retention. Identical results to
+    `join_interval_clicks_before_error` (same oracle)."""
+    bucket_s = 1800
+    ev = _events(spark, sf_dir)
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / bucket_s).alias("b"),
+        )
+        .withColumn("bkt", F.explode(F.array(F.col("b"), F.col("b") - 1)))
+        .drop("b")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"),
+        F.floor(F.unix_timestamp("ts") / bucket_s).alias("cbkt"),
+    )
+    out = (
+        e.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("bkt") == F.col("cbkt"))
+            & (
+                F.col("click_ts")
+                >= F.col("error_ts") - F.expr("INTERVAL 30 MINUTES")
+            )
+            & (F.col("click_ts") < F.col("error_ts")),
+        )
+        .select("error_id", "error_ts", "user_id", "click_id", "click_ts")
+    )
+    return U.ntz(out, "error_ts", "click_ts")
+
+
+@register(
     "funnel_signup_click_purchase",
     oracle="""
     WITH s1 AS (
