@@ -92,7 +92,12 @@ def hex_prefix_to_long(hexstr: Column, n_chars: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
+    """Exact Jaccard similarity of two distinct-element arrays.
+
+    Two empty arrays yield NULL (SQL 0/0 semantics) rather than an
+    ANSI DIVIDE_BY_ZERO error — found by the property suite: the
+    dedup pipelines always filter short docs first, but the public
+    operator API must not crash a whole job on one empty pair."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return inter / union
+    return F.try_divide(inter, union)

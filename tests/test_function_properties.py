@@ -1,0 +1,158 @@
+"""Property-based tests for the expression-builder functions that
+every dedup/similarity oracle depends on. The properties are checked
+against independent pure-Python models over Hypothesis-generated
+inputs, batched through ONE Spark job per property (per-example Spark
+jobs would be prohibitively slow).
+
+These functions are the cross-engine contract surface: if
+word_shingles or minhash_value drift from their DuckDB SQL mirrors in
+llm_ops, every LSH oracle breaks — so the Python model here is
+deliberately written from the *documented semantics*, not from either
+implementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_connectors_spark.functions import (
+    jaccard,
+    minhash_value,
+    normalize_text,
+    raw_word_ngrams,
+    tokenize,
+    word_shingles,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\td\n 1."),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _model_tokens(t: str) -> list[str]:
+    return re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+
+def _model_shingles(words: list[str], n: int = 3) -> list[str]:
+    if len(words) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(words) - n + 1):
+        s = " ".join(words[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@given(texts)
+@settings(**_SETTINGS)
+def test_tokenize_and_shingles_match_model(spark, ts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(ts)], "i int, text string")
+    rows = {
+        r["i"]: (r["w"], r["sh"], r["raw"])
+        for r in df.select(
+            "i",
+            tokenize(F.col("text")).alias("w"),
+            word_shingles(tokenize(F.col("text")), 3).alias("sh"),
+            raw_word_ngrams(tokenize(F.col("text")), 3).alias("raw"),
+        ).collect()
+    }
+    for i, t in enumerate(ts):
+        w_exp = _model_tokens(t)
+        w, sh, raw = rows[i]
+        assert list(w) == w_exp, (t, w, w_exp)
+        assert list(sh) == _model_shingles(w_exp)
+        # raw grams: one per position, order preserved, multiplicity kept
+        if len(w_exp) >= 3:
+            assert list(raw) == [
+                " ".join(w_exp[j : j + 3]) for j in range(len(w_exp) - 2)
+            ]
+        else:
+            assert list(raw) == []
+
+
+@given(texts)
+@settings(**_SETTINGS)
+def test_minhash_is_min_of_seeded_md5(spark, ts):
+    """minhash_value must equal min(md5(f'{seed}|{shingle}')) — the
+    documented portable definition both the Spark side and every
+    DuckDB oracle rely on."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(ts)], "i int, text string")
+    out = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            minhash_value(
+                word_shingles(tokenize(F.col("text")), 3), 3
+            ).alias("m"),
+        ).collect()
+    }
+    for i, t in enumerate(ts):
+        sh = _model_shingles(_model_tokens(t))
+        exp = (
+            min(hashlib.md5(f"3|{s}".encode()).hexdigest() for s in sh)
+            if sh
+            else None
+        )
+        assert out[i] == exp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 5), max_size=6),
+            st.lists(st.integers(0, 5), max_size=6),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_jaccard_matches_set_model(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, list(dict.fromkeys(a)), list(dict.fromkeys(b))) for i, (a, b) in enumerate(pairs)],
+        "i int, a array<int>, b array<int>",
+    )
+    out = {
+        r["i"]: r["j"]
+        for r in df.select(
+            "i", jaccard(F.col("a"), F.col("b")).alias("j")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = set(a), set(b)
+        if not sa | sb:
+            continue  # empty-union behavior is engine-defined
+        exp = len(sa & sb) / len(sa | sb)
+        assert out[i] is not None and abs(out[i] - exp) < 1e-9
+        assert 0.0 <= out[i] <= 1.0
+
+
+@given(st.text(alphabet=st.sampled_from("aB \t\nc1."), max_size=60))
+@settings(**_SETTINGS)
+def test_normalize_text_idempotent(spark, t):
+    df = spark.createDataFrame([(t,)], "text string")
+    r = df.select(
+        normalize_text(F.col("text")).alias("one"),
+        normalize_text(normalize_text(F.col("text"))).alias("two"),
+    ).collect()[0]
+    assert r["one"] == r["two"]
