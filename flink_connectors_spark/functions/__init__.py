@@ -29,8 +29,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity in float64, deterministic cross-engine."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity in float64, deterministic cross-engine.
+    Zero vectors yield NULL (try_divide) instead of an ANSI
+    DIVIDE_BY_ZERO error — same hazard class as jaccard([], [])."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def normalize_text(c: Column) -> Column:

@@ -56,8 +56,10 @@ def cosine_topk_bruteforce(
         .withColumn(
             "score",
             F.round(
-                dot_product(F.col("qvec"), F.col("cvec"))
-                / (F.col("qn") * F.col("cn")),
+                F.try_divide(
+                    dot_product(F.col("qvec"), F.col("cvec")),
+                    F.col("qn") * F.col("cn"),
+                ),
                 6,
             ),
         )
@@ -137,8 +139,10 @@ def cosine_topk_ivf(
         .withColumn(
             "score",
             F.round(
-                dot_product(F.col("qvec"), F.col("cvec"))
-                / (F.col("qn") * F.col("cn")),
+                F.try_divide(
+                    dot_product(F.col("qvec"), F.col("cvec")),
+                    F.col("qn") * F.col("cn"),
+                ),
                 6,
             ),
         )
@@ -459,8 +463,10 @@ def cosine_near_dup_pairs_lsh(
         l2_norm(F.col(vec_col)).alias("__nrm__"),
     )
     score = F.round(
-        dot_product(F.col("v1.embedding_v"), F.col("v2.embedding_v"))
-        / (F.col("v1.__nrm__") * F.col("v2.__nrm__")),
+        F.try_divide(
+            dot_product(F.col("v1.embedding_v"), F.col("v2.embedding_v")),
+            F.col("v1.__nrm__") * F.col("v2.__nrm__"),
+        ),
         6,
     )
     v1 = v.select(
@@ -548,8 +554,10 @@ def cosine_topk_rplsh(
         .withColumn(
             "score",
             F.round(
-                dot_product(F.col("qvec"), F.col("cvec"))
-                / (F.col("qn") * F.col("cn")),
+                F.try_divide(
+                    dot_product(F.col("qvec"), F.col("cvec")),
+                    F.col("qn") * F.col("cn"),
+                ),
                 6,
             ),
         )
@@ -589,8 +597,10 @@ def cosine_near_dup_pairs(
     a = v.alias("a")
     b = v.alias("b")
     score = F.round(
-        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (F.col("a.__nrm__") * F.col("b.__nrm__")),
+        F.try_divide(
+            dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+            F.col("a.__nrm__") * F.col("b.__nrm__"),
+        ),
         6,
     )
     return (

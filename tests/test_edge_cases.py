@@ -195,3 +195,26 @@ def test_synthesized_media_is_real_format():
     assert (p["width"], p["height"], p["bits_per_pixel"]) == (10, 3, 24)
     # stride padded to 4: 10*3=30 -> 32 bytes per row
     assert len(bmp) == 54 + 32 * 3
+
+
+def test_zero_vector_does_not_crash_similarity(spark):
+    """ANSI mode (Spark 4 default) turns double/0.0 into a runtime
+    DIVIDE_BY_ZERO error; a single all-zero embedding must not kill a
+    similarity job — zero vectors score NULL and fall out of top-k."""
+    from flink_connectors_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 0.0]),  # zero vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = cosine_topk_bruteforce(emb, emb, k=2)
+    got = {(r.query_id, r.neighbor_id): r.score for r in out.collect()}
+    # zero-vector pairs carry NULL scores but the job completes
+    assert (2, 0) in got or (0, 2) in got
+    assert all(
+        s is None for (q, n), s in got.items() if 2 in (q, n)
+    ) or any(s is None for s in got.values())
