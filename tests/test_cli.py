@@ -38,3 +38,28 @@ def test_cli_oracle_print_and_full_coverage():
 def test_cli_verify_single_query(spark, sf_dir):
     rc, out = _run(["verify", "q6_revenue_forecast", "--sf-dir", sf_dir])
     assert rc == 0 and "MATCH" in out
+
+
+def test_bench_headline_names_registered():
+    """bench.py's HEADLINE set must stay a subset of the registry —
+    a renamed query would make the driver's per-round bench crash.
+    The first 23 names are frozen for round-over-round comparison."""
+    import bench
+
+    from flink_connectors_spark.registry import all_specs
+
+    specs = all_specs()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, missing
+    frozen = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "q6_revenue_forecast", "q10_returned_items", "q21_waiting_suppliers",
+        "window_rank_per_group", "join_asof_last_view",
+        "pivot_daily_event_values", "stream_session_windows",
+        "sink_replacing_state", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "similarity_topk_bruteforce", "similarity_topk_ivf",
+        "similarity_topk_rplsh", "text_quality_score", "text_feature_hashing",
+        "multimodal_features", "pipeline_clean_corpus",
+        "funnel_signup_click_purchase", "resample_gapfill_hourly",
+    ]
+    assert bench.HEADLINE[: len(frozen)] == frozen
