@@ -584,6 +584,49 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics — per-value multiplicities
+    subtract instead of collapsing to distinct). Plans as a
+    count-tagged anti-subtraction; completes the set-op family."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset): each value appears min(multiplicity
+    in either side) times."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
     "subquery_in",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

@@ -207,3 +207,29 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_last_hour"
         ),
     )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS price_quartile
+    FROM orders
+    """,
+    tags=("window", "ntile", "distribution"),
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4): equal-frequency quartile assignment per priority
+    band. (o_totalprice, o_orderkey) is a total order, so the bucket
+    boundaries are identical in every engine — ntile over a non-total
+    order would split peer rows arbitrarily."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+    )
