@@ -257,3 +257,110 @@ def scalar_url_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("size_centikb"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT user_id, event_type AS top_event, n AS n_events
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type) t
+    WHERE rn = 1
+    """,
+    tags=("agg", "mode", "argmax"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key mode with a DETERMINISTIC tie-break (count desc, then
+    value asc) — engines' native mode() picks ties arbitrarily, which
+    makes it untestable cross-engine; the two-level aggregate +
+    row_number formulation is the reproducible argmax every pipeline
+    report should use. Two keyed shuffles, both with map-side partial
+    aggregation."""
+    from pyspark.sql import Window
+
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("top_event"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "pipeline_snapshot_changelog",
+    oracle=r"""
+    WITH old AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents
+      WHERE doc_id % 7 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0
+                      THEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' v2' ELSE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) END) AS fp
+      FROM documents WHERE doc_id % 3 <> 0)
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'I'
+                WHEN n.doc_id IS NULL THEN 'D'
+                ELSE 'UA' END AS op,
+           n.fp AS fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    """,
+    tags=("pipeline", "changelog", "cdc", "sink"),
+)
+def pipeline_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff -> changelog: compare two corpus snapshots by
+    content fingerprint and emit the I/UA/D op rows the sink's
+    changelog modes consume — the batch CDC producer that turns
+    nightly corpus rebuilds into incremental sink writes (full
+    refresh of a 100 TB corpus table vs shipping only the delta).
+    One full-outer join on the id, fingerprints compared in place;
+    unchanged docs drop out. Here the 'old' snapshot is doc_id%7!=0
+    and the 'new' one is doc_id%3!=0 with every 5th doc edited."""
+    from ..functions import normalize_text
+    from ..session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(norm).alias("fp")
+    )
+    new = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.concat(norm, F.lit(" v2")))
+            .otherwise(norm)
+        ).alias("fp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    op = (
+        F.when(F.col("o.doc_id").isNull(), "I")
+        .when(F.col("n.doc_id").isNull(), "D")
+        .otherwise("UA")
+    )
+    return (
+        joined.filter(
+            F.col("o.doc_id").isNull()
+            | F.col("n.doc_id").isNull()
+            | (F.col("o.fp") != F.col("n.fp"))
+        )
+        .select(
+            F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id"),
+            op.alias("op"),
+            F.col("n.fp").alias("fp"),
+        )
+    )
