@@ -392,3 +392,89 @@ def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda d: U.ntz(d, "bucket"))
     )
+
+
+_HOUR_SUMS_SQL = ", ".join(
+    f"CAST(SUM(CASE WHEN CAST(hour(ts) AS INT) = {h} THEN 1 ELSE 0 END) AS BIGINT)"
+    for h in range(24)
+)
+_TS_DOT = (
+    "CAST(list_sum(list_transform(list_zip(a.v, b.v), "
+    "p -> p[1] * p[2])) AS DOUBLE)"
+)
+_TS_NRM = (
+    "sqrt(CAST(list_sum(list_transform({s}.v, x -> x * x)) AS DOUBLE))"
+)
+
+
+@register(
+    "timeseries_user_similarity",
+    oracle=f"""
+    WITH hist AS (
+      SELECT user_id, [{_HOUR_SUMS_SQL}] AS v
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT a.user_id, b.user_id AS similar_user,
+             round({_TS_DOT} / ({_TS_NRM.format(s='a')} * {_TS_NRM.format(s='b')}), 6) AS score
+      FROM hist a JOIN hist b ON a.user_id <> b.user_id)
+    SELECT user_id, similar_user, score, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY score DESC, similar_user) AS rn
+      FROM scored) t
+    WHERE rn <= 3
+    """,
+    tags=("temporal", "timeseries", "similarity", "topk"),
+)
+def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the distributed-streams shape of
+    'Time Series Similarity Search for Streaming Data in Distributed
+    Systems', EDBT 2019): each user's activity becomes a 24-dim hourly
+    histogram vector — ONE aggregate with 24 conditional sums, no
+    pivot shuffle — and the top-3 most similar users are ranked by
+    cosine. Counts are exact integers, so dots and norms are
+    bit-identical cross-engine; the one float division is IEEE-
+    deterministic. The pair stage reuses the brute-force pattern
+    (fine for |users|; swap in the sign-LSH bucketing from
+    operators/similarity for web-scale user counts)."""
+    ev = _events(spark, sf_dir)
+    hod = F.hour("ts")
+    hist = ev.groupBy("user_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(hod == h, 1).otherwise(0)).cast("long")
+                for h in range(24)
+            ]
+        ).alias("v")
+    )
+    a = hist.alias("a")
+    b = hist.select(
+        F.col("user_id").alias("similar_user"), F.col("v").alias("bv")
+    ).alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("bv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = (
+        a.join(b, F.col("user_id") != F.col("similar_user"))
+        .withColumn(
+            "score",
+            F.round(F.try_divide(dot, nrm(F.col("v")) * nrm(F.col("bv"))), 6),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("similar_user")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "similar_user", "score", "rnk")
+    )
