@@ -404,6 +404,59 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_incremental",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_sql_cos("q.qvec", "c.cvec")} AS score
+      FROM c CROSS JOIN q
+      WHERE c.neighbor_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "incremental"),
+)
+def similarity_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the shape of 'Incremental Based
+    Framework for Efficient Top-K Similarity Search in Interactive
+    Data Analysis Sessions', EDBT 2020): the corpus splits into an
+    already-indexed part (vec_id % 10 != 0, whose per-query top-k
+    would be cached from the previous session) and a newly-ingested
+    delta (vec_id % 10 == 0). The refreshed answer re-ranks
+    cached-topk UNION delta-scores — per-ingest cost scales with
+    |delta| x |Q| + |Q| x k, never re-scanning the indexed corpus.
+    Top-k-of-a-union-of-topks is exact because a global top-k row is
+    necessarily a top-k row of its own part. Must equal full
+    brute-force bit-for-bit — same oracle as
+    `similarity_topk_bruteforce`."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id < 20)
+    indexed = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cached = S.cosine_topk_bruteforce(q, indexed, k=5)
+    fresh = S.cosine_topk_bruteforce(q, delta, k=5)
+    merged = cached.unionByName(fresh).drop("rnk")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+@register(
     "similarity_topk_ivf",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
