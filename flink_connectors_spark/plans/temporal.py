@@ -478,3 +478,89 @@ def timeseries_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("user_id", "similar_user", "score", "rnk")
     )
+
+
+@register(
+    "trajectory_user_similarity",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS traj
+      FROM events GROUP BY user_id),
+    grams AS (
+      SELECT user_id, traj,
+             CASE WHEN len(traj) >= 2
+                  THEN list_distinct(list_transform(range(1, len(traj)),
+                       i -> substr(traj, CAST(i AS INT), 2)))
+                  ELSE [] END AS g
+      FROM seqs),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE), 6)
+               AS sim
+      FROM grams a JOIN grams b
+        ON a.user_id < b.user_id
+       AND len(a.g) > 0 AND len(b.g) > 0)
+    SELECT u1, u2, sim FROM pairs WHERE sim >= 0.999999
+    """,
+    tags=("temporal", "trajectory", "similarity"),
+)
+def trajectory_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity (the distributed-trajectory-search shape
+    of REPOSE, ICDE 2021, over behavioral rather than spatial
+    trajectories): each user's ordered event-type sequence becomes a
+    compact symbol string — one shuffle on user_id with an
+    order-deterministic string_agg — and users with IDENTICAL
+    transition structure (bigram-set Jaccard == 1.0) are paired.
+    The bigram-set representation is the trajectory analogue of
+    shingling, so the full MinHash-LSH machinery from
+    operators/dedup drops in when |users| outgrows the blocked
+    self-join used here."""
+    ev = _events(spark, sf_dir)
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("sym")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["sym"]
+                ),
+            ).alias("traj")
+        )
+    )
+    idx = F.sequence(F.lit(1), F.length("traj") - 1)
+    grams = seqs.select(
+        "user_id",
+        F.when(
+            F.length("traj") >= 2,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.col("traj").substr(i, F.lit(2)))
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    from ..functions import jaccard
+
+    sim = F.round(jaccard(F.col("a.g"), F.col("b.g")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.size("a.g") > 0)
+            & (F.size("b.g") > 0),
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.999999)
+    )
