@@ -564,3 +564,73 @@ def trajectory_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= 0.999999)
     )
+
+
+@register(
+    "anomaly_value_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           round(CAST(e.value AS DOUBLE), 2) AS value,
+           round(
+             (CAST(n AS DOUBLE) * CAST(round(e.value * 100) AS BIGINT)
+              - CAST(s1 AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))),
+             6) AS zscore
+    FROM events e JOIN stats USING (user_id)
+    WHERE n >= 8
+      AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+      AND abs(
+            (CAST(n AS DOUBLE) * CAST(round(e.value * 100) AS BIGINT)
+             - CAST(s1 AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))) > 2.5
+    """,
+    tags=("temporal", "anomaly", "agg", "join"),
+)
+def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-anomaly flagging: events whose z-score against
+    their user's population mean/std exceeds 2.5 (users with >= 8
+    events and non-zero variance).
+
+    Determinism discipline: the sufficient statistics (n, Σx, Σx²)
+    are EXACT int64 sums over cents, so the z-score
+    (n·x − Σx) / sqrt(n·(n·Σx² − Σx²)) — the population-σ form scaled
+    by n — is a few IEEE float ops over identical integers in every
+    engine; a float mean/std pipeline would diverge in the last ulp
+    and flip rows at the threshold. Two passes expressed as one agg +
+    one broadcastable join back; at 100 TB the stats table is
+    users-sized, tiny next to events."""
+    ev = _events(spark, sf_dir)
+    c = F.round(F.col("value") * 100).cast("long")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * c.cast("double") - F.col("s1").cast("double")
+    disc = nd * F.col("s2").cast("double") - (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    z = num / F.sqrt(nd * disc)
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") >= 8) & (disc > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
