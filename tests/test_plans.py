@@ -181,3 +181,35 @@ def test_lsh_dedup_joins_all_pinned_shuffle_hash(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_embedding_lsh")
     assert "BroadcastHashJoin" not in plan
     assert plan.count("ShuffledHashJoin") >= 3
+
+
+def test_interval_bucketed_joins_on_time_bucket(spark, sf_dir):
+    """The bucketed interval join must carry the time bucket in the
+    JOIN KEY (not as a post-filter) — that key is what bounds a
+    power user's candidate set at 100 TB."""
+    plan = _plan(spark, sf_dir, "join_interval_bucketed")
+    # formatted explain lists join keys in the operator detail section
+    assert "Join" in plan
+    keys = [
+        ln for ln in plan.splitlines()
+        if "keys" in ln.lower() and ("bkt" in ln or "cbkt" in ln)
+    ]
+    assert keys, "time bucket not in any join key list"
+
+
+def test_sequence_packing_single_window_shuffle(spark, sf_dir):
+    """Pack assignment is one shuffle on source + a window cumsum —
+    no joins, no extra exchanges beyond the input spread."""
+    plan = _plan(spark, sf_dir, "pipeline_sequence_packing")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zscore_stats_partial_aggregation(spark, sf_dir):
+    """The per-user sufficient statistics must partial-aggregate
+    map-side (two HashAggregate stages around one exchange), and the
+    z-score math must stay JVM-side."""
+    plan = _plan(spark, sf_dir, "anomaly_value_zscore")
+    assert plan.count("HashAggregate") >= 2
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
