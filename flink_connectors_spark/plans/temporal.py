@@ -634,3 +634,32 @@ def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "rollup_daily_from_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "rollup", "hypertable", "agg"),
+)
+def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (continuous-aggregate pattern): build the
+    HOURLY summary table — the one pass over facts — then answer the
+    DAILY question from the summary alone. The oracle aggregates the
+    fact table directly, so the driver's hash check proves rollup
+    additivity end-to-end: hour buckets nest in days and the int64
+    cent partials add exactly. At 100 TB the daily query reads
+    |hours x event_types| rows instead of the fact table."""
+    from ..operators import rollup as R
+
+    ev = _events(spark, sf_dir)
+    hourly = R.build_rollup(ev, grain="hour")
+    daily = R.answer_from_rollup(hourly, grain="day")
+    return R.finalize(daily)

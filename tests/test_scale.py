@@ -413,3 +413,25 @@ def test_bipartite_incremental_dedup_stress_twin_recall(spark, sf_dir):
     per_doc = twins.groupBy("new_id").count()
     assert per_doc.count() == n
     assert per_doc.filter(F.col("count") < 3).count() == 0
+
+
+def test_rollup_nesting_additivity_all_grains(spark, sf_dir):
+    """Hypertable rollup: answering week and month from the hourly
+    summary must equal direct aggregation of facts — the additivity
+    property that makes the summary table a safe substitute for the
+    fact table at every coarser grain."""
+    from flink_connectors_spark.operators import rollup as R
+    from flink_connectors_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = R.build_rollup(ev, grain="hour")
+    for grain in ("day", "week", "month"):
+        via_rollup = {
+            (r.bucket, r.event_type, r.n, r.v_cents)
+            for r in R.answer_from_rollup(hourly, grain=grain).collect()
+        }
+        direct = {
+            (r.bucket, r.event_type, r.n, r.v_cents)
+            for r in R.build_rollup(ev, grain=grain).collect()
+        }
+        assert via_rollup == direct, grain
