@@ -188,3 +188,36 @@ def stream_watermark_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts")
         .transform(lambda d: U.ntz(d, "ts"))
     )
+
+
+@register(
+    "stream_rollup_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "rollup", "hypertable"),
+)
+def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of CONTINUOUS rollup maintenance: the hourly
+    summary built with the streaming `window()` TVF — exactly the
+    aggregation a `readStream ... groupBy(window(ts, '1 hour'))`
+    pipeline runs incrementally under a watermark (live path
+    exercised in tests/test_streaming.py). Produces the same summary
+    schema `operators/rollup.build_rollup` emits, proving the
+    streaming maintenance path and the batch backfill path agree."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("v_cents"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+            "n",
+            "v_cents",
+        )
+    )

@@ -293,3 +293,44 @@ def test_stream_sharded_foreach_batch_routes_per_shard(
             == 0
         )
     assert total == static.count()
+
+
+def test_live_streaming_rollup_matches_batch(spark, events_stream_dir):
+    """Continuous-aggregate maintenance, live: a watermarked
+    readStream windowed aggregation must land exactly the summary
+    rows the batch build_rollup computes — the property that lets a
+    streaming job maintain the hypertable summary while batch
+    backfills share the same table."""
+    from flink_connectors_spark.operators.rollup import build_rollup
+
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("v_cents"))
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "n",
+            "v_cents",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_live")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        (r.bucket, r.event_type, r.n, r.v_cents)
+        for r in spark.sql("SELECT * FROM rollup_live").collect()
+    }
+    batch = {
+        (r.bucket, r.event_type, r.n, r.v_cents)
+        for r in build_rollup(static, grain="hour").collect()
+    }
+    assert live == batch
