@@ -663,3 +663,50 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = R.build_rollup(ev, grain="hour")
     daily = R.answer_from_rollup(hourly, grain="day")
     return R.finalize(daily)
+
+
+@register(
+    "rollup_sketch_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    tags=("temporal", "rollup", "sketch", "approx", "hypertable"),
+)
+def rollup_sketch_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NON-additive half of the hypertable rollup: distinct
+    counts don't add across buckets, so the summary row carries a
+    mergeable HLL sketch (DataSketches hll_sketch_agg) instead of a
+    number. Daily per-type sketches are built first (the rollup
+    pass), then UNIONED across days (the coarser-grain query) and
+    estimated — the checkable output is the error-bound predicate
+    |estimate - exact| / exact < 0.05 per event type, which the
+    oracle asserts, plus the exact count for reference. This is how
+    a 100 TB summary table answers 'distinct users last quarter'
+    without a fact-table scan."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                < 0.05
+            ).alias("within_bound"),
+        )
+    )
