@@ -56,6 +56,8 @@ HEADLINE = [
     "sql_text_window_sessions",
     "grouped_map_demean",
     "multimodal_decode",
+    "dedup_incremental_batch",
+    "rollup_daily_from_hourly",
 ]
 
 
