@@ -182,3 +182,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def diagnose_skew(
+    df: DataFrame, keys: Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """One-pass shuffle-key skew report: per-key row counts for the
+    ``top_n`` heaviest keys plus each key's share of the total and
+    its ratio to the MEAN key load (`skew_x` — how many times an
+    average reducer's work the hottest partition carries).
+
+    Run this BEFORE keying a 100 TB join/agg on a candidate column:
+    `skew_x` >> number of salts you can afford means pick a different
+    key, pre-aggregate, or isolate the hot keys (AQE's skew-join
+    splits sort-merge partitions but cannot fix a hot GROUP BY key).
+    Cost: one hash aggregate over the keys (map-side combined) plus a
+    top_n collect of aggregate rows — safe at any scale."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total__"),
+        F.count(F.lit(1)).alias("__n_keys__"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(
+                F.col("n_rows") / F.col("__total__").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("n_rows")
+                * F.col("__n_keys__").cast("double")
+                / F.col("__total__").cast("double"),
+                2,
+            ).alias("skew_x"),
+        )
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(top_n)
+    )

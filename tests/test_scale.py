@@ -435,3 +435,18 @@ def test_rollup_nesting_additivity_all_grains(spark, sf_dir):
             for r in R.build_rollup(ev, grain=grain).collect()
         }
         assert via_rollup == direct, grain
+
+
+def test_diagnose_skew_reports_hot_keys(spark):
+    """The skew report must surface the hot key first with the right
+    share and mean-multiple."""
+    from flink_connectors_spark.operators.scale import diagnose_skew
+
+    rows = [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = diagnose_skew(df, ["k"], top_n=2).collect()
+    assert out[0].k == "hot" and out[0].n_rows == 80
+    assert abs(out[0].share - 0.8) < 1e-9
+    # 3 keys, 100 rows -> mean load 33.33; hot carries 2.4x
+    assert abs(out[0].skew_x - 2.4) < 1e-6
+    assert len(out) == 2
