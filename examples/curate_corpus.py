@@ -5,10 +5,13 @@ composed the way a production job would run them.
     documents.parquet
       |> PII scrub (redact emails/URLs/phones, keep audit counts)
       |> quality gate (alpha/stopword/TTR/length score >= threshold)
+      |> repetition gate (duplicate-3-gram fraction, Gopher-style)
       |> exact dedup (md5 fingerprint, keep lowest doc_id)
       |> near-dup clustering (MinHash-LSH pairs -> connected
          components; keep each cluster's canonical doc)
+      |> eval-set decontamination (fingerprint + shared-shingle)
       |> deterministic stratified sampling (per-source rates)
+      |> sequence packing (2048-token training sequences)
       |> chunking (32-token windows, 4 overlap)
       |> Z-ordered parquet (clustered on (source-hash, doc_id))
 
@@ -29,6 +32,7 @@ from pyspark.sql import functions as F
 from flink_connectors_spark.observability import observed_null_rate
 from flink_connectors_spark.operators.dedup import (
     connected_components,
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
 )
@@ -58,6 +62,20 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     )
     n_gated = gated.count()
 
+    # 2b. repetition gate: drop boilerplate/spam-shaped docs
+    from flink_connectors_spark.functions import raw_word_ngrams, tokenize
+
+    g3 = raw_word_ngrams(tokenize(F.col("text")), 3)
+    rep_ok = (
+        F.size(g3) < 3
+    ) | (
+        1.0
+        - F.size(F.array_distinct(g3)).cast("double")
+        / F.greatest(F.size(g3).cast("double"), F.lit(1.0))
+        <= 0.6
+    )
+    gated = gated.filter(rep_ok)
+
     # 3. exact dedup: keep the canonical (lowest) doc id per fingerprint
     keep_exact = exact_dedup(gated).select(
         F.col("keep_id").alias("doc_id")
@@ -71,6 +89,10 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
     deduped = exact_kept.join(non_canonical, "doc_id", "left_anti")
+
+    # 4b. decontaminate against a held-out eval slice
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    deduped = decontaminate(deduped, eval_set, min_overlap=2)
     n_deduped = deduped.count()
 
     # 5. deterministic sampling per source
@@ -78,6 +100,20 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         deduped, "source", "doc_id",
         {"src0": 100, "src1": 80}, default_pct=60,
     )
+
+    # 5b. pack into fixed 2048-token training sequences
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokenize(F.col("text")))
+    pw = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sampled = sampled.withColumn("__nt__", n_tok.cast("long")).withColumn(
+        "pack_id",
+        ((F.sum("__nt__").over(pw) - F.col("__nt__")) / 2048).cast("bigint"),
+    ).drop("__nt__")
 
     # 6. chunking for the context window
     chunks = chunk_documents(sampled, chunk_tokens=32, overlap=4)
