@@ -495,8 +495,8 @@ def cosine_topk_rplsh(
     corpus: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 16,
-    bits_per_band: int = 4,
+    n_planes: int | None = None,
+    bits_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -521,7 +521,23 @@ def cosine_topk_rplsh(
     class), so an unpinned plan would broadcast it and OOM at scale —
     and shuffle-hash beats sort-merge here because neither side needs
     the corpus sorted by id. Returns (query_id, neighbor_id, score,
-    rnk)."""
+    rnk).
+
+    Banding auto-sizes from the corpus count when not passed (same
+    `auto_lsh_bands` rule as the dedup path — occupancy ~1 bucket
+    width, recall-formula band count at a 0.8 similarity target);
+    the registered query pins 16x4 for oracle parity."""
+    if n_planes is None or bits_per_band is None:
+        n_auto, bits_auto = auto_lsh_bands(corpus.count(), threshold=0.8)
+        if n_planes is None and bits_per_band is None:
+            n_planes, bits_per_band = n_auto, bits_auto
+        elif bits_per_band is None:
+            bits_per_band = max(
+                b for b in range(1, min(bits_auto, n_planes) + 1)
+                if n_planes % b == 0
+            )
+        else:
+            n_planes = (n_auto // bits_auto) * bits_per_band
     planes = random_hyperplanes(n_planes, dim)
     bands = lambda df: band_signatures(  # noqa: E731
         df, planes, bits_per_band, id_col, vec_col

@@ -562,7 +562,9 @@ def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded 4x4; queries only score corpus rows sharing a band key —
     the label-free bucketed scale path (IVF needs cluster labels)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return S.cosine_topk_rplsh(emb.filter(emb.vec_id < 20), emb, k=5)
+    return S.cosine_topk_rplsh(
+        emb.filter(emb.vec_id < 20), emb, k=5, n_planes=16, bits_per_band=4
+    )
 
 
 def _lsh_dedup_oracle() -> str:
