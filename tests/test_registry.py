@@ -1,0 +1,110 @@
+"""Rotation-protocol tests: the driver checks ``list(queries())[:50]``
+each round, so the ordering must (a) be derived only from the
+machine-readable CORRECTNESS_r*.json history, (b) front red rows and
+never-checked queries, and (c) cycle previously-verified queries back
+through the window stalest-first so regressions get re-caught.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from flink_connectors_spark import registry
+
+ROOT = Path(registry.__file__).resolve().parent.parent
+
+
+def _history():
+    return registry._driver_history()
+
+
+def test_every_query_has_spec_fields():
+    specs = registry.all_specs()
+    assert len(specs) >= 147
+    for name, spec in specs.items():
+        assert spec.name == name
+        assert callable(spec.fn)
+
+
+def test_history_names_all_exist_in_registry():
+    names = set(registry.all_specs())
+    hist = _history()
+    assert hist, "driver history should be non-empty once CORRECTNESS files ship"
+    missing = set(hist) - names
+    assert not missing, f"renamed/deleted queries still in history: {missing}"
+
+
+def test_front_is_red_then_unchecked_then_stalest_verified():
+    names = list(registry.all_specs())
+    hist = _history()
+
+    def phase(n):
+        if n not in hist:
+            return 1
+        rnd, green = hist[n]
+        return 0 if not green else 2
+
+    phases = [phase(n) for n in names]
+    assert phases == sorted(phases), "order must be red < unchecked < verified"
+
+    # verified block is sorted by the round of its latest green row
+    verified = [n for n in names if phase(n) == 2]
+    rounds = [hist[n][0] for n in verified]
+    assert rounds == sorted(rounds), "verified queries must be stalest-first"
+
+
+def test_front_50_maximizes_unchecked_coverage():
+    """Every never-checked query must land in the driver's window before
+    any already-verified query occupies a slot."""
+    names = list(registry.all_specs())
+    hist = _history()
+    unchecked = [n for n in names if n not in hist]
+    front = names[:50]
+    if len(unchecked) <= 50:
+        assert set(unchecked) <= set(front)
+        # spare slots go to stalest verified queries (regression re-checks)
+        spare = [n for n in front if n in hist and hist[n][1]]
+        if spare:
+            stalest_round = min(hist[n][0] for n in names if n in hist and hist[n][1])
+            assert all(hist[n][0] == stalest_round for n in spare)
+    else:
+        assert all(n in unchecked or (n in hist and not hist[n][1]) for n in front)
+
+
+def test_unknown_history_name_raises(tmp_path, monkeypatch):
+    hist = dict(_history())
+    hist["no_such_query_xyz"] = (1, True)
+    monkeypatch.setattr(registry, "_driver_history", lambda: hist)
+    with pytest.raises(ValueError, match="no_such_query_xyz"):
+        registry.all_specs()
+
+
+def test_malformed_correctness_file_is_ignored(tmp_path):
+    # _driver_history must tolerate junk files without crashing the entry point
+    (tmp_path / "CORRECTNESS_r99.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q": {"rows_match": True, "hash_match": True, "err": None}})
+    )
+    hist = registry._driver_history(tmp_path)
+    assert hist == {"q": (1, True)}
+
+
+def test_later_round_supersedes_earlier(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q": {"rows_match": True, "hash_match": True, "err": None}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q": {"rows_match": True, "hash_match": False, "err": None}})
+    )
+    assert registry._driver_history(tmp_path) == {"q": (2, False)}
+
+
+def test_rows_only_check_counts_as_green(tmp_path):
+    # rows-only rows (no oracle) lack hash_match — absence is not a failure
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q": {"rows_match": True, "err": None}})
+    )
+    assert registry._driver_history(tmp_path) == {"q": (1, True)}
