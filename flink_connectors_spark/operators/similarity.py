@@ -178,9 +178,13 @@ def kmeans_assign_quantized(
     assignments — the same determinism discipline as the decimal
     money math in plans/_util.
 
-    Scale shape per iteration: one broadcast of the k-row centroid
-    table, one argmin over a k-way expression (no shuffle), one
-    keyed shuffle (cluster, dim) for the exact centroid update.
+    Scale shape per iteration: the k centroids travel as ONE
+    broadcast row (array<struct> — the plane-matrix pattern used by
+    cosine_topk_rplsh), the argmin is a per-row array_min over
+    (dist_key, cluster) structs computed with zip_with/aggregate
+    expressions — genuinely no Exchange between the vector scan and
+    the assignment (pin-tested) — and only the exact centroid update
+    pays one keyed (cluster, dim) shuffle.
     Init: the k lowest-id vectors (deterministic, no RNG).
     Bound: |x| <= scale/2 and cluster size n_c must keep
     n_c * scale/2 within int64 when squared (~3e9), i.e. clusters up
@@ -213,26 +217,51 @@ def kmeans_assign_quantized(
     centroids = [(r["cluster"], r["s"], r["c"]) for r in init.collect()]
 
     def assign(cent_rows) -> DataFrame:
+        # All k centroids packed into ONE broadcast row: the cross
+        # join is a 1-row broadcast nested loop (no shuffle), and the
+        # argmin evaluates per input row without a window.
+        packed = [
+            {"cluster": cl, "s": list(s), "c": c}
+            for cl, s, c in sorted(cent_rows)
+        ]
         cent = spark.createDataFrame(
-            cent_rows, "cluster int, s array<long>, c long"
+            [(packed,)],
+            "cents array<struct<cluster:int,s:array<long>,c:long>>",
         )
-        sq = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                F.col("s"),
-                lambda x, sv: (F.col("c") * x - sv) * (F.col("c") * x - sv),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+
+        def dist_key(ct):
+            sq = F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    ct["s"],
+                    lambda x, sv: (ct["c"] * x - sv) * (ct["c"] * x - sv),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            return sq.cast("double") / (ct["c"] * ct["c"]).cast("double")
+
+        # struct ordering = (dist_key, cluster): min distance wins,
+        # ties break to the lower cluster id — same semantics as the
+        # former row_number window, zero Exchange.
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    dist_key(ct).alias("dist_key"),
+                    ct["cluster"].alias("cluster"),
+                ),
+            )
         )
-        key = sq.cast("double") / (F.col("c") * F.col("c")).cast("double")
-        w = Window.partitionBy(id_col).orderBy("dist_key", "cluster")
         return (
             q.crossJoin(F.broadcast(cent))
-            .withColumn("dist_key", key)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cluster", "dist_key", "qv")
+            .withColumn("best", best)
+            .select(
+                id_col,
+                F.col("best.cluster").alias("cluster"),
+                F.col("best.dist_key").alias("dist_key"),
+                "qv",
+            )
         )
 
     for _ in range(iters):

@@ -213,3 +213,18 @@ def test_zscore_stats_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "anomaly_value_zscore")
     assert plan.count("HashAggregate") >= 2
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kmeans_assign_has_no_shuffle_before_assignment(spark, sf_dir):
+    """The IVF build path's assignment step must not exchange the
+    vector-carrying rows: centroids travel as ONE broadcast row and
+    the argmin is an array_min expression, so the only Exchange in
+    the whole returned plan is none at all — the centroid-update
+    shuffles happened driver-side during iteration and the final
+    assignment is scan -> broadcast nested loop -> project."""
+    plan = _plan(spark, sf_dir, "embedding_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "assignment must not shuffle N x k vector-carrying rows"
+    )
+    assert "Window" not in plan, "argmin must be an expression, not a window"
