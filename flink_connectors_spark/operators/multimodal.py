@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -225,9 +226,9 @@ def _make_bmp(width: int, height: int, doc_id: int) -> bytes:
     bytes. Pixel bytes follow the deterministic (i*7 + doc_id) % 256
     pattern so the checksum is SQL-predictable."""
     stride = (width * 3 + 3) // 4 * 4
-    pixel_bytes = bytes(
-        (i * 7 + doc_id) % 256 for i in range(stride * height)
-    )
+    pixel_bytes = (
+        (np.arange(stride * height, dtype=np.int64) * 7 + doc_id) % 256
+    ).astype(np.uint8).tobytes()
     size = 54 + len(pixel_bytes)
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
     info = struct.pack(
@@ -241,10 +242,9 @@ def _make_wav(sample_rate: int, n_samples: int, doc_id: int) -> bytes:
     """A real, playable RIFF/WAVE file: PCM, 1 channel, 16-bit.
     Samples follow (i*31 + doc_id) % 65536 (as unsigned LE) so the
     data-chunk byte checksum is SQL-predictable."""
-    data = b"".join(
-        struct.pack("<H", (i * 31 + doc_id) % 65536)
-        for i in range(n_samples)
-    )
+    data = (
+        (np.arange(n_samples, dtype=np.int64) * 31 + doc_id) % 65536
+    ).astype("<u2").tobytes()
     byte_rate = sample_rate * 2
     return (
         struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
@@ -272,7 +272,9 @@ def _parse_media(payload: bytes) -> dict:
             "sample_rate": None,
             "n_samples": None,
             "byte_len": len(payload),
-            "payload_checksum": sum(pixels),
+            "payload_checksum": int(
+                np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64)
+            ),
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, channels, rate, bits, data = 12, None, None, None, b""
@@ -294,7 +296,9 @@ def _parse_media(payload: bytes) -> dict:
             "sample_rate": rate,
             "n_samples": n,
             "byte_len": len(payload),
-            "payload_checksum": sum(data),
+            "payload_checksum": int(
+                np.frombuffer(data, dtype=np.uint8).sum(dtype=np.int64)
+            ),
         }
     raise NotImplementedError("unknown media magic")
 
