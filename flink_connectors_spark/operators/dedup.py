@@ -32,6 +32,29 @@ from ..functions import (
 )
 
 
+def _track_caches(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Record the persisted intermediate frames a plan depends on so
+    callers can release them with :func:`unpersist_inputs` once the
+    result is materialized. The plan itself owns nothing eagerly —
+    persistence only pins blocks as the first action computes them."""
+    result._fcs_cached_inputs = list(cached)  # type: ignore[attr-defined]
+    return result
+
+
+def unpersist_inputs(result: DataFrame, blocking: bool = False) -> None:
+    """Release the shingle/band caches pinned by an LSH dedup plan.
+
+    The LSH builders persist their shingle and band tables because
+    several plan branches re-read them; Spark has no plan-scoped cache
+    lifetime, so the CALLER owns release. In a loop (the nightly-ingest
+    shape ``minhash_lsh_pairs_bipartite`` is built for), call this
+    after each batch's result is materialized or executor block
+    managers accumulate one corpus-sized cache per iteration until
+    eviction."""
+    for df in getattr(result, "_fcs_cached_inputs", ()):
+        df.unpersist(blocking)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -146,13 +169,14 @@ def minhash_lsh_pairs(
     # survive into the second join.
     x = x.hint("merge")
     y = y.hint("merge")
-    return (
+    out = (
         cand.join(x, "d1")
         .join(y, "d2")
         .withColumn("jac", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
         .filter(F.col("jac") >= threshold)
         .select("d1", "d2", "jac")
     )
+    return _track_caches(out, [shingled, bt])
 
 
 def minhash_lsh_pairs_bipartite(
@@ -181,6 +205,11 @@ def minhash_lsh_pairs_bipartite(
     Same misestimated-broadcast hazard as `minhash_lsh_pairs`: every
     join side descends from an exploded table whose size Catalyst
     reads from tiny file stats, so all sides are merge-pinned.
+
+    Cache lifetime: both shingle tables are persisted (several plan
+    branches read them); the caller owns release — call
+    :func:`unpersist_inputs` on the returned DataFrame after
+    materializing it, especially when looping over nightly batches.
 
     Returns (new_id, corpus_id, jac) with jac >= threshold.
     """
@@ -225,13 +254,14 @@ def minhash_lsh_pairs_bipartite(
     y = cor_sh.select(
         F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh2")
     ).hint("merge")
-    return (
+    out = (
         cand.join(x, "new_id")
         .join(y, "corpus_id")
         .withColumn("jac", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
         .filter(F.col("jac") >= threshold)
         .select("new_id", "corpus_id", "jac")
     )
+    return _track_caches(out, [new_sh, cor_sh])
 
 
 def ngram_jaccard_pairs(

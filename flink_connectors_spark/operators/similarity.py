@@ -417,6 +417,53 @@ def auto_lsh_bands(
     return bands * bits, bits
 
 
+def resolve_lsh_banding(
+    n_planes: int | None,
+    bits_per_band: int | None,
+    count_rows,
+    threshold: float = 0.8,
+    recall_target: float = 0.9,
+    max_bands: int = 128,
+) -> tuple[int, int]:
+    """Shared banding resolution for the sign-LSH paths (dedup and
+    top-k search use identical rules — previously the search path
+    reused the band COUNT computed at the auto width when an explicit
+    ``bits_per_band`` was passed, giving narrower bands far fewer
+    bands than the recall target needs).
+
+    ``count_rows`` is a thunk: it is only invoked when auto-sizing
+    actually needs the corpus cardinality, so callers that know their
+    count (or pin both parameters) never pay the extra count() pass —
+    a real cost at the 100 TB design point.
+    """
+    if n_planes is not None and bits_per_band is not None:
+        return n_planes, bits_per_band
+    if bits_per_band is not None:
+        # explicit band width: band count from the recall formula AT
+        # THAT WIDTH (no corpus count needed)
+        p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        p_band = max(p_bit, 1e-12) ** bits_per_band
+        bands = (
+            1
+            if p_band >= 1.0
+            else math.ceil(
+                math.log(1.0 - recall_target) / math.log(1.0 - p_band)
+            )
+        )
+        return max(2, min(max_bands, bands)) * bits_per_band, bits_per_band
+    n_auto, bits_auto = auto_lsh_bands(
+        count_rows(), threshold, recall_target, max_bands=max_bands
+    )
+    if n_planes is None:
+        return n_auto, bits_auto
+    # explicit plane budget: widest band width that divides it, capped
+    # at the occupancy-safe auto width
+    bits = max(
+        b for b in range(1, min(bits_auto, n_planes) + 1) if n_planes % b == 0
+    )
+    return n_planes, bits
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.8,
@@ -425,6 +472,7 @@ def cosine_near_dup_pairs_lsh(
     bits_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Label-free embedding near-duplicate pairs: sign-LSH banding
     replaces the blocking column `cosine_near_dup_pairs` needs.
@@ -449,27 +497,12 @@ def cosine_near_dup_pairs_lsh(
     ``dedup_embedding_lsh`` query pins 16x4 for oracle parity on the
     tiny test table) but must satisfy n_planes % bits_per_band == 0.
     Returns (id1, id2, score) with cosine >= threshold."""
-    if bits_per_band is None or n_planes is None:
-        n_auto, bits_auto = auto_lsh_bands(df.count(), threshold)
-        if n_planes is None and bits_per_band is None:
-            n_planes, bits_per_band = n_auto, bits_auto
-        elif bits_per_band is None:
-            # explicit plane budget: widest band width that divides it,
-            # capped at the occupancy-safe auto width
-            bits_per_band = max(
-                b for b in range(1, min(bits_auto, n_planes) + 1)
-                if n_planes % b == 0
-            )
-        else:
-            # explicit band width: band count from the recall formula
-            p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
-            p_band = max(p_bit, 1e-12) ** bits_per_band
-            bands = (
-                1
-                if p_band >= 1.0
-                else math.ceil(math.log(0.1) / math.log(1.0 - p_band))
-            )
-            n_planes = max(2, min(128, bands)) * bits_per_band
+    n_planes, bits_per_band = resolve_lsh_banding(
+        n_planes,
+        bits_per_band,
+        (lambda: corpus_count) if corpus_count is not None else df.count,
+        threshold,
+    )
     planes = random_hyperplanes(n_planes, dim)
     sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
     a, b = sig.alias("a"), sig.alias("b")
@@ -528,6 +561,7 @@ def cosine_topk_rplsh(
     bits_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH approximate top-k cosine search —
     the bucketed alternative to the IVF path when no cluster labels
@@ -556,17 +590,12 @@ def cosine_topk_rplsh(
     `auto_lsh_bands` rule as the dedup path — occupancy ~1 bucket
     width, recall-formula band count at a 0.8 similarity target);
     the registered query pins 16x4 for oracle parity."""
-    if n_planes is None or bits_per_band is None:
-        n_auto, bits_auto = auto_lsh_bands(corpus.count(), threshold=0.8)
-        if n_planes is None and bits_per_band is None:
-            n_planes, bits_per_band = n_auto, bits_auto
-        elif bits_per_band is None:
-            bits_per_band = max(
-                b for b in range(1, min(bits_auto, n_planes) + 1)
-                if n_planes % b == 0
-            )
-        else:
-            n_planes = (n_auto // bits_auto) * bits_per_band
+    n_planes, bits_per_band = resolve_lsh_banding(
+        n_planes,
+        bits_per_band,
+        (lambda: corpus_count) if corpus_count is not None else corpus.count,
+        threshold=0.8,
+    )
     planes = random_hyperplanes(n_planes, dim)
     bands = lambda df: band_signatures(  # noqa: E731
         df, planes, bits_per_band, id_col, vec_col

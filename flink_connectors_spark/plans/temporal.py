@@ -623,7 +623,11 @@ def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = nd * F.col("s2").cast("double") - (
         F.col("s1").cast("double") * F.col("s1").cast("double")
     )
-    z = num / F.sqrt(nd * disc)
+    # try_divide: a zero-variance user (disc == 0) must not raise under
+    # ANSI mode — Catalyst may evaluate abs(z) > 2.5 before the
+    # disc > 0 conjunct after optimization (conjunct order is not
+    # guaranteed); null z rows are dropped by the filter anyway
+    z = F.try_divide(num, F.sqrt(nd * disc))
     return (
         ev.join(stats, "user_id")
         .filter((F.col("n") >= 8) & (disc > 0) & (F.abs(z) > 2.5))

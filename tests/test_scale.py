@@ -450,3 +450,60 @@ def test_diagnose_skew_reports_hot_keys(spark):
     # 3 keys, 100 rows -> mean load 33.33; hot carries 2.4x
     assert abs(out[0].skew_x - 2.4) < 1e-6
     assert len(out) == 2
+
+
+def test_resolve_lsh_banding_explicit_width_recomputes_band_count():
+    """Regression (r2 advice): with an explicit bits_per_band the band
+    count must come from the recall formula AT THAT WIDTH, not be
+    reused from the auto width — narrower bands need more bands to hit
+    the same recall. Also: the count thunk must not fire unless
+    auto-sizing actually needs the corpus cardinality."""
+    import math
+
+    from flink_connectors_spark.operators.similarity import (
+        resolve_lsh_banding,
+    )
+
+    def boom():
+        raise AssertionError("count() must not run")
+
+    # both pinned -> no count, passthrough
+    assert resolve_lsh_banding(16, 4, boom) == (16, 4)
+
+    # explicit width -> no count; band count from recall formula
+    for bits in (4, 8, 12):
+        n_planes, b = resolve_lsh_banding(None, bits, boom, threshold=0.8)
+        assert b == bits and n_planes % bits == 0
+        p_bit = 1.0 - math.acos(0.8) / math.pi
+        p_band = p_bit**bits
+        want = max(2, min(128, math.ceil(math.log(0.1) / math.log(1.0 - p_band))))
+        assert n_planes // bits == want
+    # wider bands are more selective per band -> need MORE bands for
+    # the same recall (the r2 bug under-banded narrow widths by reusing
+    # the auto-width band count)
+    n4, _ = resolve_lsh_banding(None, 4, boom, threshold=0.8)
+    n12, _ = resolve_lsh_banding(None, 12, boom, threshold=0.8)
+    assert n12 // 12 >= n4 // 4
+
+    # full auto path consumes the provided count
+    n_planes, bits = resolve_lsh_banding(None, None, lambda: 50_000)
+    assert bits >= 16 and n_planes % bits == 0
+
+
+def test_lsh_dedup_caches_released_by_unpersist_inputs(spark, sf_dir):
+    """minhash LSH plans persist their shingle/band tables; the caller
+    owns release (the nightly-ingest loop shape). unpersist_inputs must
+    drop every pinned frame back to StorageLevel NONE."""
+    from flink_connectors_spark.operators.dedup import (
+        minhash_lsh_pairs_bipartite,
+        unpersist_inputs,
+    )
+    from flink_connectors_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = minhash_lsh_pairs_bipartite(docs, docs)
+    out.count()  # materialize -> caches populated
+    cached = out._fcs_cached_inputs
+    assert cached and all(df.storageLevel.useMemory for df in cached)
+    unpersist_inputs(out, blocking=True)
+    assert all(not df.storageLevel.useMemory for df in cached)
