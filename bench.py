@@ -5,11 +5,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Execution is forced with the noop sink (full pipeline runs, no
-driver-side collect cost). Each query runs twice: the first pass pays
-one-time plan analysis + whole-stage-codegen compilation (JIT), the
-second is the steady state that dominates any long-running / 100 TB
-deployment. Headline value = steady-state total; cold times are
-reported alongside under "queries_cold".
+driver-side collect cost). Methodology (round-over-round comparable):
+runs are INTERLEAVED PER QUERY — each query runs 3x back-to-back
+(cold = first run, paying plan analysis + whole-stage-codegen; warm =
+min of the next two, the steady state that dominates a long-running /
+100 TB deployment). A global cold pass followed by a global warm pass
+let accumulated JVM/GC pressure from 60+ prior executions pollute the
+warm numbers of late queries (observed r2: unchanged plans "regressed"
+3-4x warm purely by queue position). Headline value = warm total;
+cold times reported alongside under "queries_cold".
 """
 
 from __future__ import annotations
@@ -75,18 +79,19 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     run("q3_shipping_priority")  # warm-up: JVM, codegen, parquet footers
+    # pre-fork the Python workers so the first mapInPandas query's cold
+    # time measures its plan, not daemon spin-up (~7 s once per session)
+    spark.range(256).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        cold[name] = run(name)
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = run(name)
-
-    # Sink throughput: the reference IS a sink connector, so rows/sec
-    # through the batched writer (production batch-size 100k,
-    # README.md:21) is the directly comparable number. Local parquet
-    # backend = no network; measures the connector machinery itself.
+    # Sink throughput FIRST (before the query loop crowds the JVM):
+    # the reference IS a sink connector, so rows/sec through the
+    # batched writer (production batch-size 100k, README.md:21) is the
+    # directly comparable number. Local parquet backend = no network;
+    # measures the connector machinery itself. Measured at session
+    # start so the number is a property of the writer, not of 90+
+    # prior query executions' GC state (r2 lesson).
     import shutil
     import tempfile
 
@@ -104,13 +109,19 @@ def main() -> None:
             batch_size=100_000,
         )
         sink_secs = float("inf")
-        for _ in range(2):  # best-of-2: first pass pays plan/codegen
+        for _ in range(3):  # best-of-3: first pass pays plan/codegen
             t0 = time.perf_counter()
             write_batch(li, opts)
             sink_secs = min(sink_secs, time.perf_counter() - t0)
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
     sink_rows_per_sec = round(n_rows / sink_secs)
+
+    cold: dict[str, float] = {}
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        cold[name] = run(name)
+        times[name] = min(run(name), run(name))
 
     total = round(sum(times.values()), 3)
     print(

@@ -118,3 +118,61 @@ def test_changelog_through_replacing_sink_reproduces_state(
         for r in state.collect()
     }
     assert got == want
+
+
+def test_changelog_producer_drives_upsert_sink_end_to_end(
+    spark, batches, tmp_path
+):
+    """Producer -> sink -> mutated store, tested TOGETHER (r2 verdict
+    item #6): each micro-batch's changelog from merge_aggregate_delta
+    goes through foreach_batch_writer into a DuckDB backend in upsert
+    mode (I -> INSERT, UA -> keyed UPDATE, UB dropped), and the final
+    mutated table must equal the direct batch aggregate."""
+    from flink_connectors_spark.sink.backends import DuckDBBackendFactory
+    from flink_connectors_spark.sink.writer import foreach_batch_writer
+
+    parts, ev = batches
+    db = f"{tmp_path}/cdc_upsert.db"
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE agg_state("
+        "event_type VARCHAR, n BIGINT, total_cents BIGINT)"
+    )
+    con.close()
+    opts = SinkOptions(
+        url=f"duckdb://{db}",
+        table_name="agg_state",
+        write_mode="upsert",
+        primary_key=("event_type",),
+        batch_size=100,
+    )
+    write = foreach_batch_writer(
+        opts, backend_factory=DuckDBBackendFactory(db)
+    )
+    state = None
+    for epoch, b in enumerate(parts):
+        state, changelog = merge_aggregate_delta(
+            state, b, ["event_type"], {"total_cents": "v_cents"}
+        )
+        state = state.localCheckpoint(eager=True)
+        # single partition => single writer => DuckDB single-writer safe
+        write(changelog.repartition(1), epoch)
+
+    con = duckdb.connect(db)
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT event_type, n, total_cents FROM agg_state"
+        ).fetchall()
+    }
+    con.close()
+    want = {
+        r["event_type"]: (r["n"], r["total_cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == want
