@@ -55,3 +55,107 @@ def sample_stratified(
     for value, pct in rates.items():
         rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
     return df.filter(hash_bucket(key) < rate)
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    target_fraction: float = 0.5,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum inclusion rates for the standard multinomial-
+    with-temperature pretraining mix (alpha = 0.5): stratum weight
+    w_s = sqrt(n_s) / sum(sqrt(n)), per-row keep probability
+    rate_s = min(1, w_s * target_fraction * N / n_s) — up-weighting
+    low-resource strata relative to proportional sampling.
+
+    Determinism discipline: sqrt is IEEE-exact and the weight
+    normalizer is a SEQUENTIAL fold over the strata in sorted order
+    (array_sort + aggregate — the kmeans regroup pattern), so every
+    engine computes bit-identical doubles; the rate is then quantized
+    to an integer parts-per-million threshold, making the inclusion
+    decision pure integer math (no float row ever crosses engines).
+
+    Scale shape: one keyed count over the corpus, a one-row pack of
+    the (tiny) stratum list, explode back to a strata-sized rate
+    table — broadcast-joinable against any corpus size.
+
+    Returns (stratum_col, n, ppm).
+    """
+    cnt = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    packed = cnt.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(stratum_col).alias("s"), F.col("n"))
+            )
+        ).alias("sn")
+    )
+    wsum = F.aggregate(
+        F.col("sn"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.sqrt(x["n"].cast("double")),
+    )
+    total = F.aggregate(
+        F.col("sn"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["n"],
+    )
+    nd = F.col("n").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        (F.sqrt(nd) / F.col("wsum"))
+        * (
+            (F.lit(target_fraction) * F.col("total").cast("double")) / nd
+        ),
+    )
+    return (
+        packed.select(
+            F.explode("sn").alias("x"),
+            wsum.alias("wsum"),
+            total.alias("total"),
+        )
+        .select(
+            F.col("x.s").alias(stratum_col),
+            F.col("x.n").alias("n"),
+            "wsum",
+            "total",
+        )
+        .select(
+            stratum_col,
+            "n",
+            F.round(rate * ppm_scale).cast("long").alias("ppm"),
+        )
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    target_fraction: float = 0.5,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic temperature-mixed corpus sample: md5-bucket per
+    row against the stratum's ppm threshold from
+    :func:`temperature_mixture_rates`. Same subset every run, every
+    engine, any partitioning; stable under corpus growth within a
+    stratum only insofar as the stratum's rate is stable (rates
+    depend on corpus counts by design — pin a rates snapshot for
+    strict append-stability).
+
+    Returns the sampled rows plus the stratum's ``ppm``.
+    """
+    rates = temperature_mixture_rates(
+        df, stratum_col, target_fraction, ppm_scale
+    )
+    key = F.concat(
+        F.col(stratum_col).cast("string"),
+        F.lit(":"),
+        F.col(key_col).cast("string"),
+    )
+    return (
+        df.join(F.broadcast(rates.drop("n")), stratum_col)
+        .filter(hash_bucket(key, ppm_scale) < F.col("ppm"))
+    )

@@ -282,3 +282,51 @@ def chunk_documents(
             F.concat_ws(" ", F.col("chunk_words")).alias("chunk_text"),
         )
     )
+
+
+def commonness_score(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document commonness: the fraction of a document's tokens
+    that belong to the corpus's top-``k`` most frequent tokens — a
+    distribution-shift quality signal (machine-generated / boilerplate
+    / non-prose documents sit far from the corpus's own head
+    vocabulary). A pure-count cousin of a unigram-LM log-prob score,
+    chosen because it needs no transcendental functions: integer
+    counts, one division, round(6) — bit-exact across engines.
+
+    Top-k ties break deterministically (count DESC, token ASC) so
+    every engine selects the identical vocabulary set.
+
+    Scale shape: one token-keyed aggregate with map-side partial
+    combine builds the vocabulary head (vocab-sized, tiny), which
+    broadcasts into a narrow per-token membership join; the per-doc
+    aggregate is the only corpus-sized shuffle.
+
+    Returns (id, n_tokens, commonness).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(k)
+        .select("tok", F.lit(1).alias("__top__"))
+    )
+    return (
+        toks.join(F.broadcast(top), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.coalesce(F.col("__top__"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("commonness"),
+        )
+    )

@@ -567,9 +567,11 @@ def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_dedup_oracle() -> str:
-    return f"""
-    WITH {_rplsh_sig_cte()},
+def _lsh_pairs_cte() -> str:
+    """Composable CTE chain ending in ``scored`` (id1, id2, score):
+    the sign-LSH candidate pairs with exact cosine verification, used
+    by the dedup oracle and the degree-histogram oracle."""
+    return f"""{_rplsh_sig_cte()},
     pairs AS (
       SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
       FROM sig a JOIN sig b
@@ -580,7 +582,12 @@ def _lsh_dedup_oracle() -> str:
              {_sql_cos("e1.embedding", "e2.embedding")} AS score
       FROM pairs p
       JOIN embeddings e1 ON e1.vec_id = p.id1
-      JOIN embeddings e2 ON e2.vec_id = p.id2)
+      JOIN embeddings e2 ON e2.vec_id = p.id2)"""
+
+
+def _lsh_dedup_oracle() -> str:
+    return f"""
+    WITH {_lsh_pairs_cte()}
     SELECT id1, id2, score FROM scored WHERE score >= 0.4
     """
 
@@ -1357,4 +1364,114 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(scale, 6).alias("scale"),
         F.concat_ws(",", q8).alias("q8"),
+    )
+
+
+@register(
+    "pipeline_mixture_sample",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    p AS (
+      SELECT list_sum(list_transform(list(CAST(n AS DOUBLE) ORDER BY lang),
+                                     x -> sqrt(x))) AS wsum,
+             CAST(SUM(n) AS BIGINT) AS total
+      FROM c),
+    r AS (
+      SELECT lang,
+             CAST(round(least(1.0,
+                 (sqrt(CAST(n AS DOUBLE)) / wsum)
+                 * ((0.5 * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE)))
+               * 1000000) AS BIGINT) AS ppm
+      FROM c, p)
+    SELECT d.doc_id, d.lang, r.ppm
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substr(
+            md5(concat(d.lang, ':', CAST(d.doc_id AS VARCHAR))), 1, 12))
+          AS BIGINT) % 1000000 < r.ppm
+    """,
+    tags=("llm", "sampling", "pipeline", "mixture"),
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multinomial-alpha=0.5
+    pretraining recipe): low-resource languages sample at a higher
+    rate than proportional, budgeted at half the corpus. Weight
+    normalization is a sequential fold over the sorted language list
+    and the per-row decision is integer ppm math against an md5
+    bucket — deterministic and bit-exact cross-engine end-to-end."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        d, "lang", "doc_id", target_fraction=0.5
+    ).select("doc_id", "lang", "ppm")
+
+
+@register(
+    "text_commonness_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    top AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks
+        GROUP BY tok ORDER BY c DESC, tok LIMIT 20))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CASE WHEN tok IN (SELECT tok FROM top)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS commonness
+    FROM toks GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary commonness quality signal: fraction of each
+    document's tokens inside the corpus top-k vocabulary
+    (deterministic count-desc/token-asc tie-break). Pure counts + one
+    division — the transcendental-free cousin of a unigram-LM score,
+    so the oracle hash-matches bit-for-bit. k=20 here: the synthetic
+    corpus has a ~31-token vocabulary, so the production default
+    (k=100) would cover every token and score everything 1.0."""
+    d = _load(spark, sf_dir, "documents")
+    return T.commonness_score(d, k=20)
+
+
+@register(
+    "similarity_graph_degree",
+    oracle=f"""
+    WITH {_lsh_pairs_cte()},
+    base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
+    ends AS (
+      SELECT id1 AS vec_id FROM base
+      UNION ALL
+      SELECT id2 AS vec_id FROM base),
+    deg AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM ends GROUP BY vec_id)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM deg GROUP BY degree
+    """,
+    tags=("llm", "similarity", "dedup", "stats"),
+)
+def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree histogram — the dedup-aggressiveness
+    tuning report: how many vectors participate in 1, 2, ... near-dup
+    relations at the working threshold. Composed from the same
+    sign-LSH pair generator as `dedup_embedding_lsh` (16x4 banding
+    pinned for oracle parity); two further keyed aggregates over the
+    pair list, which is candidate-sized, never corpus-squared."""
+    from pyspark.sql import functions as F
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs_lsh(
+        emb, threshold=0.4, n_planes=16, bits_per_band=4
+    )
+    ends = pairs.select(F.col("id1").alias("vec_id")).unionAll(
+        pairs.select(F.col("id2").alias("vec_id"))
+    )
+    deg = ends.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
