@@ -31,3 +31,34 @@ def test_datasource_batch_write(spark, tmp_path):
     assert len(rows) == len(CHANGELOG)
     signs = [r[cols.index("sign")] for r in rows]
     assert sorted(set(signs)) == [-1, 1]
+
+
+def test_ddl_create_table_options_do_not_propagate_yet(spark, tmp_path):
+    """KNOWN DIVERGENCE (documented in COVERAGE.md): the reference
+    exposes the sink through SQL DDL (`CREATE TABLE ... WITH (...)`,
+    README.md:4-28). Spark 4.1's Python Data Source accepts
+    `CREATE TABLE ... USING clickhouse_sink OPTIONS (...)` but passes
+    an EMPTY options dict to the writer, so the sink's required
+    options never arrive and our option validation raises its clear
+    'url is required' error. This test pins that behavior: when a
+    Spark upgrade starts forwarding catalog-table options, the
+    error-match below breaks and the DDL surface can be turned on."""
+    import pytest
+
+    from flink_connectors_spark.sink import datasource as ds
+
+    ds.register(spark)
+    spark.sql("DROP TABLE IF EXISTS ddl_sink_probe")
+    spark.sql(
+        f"""
+        CREATE TABLE ddl_sink_probe (name STRING, grade INT)
+        USING {ds.FORMAT_NAME}
+        OPTIONS (
+          url 'parquet://{tmp_path}/ddl_sink',
+          `table-name` 'ddl_t',
+          `write-mode` 'insert_only')
+        """
+    )
+    with pytest.raises(Exception, match="url.*required|PYTHON_DATA_SOURCE"):
+        spark.sql("INSERT INTO ddl_sink_probe VALUES ('alice', 1)")
+    spark.sql("DROP TABLE IF EXISTS ddl_sink_probe")
