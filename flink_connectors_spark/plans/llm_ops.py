@@ -646,10 +646,12 @@ def _km_update(a: str, prev: str, nxt: str) -> str:
       FROM {prev} LEFT JOIN {nxt}u ON {prev}.cluster = {nxt}u.cluster)"""
 
 
-@register(
-    "embedding_kmeans_assign",
-    oracle=f"""
-    WITH q AS (
+def _km_chain_cte() -> str:
+    """Composable CTE chain ending in ``af`` (vec_id, cluster, qv,
+    dist_key): the full 2-iteration deterministic quantized k-means
+    over the embeddings table. NOTE: claims the CTE name ``q`` for
+    the quantized vectors."""
+    return f"""q AS (
       SELECT vec_id,
              list_transform(embedding,
                v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
@@ -662,7 +664,13 @@ def _km_update(a: str, prev: str, nxt: str) -> str:
     {_km_update("a1", "c0", "c1")},
     {_km_assign("a2", "c1")},
     {_km_update("a2", "c1", "c2")},
-    {_km_assign("af", "c2")}
+    {_km_assign("af", "c2")}"""
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH {_km_chain_cte()}
     SELECT vec_id, CAST(cluster AS INT) AS cluster,
            round(dist_key / 1048576.0, 6) AS dist
     FROM af
@@ -1474,4 +1482,60 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
+@register(
+    "similarity_topk_ivf_unlabeled",
+    oracle=f"""
+    WITH {_km_chain_cte()},
+    corpus AS (
+      SELECT e.vec_id, e.embedding, af.cluster
+      FROM embeddings e JOIN af USING (vec_id)),
+    qq AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 20),
+    reps AS (
+      SELECT cluster, embedding AS rvec FROM (
+        SELECT cluster, embedding,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+        FROM corpus) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qvec, cluster FROM (
+        SELECT qq.query_id, qq.qvec, r.cluster,
+               ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                   ORDER BY {_sql_cos("qq.qvec", "r.rvec")} DESC, r.cluster) AS pr
+        FROM qq CROSS JOIN reps r) t WHERE pr <= 2),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_sql_cos("p.qvec", "c.embedding")} AS score
+      FROM corpus c JOIN probes p USING (cluster)
+      WHERE c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "kmeans", "iterative"),
+)
+def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free ANN END-TO-END: the deterministic quantized k-means
+    BUILD (`embedding_kmeans_assign`) feeds the IVF SEARCH
+    (`cosine_topk_ivf`) as its cluster column — the full
+    index-then-probe lifecycle with no label crutch, verified
+    value-for-value by an oracle that unrolls both the two Lloyd
+    iterations AND the probe/search in one SQL statement.
+
+    Scale shape: build = per-iteration one-row centroid broadcast +
+    one keyed update shuffle (see PLANS.md); search = tiny rep table
+    broadcast, candidate join shuffles on cluster id only. The
+    assignment output is exactly what you would persist as the IVF
+    index at 100 TB; here it flows straight into the search."""
+    emb = _load(spark, sf_dir, "embeddings")
+    assign = S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
+    corpus = emb.join(assign.select("vec_id", "cluster"), "vec_id")
+    return S.cosine_topk_ivf(
+        emb.filter(emb.vec_id < 20), corpus, k=5, n_probe=2,
+        cluster_col="cluster",
     )
