@@ -82,3 +82,30 @@ def finalize(df: DataFrame) -> DataFrame:
         F.col("n").alias("n_events"),
         (F.col("v_cents").cast("double") / F.lit(100.0)).alias("total_value"),
     )
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Incremental rollup maintenance: fold a delta summary (the
+    rollup of ONE new ingest window) into the standing summary table.
+    Because the partials are additive (COUNT / int64-cent SUM),
+    union + re-aggregate on the bucket key is EXACTLY equivalent to
+    rebuilding from all facts — the refresh step of a continuous
+    aggregate, running over summary-sized data (the delta summary is
+    |new buckets x dims| rows; old facts are never touched).
+
+    In production this is the nightly job: build_rollup(yesterday's
+    facts) -> merge_rollup(summary, delta) -> overwrite/upsert the
+    summary partitions that changed.
+    """
+    return (
+        existing.unionByName(delta)
+        .groupBy("bucket", *dims)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("v_cents").alias("v_cents"),
+        )
+    )

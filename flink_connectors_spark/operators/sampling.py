@@ -159,3 +159,36 @@ def temperature_mixture_sample(
         df.join(F.broadcast(rates.drop("n")), stratum_col)
         .filter(hash_bucket(key, ppm_scale) < F.col("ppm"))
     )
+
+
+def per_group_quota(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Per-group quality quota: keep the top ``n`` rows of each group
+    ranked by (score DESC, id ASC) — the domain-cap stage of a corpus
+    mix (no single source may contribute more than its quota, and the
+    quota takes that source's BEST documents, not a random subset).
+
+    Deterministic: the id tie-break makes the cut identical across
+    engines even when scores tie at the boundary.
+
+    Scale shape: one hash shuffle on the group key + a per-partition
+    rank — the same single-exchange plan as windowed top-k; at 100 TB
+    group skew (one giant source) is the hazard, mitigated upstream by
+    splitting oversized sources before the mix (or AQE skew handling).
+
+    Returns the kept rows plus their ``rnk``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= n)
+    )

@@ -77,10 +77,18 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality score in [0,1]: alpha ratio, length band,
     stopword presence, type-token ratio. Deterministic rational
-    arithmetic (counts divided as float64) -> oracle-portable."""
+    arithmetic (counts divided as float64) -> oracle-portable.
+    ``keep_cols`` ride through untouched (the score is a narrow
+    projection — passing columns through beats a doc-keyed join
+    back at corpus scale)."""
     t = F.col(text_col)
     words = tokenize(t)
     cc = char_classes(t)
@@ -108,6 +116,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(ttr, 6).alias("type_token_ratio"),
@@ -328,5 +337,142 @@ def commonness_score(
                 / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("commonness"),
+        )
+    )
+
+
+def crossdoc_shingle_mass(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate signal (the C4/RefinedWeb repeated-
+    span heuristic lifted to corpus level): for each document, the
+    fraction of its DISTINCT 3-word shingles that also occur in at
+    least ``min_df`` documents corpus-wide. High mass = template/
+    boilerplate text the near-dup stages won't catch because no single
+    pair of documents is similar enough.
+
+    Scale shape: shingles are distinct per doc, so a plain count on
+    the exploded table IS the document frequency — one shingle-keyed
+    aggregate builds the DF table, one shingle-keyed join carries it
+    back, one doc-keyed aggregate folds the mass. The DF table is
+    shingle-vocabulary-sized (can exceed memory at 100 TB), so the
+    join is pinned to sort-merge: both sides were EXPANDED from a
+    small scan and would otherwise inherit its broadcast-sized
+    estimate (the SCALING.md hazard class).
+
+    Docs with < 3 words carry no shingles and drop out — the same
+    guard as the shingle-based dedup family.
+
+    Returns (id, n_shingles, crossdoc_mass).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokenize(F.col(text_col)))).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    hit = (F.col("df") >= min_df).cast("int")
+    return (
+        sh.join(dfreq.hint("merge"), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("crossdoc_mass"),
+        )
+    )
+
+
+def source_shingle_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of sources, how
+    many distinct 3-word shingles they share, plus the shingle-set
+    Jaccard — the report that tells a mixture designer which crawls /
+    dumps mirror each other BEFORE committing to per-source weights
+    (two mirrors sampled independently double-count their content).
+
+    Scale shape: the corpus is shuffled ONCE — groupBy(shingle) with
+    collect_set(source) does the per-shingle dedup inside the
+    aggregate (map-side partial sets), so there is no separate
+    distinct pass and no self-join; source pairs are generated with
+    array combinatorics over the per-shingle source list, which fans
+    out at most C(|sources|, 2) rows per shingle (sources are dozens,
+    not millions — past ~1k sources switch to a shingle-keyed
+    self-join instead). The per-source sizes and the pair counts both
+    derive from the shingle-grouped table, which is
+    vocabulary-sized, far smaller than the corpus.
+
+    Returns (source_a, source_b, n_shared, jaccard) for source_a <
+    source_b.
+    """
+    # Three consumers (pair counts + both size joins) reference this
+    # vocabulary-sized table; without materialization each would
+    # re-run the corpus explode+aggregate (verified: no exchange
+    # reuse). Lazy localCheckpoint computes it once on first action.
+    grouped = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                word_shingles(tokenize(F.col(text_col)))
+            ).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        grouped.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    )
+    # all C(len(srcs), 2) ordered pairs per shingle
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("srcs"), i + F.lit(2), F.size(F.col("srcs"))
+                ),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
+    shared = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("src").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("src").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
         )
     )

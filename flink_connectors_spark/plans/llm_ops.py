@@ -1539,3 +1539,171 @@ def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame
         emb.filter(emb.vec_id < 20), corpus, k=5, n_probe=2,
         cluster_col="cluster",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: corpus-structure reports + curriculum/quota stages
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_crossdoc_ngram_mass",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    dfq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+            FROM ex GROUP BY shingle)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           round(CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS crossdoc_mass
+    FROM ex JOIN dfq USING (shingle)
+    GROUP BY ex.doc_id
+    """,
+    tags=("llm", "text", "dedup", "boilerplate"),
+)
+def text_crossdoc_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate mass: per doc, the fraction of its
+    distinct 3-gram shingles that occur in >= 2 documents corpus-wide
+    — catches template text that pairwise near-dup never flags (no
+    single pair is similar, but the spans repeat everywhere). Two
+    shingle-keyed shuffles + one doc-keyed fold; the DF join is
+    merge-pinned (both sides expanded from a small scan — the
+    broadcast-estimate hazard class)."""
+    return T.crossdoc_shingle_mass(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_source_overlap",
+    oracle=f"""
+    WITH norm AS (SELECT source, {_WORDS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT src, shingle FROM (
+        SELECT source AS src,
+               unnest(list_distinct(list_transform(range(1, len(w)-1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+        FROM norm WHERE len(w) >= 3)),
+    sizes AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY src),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.src = source_a
+    JOIN sizes sb ON sb.src = source_b
+    """,
+    tags=("llm", "pipeline", "dedup", "stats", "mixture"),
+)
+def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (shared distinct shingles +
+    shingle-set Jaccard): the which-crawls-mirror-each-other report a
+    mixture designer reads before setting per-source weights. Work
+    unit is the distinct (shingle, source) pair — corpus text
+    collapses to |shingles| x |sources| rows before any join."""
+    return T.source_shingle_overlap(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT len({_WORDS}) AS n FROM documents),
+    b AS (SELECT n,
+                 CAST(CASE WHEN n <= 1 THEN 1
+                      ELSE 1 << length(bin(n - 1)) END AS BIGINT) AS bucket
+          FROM t)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(bucket AS DOUBLE)), 6)
+             AS fill_ratio
+    FROM b GROUP BY bucket
+    """,
+    tags=("llm", "pipeline", "curriculum", "stats"),
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/packing length census: documents bucketed to the
+    next power-of-two token length (the pad-to-bucket batching
+    scheme), with per-bucket doc count, token mass, and fill ratio
+    (mean tokens / bucket capacity — the padding-waste metric that
+    decides whether sequence packing is worth running). The bucket
+    is integer bit math (length of bin(n-1)), not log2 — float logs
+    at bucket boundaries would flip rows between engines. One
+    bucket-keyed aggregate; bucket cardinality is ~log(max tokens),
+    so the shuffle is trivially small at any corpus size."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents")
+    n = F.size(T.tokenize(F.col("text"))).cast("long")
+    t = d.select(n.alias("n"))
+    bucket = (
+        F.when(F.col("n") <= 1, F.lit(1).cast("long"))
+        .otherwise(
+            F.expr("CAST(shiftleft(1L, length(bin(n - 1))) AS BIGINT)")
+        )
+    )
+    return (
+        t.select("n", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.col("bucket").cast("double")
+                ),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+@register(
+    "pipeline_source_quota",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, text, {_WORDS} AS w FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             round(
+               (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4
+               + least((CAST({" + ".join(_sql_stop_hits(lang) for lang in T.STOPWORDS)} AS DOUBLE)
+                        / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 4, 1.0) * 0.2
+               + (CAST(len(list_distinct(w)) AS DOUBLE)
+                  / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 0.2
+               + CAST(CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0
+                      ELSE 0.0 END AS DOUBLE) * 0.2
+             , 6) AS quality_score
+      FROM base),
+    r AS (
+      SELECT doc_id, source, quality_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
+      FROM q)
+    SELECT source, doc_id, quality_score, rnk FROM r WHERE rnk <= 10
+    """,
+    tags=("llm", "pipeline", "quality", "mixture"),
+)
+def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quota: each source contributes at most its
+    10 BEST documents by the heuristic quality score (doc_id breaks
+    score ties, so the cut is deterministic at the boundary) — the
+    domain-cap stage of a corpus mix. The score is a narrow
+    projection (source rides through via keep_cols, no join back);
+    the quota is one hash shuffle on source + a per-partition rank."""
+    from ..operators.sampling import per_group_quota
+
+    d = _load(spark, sf_dir, "documents")
+    q = T.quality_score(d, keep_cols=("source",)).select(
+        "doc_id", "source", "quality_score"
+    )
+    return per_group_quota(
+        q, "source", "quality_score", "doc_id", 10
+    ).select("source", "doc_id", "quality_score", "rnk")

@@ -714,3 +714,34 @@ def rollup_sketch_distinct_users(
             ).alias("within_bound"),
         )
     )
+
+
+@register(
+    "rollup_merge_day",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "rollup", "hypertable", "incremental"),
+)
+def rollup_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup REFRESH: the standing hourly summary (built
+    from facts before 2024-01-25) absorbs the rollup of the new
+    ingest window (facts from the 25th on) via merge_rollup — union +
+    re-aggregate over summary-sized data. The oracle aggregates ALL
+    facts directly, so the driver's hash check proves merge == rebuild
+    exactly (additive COUNT / int64-cent partials). This is the
+    nightly continuous-aggregate job at 100 TB: old facts are never
+    rescanned; the refresh cost is |delta buckets x dims|."""
+    from ..operators import rollup as R
+
+    ev = _events(spark, sf_dir)
+    cut = F.to_timestamp(F.lit("2024-01-25 00:00:00"))
+    standing = R.build_rollup(ev.filter(F.col("ts") < cut), grain="hour")
+    delta = R.build_rollup(ev.filter(F.col("ts") >= cut), grain="hour")
+    return R.finalize(R.merge_rollup(standing, delta))

@@ -84,3 +84,130 @@ def test_degree_histogram_accounts_for_every_pair_end(spark, sf_dir):
     hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vectors"))
     mass = sum(r["degree"] * r["n_vectors"] for r in hist.collect())
     assert mass == 2 * n_pairs
+
+
+def test_crossdoc_mass_flags_template_text(spark):
+    """A span repeated across many docs must score mass 1.0 on every
+    doc that is nothing but the span; a unique doc scores 0.0."""
+    from flink_connectors_spark.operators.text import crossdoc_shingle_mass
+
+    rows = [(i, "terms of service apply here") for i in range(5)]
+    rows.append((99, "completely unique sentence with original words"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["crossdoc_mass"]
+        for r in crossdoc_shingle_mass(d).collect()
+    }
+    assert all(got[i] == 1.0 for i in range(5))
+    assert got[99] == 0.0
+
+
+def test_crossdoc_mass_join_is_merge_pinned(spark, sf_dir):
+    """The DF-table join must not broadcast: both sides are expanded
+    from a small scan and inherit its size estimate (the SCALING.md
+    hazard class); at 100 TB the shingle vocabulary exceeds driver
+    memory."""
+    from flink_connectors_spark.operators.text import crossdoc_shingle_mass
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = crossdoc_shingle_mass(d)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_source_overlap_is_symmetric_and_bounded(spark, sf_dir):
+    from flink_connectors_spark.operators.text import source_shingle_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    out = source_shingle_overlap(d).collect()
+    n_sources = d.select("source").distinct().count()
+    assert len(out) <= n_sources * (n_sources - 1) // 2
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["jaccard"] <= 1.0
+        assert r["n_shared"] >= 1
+
+
+def test_length_buckets_pow2_ladder(spark):
+    from flink_connectors_spark.registry import all_specs
+
+    d = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4, 5, 17, 64, 65])],
+        "doc_id long, text string",
+    )
+    d.createOrReplaceTempView("__lb_docs")
+    # exercise the same bucket expression the registered plan uses
+    from pyspark.sql import functions as F
+    from flink_connectors_spark.functions import tokenize
+
+    n = F.size(tokenize(F.col("text"))).cast("long")
+    bucket = F.when(n <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr("CAST(shiftleft(1L, length(bin(size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) - 1))) AS BIGINT)")
+    )
+    got = {r["n"]: r["b"] for r in d.select(n.alias("n"), bucket.alias("b")).collect()}
+    assert got == {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 17: 32, 64: 64, 65: 128}
+
+
+def test_per_group_quota_keeps_best_n(spark, sf_dir):
+    from flink_connectors_spark.operators.sampling import per_group_quota
+    from flink_connectors_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(d, keep_cols=("source",)).select(
+        "doc_id", "source", "quality_score"
+    )
+    kept = per_group_quota(q, "source", "quality_score", "doc_id", 5)
+    per_src = kept.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_src)
+    # the kept minimum must be >= the dropped maximum per source
+    mins = {
+        r["source"]: r["m"]
+        for r in kept.groupBy("source").agg(F.min("quality_score").alias("m")).collect()
+    }
+    dropped = q.join(
+        kept.select("doc_id"), "doc_id", "left_anti"
+    )
+    maxes = {
+        r["source"]: r["m"]
+        for r in dropped.groupBy("source").agg(F.max("quality_score").alias("m")).collect()
+    }
+    for src, dmax in maxes.items():
+        assert dmax <= mins[src]
+
+
+def test_merge_rollup_equals_rebuild_any_split(spark, sf_dir):
+    """Additivity: merging the rollup of any fact split equals the
+    rollup of all facts — the invariant that makes incremental
+    refresh safe."""
+    from flink_connectors_spark.operators import rollup as R
+    from flink_connectors_spark.session import load_table as lt
+
+    ev = lt(spark, sf_dir, "events")
+    for cut in ("2024-01-05", "2024-01-25"):
+        c = F.to_timestamp(F.lit(f"{cut} 00:00:00"))
+        merged = R.merge_rollup(
+            R.build_rollup(ev.filter(F.col("ts") < c)),
+            R.build_rollup(ev.filter(F.col("ts") >= c)),
+        )
+        direct = R.build_rollup(ev)
+        assert (
+            merged.exceptAll(direct).count() == 0
+            and direct.exceptAll(merged).count() == 0
+        )
+
+
+def test_source_overlap_materializes_grouped_once(spark, sf_dir):
+    """The vocabulary-sized (shingle -> sources) table feeds three
+    consumers; without materialization each re-runs the corpus pass
+    (no exchange reuse — verified). The final plan must read the
+    checkpointed table, not re-scan parquet."""
+    from flink_connectors_spark.operators.text import source_shingle_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        source_shingle_overlap(d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan" not in plan
