@@ -1399,6 +1399,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS BIGINT) % 1000000 < r.ppm
     """,
     tags=("llm", "sampling", "pipeline", "mixture"),
+    since=3,
 )
 def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (the multinomial-alpha=0.5
@@ -1431,6 +1432,7 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks GROUP BY doc_id
     """,
     tags=("llm", "text", "quality"),
+    since=3,
 )
 def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-vocabulary commonness quality signal: fraction of each
@@ -1460,6 +1462,7 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM deg GROUP BY degree
     """,
     tags=("llm", "similarity", "dedup", "stats"),
+    since=3,
 )
 def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup graph degree histogram — the dedup-aggressiveness
@@ -1518,6 +1521,7 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
     """,
     tags=("llm", "similarity", "ann", "ivf", "kmeans", "iterative"),
+    since=3,
 )
 def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free ANN END-TO-END: the deterministic quantized k-means
@@ -1561,6 +1565,7 @@ def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame
     GROUP BY ex.doc_id
     """,
     tags=("llm", "text", "dedup", "boilerplate"),
+    since=3,
 )
 def text_crossdoc_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate mass: per doc, the fraction of its
@@ -1598,6 +1603,7 @@ def text_crossdoc_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.src = source_b
     """,
     tags=("llm", "pipeline", "dedup", "stats", "mixture"),
+    since=3,
 )
 def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap matrix (shared distinct shingles +
@@ -1625,6 +1631,7 @@ def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b GROUP BY bucket
     """,
     tags=("llm", "pipeline", "curriculum", "stats"),
+    since=3,
 )
 def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum/packing length census: documents bucketed to the
@@ -1690,6 +1697,7 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, doc_id, quality_score, rnk FROM r WHERE rnk <= 10
     """,
     tags=("llm", "pipeline", "quality", "mixture"),
+    since=3,
 )
 def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality quota: each source contributes at most its

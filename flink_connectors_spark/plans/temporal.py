@@ -728,6 +728,7 @@ def rollup_sketch_distinct_users(
     GROUP BY 1, 2
     """,
     tags=("temporal", "rollup", "hypertable", "incremental"),
+    since=3,
 )
 def rollup_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup REFRESH: the standing hourly summary (built

@@ -26,6 +26,11 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Round this query was first registered (0 = predates the field).
+    # Auditable metadata (git history shows when each registration
+    # landed), used ONLY to order the never-checked queue fairly:
+    # queries that have waited longer for a driver row go first.
+    since: int = 0
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -36,6 +41,7 @@ def register(
     oracle: str | None,
     tags: tuple[str, ...] = (),
     doc: str = "",
+    since: int = 0,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query plan under ``name``."""
 
@@ -43,7 +49,8 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or "")
+            name=name, fn=fn, oracle=oracle, tags=tags,
+            doc=doc or (fn.__doc__ or ""), since=since,
         )
         return fn
 
@@ -124,7 +131,9 @@ def _driver_order(names: list[str]) -> list[str]:
 
     def key(n: str) -> tuple[int, int, int]:
         if n not in hist:
-            return (1, 0, reg_index[n])  # never checked
+            # never checked: longest-waiting first (since = round the
+            # registration landed), then registration order
+            return (1, _REGISTRY[n].since, reg_index[n])
         rnd, green = hist[n]
         if not green:
             return (0, rnd, reg_index[n])  # red: front of the line

@@ -108,3 +108,22 @@ def test_rows_only_check_counts_as_green(tmp_path):
         json.dumps({"q": {"rows_match": True, "err": None}})
     )
     assert registry._driver_history(tmp_path) == {"q": (1, True)}
+
+
+def test_never_checked_queue_is_longest_waiting_first():
+    """Fairness of the never-checked queue: queries that predate this
+    round (since == 0) must all sort before this round's additions
+    (since == 3) — a new registration may not displace a query that
+    has already waited a round for its driver row."""
+    specs = registry.all_specs()
+    hist = registry._driver_history()
+    never = [n for n in specs if n not in hist]
+    seen_new = False
+    for n in never:
+        if registry._REGISTRY[n].since > 0:
+            seen_new = True
+        else:
+            assert not seen_new, (
+                f"pre-existing never-checked query {n} sorted after a "
+                "newer registration"
+            )
