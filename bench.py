@@ -62,6 +62,12 @@ HEADLINE = [
     "multimodal_decode",
     "dedup_incremental_batch",
     "rollup_daily_from_hourly",
+    # r3 additions
+    "pipeline_mixture_sample",
+    "text_crossdoc_ngram_mass",
+    "pipeline_source_overlap",
+    "similarity_topk_ivf_unlabeled",
+    "rollup_merge_day",
 ]
 
 
