@@ -192,3 +192,73 @@ def per_group_quota(
         df.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= n)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int],
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``splits`` maps split
+    name -> percentage (must sum to 100); each row lands in exactly
+    one split by md5 bucket of its key. Reproducible across engines
+    and runs, stable under corpus growth (a row's split never changes
+    when other rows arrive) — the property RNG-based splitters lack.
+    Split boundaries walk the dict in sorted-name order so the
+    mapping is itself deterministic.
+
+    Scale: a narrow projection — no shuffle, no state.
+    """
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percentages must sum to 100: {splits}")
+    b = hash_bucket(F.col(key_col).cast("string"))
+    expr = None
+    lo = 0
+    for name in sorted(splits):
+        hi = lo + splits[name]
+        cond = b < hi if expr is None else (b >= lo) & (b < hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+        lo = hi
+    return df.withColumn("split", expr)
+
+
+def sample_k_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Unbiased deterministic carve-out: the ``k`` rows of each
+    stratum with the smallest md5(stratum:key) — an order statistic
+    over a uniform hash, so the pick is uniform-without-replacement
+    yet fully reproducible (the eval-set carve-out recipe: quota
+    picks the BEST rows, this picks RANDOM-but-frozen rows).
+
+    One stratum-keyed shuffle + per-partition rank, same single
+    exchange as per_group_quota.
+
+    Returns the kept rows plus ``pick_rank`` (1-based).
+    """
+    from pyspark.sql.window import Window
+
+    h = hex_prefix_to_long(
+        F.md5(
+            F.concat(
+                F.col(stratum_col).cast("string"),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+        12,
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= k)
+    )

@@ -708,3 +708,67 @@ def norm_stats(
             F.max("norm").alias("max_norm"),
         )
     )
+
+
+def quantize_int8_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 symmetric per-vector quantization AUDIT: for each vector,
+    the scale (max |v| / 127), a checksum of the quantized codes, and
+    the maximum reconstruction error — the storage-planning report for
+    keeping a 100 TB embedding store at 1/4 the bytes (float32 ->
+    int8) with known error bounds.
+
+    Everything is computed as column expressions over the array (no
+    UDF): scale via array aggregate of abs-max, codes via
+    round(v/scale * 127) clamped to [-127, 127], error via a zip-free
+    second pass (code*scale/127 - v). Division order and round() are
+    IEEE-identical across engines, so the audit is value-exact —
+    outputs are scalars (no float-array hashing).
+
+    Returns (id, n_dims, scale, code_sum, max_abs_err) — max_abs_err
+    rounded to 6; all-zero vectors get scale 0 and error 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = amax / F.lit(127.0)
+    # the raw scale column keeps a distinct name: the output aliases a
+    # ROUNDED "scale", and Spark's lateral column alias resolution would
+    # otherwise capture it inside the later code/err expressions of the
+    # same select (observed: max_abs_err computed against the rounded
+    # scale, off by up to half an ulp-of-round(6) per code step)
+    code = lambda x: F.when(  # noqa: E731
+        F.col("scale_raw") > 0,
+        F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.round(x / F.col("scale_raw"))),
+        ),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.size(F.col(vec_col)).cast("long").alias("n_dims"),
+        scale.alias("scale_raw"),
+    )
+    codes = F.transform(F.col("v"), code)
+    err = F.zip_with(
+        codes, F.col("v"), lambda c, x: F.abs(c * F.col("scale_raw") - x)
+    )
+    return base.select(
+        id_col,
+        "n_dims",
+        F.round(F.col("scale_raw"), 6).alias("scale"),
+        F.aggregate(
+            codes, F.lit(0.0), lambda acc, c: acc + c
+        ).cast("long").alias("code_sum"),
+        F.round(
+            F.aggregate(
+                err, F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )

@@ -1715,3 +1715,220 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_quota(
         q, "source", "quality_score", "doc_id", 10
     ).select("source", "doc_id", "quality_score", "rnk")
+
+
+_MD5BUCKET = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR))), 1, 12))"
+    " AS BIGINT) % 100"
+)
+
+
+@register(
+    "pipeline_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5BUCKET} < 5 THEN 'test'
+                WHEN {_MD5BUCKET} < 95 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """,
+    tags=("llm", "pipeline", "sampling", "split"),
+    since=3,
+)
+def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5): each doc
+    lands in exactly one split by md5 bucket of its id — reproducible
+    across engines and runs, and a doc's split never flips when the
+    corpus grows (the property RNG splitters lack). Narrow
+    projection, zero shuffle."""
+    from ..operators.sampling import split_assign
+
+    d = _load(spark, sf_dir, "documents")
+    return split_assign(
+        d, "doc_id", {"train": 90, "val": 5, "test": 5}
+    ).select("doc_id", "split")
+
+
+@register(
+    "pipeline_eval_carveout",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id,
+             CAST(concat('0x', substr(md5(concat(source, ':',
+                 CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) AS hv
+      FROM documents),
+    r AS (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY hv, doc_id) AS BIGINT) AS pick_rank
+      FROM h)
+    SELECT source, doc_id, pick_rank FROM r WHERE pick_rank <= 5
+    """,
+    tags=("llm", "pipeline", "sampling"),
+    since=3,
+)
+def pipeline_eval_carveout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen eval-set carve-out: the 5 docs per source with the
+    smallest md5(source:id) — an order statistic over a uniform hash,
+    so the pick is unbiased-random yet fully reproducible (quota
+    takes the BEST docs; this takes RANDOM-but-frozen docs). One
+    source-keyed shuffle + rank."""
+    from ..operators.sampling import sample_k_per_stratum
+
+    d = _load(spark, sf_dir, "documents")
+    return sample_k_per_stratum(d, "source", "doc_id", 5).select(
+        "source", "doc_id", "pick_rank"
+    )
+
+
+@register(
+    "embedding_quantize_error",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CAST(len(v) AS BIGINT) AS n_dims,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+    c AS (
+      SELECT vec_id, v, n_dims, scale,
+             list_transform(v, x ->
+               CASE WHEN scale > 0
+                    THEN greatest(-127.0, least(127.0, round(x / scale)))
+                    ELSE 0.0 END) AS codes
+      FROM s)
+    SELECT vec_id, n_dims,
+           round(scale, 6) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(list_max(list_transform(list_zip(codes, v),
+               p -> abs(p[1] * scale - p[2]))), 6) AS max_abs_err
+    FROM c
+    """,
+    tags=("llm", "similarity", "quantization", "storage"),
+    since=3,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit: per-vector scale, code
+    checksum, and max reconstruction error — the storage-planning
+    report for a float32 -> int8 embedding store (4x fewer bytes at
+    100 TB) with known error bounds. Pure array expressions (no UDF);
+    scalar outputs so the value hash is float-array-free."""
+    return S.quantize_int8_audit(_load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pipeline_quality_threshold_adaptive",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, text, {_WORDS} AS w FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             round(
+               (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4
+               + least((CAST({" + ".join(_sql_stop_hits(lang) for lang in T.STOPWORDS)} AS DOUBLE)
+                        / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 4, 1.0) * 0.2
+               + (CAST(len(list_distinct(w)) AS DOUBLE)
+                  / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 0.2
+               + CAST(CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0
+                      ELSE 0.0 END AS DOUBLE) * 0.2
+             , 6) AS quality_score
+      FROM base),
+    r AS (
+      SELECT doc_id, source, quality_score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY quality_score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q),
+    th AS (
+      SELECT source, quality_score AS threshold
+      FROM r WHERE rn = (n + 3) // 4)
+    SELECT q.doc_id, q.source, q.quality_score, th.threshold
+    FROM q JOIN th USING (source)
+    WHERE q.quality_score >= th.threshold
+    """,
+    tags=("llm", "pipeline", "quality"),
+    since=3,
+)
+def pipeline_quality_threshold_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adaptive quality gating: each source keeps docs at or above
+    its own 25th-percentile quality (the k-th smallest score with
+    k = (n+3) div 4 — a pure-integer discrete quantile, no float
+    interpolation to diverge across engines). A fixed global
+    threshold over-prunes clean sources and under-prunes noisy ones;
+    the per-source threshold prunes each source's own worst quartile.
+    One source-keyed window pass + a broadcast threshold join
+    (sources-sized)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = _load(spark, sf_dir, "documents")
+    q = T.quality_score(d, keep_cols=("source",)).select(
+        "doc_id", "source", "quality_score"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    r = q.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    th = r.filter(
+        F.col("rn") == F.expr("(n + 3) div 4")
+    ).select("source", F.col("quality_score").alias("threshold"))
+    return (
+        q.join(F.broadcast(th), "source")
+        .filter(F.col("quality_score") >= F.col("threshold"))
+        .select("doc_id", "source", "quality_score", "threshold")
+    )
+
+
+@register(
+    "pipeline_doc_embedding_audit",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_docs,
+      (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+      (SELECT COUNT(*) FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                          WHERE e.vec_id = d.doc_id)) AS n_docs_without_vec,
+      (SELECT COUNT(*) FROM embeddings e
+        WHERE NOT EXISTS (SELECT 1 FROM documents d
+                          WHERE d.doc_id = e.vec_id)) AS n_orphan_vecs
+    """,
+    tags=("llm", "pipeline", "audit"),
+    since=3,
+)
+def pipeline_doc_embedding_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-join QA gate: doc/embedding counts plus both dangling
+    sides (docs with no vector, vectors with no doc) — the referential
+    integrity check that runs before any embedding-dependent stage.
+    Two anti-joins; at 100 TB both sides shuffle once on the id
+    (broadcast only if one side is known-small)."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    e = _load(spark, sf_dir, "embeddings").select("vec_id")
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_vecs = e.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    no_vec = (
+        d.join(e, d.doc_id == e.vec_id, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_without_vec"))
+    )
+    orphan = (
+        e.join(d, d.doc_id == e.vec_id, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_vecs"))
+    )
+    return (
+        n_docs.crossJoin(n_vecs).crossJoin(no_vec).crossJoin(orphan)
+    )

@@ -211,3 +211,79 @@ def test_source_overlap_materializes_grouped_once(spark, sf_dir):
         .toString()
     )
     assert "FileScan" not in plan
+
+
+def test_split_assign_partitions_every_row_stably(spark, sf_dir):
+    from flink_connectors_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    out = split_assign(d, "doc_id", {"train": 90, "val": 5, "test": 5})
+    n = d.count()
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n  # exactly one split per row
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # growth stability: a doc's split is identical when computed on a subset
+    sub = split_assign(
+        d.filter(F.col("doc_id") % 3 == 0), "doc_id",
+        {"train": 90, "val": 5, "test": 5},
+    )
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_assign_rejects_bad_percentages(spark):
+    import pytest
+
+    from flink_connectors_spark.operators.sampling import split_assign
+
+    d = spark.range(1)
+    with pytest.raises(ValueError, match="sum to 100"):
+        split_assign(d, "id", {"a": 50, "b": 40})
+
+
+def test_sample_k_per_stratum_exact_k_and_frozen(spark, sf_dir):
+    from flink_connectors_spark.operators.sampling import sample_k_per_stratum
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sample_k_per_stratum(d, "source", "doc_id", 5)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in per)
+    # frozen: identical pick on rerun
+    a = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    b = sorted(
+        (r["source"], r["doc_id"])
+        for r in sample_k_per_stratum(d, "source", "doc_id", 5).collect()
+    )
+    assert a == b
+
+
+def test_quantize_audit_error_bounded_by_half_step(spark, sf_dir):
+    """Symmetric int8 with clamping: for max-normalized vectors no
+    code clamps, so reconstruction error is bounded by scale/2."""
+    from flink_connectors_spark.operators.similarity import quantize_int8_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_int8_audit(emb)
+    # both outputs are round(6): allow their combined rounding slack
+    bad = out.filter(
+        F.col("max_abs_err") > F.col("scale") / 2 + F.lit(1e-6)
+    ).count()
+    assert bad == 0
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_int8_audit(zero).first()
+    assert r["scale"] == 0.0 and r["max_abs_err"] == 0.0 and r["code_sum"] == 0
+
+
+def test_adaptive_threshold_prunes_worst_quartile(spark, sf_dir):
+    from flink_connectors_spark.registry import all_specs
+
+    out = all_specs()["pipeline_quality_threshold_adaptive"].fn(
+        spark, sf_dir
+    )
+    rows = out.collect()
+    assert all(r["quality_score"] >= r["threshold"] for r in rows)
+    # thresholds genuinely differ per source (adaptive, not global)
+    assert len({r["threshold"] for r in rows}) > 1
