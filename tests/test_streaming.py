@@ -334,3 +334,62 @@ def test_live_streaming_rollup_matches_batch(spark, events_stream_dir):
         for r in build_rollup(static, grain="hour").collect()
     }
     assert live == batch
+
+
+def test_live_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The nightly-ingest dedup loop run LIVE: new documents arrive as
+    micro-batches; each batch runs bipartite MinHash-LSH against the
+    standing corpus index inside foreachBatch (releasing the batch's
+    persisted inputs afterwards — the cache-lifetime discipline from
+    the r2 advice), and the union of per-batch pair lists must equal
+    the one-shot bipartite run over all new docs. Holds structurally:
+    each new doc's pairs depend only on (doc, corpus), never on other
+    new docs."""
+    from flink_connectors_spark.operators.dedup import (
+        minhash_lsh_pairs_bipartite,
+        unpersist_inputs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # stream the new docs as 3 parquet files -> 3 micro-batches
+    stream_dir = f"{tmp_path}/new_docs"
+    for i in range(3):
+        new_docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    got: list[tuple] = []
+
+    def on_batch(batch_df, epoch_id):
+        pairs = minhash_lsh_pairs_bipartite(
+            batch_df, corpus, threshold=0.5
+        )
+        got.extend(
+            (r["new_id"], r["corpus_id"], r["jac"]) for r in pairs.collect()
+        )
+        unpersist_inputs(pairs)
+
+    stream = spark.readStream.schema(new_docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = sorted(
+        (r["new_id"], r["corpus_id"], r["jac"])
+        for r in minhash_lsh_pairs_bipartite(
+            new_docs, corpus, threshold=0.5
+        ).collect()
+    )
+    assert sorted(got) == want
+    assert len(want) > 0  # non-degenerate: the corpus has near-dups
