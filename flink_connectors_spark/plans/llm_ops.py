@@ -1537,8 +1537,15 @@ def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame
     assignment output is exactly what you would persist as the IVF
     index at 100 TB; here it flows straight into the search."""
     emb = _load(spark, sf_dir, "embeddings")
-    assign = S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
-    corpus = emb.join(assign.select("vec_id", "cluster"), "vec_id")
+    # the assignment is the persisted IVF index; materialize it once —
+    # the search reads it from two subtrees (cluster reps + candidate
+    # scoring) and would otherwise run the whole build twice per action
+    assign = (
+        S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
+    corpus = emb.join(assign, "vec_id")
     return S.cosine_topk_ivf(
         emb.filter(emb.vec_id < 20), corpus, k=5, n_probe=2,
         cluster_col="cluster",
