@@ -10,7 +10,9 @@ composed the way a production job would run them.
       |> near-dup clustering (MinHash-LSH pairs -> connected
          components; keep each cluster's canonical doc)
       |> eval-set decontamination (fingerprint + shared-shingle)
-      |> deterministic stratified sampling (per-source rates)
+      |> per-source quality quota (top-400 per source)
+      |> temperature mixture sampling (multinomial alpha=0.5)
+      |> frozen train/val/test split (md5, growth-stable)
       |> sequence packing (2048-token training sequences)
       |> chunking (32-token windows, 4 overlap)
       |> Z-ordered parquet (clustered on (source-hash, doc_id))
@@ -36,7 +38,6 @@ from flink_connectors_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
-from flink_connectors_spark.operators.sampling import sample_stratified
 from flink_connectors_spark.operators.scale import write_zordered
 from flink_connectors_spark.operators.text import (
     chunk_documents,
@@ -95,11 +96,24 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     deduped = decontaminate(deduped, eval_set, min_overlap=2)
     n_deduped = deduped.count()
 
-    # 5. deterministic sampling per source
-    sampled = sample_stratified(
-        deduped, "source", "doc_id",
-        {"src0": 100, "src1": 80}, default_pct=60,
+    # 5. per-source quality quota: no source may dominate the mix —
+    # each contributes at most its 400 best docs by quality score
+    from flink_connectors_spark.operators.sampling import (
+        per_group_quota,
+        split_assign,
+        temperature_mixture_sample,
     )
+
+    with_q = deduped.join(q.select("doc_id", "quality_score"), "doc_id")
+    deduped = per_group_quota(
+        with_q, "source", "quality_score", "doc_id", 400
+    ).drop("rnk", "quality_score")
+
+    # 5a. temperature mixture (multinomial alpha=0.5): low-resource
+    # sources up-weighted relative to proportional, half-corpus budget
+    sampled = temperature_mixture_sample(
+        deduped, "source", "doc_id", target_fraction=0.5
+    ).drop("ppm")
 
     # 5b. pack into fixed 2048-token training sequences
     from pyspark.sql import Window as W
@@ -115,8 +129,15 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         ((F.sum("__nt__").over(pw) - F.col("__nt__")) / 2048).cast("bigint"),
     ).drop("__nt__")
 
-    # 6. chunking for the context window
-    chunks = chunk_documents(sampled, chunk_tokens=32, overlap=4)
+    # 5c. frozen train/val/test assignment (never flips as corpus grows)
+    sampled = split_assign(
+        sampled, "doc_id", {"train": 90, "val": 5, "test": 5}
+    )
+
+    # 6. chunking for the context window; split joins back on doc_id
+    chunks = chunk_documents(sampled, chunk_tokens=32, overlap=4).join(
+        sampled.select("doc_id", "split"), "doc_id"
+    )
     chunks, obs = observed_null_rate(chunks, "doc_id", "chunks")
 
     # 7. clustered layout for downstream scans

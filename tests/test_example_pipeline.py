@@ -17,6 +17,9 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert stats["chunks_written"] > 0
     back = spark.read.parquet(out)
     assert back.count() == stats["chunks_written"]
-    assert {"doc_id", "chunk_id", "n_tokens", "chunk_text"} <= set(
+    assert {"doc_id", "chunk_id", "n_tokens", "chunk_text", "split"} <= set(
         back.columns
     )
+    # every chunk carries a frozen split label
+    splits = {r["split"] for r in back.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
