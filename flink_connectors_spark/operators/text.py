@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import minhash_value, normalize_text, tokenize, word_shingles
+from ..functions import (
+    minhash_value,
+    normalize_text,
+    raw_word_ngrams,
+    tokenize,
+    word_shingles,
+)
 
 # Tiny per-language function-word lists for the n-gram/stopword
 # language-ID heuristic. Deliberately small + deterministic.
@@ -474,5 +480,83 @@ def source_shingle_overlap(
                 ),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (the transform counterpart
+    of :func:`crossdoc_shingle_mass`'s report): a token is dropped
+    when it sits inside any 3-gram that occurs in >= ``min_df``
+    documents corpus-wide; the surviving tokens are re-joined in
+    their original order. This is the C4 repeated-line removal idea
+    at token level — template spans vanish from every document at
+    once, without any pairwise similarity computation.
+
+    Plan shape (three keyed shuffles, all on bounded keys):
+    positional 3-grams explode (narrow) -> distinct (doc, gram) ->
+    gram-keyed DF aggregate -> merge-pinned join marks boilerplate
+    gram hits -> hit positions fan out x3 (the covered span) ->
+    (doc, pos) anti-join against the token table -> one doc-keyed
+    fold rebuilds the text (sorted struct collect, no UDF).
+
+    Returns (id, n_tokens, n_removed, clean_text).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            raw_word_ngrams(tokenize(F.col(text_col)), 3)
+        ).alias("p", "gram"),
+    )
+    dfreq = (
+        grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dfreq.hint("merge"), "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(2))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    stats = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )

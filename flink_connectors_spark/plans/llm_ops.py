@@ -1939,3 +1939,48 @@ def pipeline_doc_embedding_audit(
     return (
         n_docs.crossJoin(n_vecs).crossJoin(no_vec).crossJoin(orphan)
     )
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    ex AS (
+      SELECT doc_id, p, concat_ws(' ', w[p], w[p+1], w[p+2]) AS gram
+      FROM norm, unnest(range(1, len(w)-1)) AS t(p)
+      WHERE len(w) >= 3),
+    bp AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ex)
+      GROUP BY gram HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT ex.doc_id, ex.p + d.d AS pos
+      FROM ex JOIN bp USING (gram), (VALUES (0), (1), (2)) d(d)),
+    toks AS (
+      SELECT doc_id, i AS pos, w[i] AS tok
+      FROM norm, unnest(range(1, len(w) + 1)) AS t(i)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN cov c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT n.doc_id,
+           CAST(len(n.w) AS BIGINT) AS n_tokens,
+           CAST(len(n.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM norm n LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "text", "dedup", "boilerplate", "transform"),
+    since=3,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL: tokens inside any 3-gram
+    occurring in >= 2 documents corpus-wide are dropped and the text
+    is rebuilt in original token order — the C4 repeated-line removal
+    idea lifted to corpus level, deleting template spans from every
+    document at once with no pairwise similarity work. The transform
+    counterpart of text_crossdoc_ngram_mass's report."""
+    return T.boilerplate_strip(_load(spark, sf_dir, "documents"))

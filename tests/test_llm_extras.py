@@ -287,3 +287,31 @@ def test_adaptive_threshold_prunes_worst_quartile(spark, sf_dir):
     assert all(r["quality_score"] >= r["threshold"] for r in rows)
     # thresholds genuinely differ per source (adaptive, not global)
     assert len({r["threshold"] for r in rows}) > 1
+
+
+def test_boilerplate_strip_removes_spans_preserves_order(spark):
+    from flink_connectors_spark.operators.text import boilerplate_strip
+
+    template = "all rights reserved contact us today"
+    # frames are fully per-doc-unique tokens: every 3-gram touching a
+    # frame token contains one, so only the shared template is covered
+    rows = [
+        (
+            i,
+            f"alpha{i} beta{i} gamma{i} {template} "
+            f"delta{i} epsilon{i} zeta{i}",
+        )
+        for i in range(4)
+    ]
+    rows.append((99, "entirely original document nothing shared here at all"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in boilerplate_strip(d).collect()}
+    for i in range(4):
+        r = got[i]
+        assert r["clean_text"] == (
+            f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        )
+        assert r["n_removed"] == 6  # exactly the template tokens
+    r99 = got[99]
+    assert r99["n_removed"] == 0
+    assert r99["clean_text"] == "entirely original document nothing shared here at all"
