@@ -17,6 +17,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast TIMESTAMP_NTZ event-time columns to TIMESTAMP (instant).
+
+    ``withWatermark`` requires an instant-typed column
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), but parquet files
+    written with naive timestamps — including the µs-NTZ testdata —
+    arrive as TIMESTAMP_NTZ. Under the engine's UTC session timezone
+    the cast is value-preserving (naive wall-clock == UTC instant), so
+    every builder applies it defensively to its event-time column."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(
     stream: DataFrame,
     window: str = "10 minutes",
@@ -25,6 +41,7 @@ def tumbling_counts(
     """Tumbling-window counts/sums per event_type with watermarked
     late-data handling — the streaming twin of
     plans.streaming_batch.stream_tumbling_window."""
+    stream = ensure_event_time(stream, "ts")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
@@ -49,6 +66,7 @@ def sliding_counts(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Sliding-window counts per event_type."""
+    stream = ensure_event_time(stream, "ts")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
@@ -68,6 +86,7 @@ def session_counts(
 ) -> DataFrame:
     """Session windows (gap-based) per user via the built-in
     session_window — state merges adjacent events within the gap."""
+    stream = ensure_event_time(stream, "ts")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
@@ -86,6 +105,7 @@ def dedup_events(
 ) -> DataFrame:
     """Streaming dedup: first event per key wins; watermark bounds the
     dedup state (keys older than the watermark are evicted)."""
+    stream = ensure_event_time(stream, "ts")
     return stream.withWatermark("ts", watermark).dropDuplicates(
         keys or ["event_id"]
     )
@@ -173,6 +193,7 @@ def clicks_before_errors_stream(stream: DataFrame) -> DataFrame:
     Both sides carry watermarks and the join condition bounds event
     time on both sides, so Spark can expire join state — unbounded
     state otherwise. The Flink-SQL analogue is an interval join."""
+    stream = ensure_event_time(stream, "ts")
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(

@@ -18,10 +18,16 @@ from flink_connectors_spark.streaming import pipelines as P
 
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, sf_dir, tmp_path_factory):
-    """Events replayed as parquet files with µs timestamps (the raw
-    file carries ns, which streaming schema inference rejects too)."""
+    """Events replayed as parquet files with instant (LTZ) µs
+    timestamps: ``withWatermark`` requires TIMESTAMP, and the raw
+    table stores naive event time (TIMESTAMP_NTZ in the current
+    testdata; formerly INT64 nanos), so cast under the UTC session
+    timezone — value-preserving — before writing the replay files."""
     out = str(tmp_path_factory.mktemp("events_stream"))
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.write.mode("overwrite").parquet(out)
     return out
 
 
