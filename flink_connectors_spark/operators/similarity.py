@@ -778,3 +778,40 @@ def quantize_int8_audit(
             6,
         ).alias("max_abs_err"),
     )
+
+
+def topk_recall_audit(
+    exact: DataFrame, approx: DataFrame, k: int = 5
+) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k —
+    the QA measurement every approximate index needs before it
+    replaces brute force in production. Both inputs are
+    (query_id, neighbor_id, ..., rnk) top-k tables (the shapes
+    ``cosine_topk_bruteforce`` / ``cosine_topk_rplsh`` /
+    ``cosine_topk_ivf`` return).
+
+    Scale shape: both inputs are result-sized (|Q| x k rows), so every
+    join here is trivially small regardless of corpus size — the audit
+    adds nothing to the search cost, and at 100 TB the exact side is
+    run over a SAMPLE of queries (pass a sampled query set to the
+    brute-force search), which is exactly how recall is monitored on
+    real deployments.
+
+    Returns (query_id, n_exact, n_hits, recall) with recall rounded
+    to 6 (exact small-integer division — engine-stable).
+    """
+    e = exact.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        nh.cast("long").alias("n_hits"),
+        F.round(nh / F.col("n_exact"), 6).alias("recall"),
+    )

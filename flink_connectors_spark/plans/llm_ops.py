@@ -567,6 +567,73 @@ def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_recall_audit",
+    oracle=f"""
+    WITH {_rplsh_sig_cte()},
+    ann_pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig q JOIN sig c
+        ON q.band_id = c.band_id AND q.band_key = c.band_key
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+    ann_scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             {_sql_cos("qe.embedding", "ce.embedding")} AS score
+      FROM ann_pairs p
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ce ON ce.vec_id = p.neighbor_id),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM ann_scored) t WHERE rnk <= 5),
+    bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    bf_scored AS (
+      SELECT bfq.query_id, bfc.neighbor_id,
+             {_sql_cos("bfq.qvec", "bfc.cvec")} AS score
+      FROM bfc CROSS JOIN bfq
+      WHERE bfc.neighbor_id <> bfq.query_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored) t WHERE rnk <= 5),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN ann ON bf.query_id = ann.query_id
+                      AND bf.neighbor_id = ann.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT b.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "ann", "qa"),
+    since=3,
+)
+def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH ANN against the exact brute-force
+    top-5, per query — the QA measurement that decides whether an
+    approximate index may replace brute force. Audit joins are
+    result-sized (|Q| x k); at corpus scale the exact side runs over
+    a query sample, so monitoring cost is independent of N."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id < 20)
+    exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    approx = S.cosine_topk_rplsh(
+        q, emb, k=5, n_planes=16, bits_per_band=4
+    )
+    return S.topk_recall_audit(exact, approx, k=5)
+
+
 def _lsh_pairs_cte() -> str:
     """Composable CTE chain ending in ``scored`` (id1, id2, score):
     the sign-LSH candidate pairs with exact cosine verification, used

@@ -315,3 +315,42 @@ def test_boilerplate_strip_removes_spans_preserves_order(spark):
     r99 = got[99]
     assert r99["n_removed"] == 0
     assert r99["clean_text"] == "entirely original document nothing shared here at all"
+
+
+def test_topk_recall_audit_counts_hits_and_misses(spark):
+    from flink_connectors_spark.operators.similarity import topk_recall_audit
+
+    exact = spark.createDataFrame(
+        # q1: exact top-3 = n1,n2,n3 ; q2: top-2 = n7,n8
+        [(1, 11, 1), (1, 12, 2), (1, 13, 3), (2, 7, 1), (2, 8, 2)],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    approx = spark.createDataFrame(
+        # q1 recovers n1,n3 (+1 wrong); q2 recovers nothing
+        [(1, 11, 1), (1, 99, 2), (1, 13, 3), (2, 55, 1)],
+        "query_id long, neighbor_id long, rnk int",
+    )
+    got = {r["query_id"]: r for r in topk_recall_audit(exact, approx, k=3).collect()}
+    assert got[1]["n_exact"] == 3 and got[1]["n_hits"] == 2
+    assert abs(got[1]["recall"] - 2 / 3) < 1e-6
+    # a query the ANN completely missed still reports (recall 0), not
+    # a dropped row
+    assert got[2]["n_exact"] == 2 and got[2]["n_hits"] == 0
+    assert got[2]["recall"] == 0.0
+
+
+def test_recall_audit_rplsh_beats_random_pruning(spark, sf_dir):
+    """The LSH index must deliver far better recall than its pruning
+    ratio implies for a random filter: 4x4-bit bands keep ~1/4 of the
+    corpus as candidates, so random candidate selection would recall
+    ~0.25 — the sign-correlation property should push well past that."""
+    from flink_connectors_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 20)
+    exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    approx = S.cosine_topk_rplsh(q, emb, k=5, n_planes=16, bits_per_band=4)
+    rows = S.topk_recall_audit(exact, approx, k=5).collect()
+    assert len(rows) == 20
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall > 0.4
