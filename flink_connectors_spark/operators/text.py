@@ -560,3 +560,64 @@ def boilerplate_strip(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-derived unigram cross-entropy per document — the
+    perplexity-proxy quality signal (CCNet scores documents with a
+    reference-LM perplexity; the self-corpus unigram model is its
+    zero-dependency cousin): rare-token-heavy docs (gibberish, hash
+    dumps, OCR noise) score high, head-vocabulary prose scores low.
+
+    Determinism discipline: per-token values are ln(c/N) — c and N
+    are exact integers, c/N divides identically (IEEE) everywhere,
+    ln() may differ in the last ulp across libm builds — and the
+    per-doc sum folds in TOKEN POSITION order (sort_array over
+    (pos, lp) structs, then a sequential aggregate), never via an
+    unordered SUM whose accumulation order depends on partitioning.
+    round(6) absorbs the ulp noise; the ordering nondeterminism —
+    the part that would actually flip hashes — is structurally gone.
+
+    Scale shape: one explode + one groupBy(token) for the frequency
+    table, one join token->lp (high-frequency tokens skew this key;
+    AQE skew-join splits it — or pre-split head tokens to a broadcast
+    map join at real scale), one groupBy(doc) to re-assemble. The
+    frequency table is vocabulary-sized (Heaps' law: ~N^0.5 rows),
+    never corpus-sized.
+
+    Returns (id, n_tokens, avg_neg_logprob) — higher = more
+    surprising under the corpus unigram model.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    lp = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "pos",
+            F.log(F.col("c").cast("double") / F.col("__n__")).alias("lp"),
+        )
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "lp")))
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.aggregate(
+                ordered, F.lit(0.0), lambda acc, x: acc + x["lp"]
+            ).alias("__s__"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(-F.col("__s__") / F.col("n_tokens"), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -1514,6 +1514,41 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, g.pos AS pos, d.w[g.pos] AS tok
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.w))) AS pos) g),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    lp AS (
+      SELECT t.doc_id, t.pos, ln(CAST(f.c AS DOUBLE) / tot.n) AS lp
+      FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             list_sum(list(lp ORDER BY pos)) AS s
+      FROM lp GROUP BY doc_id)
+    SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_neg_logprob
+    FROM per_doc
+    """,
+    tags=("llm", "text", "quality"),
+    since=3,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram cross-entropy per document — the perplexity
+    proxy (CCNet's reference-LM score with the corpus itself as the
+    model). Per-doc sums fold in token-position order in BOTH engines
+    (sort_array fold here, list(... ORDER BY pos) in the oracle), so
+    accumulation order never depends on partitioning; round(6)
+    absorbs last-ulp ln() differences between libm builds."""
+    d = _load(spark, sf_dir, "documents")
+    return T.unigram_logprob_score(d)
+
+
+@register(
     "similarity_graph_degree",
     oracle=f"""
     WITH {_lsh_pairs_cte()},

@@ -354,3 +354,22 @@ def test_recall_audit_rplsh_beats_random_pruning(spark, sf_dir):
     assert len(rows) == 20
     mean_recall = sum(r["recall"] for r in rows) / len(rows)
     assert mean_recall > 0.4
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from flink_connectors_spark.operators.text import unigram_logprob_score
+
+    common = "the cat sat on the mat " * 5
+    d = spark.createDataFrame(
+        [
+            (1, common.strip()),
+            (2, (common + "zyx9q wvu8p ").strip()),  # two corpus-unique tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_score(d).collect()}
+    assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
+    assert got[1]["n_tokens"] == 30 and got[2]["n_tokens"] == 32
+    # all-identical corpus tokens would make every lp = ln(c/N) < 0,
+    # so the negated average is strictly positive
+    assert got[1]["avg_neg_logprob"] > 0
