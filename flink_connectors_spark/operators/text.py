@@ -563,7 +563,10 @@ def boilerplate_strip(
 
 
 def unigram_logprob_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_k: int = 1024,
 ) -> DataFrame:
     """Corpus-derived unigram cross-entropy per document — the
     perplexity-proxy quality signal (CCNet scores documents with a
@@ -580,12 +583,19 @@ def unigram_logprob_score(
     round(6) absorbs the ulp noise; the ordering nondeterminism —
     the part that would actually flip hashes — is structurally gone.
 
-    Scale shape: one explode + one groupBy(token) for the frequency
-    table, one join token->lp (high-frequency tokens skew this key;
-    AQE skew-join splits it — or pre-split head tokens to a broadcast
-    map join at real scale), one groupBy(doc) to re-assemble. The
-    frequency table is vocabulary-sized (Heaps' law: ~N^0.5 rows),
-    never corpus-sized.
+    Scale shape — the token->frequency join is the hazard. Left to
+    Catalyst it broadcasts the WHOLE vocabulary (its size estimate
+    descends from the source file, and vocabulary at corpus scale —
+    Heaps' law ~N^0.5 — outgrows the driver), while a plain shuffle
+    join ships every corpus token through a key skewed onto "the".
+    So the join is a HEAD/TAIL HYBRID: the ``head_k``
+    highest-frequency tokens (which carry most of the token mass and
+    ALL of the skew) join as an explicitly bounded broadcast, and
+    only rare-token rows — a small fraction of the corpus — shuffle
+    against the remaining vocabulary, pinned shuffle_hash (no
+    unbounded broadcast, and the skewed keys are gone from this
+    branch by construction). Both branches produce identical lp
+    values, so the split never changes results, only the plan.
 
     Returns (id, n_tokens, avg_neg_logprob) — higher = more
     surprising under the corpus unigram model.
@@ -595,8 +605,15 @@ def unigram_logprob_score(
     )
     total = toks.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # deterministic head: count desc, token asc tie-break
+    head = freq.orderBy(F.desc("c"), F.asc("tok")).limit(head_k)
+    tail = freq.join(F.broadcast(head.select("tok")), "tok", "left_anti")
+    head_rows = toks.join(F.broadcast(head), "tok")
+    tail_rows = toks.join(
+        F.broadcast(head.select("tok")), "tok", "left_anti"
+    ).join(tail.hint("shuffle_hash"), "tok")
     lp = (
-        toks.join(freq, "tok")
+        head_rows.unionByName(tail_rows)
         .crossJoin(F.broadcast(total))
         .select(
             id_col,

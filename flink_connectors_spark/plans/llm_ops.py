@@ -1543,9 +1543,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     model). Per-doc sums fold in token-position order in BOTH engines
     (sort_array fold here, list(... ORDER BY pos) in the oracle), so
     accumulation order never depends on partitioning; round(6)
-    absorbs last-ulp ln() differences between libm builds."""
+    absorbs last-ulp ln() differences between libm builds.
+
+    head_k=8 (production default 1024) so the head/tail hybrid join
+    exercises BOTH branches on the ~31-token synthetic vocabulary —
+    the oracle is split-agnostic, proving the hybrid changes the
+    plan, never the values."""
     d = _load(spark, sf_dir, "documents")
-    return T.unigram_logprob_score(d)
+    return T.unigram_logprob_score(d, head_k=8)
 
 
 @register(

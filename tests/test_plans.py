@@ -228,3 +228,22 @@ def test_kmeans_assign_has_no_shuffle_before_assignment(spark, sf_dir):
         "assignment must not shuffle N x k vector-carrying rows"
     )
     assert "Window" not in plan, "argmin must be an expression, not a window"
+
+
+def test_unigram_logprob_hybrid_join_pins_tail_shuffle(spark, sf_dir):
+    """The token->frequency join must stay a head/tail hybrid: the
+    vocabulary tail is pinned shuffle_hash (an unpinned plan would
+    broadcast the whole vocabulary — unbounded at corpus scale), and
+    the split is value-invariant (head_k only changes the plan)."""
+    from flink_connectors_spark.operators.text import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = unigram_logprob_score(docs, head_k=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan  # tail branch not broadcast
+    small = {tuple(r) for r in df.collect()}
+    big = {
+        tuple(r)
+        for r in unigram_logprob_score(docs, head_k=10_000).collect()
+    }
+    assert small == big
