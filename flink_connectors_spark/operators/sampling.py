@@ -226,6 +226,45 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def global_shuffle_order(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global training-order assignment — the "shuffle
+    the corpus before training" step, reproducibly: every row gets a
+    ``shard`` in [0, n_shards) and a dense 1-based ``pos`` within its
+    shard, both pure functions of the row key (shard = md5 bucket;
+    within-shard order = full md5 hex, key tie-break). Readers stream
+    shard files in pos order and see a uniform random permutation of
+    the corpus — identical every run, every engine, any partitioning,
+    with no RNG state to snapshot.
+
+    Scale shape: ONE hash shuffle on ``shard`` (n_shards bounded
+    partitions) + a per-partition rank — this replaces the global
+    ORDER BY rand() sort (a full-corpus range exchange) that the
+    naive formulation pays. Each shard's rank is independent, so
+    skew is impossible by construction (md5 buckets are uniform).
+    """
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h__").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__h__", F.md5(key))
+        .withColumn(
+            "shard",
+            F.pmod(
+                hex_prefix_to_long(F.col("__h__"), 12), F.lit(n_shards)
+            ).cast("long"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h__")
+    )
+
+
 def sample_k_per_stratum(
     df: DataFrame,
     stratum_col: str,

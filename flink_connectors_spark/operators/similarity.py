@@ -815,3 +815,64 @@ def topk_recall_audit(
         nh.cast("long").alias("n_hits"),
         F.round(nh / F.col("n_exact"), 6).alias("recall"),
     )
+
+
+def norm_audit(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    micro_scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-store QA report: per-group vector counts and L2-norm
+    statistics — the pre-flight gate before any cosine stage (zero or
+    near-zero norms poison normalized similarity; a norm distribution
+    that shifts between ingests flags an encoder change; a group whose
+    norms collapse flags a degenerate embedding batch).
+
+    Determinism discipline (the anomaly_value_zscore recipe): each
+    vector's norm is a sequential fold over the array (fixed order —
+    bit-identical everywhere), then quantized to INTEGER micro-units,
+    so the cross-row aggregates are exact int64 sums/mins/maxes whose
+    value can never depend on partitioning or accumulation order. The
+    derived mean divides two exact integers (IEEE-identical) and
+    rounds last. int64 headroom: sum overflows only past ~9e18
+    micro-units — e.g. 1e11 vectors of norm 1e7 micros — past that,
+    raise micro_scale granularity or partition the audit by group.
+
+    Scale shape: narrow per-vector projection (the vector never
+    leaves its scan partition) -> ONE keyed shuffle of scalar rows on
+    the group key. The vectors themselves are never shuffled.
+
+    Returns (group, n_vecs, n_zero_norm, sum_norm_micros,
+    min_norm_micros, max_norm_micros, avg_norm).
+    """
+    nm = F.round(l2_norm(F.col(vec_col)) * micro_scale).cast("long")
+    per_vec = corpus.select(F.col(group_col).alias("group"), nm.alias("nm"))
+    return (
+        per_vec.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum((F.col("nm") == 0).cast("long")).cast("long").alias(
+                "n_zero_norm"
+            ),
+            F.sum("nm").cast("long").alias("sum_norm_micros"),
+            F.min("nm").cast("long").alias("min_norm_micros"),
+            F.max("nm").cast("long").alias("max_norm_micros"),
+        )
+        .select(
+            "group",
+            "n_vecs",
+            "n_zero_norm",
+            "sum_norm_micros",
+            "min_norm_micros",
+            "max_norm_micros",
+            F.round(
+                (
+                    F.col("sum_norm_micros").cast("double")
+                    / F.col("n_vecs").cast("double")
+                )
+                / micro_scale,
+                6,
+            ).alias("avg_norm"),
+        )
+    )

@@ -638,3 +638,45 @@ def unigram_logprob_score(
             ),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the within-document
+    token distribution — the classic gibberish/spam gate that
+    repetition ratios miss: a doc cycling two tokens has entropy ~1
+    bit regardless of length, keyword-stuffed spam sits far below
+    prose, and high-entropy hash dumps sit far above it. Complements
+    :func:`unigram_logprob_score` (corpus-relative surprise) with a
+    purely intra-document signal.
+
+    Determinism discipline: the entropy fold walks the doc's DISTINCT
+    tokens in sorted order (array_sort + sequential aggregate), so
+    float accumulation order never depends on partitioning; the final
+    ``+ 0.0`` collapses IEEE -0.0 (an all-unique doc sums exact-zero
+    terms through ``-sum``) to +0.0 on both engines before round(6).
+
+    Scale shape: a NARROW projection — per-row array expressions
+    only, no explode, no shuffle, nothing but the scan. The
+    distinct×tokens inner filter is quadratic in DOCUMENT length
+    (bounded by context-window-sized docs), never in corpus size.
+
+    Returns (id, n_tokens, n_distinct, entropy_bits).
+    """
+    w = tokenize(F.col(text_col))
+    n = F.size(w).cast("double")
+
+    def _term(acc: Column, t: Column) -> Column:
+        p = F.size(F.filter(w, lambda x: x == t)).cast("double") / n
+        return acc + p * F.log2(p)
+
+    ent = -F.aggregate(
+        F.array_sort(F.array_distinct(w)), F.lit(0.0), _term
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.round(ent + F.lit(0.0), 6).alias("entropy_bits"),
+    )

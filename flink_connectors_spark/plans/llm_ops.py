@@ -2091,3 +2091,168 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     document at once with no pairwise similarity work. The transform
     counterpart of text_crossdoc_ngram_mass's report."""
     return T.boilerplate_strip(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_global_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS hx,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 8 AS shard
+      FROM documents)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("llm", "pipeline", "sampling", "ordering"),
+    since=3,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order: md5 shard + dense
+    within-shard position — a reproducible uniform permutation of the
+    corpus with ONE bounded-key shuffle, replacing the full-corpus
+    range sort of ORDER BY rand() (and reproducible where rand() is
+    not)."""
+    from ..operators.sampling import global_shuffle_order
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle_order(d, "doc_id", 8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           round(-list_sum(list_transform(list_sort(list_distinct(w)),
+                 t -> (CAST(len(list_filter(w, x -> x = t)) AS DOUBLE)
+                       / len(w))
+                      * log2(CAST(len(list_filter(w, x -> x = t)) AS DOUBLE)
+                             / len(w))))
+                 + 0.0, 6) AS entropy_bits
+    FROM norm
+    """,
+    tags=("llm", "text", "quality", "entropy"),
+    since=3,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token-distribution Shannon entropy (bits):
+    the intra-doc gibberish/spam gate (low = keyword stuffing /
+    two-token loops, high = hash dumps), complementing the
+    corpus-relative unigram logprob signal. Narrow projection — no
+    shuffle at any corpus size; the fold walks distinct tokens in
+    sorted order so float accumulation is engine- and
+    partitioning-stable."""
+    from ..operators.text import token_entropy
+
+    return token_entropy(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_norm_audit",
+    oracle=f"""
+    WITH n AS (
+      SELECT label AS "group",
+             CAST(round({_sql_norm('embedding')} * 1000000) AS BIGINT) AS nm
+      FROM embeddings)
+    SELECT "group",
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(SUM(nm) AS BIGINT) AS sum_norm_micros,
+           CAST(MIN(nm) AS BIGINT) AS min_norm_micros,
+           CAST(MAX(nm) AS BIGINT) AS max_norm_micros,
+           round((CAST(SUM(nm) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))
+                 / 1000000, 6) AS avg_norm
+    FROM n GROUP BY "group"
+    """,
+    tags=("llm", "similarity", "audit"),
+    since=3,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store QA: per-label vector counts + L2-norm stats in
+    exact integer micro-units (zero-norm vectors poison cosine stages;
+    norm drift flags encoder changes). Vectors never shuffle — only
+    scalar (group, nm) rows do."""
+    from ..operators.similarity import norm_audit
+
+    return norm_audit(_load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pipeline_pack_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    runs AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+             CAST(cum - n_tokens - ((cum - n_tokens) // 2048) * 2048
+                  AS BIGINT) AS pack_offset
+      FROM runs)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(CASE WHEN pack_offset + n_tokens > 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+           round(CAST(SUM(n_tokens) AS BIGINT)
+                 / (CAST(COUNT(DISTINCT pack_id) AS DOUBLE) * 2048), 6)
+             AS fill_ratio
+    FROM packed GROUP BY source
+    """,
+    tags=("llm", "pipeline", "packing", "audit"),
+    since=3,
+)
+def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA over pipeline_sequence_packing's assignment: per
+    source, how many 2048-token packs the corpus fills, how full they
+    are, and how many docs straddle a pack boundary (the
+    attention-mask hazard the document-boundary variant trades
+    against). Re-aggregates the packing output — summary-sized after
+    one source-keyed shuffle; exact integer sums, ratio rounded
+    last."""
+    from pyspark.sql import functions as F
+
+    packed = pipeline_sequence_packing(spark, sf_dir)
+    budget = 2048
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.sum(
+                (F.col("pack_offset") + F.col("n_tokens") > budget).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_straddlers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_packs",
+            "n_straddlers",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_packs").cast("double") * budget),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )

@@ -7,6 +7,7 @@ the plan we designed for."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from flink_connectors_spark.registry import all_specs
@@ -247,3 +248,62 @@ def test_unigram_logprob_hybrid_join_pins_tail_shuffle(spark, sf_dir):
         for r in unigram_logprob_score(docs, head_k=10_000).collect()
     }
     assert small == big
+
+
+def test_global_shuffle_one_bounded_exchange_no_range_sort(spark, sf_dir):
+    """pipeline_global_shuffle replaces ORDER BY rand()'s full-corpus
+    range exchange with ONE hash shuffle on the bounded shard key."""
+    plan = _plan(spark, sf_dir, "pipeline_global_shuffle")
+    # one hashpartitioning exchange on shard (the spread() round-robin
+    # is local-mode input spreading, not a plan property)
+    assert plan.count("hashpartitioning") == 1, "one shard-keyed shuffle only"
+    assert "rangepartitioning" not in plan, (
+        "global permutation must not range-sort the corpus"
+    )
+
+
+def _op_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_token_entropy_is_narrow_no_shuffle(spark, sf_dir):
+    """Operator-level (without the local-mode spread() repartition,
+    which no-ops on a production multi-split scan): entropy is
+    per-row array math — zero shuffle at any corpus size."""
+    from flink_connectors_spark.operators.text import token_entropy
+    from flink_connectors_spark.session import load_table
+
+    plan = _op_plan(token_entropy(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan, (
+        "entropy is per-row array math; any shuffle is a bug"
+    )
+
+
+def test_norm_audit_vectors_never_shuffle(spark, sf_dir):
+    """The audit shuffles scalar (group, nm) rows only: partial
+    aggregation below the single exchange, and the embedding column
+    must not appear in the exchange's input schema."""
+    from flink_connectors_spark.operators.similarity import norm_audit
+    from flink_connectors_spark.session import load_table
+
+    plan = _op_plan(norm_audit(load_table(spark, sf_dir, "embeddings")))
+    assert plan.count("Exchange (") == 1
+    assert "partial" in plan.lower(), "map-side combine expected"
+    # the vector column is consumed below the exchange: its Input
+    # schema must carry only scalar aggregate state, never the array
+    m = re.search(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "embedding" not in m.group(1), m.group(1)
+
+
+def test_pack_efficiency_reuses_packing_shuffle(spark, sf_dir):
+    """The report re-aggregates the packing output BY ITS WINDOW KEY
+    (source), so the window's source-hash exchange is reused — adding
+    the QA stage must not add a corpus shuffle (distinct pack_id adds
+    one summary-sized re-exchange at most)."""
+    plan = _plan(spark, sf_dir, "pipeline_pack_efficiency")
+    n_ex = plan.count("Exchange (")
+    assert n_ex <= 2, f"expected window shuffle (+ distinct) only, got {n_ex}"
