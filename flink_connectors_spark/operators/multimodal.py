@@ -354,3 +354,70 @@ def metadata_only(mm: DataFrame) -> DataFrame:
     means the binary column is never read from parquet for this plan
     (verify via ReadSchema in .explain)."""
     return mm.select("doc_id", "modality", "mime", "byte_len", "content_md5")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("start_sample", LongType()),
+        StructField("n_in_frame", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def frame_sample_audio(
+    mm: DataFrame, frame_samples: int = 64, every_n: int = 2
+) -> DataFrame:
+    """Temporal frame sampling over real audio payload bytes — the
+    video-frame-sample shape (reference plumbing for 'take every Nth
+    frame of each clip') exercised on the codec-free WAV payloads:
+    split each clip's PCM data into consecutive ``frame_samples``-
+    sample frames, keep every ``every_n``-th, and emit one row per
+    KEPT frame with its exact byte checksum. The fan-out (one row in,
+    many frames out) is the part that matters: frame extraction is
+    Arrow-batched mapInPandas, embarrassingly parallel, and the
+    output is frame-metadata-sized, never payload-sized. An MP4
+    keyframe sampler drops into this exact signature when codec libs
+    exist; non-RIFF payloads pass through silently (dispatch upstream
+    filters modality).
+
+    Deterministic: the synthesized sample pattern makes every frame
+    checksum a pure integer function of (doc_id, frame range) — the
+    DuckDB oracle predicts all of them without touching binary.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    continue
+                pos, data = 12, b""
+                while pos + 8 <= len(p):
+                    cid, clen = struct.unpack_from("<4sI", p, pos)
+                    if cid == b"data":
+                        data = p[pos + 8 : pos + 8 + clen]
+                    pos += 8 + clen + (clen % 2)
+                arr = np.frombuffer(data, dtype=np.uint8)
+                n_samples = len(arr) // 2
+                n_frames = -(-n_samples // frame_samples)
+                for fi in range(0, n_frames, every_n):
+                    seg = arr[
+                        fi * frame_samples * 2 : (fi + 1) * frame_samples * 2
+                    ]
+                    rows.append(
+                        (
+                            int(did),
+                            fi,
+                            fi * frame_samples,
+                            len(seg) // 2,
+                            int(seg.sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return mm.mapInPandas(run, FRAME_SCHEMA)

@@ -2256,3 +2256,49 @@ def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ratio"),
         )
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id, n_chars % 256 + 16 AS n_samples
+      FROM documents WHERE doc_id % 2 = 1),
+    fr AS (
+      SELECT doc_id, n_samples, CAST(f.fi AS BIGINT) AS frame_idx
+      FROM wav,
+           unnest(range(0, CAST((n_samples + 63) // 64 AS BIGINT)))
+             AS f(fi)
+      WHERE f.fi % 2 = 0)
+    SELECT doc_id,
+           frame_idx,
+           CAST(frame_idx * 64 AS BIGINT) AS start_sample,
+           CAST(least(64, n_samples - frame_idx * 64) AS BIGINT)
+             AS n_in_frame,
+           CAST(list_sum(list_transform(
+                 range(frame_idx * 64,
+                       frame_idx * 64
+                       + least(64, n_samples - frame_idx * 64)),
+                 i -> (i * 31 + doc_id) % 65536 % 256
+                      + (i * 31 + doc_id) % 65536 // 256)) AS BIGINT)
+             AS frame_checksum
+    FROM fr
+    """,
+    tags=("llm", "multimodal", "framesample", "pandas_udf"),
+    since=3,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal frame sampling over real media bytes: synthesize the
+    WAV clips (odd ids), then keep every 2nd 64-sample frame with its
+    exact data checksum — the take-every-Nth-frame video shape on the
+    codec-free modality. The oracle predicts every kept frame's
+    checksum arithmetically, so a single wrong byte boundary in the
+    frame walk fails the hash. Row fan-out (clip -> frames) happens
+    inside Arrow-batched mapInPandas; output is frame-metadata-sized,
+    payloads never leave the stage."""
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id % 2 = 1")
+        .select("doc_id", "n_chars")
+    )
+    return M.frame_sample_audio(M.synthesize_media(d))
