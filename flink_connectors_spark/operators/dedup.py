@@ -511,3 +511,70 @@ def decontaminate(
         .distinct()
     )
     return stage1.join(contaminated, id_col, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric containment dedup: the smaller document's shingle
+    set sits (mostly) INSIDE the larger one — quotes, reposts-with-
+    commentary, article+boilerplate wrappers. Jaccard misses these
+    structurally: a 10-shingle doc fully contained in a 1000-shingle
+    doc scores jac ~= 0.01 but containment 1.0. Containment here is
+    |A∩B| / min(|A|, |B|) (the smaller set's coverage), the standard
+    drop-the-contained-doc signal.
+
+    Same blocked self-join scale shape as :func:`ngram_jaccard_pairs`
+    (one block-keyed shuffle, pair count bounded by the largest
+    block, merge-pinned against the small-file broadcast hazard).
+
+    Returns (d1, d2, containment, smaller) — ``smaller`` is the doc
+    id of the contained (smaller-set) side, the natural drop
+    candidate.
+    """
+    words = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("__words__"),
+    ).filter(F.size("__words__") >= shingle_n)
+    sh = words.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        word_shingles(F.col("__words__"), shingle_n).alias("shingles"),
+    )
+    a = sh.alias("a").hint("merge")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    n1 = F.size("a.shingles")
+    n2 = F.size("b.shingles")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "containment",
+            F.round(
+                F.try_divide(
+                    inter.cast("double"),
+                    F.least(n1, n2).cast("double"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            "containment",
+            F.when(n1 <= n2, F.col(f"a.{id_col}"))
+            .otherwise(F.col(f"b.{id_col}"))
+            .cast("long")
+            .alias("smaller"),
+        )
+    )

@@ -2302,3 +2302,107 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return M.frame_sample_audio(M.synthesize_media(d))
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    blocked AS (
+      SELECT d.lang, d.source, s.doc_id, s.shingles
+      FROM documents d JOIN sh s ON d.doc_id = s.doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             round(CAST(len(list_intersect(a.shingles, b.shingles))
+                        AS DOUBLE)
+                   / least(len(a.shingles), len(b.shingles)), 6)
+               AS containment,
+             CASE WHEN len(a.shingles) <= len(b.shingles)
+                  THEN a.doc_id ELSE b.doc_id END AS smaller
+      FROM blocked a JOIN blocked b
+        ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id)
+    SELECT d1, d2, containment, CAST(smaller AS BIGINT) AS smaller
+    FROM pairs WHERE containment >= 0.5
+    """,
+    tags=("llm", "dedup", "containment"),
+    since=3,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection: flags pairs where
+    the smaller doc's shingle set is >= 50% covered by the larger —
+    the quote/repost/wrapper relation Jaccard structurally misses
+    (full containment of a short doc in a long one scores jac ~ |A|/|B|
+    but containment 1.0). Blocked self-join, block-bounded pairs."""
+    return D.containment_pairs(
+        _load(spark, sf_dir, "documents"),
+        ["lang", "source"],
+        threshold=0.5,
+    )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    blocked AS (
+      SELECT d.lang, d.source, s.doc_id, s.shingles
+      FROM documents d JOIN sh s ON d.doc_id = s.doc_id),
+    pairs AS (
+      SELECT round(CAST(len(list_intersect(a.shingles, b.shingles))
+                        AS DOUBLE)
+                   / CAST(len(list_distinct(a.shingles || b.shingles))
+                          AS DOUBLE), 6) AS jac
+      FROM blocked a JOIN blocked b
+        ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id),
+    sw AS (
+      SELECT CAST(t.threshold AS DOUBLE) AS threshold, jac
+      FROM pairs, (VALUES (0.1), (0.2), (0.3), (0.5), (0.7)) t(threshold)
+      WHERE jac >= CAST(t.threshold AS DOUBLE))
+    SELECT threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(round(jac * 1000000) AS BIGINT))
+                      AS BIGINT)
+                 / (COUNT(*) * 1000000.0), 6) AS avg_jac
+    FROM sw GROUP BY threshold
+    """,
+    tags=("llm", "dedup", "tuning", "report"),
+    since=3,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness tuning report: how many near-dup pairs
+    (and at what mean similarity) each candidate Jaccard threshold
+    would flag — the corpus-wide sweep run BEFORE committing a
+    threshold to the pipeline. One blocked pair pass; the sweep is an
+    explode over a 5-literal array, so cost is pair-list-sized, and
+    the mean folds exact integer jac-micros (accumulation-order-
+    immune), divided and rounded last."""
+    from pyspark.sql import functions as F
+
+    pairs = D.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"),
+        ["lang", "source"],
+        threshold=0.0,
+    )
+    thresholds = F.array(*[F.lit(t) for t in (0.1, 0.2, 0.3, 0.5, 0.7)])
+    return (
+        pairs.select("jac", F.explode(thresholds).alias("threshold"))
+        .filter(F.col("jac") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.round(F.col("jac") * 1000000).cast("long"))
+            .cast("long")
+            .alias("__sj__"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            F.round(
+                F.col("__sj__").cast("double")
+                / (F.col("n_pairs").cast("double") * 1000000.0),
+                6,
+            ).alias("avg_jac"),
+        )
+    )
