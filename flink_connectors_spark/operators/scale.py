@@ -221,3 +221,126 @@ def diagnose_skew(
         .orderBy(F.desc("n_rows"), *keys)
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-guarded membership: join-free pre-filter against a massive
+# fingerprint set
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 62  # shifts stay <= 61: no int64 sign-bit edge in
+#                        either engine (DuckDB range-checks 1 << 63)
+
+
+def bloom_bitmap(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = 4092,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom-filter bitmap from a fingerprint column as a
+    ONE-ROW DataFrame carrying a dense array<int64> of bit words —
+    the broadcastable membership index for :func:`bloom_might_contain`.
+
+    Why: the incremental-ingest exact-dedup join ("is this new doc's
+    fingerprint in the 100 TB historical corpus?") shuffles the whole
+    batch against the historical fingerprint table every night. A
+    Bloom pre-filter drops the (vast) non-duplicate majority with ZERO
+    shuffle — the bitmap is a few MB broadcast — and only
+    bloom-positive rows proceed to the exact verify join, whose input
+    is now duplicate-sized, not batch-sized. No false negatives by
+    construction; false positives only cost a wasted verify row.
+
+    Everything is exact integer math on md5 hex slices (8 hex chars
+    per hash, disjoint slices), so a DuckDB oracle reproduces the
+    exact bitmap bit-for-bit. Word width is 62 bits (not 64) so the
+    shift never touches the int64 sign bit in any engine.
+
+    Plan: explode n_hashes positions per fingerprint -> one keyed
+    aggregate over <= m_bits/62 words (bit_or map-side combines) ->
+    one-row pack. Spark's built-in bloom_filter_agg is not exposed to
+    SQL/Python (verified: UNRESOLVED_ROUTINE); this construction is
+    also portable, which the built-in's opaque bytes are not.
+    """
+    if m_bits % _BLOOM_WORD_BITS != 0:
+        raise ValueError(
+            f"m_bits must be a multiple of {_BLOOM_WORD_BITS}: {m_bits}"
+        )
+    if not 1 <= n_hashes <= 4:
+        raise ValueError("n_hashes must be in [1, 4] (md5 has 4 slices)")
+    n_words = m_bits // _BLOOM_WORD_BITS
+    pos = fps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(F.col(fp_col), 1 + 8 * j, 8), 16, 10
+                        ).cast("bigint"),
+                        F.lit(m_bits),
+                    )
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.floor(F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("w"),
+            F.pmod(F.col("pos"), _BLOOM_WORD_BITS).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
+    )
+    packed = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("__m__")
+    )
+    return packed.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m__"), i.cast("long")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bf")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bitmap: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = 4092,
+    n_hashes: int = 3,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``out_col`` (int64 0/1): 1 iff every hash position of
+    the row's fingerprint is set in ``bitmap`` (from
+    :func:`bloom_bitmap` — same m_bits/n_hashes or the bits won't
+    line up). Broadcast of one row + per-row integer expressions: no
+    shuffle, no join against the membership set. Guaranteed 1 for
+    every true member; a 0 definitively rules membership out."""
+    out = df.crossJoin(F.broadcast(bitmap))
+    hit = None
+    for j in range(n_hashes):
+        pj = F.pmod(
+            F.conv(F.substring(F.col(fp_col), 1 + 8 * j, 8), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(m_bits),
+        )
+        out = out.withColumn(f"__b{j}__", F.pmod(pj, _BLOOM_WORD_BITS).cast("int"))
+        word = F.element_at(
+            F.col("bf"),
+            (F.floor(pj / _BLOOM_WORD_BITS) + 1).cast("int"),
+        )
+        h = (
+            word.bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), __b{j}__)")
+            )
+            != 0
+        )
+        hit = h if hit is None else (hit & h)
+    return out.withColumn(out_col, hit.cast("long")).drop(
+        "bf", *[f"__b{j}__" for j in range(n_hashes)]
+    )

@@ -2406,3 +2406,77 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_jac"),
         )
     )
+
+
+_BLOOM_P = (
+    "CAST(concat('0x', substr(fp, {o}, 8)) AS BIGINT) % 4092"
+)
+_BLOOM_HIT = " AND ".join(
+    f"""EXISTS(SELECT 1 FROM words x
+        WHERE x.w = ({_BLOOM_P.format(o=1 + 8 * j)}) // 62
+          AND (x.word & (CAST(1 AS BIGINT)
+               << CAST(({_BLOOM_P.format(o=1 + 8 * j)}) % 62 AS INT))) != 0)"""
+    for j in range(3)
+)
+
+
+@register(
+    "dedup_bloom_guard",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM n WHERE doc_id % 3 = 0),
+    hp AS (
+      SELECT {_BLOOM_P.format(o=1)} AS p FROM hist
+      UNION ALL SELECT {_BLOOM_P.format(o=9)} FROM hist
+      UNION ALL SELECT {_BLOOM_P.format(o=17)} FROM hist),
+    words AS (
+      SELECT p // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS word
+      FROM hp GROUP BY 1)
+    SELECT doc_id,
+           CAST(CASE WHEN {_BLOOM_HIT} THEN 1 ELSE 0 END AS BIGINT)
+             AS bloom_hit,
+           CAST(CASE WHEN fp IN (SELECT fp FROM hist) THEN 1 ELSE 0 END
+                AS BIGINT) AS true_dup
+    FROM n
+    """,
+    tags=("llm", "dedup", "bloom", "scale"),
+    since=3,
+)
+def dedup_bloom_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-guarded membership against a historical fingerprint set
+    (docs with doc_id % 3 = 0 stand in for the prior-ingest corpus):
+    per doc, the broadcast-bitmap Bloom verdict next to ground truth.
+    bloom_hit is 1 for EVERY true duplicate (no false negatives — the
+    invariant that makes the guard sound as a pre-filter); the
+    occasional bloom_hit=1/true_dup=0 row is the false positive the
+    exact verify join exists to remove. At 100 TB the guard turns the
+    nightly batch-vs-corpus dedup join from batch-sized to
+    duplicate-sized with one few-MB broadcast and zero shuffle. The
+    oracle rebuilds the identical bitmap bit-for-bit in SQL, so one
+    flipped bit anywhere fails the hash."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text
+    from ..operators.scale import bloom_bitmap, bloom_might_contain
+
+    d = _load(spark, sf_dir, "documents")
+
+    fps = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    hist = fps.filter("doc_id % 3 = 0").select("fp").distinct()
+    bmp = bloom_bitmap(hist)
+    probed = bloom_might_contain(fps, bmp)
+    truth = hist.withColumn("__t__", F.lit(1).cast("long"))
+    return (
+        probed.join(F.broadcast(truth), "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("__t__"), F.lit(0).cast("long")).alias(
+                "true_dup"
+            ),
+        )
+    )

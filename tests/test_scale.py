@@ -507,3 +507,36 @@ def test_lsh_dedup_caches_released_by_unpersist_inputs(spark, sf_dir):
     assert cached and all(df.storageLevel.useMemory for df in cached)
     unpersist_inputs(out, blocking=True)
     assert all(not df.storageLevel.useMemory for df in cached)
+
+
+def test_bloom_guard_no_false_negatives(spark, sf_dir):
+    """The soundness invariant that makes the Bloom pre-filter safe:
+    every true member is bloom-positive (a false negative would drop
+    a real duplicate from the verify join). False positives are
+    allowed but must be a small minority at the designed load factor
+    (~167 keys in 4092 bits, k=3 -> sub-percent)."""
+    from flink_connectors_spark.registry import all_specs
+
+    rows = all_specs()["dedup_bloom_guard"].fn(spark, sf_dir).collect()
+    fn = sum(1 for r in rows if r["true_dup"] == 1 and r["bloom_hit"] == 0)
+    assert fn == 0, f"{fn} false negatives — bloom construction broken"
+    non_members = [r for r in rows if r["true_dup"] == 0]
+    fp = sum(1 for r in non_members if r["bloom_hit"] == 1)
+    assert fp <= max(2, len(non_members) // 20), (
+        f"false-positive rate implausibly high: {fp}/{len(non_members)}"
+    )
+
+
+def test_bloom_bitmap_validation_and_shape(spark):
+    import pytest as _pytest
+
+    from flink_connectors_spark.operators.scale import bloom_bitmap
+
+    df = spark.createDataFrame([("a" * 32,)], "fp string")
+    with _pytest.raises(ValueError):
+        bloom_bitmap(df, m_bits=1000)  # not a multiple of 62
+    with _pytest.raises(ValueError):
+        bloom_bitmap(df, n_hashes=5)
+    bf = bloom_bitmap(df, m_bits=62 * 4, n_hashes=2).collect()[0]["bf"]
+    assert len(bf) == 4
+    assert sum(bin(w & ((1 << 62) - 1)).count("1") for w in bf) <= 2
