@@ -103,3 +103,18 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.try_divide(inter, union)
+
+
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """Jaccard for KNOWN-distinct-element arrays:
+    |A∩B| / (|A| + |B| - |A∩B|). Skips :func:`jaccard`'s array_union
+    hash pass — one fewer O(|A|+|B|) traversal per pair, which is
+    ~40% of the work on the dedup verify joins where this runs
+    millions of times. Valid ONLY when both sides are distinct
+    (``word_shingles`` guarantees it; the size identity breaks on
+    duplicate-bearing inputs — use :func:`jaccard` there). Values are
+    bit-identical to jaccard() on distinct inputs: both divisions see
+    the same exact integer counts. NULL on two empty arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.try_divide(inter, union)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     hex_prefix_to_long,
-    jaccard,
+    jaccard_distinct,
     minhash_value,
     normalize_text,
     tokenize,
@@ -172,7 +172,7 @@ def minhash_lsh_pairs(
     out = (
         cand.join(x, "d1")
         .join(y, "d2")
-        .withColumn("jac", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
+        .withColumn("jac", F.round(jaccard_distinct(F.col("sh1"), F.col("sh2")), 6))
         .filter(F.col("jac") >= threshold)
         .select("d1", "d2", "jac")
     )
@@ -257,7 +257,7 @@ def minhash_lsh_pairs_bipartite(
     out = (
         cand.join(x, "new_id")
         .join(y, "corpus_id")
-        .withColumn("jac", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6))
+        .withColumn("jac", F.round(jaccard_distinct(F.col("sh1"), F.col("sh2")), 6))
         .filter(F.col("jac") >= threshold)
         .select("new_id", "corpus_id", "jac")
     )
@@ -296,7 +296,7 @@ def ngram_jaccard_pairs(
     return (
         a.join(b, cond)
         .withColumn(
-            "jac", F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
+            "jac", F.round(jaccard_distinct(F.col("a.shingles"), F.col("b.shingles")), 6)
         )
         .filter(F.col("jac") >= threshold)
         .select(
