@@ -68,6 +68,10 @@ HEADLINE = [
     "pipeline_source_overlap",
     "similarity_topk_ivf_unlabeled",
     "rollup_merge_day",
+    # r3 late additions: pipeline-QA + bloom flagships
+    "pipeline_global_shuffle",
+    "text_token_entropy",
+    "dedup_bloom_guard",
 ]
 
 

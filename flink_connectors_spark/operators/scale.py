@@ -344,3 +344,29 @@ def bloom_might_contain(
     return out.withColumn(out_col, hit.cast("long")).drop(
         "bf", *[f"__b{j}__" for j in range(n_hashes)]
     )
+
+
+def bloom_merge(bitmaps: Sequence[DataFrame]) -> DataFrame:
+    """Union Bloom bitmaps (same m_bits/n_hashes) into one by
+    element-wise OR of their word arrays — the nightly maintenance
+    step: yesterday's corpus bitmap OR today's batch bitmap, no
+    rebuild over the historical corpus. Bloom filters are exactly
+    mergeable under OR (the merged filter answers membership for the
+    union with zero extra false negatives), the same additive-summary
+    property the rollup sketches lean on. Cost: k one-row frames
+    cross-joined — driver-trivial at any corpus size."""
+    if not bitmaps:
+        raise ValueError("bloom_merge needs at least one bitmap")
+    out = bitmaps[0]
+    for i, nxt in enumerate(bitmaps[1:]):
+        out = (
+            out.crossJoin(nxt.select(F.col("bf").alias(f"__o{i}__")))
+            .select(
+                F.zip_with(
+                    "bf",
+                    f"__o{i}__",
+                    lambda a, b: a.bitwiseOR(b),
+                ).alias("bf")
+            )
+        )
+    return out

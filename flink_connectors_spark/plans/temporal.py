@@ -547,9 +547,10 @@ def trajectory_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g"),
     )
     a, b = grams.alias("a"), grams.alias("b")
-    from ..functions import jaccard
+    # g is array_distinct output -> the union-free identity applies
+    from ..functions import jaccard_distinct
 
-    sim = F.round(jaccard(F.col("a.g"), F.col("b.g")), 6)
+    sim = F.round(jaccard_distinct(F.col("a.g"), F.col("b.g")), 6)
     return (
         a.join(
             b,

@@ -540,3 +540,33 @@ def test_bloom_bitmap_validation_and_shape(spark):
     bf = bloom_bitmap(df, m_bits=62 * 4, n_hashes=2).collect()[0]["bf"]
     assert len(bf) == 4
     assert sum(bin(w & ((1 << 62) - 1)).count("1") for w in bf) <= 2
+
+
+def test_bloom_merge_equals_rebuild(spark):
+    """OR-merging per-batch bitmaps must answer membership identically
+    to one bitmap built over the union — the property that lets the
+    nightly ingest skip rebuilding over the historical corpus."""
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    import hashlib
+
+    keys1 = [(hashlib.md5(f"a{i}".encode()).hexdigest(),) for i in range(40)]
+    keys2 = [(hashlib.md5(f"b{i}".encode()).hexdigest(),) for i in range(40)]
+    d1 = spark.createDataFrame(keys1, "fp string")
+    d2 = spark.createDataFrame(keys2, "fp string")
+    merged = bloom_merge([bloom_bitmap(d1), bloom_bitmap(d2)])
+    rebuilt = bloom_bitmap(d1.unionByName(d2))
+    assert merged.collect()[0]["bf"] == rebuilt.collect()[0]["bf"]
+    probe = spark.createDataFrame(
+        keys1 + [(hashlib.md5(f"c{i}".encode()).hexdigest(),) for i in range(40)],
+        "fp string",
+    )
+    hits = {
+        r["fp"]: r["bloom_hit"]
+        for r in bloom_might_contain(probe, merged).collect()
+    }
+    assert all(hits[k] == 1 for (k,) in keys1), "merged filter lost members"
