@@ -14,6 +14,7 @@ composed the way a production job would run them.
       |> temperature mixture sampling (multinomial alpha=0.5)
       |> frozen train/val/test split (md5, growth-stable)
       |> sequence packing (2048-token training sequences)
+      |> global shuffle order (md5 shard + rank: frozen training order)
       |> chunking (32-token windows, 4 overlap)
       |> Z-ordered parquet (clustered on (source-hash, doc_id))
 
@@ -133,6 +134,15 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     sampled = split_assign(
         sampled, "doc_id", {"train": 90, "val": 5, "test": 5}
     )
+
+    # 5d. deterministic global training order: shard + within-shard
+    # position from md5 — a reproducible uniform permutation with one
+    # bounded-key shuffle (no ORDER BY rand() global sort)
+    from flink_connectors_spark.operators.sampling import (
+        global_shuffle_order,
+    )
+
+    sampled = global_shuffle_order(sampled, "doc_id", n_shards=8)
 
     # 6. chunking for the context window; split joins back on doc_id
     chunks = chunk_documents(sampled, chunk_tokens=32, overlap=4).join(

@@ -120,6 +120,44 @@ def main() -> None:
         f"top1_twin_hits={top1}/20"
     )
 
+    # 5. pipeline-QA batch (SCALING.md batch 3/4)
+    from flink_connectors_spark.functions import normalize_text
+    from flink_connectors_spark.operators.sampling import (
+        global_shuffle_order,
+    )
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+    from flink_connectors_spark.operators.text import token_entropy
+
+    t0 = time.perf_counter()
+    gs = global_shuffle_order(big_docs.select("doc_id"), "doc_id", 64)
+    n = gs.count()
+    print(f"global_shuffle_10x: {time.perf_counter() - t0:.2f}s rows={n}")
+
+    t0 = time.perf_counter()
+    te = token_entropy(big_docs)
+    n = te.count()
+    print(f"token_entropy_10x: {time.perf_counter() - t0:.2f}s rows={n}")
+
+    t0 = time.perf_counter()
+    fps = big_docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    hist = fps.filter("doc_id % 3 = 0").select("fp").distinct()
+    guarded = bloom_might_contain(fps, bloom_bitmap(hist))
+    hits = guarded.filter("bloom_hit = 1").count()
+    print(
+        f"bloom_guard_10x: {time.perf_counter() - t0:.2f}s "
+        f"bloom_hits={hits}"
+    )
+
+    t0 = time.perf_counter()
+    na = S.norm_audit(big_emb)
+    rows = na.count()
+    print(f"norm_audit_10x: {time.perf_counter() - t0:.2f}s groups={rows}")
+
     spark.stop()
 
 
