@@ -156,3 +156,30 @@ def test_normalize_text_idempotent(spark, t):
         normalize_text(normalize_text(F.col("text"))).alias("two"),
     ).collect()[0]
     assert r["one"] == r["two"]
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.lists(st.text(alphabet="abc", min_size=1, max_size=3), max_size=8),
+            st.lists(st.text(alphabet="abc", min_size=1, max_size=3), max_size=8),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_jaccard_distinct_equals_jaccard_on_distinct_arrays(spark, pairs):
+    """The union-free identity |A∪B| = |A|+|B|-|A∩B| must give the
+    exact double jaccard() computes, for every distinct-element input
+    — the contract the dedup verify joins now rely on."""
+    from flink_connectors_spark.functions import jaccard_distinct
+
+    rows = [(sorted(set(a)), sorted(set(b))) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a array<string>, b array<string>")
+    got = df.select(
+        jaccard(F.col("a"), F.col("b")).alias("j"),
+        jaccard_distinct(F.col("a"), F.col("b")).alias("jd"),
+    ).collect()
+    for r in got:
+        assert r["j"] == r["jd"], (r["j"], r["jd"])
