@@ -399,3 +399,95 @@ def test_live_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     )
     assert sorted(got) == want
     assert len(want) > 0  # non-degenerate: the corpus has near-dups
+
+
+def test_live_bloom_guarded_exact_dedup_ingest(spark, sf_dir, tmp_path):
+    """The bloom-guarded nightly EXACT-dedup loop run LIVE: the
+    standing corpus bitmap is built once; each arriving micro-batch is
+    (1) pre-filtered by bloom_might_contain — zero shuffle, one
+    broadcast row — (2) only bloom-positive rows do the exact verify
+    join, and (3) the batch's own bitmap is OR-merged into the
+    standing bitmap so LATER batches are also guarded against earlier
+    ones. The kept set must equal one-shot exact dedup over
+    corpus + all batches in arrival order, proving no false negative
+    ever dropped a duplicate and the merge kept earlier batches
+    visible."""
+    from flink_connectors_spark.functions import normalize_text
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fp = F.md5(normalize_text(F.col("text"))).alias("fp")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", fp)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp)
+
+    stream_dir = f"{tmp_path}/new_fps"
+    for i in range(3):
+        new_docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    state = {"bmp": bloom_bitmap(corpus, fp_col="fp").localCheckpoint(eager=True)}
+    seen_fps = {"df": corpus.select("fp").distinct().localCheckpoint(eager=True)}
+    kept: list[int] = []
+
+    def on_batch(batch_df, epoch_id):
+        probed = bloom_might_contain(batch_df, state["bmp"], fp_col="fp")
+        # bloom-negative rows are definitively new: no join at all
+        fresh = probed.filter("bloom_hit = 0").select("doc_id", "fp")
+        # bloom-positive rows verify against the exact fingerprint set
+        verify = (
+            probed.filter("bloom_hit = 1")
+            .join(seen_fps["df"].hint("merge"), "fp", "left_anti")
+            .select("doc_id", "fp")
+        )
+        batch_kept = fresh.unionByName(verify).localCheckpoint(eager=True)
+        kept.extend(r["doc_id"] for r in batch_kept.collect())
+        # fold this batch into the standing index for later batches
+        state["bmp"] = bloom_merge(
+            [state["bmp"], bloom_bitmap(batch_kept, fp_col="fp")]
+        ).localCheckpoint(eager=True)
+        seen_fps["df"] = (
+            seen_fps["df"]
+            .unionByName(batch_kept.select("fp"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    stream = spark.readStream.schema(new_docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/ckpt_bloom")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # one-shot truth: keep each new doc unless its fingerprint is in
+    # the corpus or belongs to an earlier-kept new doc (dropDuplicates
+    # on fp after the corpus anti-join, lowest doc_id wins = arrival
+    # order here because batches split by doc_id % 3 interleave ids —
+    # so compare SETS of fingerprints kept, not ids)
+    want_fps = {
+        r["fp"]
+        for r in new_docs.join(corpus.select("fp"), "fp", "left_anti")
+        .select("fp")
+        .distinct()
+        .collect()
+    }
+    got_fps = {
+        r["fp"]
+        for r in new_docs.filter(F.col("doc_id").isin(kept))
+        .select("fp")
+        .distinct()
+        .collect()
+    }
+    assert got_fps == want_fps
+    assert len(kept) > 0
