@@ -90,3 +90,39 @@ def register_table(
         df = df.cache()
     df.createOrReplaceTempView(name)
     return df
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    partition_col: str = "dt",
+    mode: str = "overwrite",
+) -> None:
+    """Write a fact table hive-partitioned by event DATE — the layout
+    that makes time-ranged scans at 100 TB read days, not the corpus:
+    a `WHERE dt >= X` predicate prunes whole directories at planning
+    time (PartitionFilters in the scan, pinned in
+    tests/test_sources.py), which no row-group statistic can match.
+    The partition value is a string date (stable lexicographic order,
+    no timezone ambiguity at the directory boundary)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(
+            partition_col, F.date_format(F.col(ts_col), "yyyy-MM-dd")
+        )
+        .write.partitionBy(partition_col)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_date_partitioned(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Read a :func:`write_date_partitioned` layout. Filters on the
+    partition column prune directories before any file is opened;
+    basePath is implied (plain load), so the partition column appears
+    as a regular string column."""
+    return spark.read.parquet(path)

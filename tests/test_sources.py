@@ -131,3 +131,42 @@ def test_rate_stream_produces_rows(spark):
         assert spark.table("t_rate").columns == ["timestamp", "value"]
     finally:
         q.stop()
+
+
+def test_date_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A dt-range predicate must prune at the DIRECTORY level
+    (PartitionFilters), not merely push down to row groups — the
+    difference between reading 2 days and scanning the corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from flink_connectors_spark.session import load_table
+    from flink_connectors_spark.sources.readers import (
+        read_date_partitioned,
+        write_date_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = f"{tmp_path}/events_by_day"
+    write_date_partitioned(ev, out, "ts")
+
+    days = sorted(
+        r["dt"]
+        for r in read_date_partitioned(spark, out).select("dt").distinct().collect()
+    )
+    assert len(days) >= 3, f"need multiple day partitions, got {days}"
+
+    q = read_date_partitioned(spark, out).filter(F.col("dt") == days[0])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters", 1)[1][:200], (
+        "dt predicate must appear in PartitionFilters"
+    )
+    # row counts agree with the unpartitioned filter
+    want = ev.filter(
+        F.date_format(F.col("ts"), "yyyy-MM-dd") == days[0]
+    ).count()
+    assert q.count() == want
