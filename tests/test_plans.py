@@ -307,3 +307,15 @@ def test_pack_efficiency_reuses_packing_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_pack_efficiency")
     n_ex = plan.count("Exchange (")
     assert n_ex <= 2, f"expected window shuffle (+ distinct) only, got {n_ex}"
+
+
+def test_bloom_probe_is_broadcast_only(spark, sf_dir):
+    """The bloom membership probe must never shuffle the probe side:
+    the bitmap arrives as a broadcast one-row table, so the only
+    exchanges in the whole query belong to the bitmap BUILD aggregate
+    and the tiny truth join — all broadcast-fed on the probe path."""
+    plan = _plan(spark, sf_dir, "dedup_bloom_guard")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # probe rows flow scan -> project -> broadcast joins; any
+    # SortMergeJoin would mean the corpus-sized side got shuffled
+    assert "SortMergeJoin" not in plan
