@@ -245,6 +245,11 @@ def global_shuffle_order(
     ORDER BY rand() sort (a full-corpus range exchange) that the
     naive formulation pays. Each shard's rank is independent, so
     skew is impossible by construction (md5 buckets are uniform).
+
+    NULL keys propagate to a NULL shard (SQL semantics) — such rows
+    never land in [0, n_shards) and would silently fall out of the
+    training set; enforce key non-nullability upstream (the QA audit
+    queries exist for exactly this).
     """
     from pyspark.sql.window import Window
 

@@ -843,8 +843,12 @@ def norm_audit(
     leaves its scan partition) -> ONE keyed shuffle of scalar rows on
     the group key. The vectors themselves are never shuffled.
 
-    Returns (group, n_vecs, n_zero_norm, sum_norm_micros,
-    min_norm_micros, max_norm_micros, avg_norm).
+    Returns (group, n_vecs, n_null_vec, n_zero_norm,
+    sum_norm_micros, min_norm_micros, max_norm_micros, avg_norm).
+    NULL vectors count in n_vecs and are tallied explicitly in
+    n_null_vec (SQL SUM would otherwise skip them silently — the
+    audit is supposed to scream about those rows); the norm stats
+    cover the non-null vectors, and avg_norm divides by their count.
     """
     nm = F.round(l2_norm(F.col(vec_col)) * micro_scale).cast("long")
     per_vec = corpus.select(F.col(group_col).alias("group"), nm.alias("nm"))
@@ -852,6 +856,9 @@ def norm_audit(
         per_vec.groupBy("group")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("nm").isNull().cast("long")).cast("long").alias(
+                "n_null_vec"
+            ),
             F.sum((F.col("nm") == 0).cast("long")).cast("long").alias(
                 "n_zero_norm"
             ),
@@ -862,6 +869,7 @@ def norm_audit(
         .select(
             "group",
             "n_vecs",
+            "n_null_vec",
             "n_zero_norm",
             "sum_norm_micros",
             "min_norm_micros",
@@ -869,7 +877,7 @@ def norm_audit(
             F.round(
                 (
                     F.col("sum_norm_micros").cast("double")
-                    / F.col("n_vecs").cast("double")
+                    / (F.col("n_vecs") - F.col("n_null_vec")).cast("double")
                 )
                 / micro_scale,
                 6,

@@ -2164,12 +2164,16 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT "group",
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_vec,
            CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_norm,
            CAST(SUM(nm) AS BIGINT) AS sum_norm_micros,
            CAST(MIN(nm) AS BIGINT) AS min_norm_micros,
            CAST(MAX(nm) AS BIGINT) AS max_norm_micros,
-           round((CAST(SUM(nm) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))
+           round((CAST(SUM(nm) AS BIGINT)
+                  / CAST(COUNT(*) - SUM(CASE WHEN nm IS NULL THEN 1
+                                        ELSE 0 END) AS DOUBLE))
                  / 1000000, 6) AS avg_norm
     FROM n GROUP BY "group"
     """,

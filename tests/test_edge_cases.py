@@ -218,3 +218,39 @@ def test_zero_vector_does_not_crash_similarity(spark):
     assert all(
         s is None for (q, n), s in got.items() if 2 in (q, n)
     ) or any(s is None for s in got.values())
+
+
+def test_new_qa_operators_null_behavior(spark):
+    """Pin the documented null semantics of the r3 QA operators: null
+    text/vector/key rows propagate as SQL nulls (no crash, no silent
+    skip) so upstream integrity gates can find them."""
+    from flink_connectors_spark.operators.sampling import (
+        global_shuffle_order,
+    )
+    from flink_connectors_spark.operators.similarity import norm_audit
+    from flink_connectors_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a")], "doc_id long, text string"
+    )
+    ent = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert ent[1]["entropy_bits"] is None  # null text -> null row
+    assert ent[2]["n_tokens"] == 1  # "" tokenizes to [""]
+    assert abs(ent[3]["entropy_bits"] - 0.918296) < 1e-6
+
+    g = spark.createDataFrame([(None,), (5,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in global_shuffle_order(g, "doc_id", 4).collect()}
+    assert rows[None]["shard"] is None  # documented hazard: null shard
+    assert 0 <= rows[5]["shard"] < 4
+
+    e = spark.createDataFrame(
+        [(1, None, 0), (2, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    audit = norm_audit(e).collect()[0]
+    assert audit["n_vecs"] == 2
+    assert audit["n_null_vec"] == 1, (
+        "a null vector must be tallied loudly, not skipped by SUM"
+    )
+    assert audit["sum_norm_micros"] == 1_000_000
+    assert abs(audit["avg_norm"] - 1.0) < 1e-9  # mean over NON-null vecs
