@@ -174,3 +174,35 @@ def sink_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("pk", "ver", "payload")
     )
+
+
+@register(
+    "sink_precompact_batch",
+    oracle=f"""
+    WITH cl AS ({_CHANGELOG_SQL}),
+    kept AS (SELECT * FROM cl WHERE op != 'UB'),
+    last AS (
+      SELECT pk, ver, payload, op,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ver DESC) AS rn
+      FROM kept)
+    SELECT pk, ver, payload, op FROM last WHERE rn = 1
+    """,
+    tags=("sink", "changelog", "precompact"),
+    since=3,
+)
+def sink_precompact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-batch changelog pre-compaction for the keyed sink modes
+    (SURVEY.md §4): ship ONE surviving row per primary key — the last
+    I/UA/D in version order — instead of the key's full in-batch
+    update history. Final store state is provably unchanged
+    (equivalence pinned in tests/test_sink_writer.py); the win is
+    wire/write volume on hot keys. One key shuffle, reused by the
+    sharded write path that partitions on the same key next."""
+    from ..sink.options import SinkOptions
+    from ..sink.writer import precompact_changelog
+
+    opts = SinkOptions(
+        url="duckdb://:memory:", table_name="t", write_mode="replacing",
+        primary_key=("pk",), version_column="ver",
+    )
+    return precompact_changelog(_changelog(spark, sf_dir), opts)

@@ -33,6 +33,7 @@ import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import statements
 from .backends import backend_factory_for, shard_backend_factories
@@ -83,6 +84,73 @@ def translate_changelog(df: DataFrame, opts: SinkOptions) -> DataFrame:
         return df.withColumn(opts.deleted_column, deleted).drop(opts.op_column)
     # upsert keeps the op column; the writer splits on it
     return df.filter(op.isin(*_UPSERT_KINDS))
+
+
+def precompact_changelog(df: DataFrame, opts: SinkOptions) -> DataFrame:
+    """Within-micro-batch changelog pre-compaction (SURVEY.md §4:
+    "within a micro-batch can pre-compact with Window last-by-key").
+    The reference ships every changelog row and lets the MergeTree
+    engine compact at merge time; at scale a hot key touched 10,000
+    times in one batch ships 10,000 rows whose net effect is ONE. We
+    drop superseded rows BEFORE the wire:
+
+    - replacing/upsert (keyed, versioned): a batch's effect on the
+      store is decided by the LAST op per key in version order; UB
+      rows never mutate state in either mode (upsert drops them; in
+      replacing the paired UA's higher version wins at merge), so keep
+      only the final I/UA/D row per key.
+    - collapsing (unkeyed, sign-summed): identical (row, +1)/(row, -1)
+      pairs cancel; net sign per distinct row value survives (exploded
+      |net| times for the pathological multi-count case).
+    - insert_only: append-only, nothing to compact — returned as-is.
+
+    Runs BEFORE :func:`translate_changelog`, on the raw op-column
+    changelog. One keyed shuffle — the same key the sharded write path
+    repartitions by next, so the exchange is typically reused.
+    Equivalence (compacted vs raw final store state) is pinned in
+    tests/test_sink_writer.py.
+    """
+    has_op = opts.op_column in df.columns
+    if opts.write_mode == "insert_only" or not has_op:
+        return df
+    op = F.col(opts.op_column)
+    if opts.write_mode in ("replacing", "upsert"):
+        if opts.version_column not in df.columns:
+            raise ValueError(
+                f"precompaction in '{opts.write_mode}' mode needs version "
+                f"column '{opts.version_column}' to order ops within the "
+                "batch"
+            )
+        w = Window.partitionBy(*opts.primary_key).orderBy(
+            F.desc(opts.version_column)
+        )
+        return (
+            df.filter(op != OP_UPDATE_BEFORE)
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+    if opts.write_mode == "collapsing":
+        sign = F.when(op.isin(OP_INSERT, OP_UPDATE_AFTER), 1).otherwise(-1)
+        value_cols = [c for c in df.columns if c != opts.op_column]
+        return (
+            df.withColumn("__s__", sign)
+            .groupBy(*value_cols)
+            .agg(F.sum("__s__").alias("__net__"))
+            .filter(F.col("__net__") != 0)
+            .withColumn(
+                "__i__",
+                F.explode(F.sequence(F.lit(1), F.abs(F.col("__net__")))),
+            )
+            .withColumn(
+                opts.op_column,
+                F.when(F.col("__net__") > 0, F.lit(OP_INSERT)).otherwise(
+                    F.lit(OP_DELETE)
+                ),
+            )
+            .select(*value_cols, opts.op_column)
+        )
+    return df
 
 
 def _flush_with_retry(flush_fn, opts: SinkOptions) -> None:

@@ -343,3 +343,75 @@ def test_snapshot_changelog_through_replacing_sink_roundtrip(spark, tmp_path):
     state = {k: fp for k, (v, d, fp) in latest.items() if d == 0}
     expected = {r.doc_id: r.fp for r in new.collect()}
     assert state == expected
+
+
+def test_precompact_replacing_preserves_final_state(spark, tmp_path):
+    """Pre-compacted batch through the replacing sink must land the
+    identical final table state as the raw changelog — while shipping
+    one row per key instead of the full update history."""
+    from flink_connectors_spark.sink.writer import (
+        precompact_changelog,
+        translate_changelog,
+    )
+
+    rows = [
+        (1, 1, 10.0, "I"),
+        (1, 2, 10.0, "UB"),
+        (1, 3, 11.0, "UA"),
+        (1, 4, 11.0, "UB"),
+        (1, 5, 12.0, "UA"),  # key 1: five rows, net = one UA v5
+        (2, 6, 20.0, "I"),
+        (2, 7, 20.0, "D"),  # key 2: net = deleted
+        (3, 8, 30.0, "I"),  # key 3: untouched single insert
+    ]
+    df = spark.createDataFrame(rows, "pk long, ver long, payload double, op string")
+    opts = SinkOptions(
+        url="x", table_name="t", write_mode="replacing",
+        primary_key=("pk",), version_column="ver",
+    )
+
+    def final_state(changelog):
+        translated = translate_changelog(changelog, opts)
+        # MergeTree semantics: last version per key, visible if deleted=0
+        keep = translated.groupBy("pk").agg(
+            F.max_by("payload", "ver").alias("payload"),
+            F.max_by("deleted", "ver").alias("deleted"),
+        )
+        return {
+            (r["pk"], r["payload"])
+            for r in keep.filter("deleted = 0").collect()
+        }
+
+    compacted = precompact_changelog(df, opts)
+    assert compacted.count() == 3, "one surviving row per key"
+    assert final_state(compacted) == final_state(df) == {(1, 12.0), (3, 30.0)}
+
+
+def test_precompact_collapsing_cancels_pairs(spark):
+    from flink_connectors_spark.sink.writer import precompact_changelog
+
+    rows = [
+        (1, 10.0, "I"),
+        (1, 10.0, "UB"),   # cancels the insert of the same value row
+        (1, 11.0, "UA"),   # survives
+        (2, 20.0, "I"),    # survives
+    ]
+    df = spark.createDataFrame(rows, "pk long, payload double, op string")
+    opts = SinkOptions(url="x", table_name="t", write_mode="collapsing")
+    got = sorted(
+        (r["pk"], r["payload"], r["op"])
+        for r in precompact_changelog(df, opts).collect()
+    )
+    assert got == [(1, 11.0, "I"), (2, 20.0, "I")]
+
+
+def test_precompact_requires_version_for_keyed_modes(spark):
+    from flink_connectors_spark.sink.writer import precompact_changelog
+
+    df = spark.createDataFrame([(1, 1.0, "I")], "pk long, payload double, op string")
+    opts = SinkOptions(
+        url="x", table_name="t", write_mode="upsert", primary_key=("pk",),
+        version_column="missing",
+    )
+    with pytest.raises(ValueError, match="version"):
+        precompact_changelog(df, opts)
