@@ -48,6 +48,10 @@ class SinkOptions:
     deleted_column: str = "deleted"
     version_column: str = "ver"
     op_column: str = "op"
+    # Drop rows superseded within the same micro-batch before the wire
+    # (writer.precompact_changelog) — an extension over the reference,
+    # which ships every row and compacts at MergeTree merge time.
+    precompact: bool = False
 
     def __post_init__(self) -> None:
         # Required options (reference `:138-144`).
@@ -131,4 +135,5 @@ class SinkOptions:
             deleted_column=get("deleted-column", "deleted"),
             version_column=get("version-column", "ver"),
             op_column=get("op-column", "op"),
+            precompact=as_bool(get("precompact"), False),
         )

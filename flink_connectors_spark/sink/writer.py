@@ -500,6 +500,8 @@ def write_batch(
     one-partition-per-shard but all partitions write the single
     configured url — layout-only, kept for single-endpoint targets
     (e.g. a load balancer in front of the cluster)."""
+    if opts.precompact:
+        df = precompact_changelog(df, opts)
     out = translate_changelog(df, opts)
     if opts.write_local and shard_factories is None and opts.local_nodes:
         shard_factories = shard_backend_factories(

@@ -415,3 +415,52 @@ def test_precompact_requires_version_for_keyed_modes(spark):
     )
     with pytest.raises(ValueError, match="version"):
         precompact_changelog(df, opts)
+
+
+def test_precompact_option_through_foreach_batch(spark, tmp_path):
+    """`precompact=true` as a sink option: the foreachBatch writer
+    lands the identical replacing-mode final state while writing one
+    row per key per batch."""
+    import duckdb
+
+    from flink_connectors_spark.sink.backends import DuckDBBackendFactory
+    from flink_connectors_spark.sink.writer import foreach_batch_writer
+
+    rows = [
+        (1, 1, 10.0, "I"), (1, 2, 10.0, "UB"), (1, 3, 12.0, "UA"),
+        (2, 4, 20.0, "I"), (2, 5, 20.0, "D"),
+        (3, 6, 30.0, "I"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pk long, ver long, payload double, op string"
+    )
+    states = {}
+    for pre in (False, True):
+        db = f"{tmp_path}/pre_{pre}.db"
+        con = duckdb.connect(db)
+        con.execute(
+            "CREATE TABLE t(pk BIGINT, ver BIGINT, payload DOUBLE, "
+            "deleted BIGINT)"
+        )
+        con.close()
+        opts = SinkOptions(
+            url=f"duckdb://{db}", table_name="t", write_mode="replacing",
+            primary_key=("pk",), version_column="ver", precompact=pre,
+        )
+        foreach_batch_writer(opts, backend_factory=DuckDBBackendFactory(db))(
+            df.repartition(1), 0
+        )
+        con = duckdb.connect(db)
+        states[pre] = {
+            tuple(r)
+            for r in con.execute(
+                "SELECT pk, payload FROM (SELECT *, ROW_NUMBER() OVER ("
+                "PARTITION BY pk ORDER BY ver DESC) rn FROM t) "
+                "WHERE rn = 1 AND deleted = 0"
+            ).fetchall()
+        }
+        n_written = con.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+        con.close()
+        if pre:
+            assert n_written == 3, "compacted batch writes one row per key"
+    assert states[False] == states[True] == {(1, 12.0), (3, 30.0)}
