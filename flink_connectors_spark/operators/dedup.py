@@ -578,3 +578,92 @@ def containment_pairs(
             .alias("smaller"),
         )
     )
+
+
+def containment_pairs_rare_shingle(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 10,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Corpus-scale containment candidates via PREFIX FILTERING (the
+    PPJoin/AllPairs idea): two docs become a candidate pair iff they
+    share at least one RARE shingle — document frequency <= ``max_df``
+    — then candidates verify exact containment. MinHash-LSH cannot
+    find containment pairs (a small doc inside a big one has low
+    Jaccard, so their signatures don't collide); the rare-shingle
+    inverted index can, because a contained doc shares ALL its
+    shingles with its container, rare ones included.
+
+    Scale shape: shingle explode -> DF count (one keyed shuffle) ->
+    rare-shingle self-join whose candidate volume is bounded by
+    sum over rare shingles of C(df, 2) <= max_df^2 per shingle —
+    NEVER corpus^2 — then a merge-pinned verify join against the
+    shingle arrays. Blind spot (documented, standard for prefix
+    filtering): a contained doc composed entirely of corpus-common
+    shingles escapes candidacy; lower recall traded for corpus-scale
+    candidate bounds, tune with max_df.
+
+    Returns (d1, d2, containment, smaller) like
+    :func:`containment_pairs`.
+    """
+    words = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__words__")
+    ).filter(F.size("__words__") >= shingle_n)
+    sh = words.select(
+        F.col(id_col),
+        word_shingles(F.col("__words__"), shingle_n).alias("shingles"),
+    )
+    ex = sh.select(id_col, F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .filter(F.col("df") >= 2)
+        .select("s")
+    )
+    rex = ex.join(rare.hint("shuffle_hash"), "s")
+    cand = (
+        rex.alias("a")
+        .hint("merge")
+        .join(
+            rex.alias("b").hint("merge"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+        )
+        .distinct()
+    )
+    x = sh.select(F.col(id_col).alias("d1"), F.col("shingles").alias("sh1"))
+    y = sh.select(F.col(id_col).alias("d2"), F.col("shingles").alias("sh2"))
+    n1 = F.size("sh1")
+    n2 = F.size("sh2")
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    return (
+        cand.join(x.hint("merge"), "d1")
+        .join(y.hint("merge"), "d2")
+        .withColumn(
+            "containment",
+            F.round(
+                F.try_divide(
+                    inter.cast("double"), F.least(n1, n2).cast("double")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "d1",
+            "d2",
+            "containment",
+            F.when(n1 <= n2, F.col("d1"))
+            .otherwise(F.col("d2"))
+            .cast("long")
+            .alias("smaller"),
+        )
+    )

@@ -2484,3 +2484,47 @@ def dedup_bloom_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_containment_rare_shingle",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rare AS (
+      SELECT s FROM ex GROUP BY s
+      HAVING COUNT(*) <= 10 AND COUNT(*) >= 2),
+    rex AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM rex a JOIN rex b
+        ON a.s = b.s AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.d1, c.d2,
+             round(CAST(len(list_intersect(x.shingles, y.shingles))
+                        AS DOUBLE)
+                   / least(len(x.shingles), len(y.shingles)), 6)
+               AS containment,
+             CASE WHEN len(x.shingles) <= len(y.shingles)
+                  THEN c.d1 ELSE c.d2 END AS smaller
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.d1
+      JOIN sh y ON y.doc_id = c.d2)
+    SELECT d1, d2, containment, CAST(smaller AS BIGINT) AS smaller
+    FROM verified WHERE containment >= 0.5
+    """,
+    tags=("llm", "dedup", "containment", "prefix-filter"),
+    since=3,
+)
+def dedup_containment_rare_shingle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-scale containment detection via prefix filtering:
+    candidates share at least one rare shingle (document frequency in
+    [2, 10]), bounding candidate volume by max_df^2 per rare shingle
+    instead of block^2 — the AllPairs/PPJoin recipe, needed because
+    MinHash-LSH structurally cannot surface low-Jaccard containment
+    pairs. Exact containment verify on candidates only."""
+    return D.containment_pairs_rare_shingle(
+        _load(spark, sf_dir, "documents"), threshold=0.5
+    )
