@@ -109,3 +109,101 @@ def merge_rollup(
             F.sum("v_cents").alias("v_cents"),
         )
     )
+
+
+def build_value_histogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    grain: str = "day",
+    n_buckets: int = 64,
+    lo_cents: int = 0,
+    width_cents: int = 1000,
+) -> DataFrame:
+    """The rollup family's third mergeable summary (after additive
+    count/sum and HLL distinct): a FIXED-BUCKET value histogram per
+    (time bucket, dims) — the TimescaleDB/ClickHouse continuous-
+    aggregate recipe for quantiles over rollups. Bucket counts are
+    plain integers, so histograms merge ADDITIVELY across any grain
+    boundary (exactly, unlike KLL-style sketches), and any quantile
+    is read off the merged histogram at bucket resolution with pure
+    integer math — no engine ever interpolates a float.
+
+    Values quantize to exact cents, then clamp into
+    [lo, lo + n_buckets*width): outliers land in the edge buckets
+    (visible as mass there — size the domain so they're rare).
+    One keyed shuffle over facts; the stored summary is
+    |time buckets x dims x <= n_buckets| rows.
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"grain must be one of {GRAINS}")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    clamped = F.greatest(
+        F.lit(lo_cents),
+        F.least(cents, F.lit(lo_cents + n_buckets * width_cents - 1)),
+    )
+    hb = ((clamped - lo_cents) / width_cents).cast("long")
+    return (
+        events.withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
+        .withColumn("hbucket", hb)
+        .groupBy("bucket", *dims, "hbucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histogram(
+    hist: DataFrame,
+    grain: str,
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Re-aggregate histograms to a coarser grain — bucket counts add
+    exactly, so merge == rebuild (same guarantee as merge_rollup)."""
+    return (
+        hist.withColumn("bucket", F.date_trunc(grain, F.col("bucket")))
+        .groupBy("bucket", *dims, "hbucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    dims: tuple[str, ...] = ("event_type",),
+    qs: tuple[int, ...] = (50, 95, 99),
+    lo_cents: int = 0,
+    width_cents: int = 1000,
+) -> DataFrame:
+    """Quantile UPPER BOUNDS (in exact cents) from a histogram
+    summary: for percentile q, the upper edge of the first bucket
+    whose cumulative count reaches ceil(q*n/100). Deterministic
+    integer math end to end — a bucket-resolution guarantee
+    (true quantile <= reported edge < true + width), which is the
+    honest contract sketch quantiles only approximate. The cumulative
+    walk is a window over <= n_buckets rows per group — summary-sized,
+    never fact-sized."""
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy("bucket", *dims)
+        .orderBy("hbucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("bucket", *dims)
+    cum = F.sum("cnt").over(wcum)
+    n = F.sum("cnt").over(wall)
+    ub = F.lit(lo_cents) + (F.col("hbucket") + 1) * width_cents
+    c = hist.withColumn("__cum__", cum).withColumn("__n__", n)
+    aggs = [F.max("__n__").cast("long").alias("n")]
+    for q in qs:
+        # cum >= ceil(n*q/100)  <=>  cum*100 >= n*q — pure int64, no
+        # float division anywhere near the cut
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum__") * 100 >= F.col("__n__") * q, ub
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}_ub_cents")
+        )
+    return c.groupBy("bucket", *dims).agg(*aggs)

@@ -747,3 +747,61 @@ def rollup_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = R.build_rollup(ev.filter(F.col("ts") < cut), grain="hour")
     delta = R.build_rollup(ev.filter(F.col("ts") >= cut), grain="hour")
     return R.finalize(R.merge_rollup(standing, delta))
+
+
+@register(
+    "rollup_quantile_histogram",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('month', ts) AS bucket, event_type,
+             least(greatest(CAST(round(value * 100) AS BIGINT), 0),
+                   63999) // 1000 AS hbucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events
+      GROUP BY 1, 2, 3),
+    c AS (
+      SELECT bucket, event_type, hbucket, cnt,
+             SUM(cnt) OVER (PARTITION BY bucket, event_type
+                            ORDER BY hbucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY bucket, event_type) AS n
+      FROM h)
+    SELECT CAST(bucket AS TIMESTAMP) AS bucket, event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 50
+                    THEN (hbucket + 1) * 1000 END) AS BIGINT)
+             AS p50_ub_cents,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 95
+                    THEN (hbucket + 1) * 1000 END) AS BIGINT)
+             AS p95_ub_cents,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 99
+                    THEN (hbucket + 1) * 1000 END) AS BIGINT)
+             AS p99_ub_cents
+    FROM c GROUP BY bucket, event_type
+    """,
+    tags=("temporal", "rollup", "histogram", "quantile"),
+    since=3,
+)
+def rollup_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles over rollups — the third continuous-
+    aggregate summary kind (additive count/sum, HLL distinct, and now
+    fixed-bucket value histograms): daily 64x10.00-unit histograms
+    merge additively to month, and P50/P95/P99 upper bounds read off
+    the merged buckets with pure integer math (cum*100 >= n*q — no
+    float near the cut, bucket-resolution guarantee). Facts are
+    scanned once at the fine grain; every coarser quantile query
+    touches only summary rows. Merge == rebuild is inherent (integer
+    bucket counts add exactly); the oracle builds monthly directly
+    while the plan merges daily summaries — equality IS the proof."""
+    from ..operators.rollup import (
+        build_value_histogram,
+        histogram_quantiles,
+        merge_histogram,
+    )
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = build_value_histogram(ev, grain="day")
+    monthly = merge_histogram(daily, "month")
+    out = histogram_quantiles(monthly)
+    return out.withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
