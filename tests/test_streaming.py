@@ -491,3 +491,53 @@ def test_live_bloom_guarded_exact_dedup_ingest(spark, sf_dir, tmp_path):
     }
     assert got_fps == want_fps
     assert len(kept) > 0
+
+
+def test_live_streaming_histogram_rollup_matches_batch(spark, events_stream_dir):
+    """The third summary kind (fixed-bucket value histograms — the
+    quantile rollup) maintained LIVE: a watermarked streaming
+    aggregation groups on (window, dims, hbucket) and must land
+    exactly the rows batch build_value_histogram computes at the same
+    grain. With count/sum (rollup), HLL distinct (sketch rollup), and
+    histograms all stream-maintainable, every continuous-aggregate
+    query the engine answers from summaries stays correct under live
+    ingest."""
+    from flink_connectors_spark.operators.rollup import (
+        build_value_histogram,
+    )
+
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_stream_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    clamped = F.greatest(F.lit(0), F.least(cents, F.lit(63999)))
+    hb = ((clamped - 0) / 1000).cast("long")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .withColumn("hbucket", hb)
+        .groupBy(F.window("ts", "1 hour"), "event_type", "hbucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "hbucket",
+            "cnt",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hist_live")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        (r.bucket, r.event_type, r.hbucket, r.cnt)
+        for r in spark.sql("SELECT * FROM hist_live").collect()
+    }
+    batch = {
+        (r.bucket, r.event_type, r.hbucket, r.cnt)
+        for r in build_value_histogram(static, grain="hour").collect()
+    }
+    assert live == batch
+    assert len(batch) > 0
