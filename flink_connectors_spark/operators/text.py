@@ -360,35 +360,38 @@ def crossdoc_shingle_mass(
     boilerplate text the near-dup stages won't catch because no single
     pair of documents is similar enough.
 
-    Scale shape: shingles are distinct per doc, so a plain count on
-    the exploded table IS the document frequency — one shingle-keyed
-    aggregate builds the DF table, one shingle-keyed join carries it
-    back, one doc-keyed aggregate folds the mass. The DF table is
-    shingle-vocabulary-sized (can exceed memory at 100 TB), so the
-    join is pinned to sort-merge: both sides were EXPANDED from a
-    small scan and would otherwise inherit its broadcast-sized
-    estimate (the SCALING.md hazard class).
+    Scale shape: shingles are distinct per doc, so a COUNT over the
+    shingle window IS the document frequency — ONE explode, ONE
+    shingle-keyed shuffle (the window), one doc-keyed aggregate. The
+    earlier aggregate-then-join formulation exploded and shuffled the
+    shingle table TWICE (the DF branch and the join branch carry
+    different payloads, so ReuseExchange can't merge them) for the
+    same raw-row shuffle volume — the window halves the work with
+    bit-identical output (same integer df per row). Hot-shingle skew
+    hits both formulations equally (all of a shingle's rows meet in
+    one task either way); AQE skew handling applies.
 
     Docs with < 3 words carry no shingles and drop out — the same
     guard as the shingle-based dedup family.
 
     Returns (id, n_shingles, crossdoc_mass).
     """
+    from pyspark.sql.window import Window
+
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(tokenize(F.col(text_col)))).alias("shingle"),
     )
-    dfreq = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    hit = (F.col("df") >= min_df).cast("int")
+    dfq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    hit = (dfq >= min_df).cast("int")
     return (
-        sh.join(dfreq.hint("merge"), "shingle")
+        sh.withColumn("__hit__", hit)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
             F.round(
-                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"),
+                F.sum("__hit__").cast("double")
+                / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("crossdoc_mass"),
         )

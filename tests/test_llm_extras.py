@@ -102,17 +102,21 @@ def test_crossdoc_mass_flags_template_text(spark):
     assert got[99] == 0.0
 
 
-def test_crossdoc_mass_join_is_merge_pinned(spark, sf_dir):
-    """The DF-table join must not broadcast: both sides are expanded
-    from a small scan and inherit its size estimate (the SCALING.md
-    hazard class); at 100 TB the shingle vocabulary exceeds driver
-    memory."""
+def test_crossdoc_mass_single_explode_single_shingle_shuffle(spark, sf_dir):
+    """r3 reformulation: the document frequency comes from a COUNT
+    over the shingle window, so the shingle table is exploded and
+    shuffled ONCE (the old aggregate-then-join shape did both twice
+    — the branches carry different payloads, so ReuseExchange could
+    not merge them). No join exists to mis-broadcast anymore."""
     from flink_connectors_spark.operators.text import crossdoc_shingle_mass
 
     d = load_table(spark, sf_dir, "documents")
     plan = crossdoc_shingle_mass(d)._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan
-    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Generate") == 1, "one explode only"
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("hashpartitioning(shingle") == 1, (
+        "one shingle-keyed exchange (the window)"
+    )
 
 
 def test_source_overlap_is_symmetric_and_bounded(spark, sf_dir):
