@@ -2528,3 +2528,100 @@ def dedup_containment_rare_shingle(
     return D.containment_pairs_rare_shingle(
         _load(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+@register(
+    "dedup_bloom_merge_nightly",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    day1 AS (SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 0),
+    day2 AS (SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 1),
+    p1 AS (
+      SELECT {_BLOOM_P.format(o=1)} AS p FROM day1
+      UNION ALL SELECT {_BLOOM_P.format(o=9)} FROM day1
+      UNION ALL SELECT {_BLOOM_P.format(o=17)} FROM day1),
+    p2 AS (
+      SELECT {_BLOOM_P.format(o=1)} AS p FROM day2
+      UNION ALL SELECT {_BLOOM_P.format(o=9)} FROM day2
+      UNION ALL SELECT {_BLOOM_P.format(o=17)} FROM day2),
+    merged AS (SELECT p FROM p1 UNION ALL SELECT p FROM p2),
+    words AS (
+      SELECT p // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS word
+      FROM merged GROUP BY 1)
+    SELECT CAST(w AS BIGINT) AS w, CAST(word AS BIGINT) AS word
+    FROM words
+    """,
+    tags=("llm", "dedup", "bloom", "incremental"),
+    since=3,
+)
+def dedup_bloom_merge_nightly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly bitmap maintenance path under the driver gate: two
+    ingest days' fingerprint sets build bitmaps INDEPENDENTLY, the
+    bitmaps OR-merge, and the output is the merged non-zero word
+    table. The oracle builds the union's bitmap directly — equality
+    of every word proves merge == rebuild bit-for-bit (Bloom filters
+    are exactly mergeable under OR), which is what lets incremental
+    ingest never re-scan the historical corpus."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text
+    from ..operators.scale import bloom_bitmap, bloom_merge
+
+    d = _load(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    b1 = bloom_bitmap(fps.filter("doc_id % 2 = 0").select("fp").distinct())
+    b2 = bloom_bitmap(fps.filter("doc_id % 2 = 1").select("fp").distinct())
+    merged = bloom_merge([b1, b2])
+    return (
+        merged.select(
+            F.posexplode("bf").alias("w", "word")
+        )
+        .filter(F.col("word") != 0)
+        .select(F.col("w").cast("long"), F.col("word").cast("long"))
+    )
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    sh AS (
+      SELECT doc_id, n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 8 AS shard
+      FROM toks)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sh GROUP BY shard
+    """,
+    tags=("llm", "pipeline", "manifest"),
+    since=3,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a training reader consumes: per global-shuffle
+    shard, document and token totals — the sizing table that verifies
+    shard balance before a run (md5 sharding keeps the spread tight;
+    a skewed manifest means a broken key upstream). Shard-keyed
+    re-aggregate of the shuffle assignment — summary-sized."""
+    from pyspark.sql import functions as F
+
+    from ..functions import tokenize
+    from ..operators.sampling import global_shuffle_order
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    assigned = global_shuffle_order(d, "doc_id", 8)
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
