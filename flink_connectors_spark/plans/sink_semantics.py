@@ -180,11 +180,10 @@ def sink_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_precompact_batch",
     oracle=f"""
     WITH cl AS ({_CHANGELOG_SQL}),
-    kept AS (SELECT * FROM cl WHERE op != 'UB'),
     last AS (
       SELECT pk, ver, payload, op,
              ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ver DESC) AS rn
-      FROM kept)
+      FROM cl)
     SELECT pk, ver, payload, op FROM last WHERE rn = 1
     """,
     tags=("sink", "changelog", "precompact"),

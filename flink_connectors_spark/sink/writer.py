@@ -95,10 +95,15 @@ def precompact_changelog(df: DataFrame, opts: SinkOptions) -> DataFrame:
     drop superseded rows BEFORE the wire:
 
     - replacing/upsert (keyed, versioned): a batch's effect on the
-      store is decided by the LAST op per key in version order; UB
-      rows never mutate state in either mode (upsert drops them; in
-      replacing the paired UA's higher version wins at merge), so keep
-      only the final I/UA/D row per key.
+      store is decided by the LAST op per key in version order. Which
+      rows are candidates is MODE-dependent: in replacing mode a UB
+      writes deleted=1 at its version like a delete (reference
+      converter `ClickHouseRowConverter.java:83-94`), so UB rows stay
+      last-row candidates — dropping them would resurrect a key whose
+      changelog ends in a dangling UB (found by the hypothesis
+      equivalence property). In upsert mode UB never mutates state
+      (the executor drops it, `ClickHouseUpsertExecutor.java:60-79`),
+      so only the final I/UA/D row per key survives.
     - collapsing (unkeyed, sign-summed): identical (row, +1)/(row, -1)
       pairs cancel; net sign per distinct row value survives (exploded
       |net| times for the pathological multi-count case).
@@ -124,9 +129,13 @@ def precompact_changelog(df: DataFrame, opts: SinkOptions) -> DataFrame:
         w = Window.partitionBy(*opts.primary_key).orderBy(
             F.desc(opts.version_column)
         )
-        return (
+        cand = (
             df.filter(op != OP_UPDATE_BEFORE)
-            .withColumn("__rn__", F.row_number().over(w))
+            if opts.write_mode == "upsert"
+            else df
+        )
+        return (
+            cand.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )

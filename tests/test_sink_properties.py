@@ -138,3 +138,78 @@ def test_insert_only_keeps_adds_drops_retractions(spark, data):
     got = [(r["k"], r["v"]) for r in out.orderBy("ver").collect()]
     assert got == want
     assert "op" not in out.columns
+
+
+# ---------------------------------------------------------------------------
+# Pre-compaction equivalence under random changelogs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _final_replacing_state(rows):
+    """Reference model of ReplacingMergeTree visibility: last version
+    per key wins, visible iff its deleted flag is 0. UB rows write
+    deleted=1 at their version like any UB/D (mirror of
+    translate_changelog)."""
+    best = {}
+    for pk, ver, payload, op in rows:
+        deleted = 0 if op in ("I", "UA") else 1
+        if pk not in best or ver > best[pk][0]:
+            best[pk] = (ver, payload, deleted)
+    return {
+        (pk, payload)
+        for pk, (ver, payload, deleted) in best.items()
+        if deleted == 0
+    }
+
+
+@given(
+    logs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # pk
+            st.floats(
+                min_value=0, max_value=100, allow_nan=False
+            ),  # payload
+            st.sampled_from(["I", "UB", "UA", "D"]),  # op
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_precompact_equivalence_random_changelogs(spark, logs):
+    """For ANY changelog sequence (versions = arrival order), the
+    pre-compacted batch must land the same replacing-mode final state
+    as the raw batch — the property that makes sink.precompact safe
+    to enable blindly."""
+    from flink_connectors_spark.sink.options import SinkOptions
+    from flink_connectors_spark.sink.writer import precompact_changelog
+
+    rows = [
+        (pk, ver + 1, payload, op)
+        for ver, (pk, payload, op) in enumerate(logs)
+    ]
+    df = spark.createDataFrame(
+        rows, "pk long, ver long, payload double, op string"
+    )
+    opts = SinkOptions(
+        url="x", table_name="t", write_mode="replacing",
+        primary_key=("pk",), version_column="ver",
+    )
+    compacted = [
+        (r["pk"], r["ver"], r["payload"], r["op"])
+        for r in precompact_changelog(df, opts).collect()
+    ]
+    # 1. state equivalence against the reference model
+    assert _final_replacing_state(compacted) == _final_replacing_state(rows)
+    # 2. compaction bound: at most one surviving row per key
+    pks = [pk for pk, *_ in compacted]
+    assert len(pks) == len(set(pks))
+    # 3. no fabricated rows
+    assert set(compacted) <= set(rows)
