@@ -99,3 +99,40 @@ def test_pack_efficiency_totals_reconcile_with_corpus(spark, sf_dir):
     for r in eff.collect():
         assert 0 <= r["n_straddlers"] <= r["n_docs"]
         assert r["n_packs"] >= 1
+
+
+def test_histogram_quantiles_match_model(spark):
+    """Bucket-resolution quantile bounds vs a pure-Python model over
+    an awkward distribution (duplicates, edge values, one outlier
+    clamped into the top bucket): the integer cut cum*100 >= n*q must
+    agree with the model exactly, and the true quantile must lie
+    within one bucket width below the reported bound."""
+    import datetime
+    import math
+
+    from flink_connectors_spark.operators.rollup import (
+        build_value_histogram,
+        histogram_quantiles,
+    )
+
+    values = (
+        [0.0] * 5 + [9.99] * 3 + [10.0] * 7 + [55.5] * 4 + [639.99] * 2
+        + [9999.0]  # clamps into the last bucket
+    )
+    ts = datetime.datetime(2024, 1, 15, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(ts, "et", v) for v in values], "ts timestamp, event_type string, value double"
+    )
+    hist = build_value_histogram(df, grain="day")
+    got = histogram_quantiles(hist).collect()[0]
+
+    cents = sorted(
+        min(max(round(v * 100), 0), 63999) for v in values
+    )
+    n = len(cents)
+    for q in (50, 95, 99):
+        target = math.ceil(n * q / 100)
+        true_cent = cents[target - 1]
+        model_ub = (true_cent // 1000 + 1) * 1000
+        assert got[f"p{q}_ub_cents"] == model_ub, (q, got)
+        assert model_ub - 1000 <= true_cent < model_ub

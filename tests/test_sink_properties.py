@@ -213,3 +213,48 @@ def test_precompact_equivalence_random_changelogs(spark, logs):
     assert len(pks) == len(set(pks))
     # 3. no fabricated rows
     assert set(compacted) <= set(rows)
+
+
+def _final_collapsing_state(rows):
+    """Net sign per (pk, payload) value row — CollapsingMergeTree's
+    merge outcome."""
+    from collections import Counter
+
+    net = Counter()
+    for pk, payload, op in rows:
+        net[(pk, payload)] += 1 if op in ("I", "UA") else -1
+    return {k: v for k, v in net.items() if v != 0}
+
+
+@given(
+    logs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.sampled_from([1.0, 2.0]),  # few distinct value rows
+            st.sampled_from(["I", "UB", "UA", "D"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_precompact_collapsing_equivalence_random(spark, logs):
+    """Collapsing pre-compaction must preserve the per-value net sign
+    for ANY changelog — including nets beyond ±1 (malformed but
+    possible), which the explode-|net| path must reproduce."""
+    from flink_connectors_spark.sink.options import SinkOptions
+    from flink_connectors_spark.sink.writer import precompact_changelog
+
+    df = spark.createDataFrame(
+        list(logs), "pk long, payload double, op string"
+    )
+    opts = SinkOptions(url="x", table_name="t", write_mode="collapsing")
+    out = [
+        (r["pk"], r["payload"], r["op"])
+        for r in precompact_changelog(df, opts).collect()
+    ]
+    assert _final_collapsing_state(out) == _final_collapsing_state(logs)
