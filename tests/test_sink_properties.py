@@ -258,3 +258,60 @@ def test_precompact_collapsing_equivalence_random(spark, logs):
         for r in precompact_changelog(df, opts).collect()
     ]
     assert _final_collapsing_state(out) == _final_collapsing_state(logs)
+
+
+def _final_upsert_state(rows):
+    """Model of the upsert executor: ops apply in version order; UB
+    is dropped (`ClickHouseUpsertExecutor.java:60-79`); final row per
+    key is the last I/UA, absent if the last effective op was D."""
+    state = {}
+    for pk, ver, payload, op in sorted(rows, key=lambda r: r[1]):
+        if op in ("I", "UA"):
+            state[pk] = payload
+        elif op == "D":
+            state.pop(pk, None)
+    return set(state.items())
+
+
+@given(
+    logs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.sampled_from(["I", "UB", "UA", "D"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_precompact_upsert_equivalence_random(spark, logs):
+    """Upsert-mode pre-compaction (which DOES drop UB — inert in this
+    executor, unlike replacing) must preserve the applied final state
+    for any changelog sequence."""
+    from flink_connectors_spark.sink.options import SinkOptions
+    from flink_connectors_spark.sink.writer import precompact_changelog
+
+    rows = [
+        (pk, ver + 1, payload, op)
+        for ver, (pk, payload, op) in enumerate(logs)
+    ]
+    df = spark.createDataFrame(
+        rows, "pk long, ver long, payload double, op string"
+    )
+    opts = SinkOptions(
+        url="x", table_name="t", write_mode="upsert",
+        primary_key=("pk",), version_column="ver",
+    )
+    compacted = [
+        (r["pk"], r["ver"], r["payload"], r["op"])
+        for r in precompact_changelog(df, opts).collect()
+    ]
+    assert _final_upsert_state(compacted) == _final_upsert_state(rows)
+    pks = [pk for pk, *_ in compacted]
+    assert len(pks) == len(set(pks))
+    assert all(op != "UB" for *_, op in compacted)
