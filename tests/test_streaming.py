@@ -541,3 +541,65 @@ def test_live_streaming_histogram_rollup_matches_batch(spark, events_stream_dir)
     }
     assert live == batch
     assert len(batch) > 0
+
+
+def test_live_mixture_sampling_with_pinned_rates(spark, sf_dir, tmp_path):
+    """Temperature-mixture sampling in the ingest loop: rates are
+    computed ONCE from the standing corpus (the pinned snapshot the
+    operator docstring prescribes for append stability) and applied
+    to every arriving micro-batch as a pure md5-threshold filter. The
+    union of per-batch keeps must equal the batch-mode sample of all
+    new docs under the same rates — the append-stability property:
+    a doc's keep/drop never depends on which batch carried it."""
+    from flink_connectors_spark.operators.sampling import (
+        hash_bucket,
+        temperature_mixture_rates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    rates = temperature_mixture_rates(
+        docs, "source", target_fraction=0.5
+    ).drop("n")
+    rates.persist().count()  # the pinned snapshot
+
+    stream_dir = f"{tmp_path}/arrivals"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    key = F.concat(
+        F.col("source").cast("string"),
+        F.lit(":"),
+        F.col("doc_id").cast("string"),
+    )
+    kept: list[int] = []
+
+    def on_batch(batch_df, epoch_id):
+        out = batch_df.join(F.broadcast(rates), "source").filter(
+            hash_bucket(key, 1_000_000) < F.col("ppm")
+        )
+        kept.extend(r["doc_id"] for r in out.collect())
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp_path}/ckpt_mix")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r["doc_id"]
+        for r in docs.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(key, 1_000_000) < F.col("ppm"))
+        .collect()
+    }
+    assert set(kept) == want
+    assert 0 < len(want) < docs.count()
+    rates.unpersist()
