@@ -183,3 +183,47 @@ def test_jaccard_distinct_equals_jaccard_on_distinct_arrays(spark, pairs):
     ).collect()
     for r in got:
         assert r["j"] == r["jd"], (r["j"], r["jd"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcde"), min_size=0, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_containment_pairs_match_set_model(spark, docs):
+    """containment_pairs vs a pure-Python shingle-set model: same
+    pairs, same rounded containment, same smaller-side pick —
+    including the short-doc filter (< 3 tokens carry no shingles) and
+    ties (equal sizes pick d1)."""
+    from flink_connectors_spark.operators.dedup import containment_pairs
+
+    rows = [(i, t, "x", "y") for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {
+        (r["d1"], r["d2"]): (r["containment"], r["smaller"])
+        for r in containment_pairs(
+            df, ["lang", "source"], threshold=0.0
+        ).collect()
+    }
+
+    def shingles(t):
+        ws = _model_tokens(t)
+        if len(ws) < 3:
+            return None
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sh[a], sh[b]
+            if sa is None or sb is None:
+                continue
+            c = round(len(sa & sb) / min(len(sa), len(sb)), 6)
+            want[(a, b)] = (c, a if len(sa) <= len(sb) else b)
+    assert got == want
