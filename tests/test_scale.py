@@ -570,3 +570,27 @@ def test_bloom_merge_equals_rebuild(spark):
         for r in bloom_might_contain(probe, merged).collect()
     }
     assert all(hits[k] == 1 for (k,) in keys1), "merged filter lost members"
+
+
+def test_bloom_bitmap_bits_match_python_model(spark):
+    """Cross-check the bitmap's exact bit pattern against an
+    independent Python model of the documented hash math (8-hex-char
+    md5 slices -> pos mod m; 62-bit words) over random-ish keys — a
+    flipped bit anywhere breaks equality."""
+    import hashlib
+
+    from flink_connectors_spark.operators.scale import bloom_bitmap
+
+    keys = [hashlib.md5(f"k{i}".encode()).hexdigest() for i in range(137)]
+    m_bits, n_hashes, w = 62 * 16, 3, 62
+    words = [0] * 16
+    for fp in keys:
+        for j in range(n_hashes):
+            pos = int(fp[8 * j : 8 * j + 8], 16) % m_bits
+            words[pos // w] |= 1 << (pos % w)
+    got = bloom_bitmap(
+        spark.createDataFrame([(k,) for k in keys], "fp string"),
+        m_bits=m_bits,
+        n_hashes=n_hashes,
+    ).collect()[0]["bf"]
+    assert list(got) == words
