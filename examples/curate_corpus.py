@@ -28,7 +28,12 @@ are printed from single-pass Observation metrics.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import functions as F
 
