@@ -72,6 +72,8 @@ HEADLINE = [
     "pipeline_global_shuffle",
     "text_token_entropy",
     "dedup_bloom_guard",
+    "rollup_quantile_histogram",
+    "sink_precompact_batch",
 ]
 
 
