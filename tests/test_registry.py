@@ -127,3 +127,14 @@ def test_never_checked_queue_is_longest_waiting_first():
                 f"pre-existing never-checked query {n} sorted after a "
                 "newer registration"
             )
+
+
+def test_zero_rows_only_queries():
+    """Every registered query carries a DuckDB oracle — the driver's
+    strong (value-hash) gate applies to the whole surface. A rows-only
+    registration is a deliberate exception that must be argued here,
+    not an accident."""
+    from flink_connectors_spark.registry import all_specs
+
+    missing = [n for n, s in all_specs().items() if s.oracle is None]
+    assert missing == [], f"queries without oracles: {missing}"
