@@ -231,12 +231,49 @@ def diagnose_skew(
 _BLOOM_WORD_BITS = 62  # shifts stay <= 61: no int64 sign-bit edge in
 #                        either engine (DuckDB range-checks 1 << 63)
 
+_BLOOM_MIN_BITS = 16 * _BLOOM_WORD_BITS  # 992 — floor so tiny corpora
+#                                          still get a non-degenerate filter
+
+
+class BloomSaturationError(RuntimeError):
+    """Raised when a Bloom bitmap's fill ratio exceeds the configured
+    bound — the loud form of the silent failure where an undersized
+    filter saturates toward all-ones and ``bloom_hit`` degrades to a
+    constant 1, turning the join-free pre-filter into a no-op in
+    front of a batch-sized verify join."""
+
+
+def auto_bloom_bits(
+    n_members: int,
+    bits_per_key: int = 10,
+    min_bits: int = _BLOOM_MIN_BITS,
+) -> int:
+    """Corpus-derived bitmap size: ``bits_per_key`` bits per expected
+    member (the classic ~10 bits/key ≈ 1% FPR operating point for
+    k=3), rounded UP to a multiple of the 62-bit word width, floored
+    at ``min_bits``. The Bloom analogue of ``auto_lsh_bands`` — the
+    sizing rule enforced in code, not prose: at 10 bits/key the fill
+    ratio converges to 1 - exp(-k/10) ≈ 0.26 regardless of corpus
+    size, so saturation is structurally impossible when the member
+    count is honest. Mirrors the same DuckDB-expressible integer
+    math the bitmap itself uses:
+    ``((greatest(min, n*bpk) + 61) // 62) * 62``."""
+    if n_members < 0:
+        raise ValueError(f"n_members must be >= 0: {n_members}")
+    if bits_per_key < 1:
+        raise ValueError(f"bits_per_key must be >= 1: {bits_per_key}")
+    raw = max(min_bits, n_members * bits_per_key)
+    return ((raw + _BLOOM_WORD_BITS - 1) // _BLOOM_WORD_BITS) * _BLOOM_WORD_BITS
+
 
 def bloom_bitmap(
     fps: DataFrame,
     fp_col: str = "fp",
-    m_bits: int = 4092,
+    m_bits: int | None = None,
     n_hashes: int = 3,
+    member_count: int | None = None,
+    bits_per_key: int = 10,
+    assert_fill_below: float | None = None,
 ) -> DataFrame:
     """Build a Bloom-filter bitmap from a fingerprint column as a
     ONE-ROW DataFrame carrying a dense array<int64> of bit words —
@@ -261,7 +298,36 @@ def bloom_bitmap(
     one-row pack. Spark's built-in bloom_filter_agg is not exposed to
     SQL/Python (verified: UNRESOLVED_ROUTINE); this construction is
     also portable, which the built-in's opaque bytes are not.
+
+    **Sizing** (enforced, not advisory): when ``m_bits`` is None the
+    bitmap is sized from the member count via :func:`auto_bloom_bits`
+    (~``bits_per_key`` bits/key). Pass ``member_count`` to skip the
+    extra ``count()`` pass when the caller already knows it (the
+    ``corpus_count`` pattern from rplsh banding). An explicit
+    ``m_bits`` is honored for bitmap FAMILIES that must share a width
+    (nightly OR-merge requires equal widths) — size the family once
+    from the expected corpus scale, then pass that width everywhere.
+
+    **Saturation guard**: ``assert_fill_below`` materializes the
+    bitmap eagerly (``localCheckpoint`` — one row, a few KB; callers
+    reusing a bitmap across probes want this anyway to avoid rebuild)
+    and raises :class:`BloomSaturationError` if popcount/m meets the
+    bound, so an undersized filter fails loudly at build time instead
+    of silently degrading every probe to ``bloom_hit=1``. Lazy
+    callers can audit later via :func:`bloom_fill_ratio`.
+
+    **Past broadcast size** the plan is prefix sharding, not a wider
+    row: band fingerprints by a hex prefix (e.g. first 2 chars -> 256
+    shards), build one auto-sized bitmap per shard (an array of
+    one-row bitmaps, each still a few MB), probe by routing each row
+    to its prefix's bitmap, and OR-maintain each shard independently
+    with the existing :func:`bloom_merge`. Nothing in the math
+    changes — the shard key is just more hex characters of the same
+    md5 the hashes already slice.
     """
+    if m_bits is None:
+        n = member_count if member_count is not None else fps.count()
+        m_bits = auto_bloom_bits(n, bits_per_key=bits_per_key)
     if m_bits % _BLOOM_WORD_BITS != 0:
         raise ValueError(
             f"m_bits must be a multiple of {_BLOOM_WORD_BITS}: {m_bits}"
@@ -295,7 +361,7 @@ def bloom_bitmap(
     packed = words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("__m__")
     )
-    return packed.select(
+    out = packed.select(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_words - 1)),
             lambda i: F.coalesce(
@@ -304,34 +370,100 @@ def bloom_bitmap(
             ),
         ).alias("bf")
     )
+    if assert_fill_below is not None:
+        if not 0.0 < assert_fill_below <= 1.0:
+            raise ValueError(
+                f"assert_fill_below must be in (0, 1]: {assert_fill_below}"
+            )
+        out = out.localCheckpoint(eager=True)
+        fill = out.select(
+            (
+                F.aggregate(
+                    F.transform("bf", F.bit_count),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                )
+                / F.lit(float(m_bits))
+            ).alias("fill")
+        ).first()["fill"]
+        if fill >= assert_fill_below:
+            raise BloomSaturationError(
+                f"Bloom bitmap fill ratio {fill:.3f} >= "
+                f"{assert_fill_below} at m_bits={m_bits}: the filter is "
+                "saturating and every probe will degrade toward "
+                "bloom_hit=1. Re-size with auto_bloom_bits(member_count) "
+                "or shard by fingerprint prefix (see bloom_bitmap "
+                "docstring)."
+            )
+    return out
+
+
+def bloom_fill_ratio(bitmap: DataFrame) -> DataFrame:
+    """Saturation audit as a one-row DataFrame over a
+    :func:`bloom_bitmap` output: ``(m_bits, set_bits, fill_ratio)``.
+    Healthy auto-sized filters sit near 1 - exp(-k/bits_per_key)
+    (~0.26 at the k=3 / 10-bits-per-key default); a ratio drifting
+    toward 1.0 means the member count outgrew the width and probes
+    are degrading toward constant ``bloom_hit=1`` — re-size or
+    prefix-shard. Pure expression over the one broadcastable row:
+    free to emit next to any nightly merge."""
+    m = F.size("bf") * _BLOOM_WORD_BITS
+    set_bits = F.aggregate(
+        F.transform("bf", F.bit_count), F.lit(0), lambda a, x: a + x
+    )
+    return bitmap.select(
+        m.cast("long").alias("m_bits"),
+        set_bits.cast("long").alias("set_bits"),
+        F.round(set_bits / m.cast("double"), 6).alias("fill_ratio"),
+    )
 
 
 def bloom_might_contain(
     df: DataFrame,
     bitmap: DataFrame,
     fp_col: str = "fp",
-    m_bits: int = 4092,
+    m_bits: int | None = None,
     n_hashes: int = 3,
     out_col: str = "bloom_hit",
 ) -> DataFrame:
     """Append ``out_col`` (int64 0/1): 1 iff every hash position of
     the row's fingerprint is set in ``bitmap`` (from
-    :func:`bloom_bitmap` — same m_bits/n_hashes or the bits won't
-    line up). Broadcast of one row + per-row integer expressions: no
-    shuffle, no join against the membership set. Guaranteed 1 for
-    every true member; a 0 definitively rules membership out."""
-    out = df.crossJoin(F.broadcast(bitmap))
+    :func:`bloom_bitmap` — same n_hashes or the bits won't line up).
+    Broadcast of one row + per-row integer expressions: no shuffle,
+    no join against the membership set. Guaranteed 1 for every true
+    member; a 0 definitively rules membership out.
+
+    ``m_bits`` defaults to the bitmap's own width (``size(bf) * 62``
+    as an expression over the broadcast row), so auto-sized bitmaps
+    probe correctly with no width bookkeeping at the call site; pass
+    it explicitly only as a belt-and-braces literal for constant
+    folding.
+
+    **NULL semantics**: a NULL fingerprint gets verdict 1, NOT NULL —
+    a NULL verdict would fall out of both the ``bloom_hit = 0`` and
+    ``bloom_hit = 1`` branches of the guarded-ingest pattern and
+    silently drop the row (the hazard ``embedding_norm_audit`` was
+    hardened against). Verdict 1 routes the row to the exact verify
+    join, which preserves no-false-negative soundness and surfaces
+    the NULL to the caller's join logic instead of swallowing it."""
+    bmp = bitmap.select(F.col("bf").alias("__bf__"))
+    out = df.crossJoin(F.broadcast(bmp))
+    m = (
+        F.lit(m_bits)
+        if m_bits is not None
+        else F.size(F.col("__bf__")) * _BLOOM_WORD_BITS
+    )
     hit = None
     for j in range(n_hashes):
         pj = F.pmod(
             F.conv(F.substring(F.col(fp_col), 1 + 8 * j, 8), 16, 10).cast(
                 "bigint"
             ),
-            F.lit(m_bits),
+            m,
         )
         out = out.withColumn(f"__b{j}__", F.pmod(pj, _BLOOM_WORD_BITS).cast("int"))
         word = F.element_at(
-            F.col("bf"),
+            F.col("__bf__"),
             (F.floor(pj / _BLOOM_WORD_BITS) + 1).cast("int"),
         )
         h = (
@@ -341,20 +473,27 @@ def bloom_might_contain(
             != 0
         )
         hit = h if hit is None else (hit & h)
-    return out.withColumn(out_col, hit.cast("long")).drop(
-        "bf", *[f"__b{j}__" for j in range(n_hashes)]
-    )
+    return out.withColumn(
+        out_col, F.coalesce(hit.cast("long"), F.lit(1).cast("long"))
+    ).drop("__bf__", *[f"__b{j}__" for j in range(n_hashes)])
 
 
 def bloom_merge(bitmaps: Sequence[DataFrame]) -> DataFrame:
-    """Union Bloom bitmaps (same m_bits/n_hashes) into one by
+    """Union Bloom bitmaps (same m_bits/n_hashes family) into one by
     element-wise OR of their word arrays — the nightly maintenance
     step: yesterday's corpus bitmap OR today's batch bitmap, no
     rebuild over the historical corpus. Bloom filters are exactly
     mergeable under OR (the merged filter answers membership for the
     union with zero extra false negatives), the same additive-summary
     property the rollup sketches lean on. Cost: k one-row frames
-    cross-joined — driver-trivial at any corpus size."""
+    cross-joined — driver-trivial at any corpus size.
+
+    A width mismatch (bitmaps NOT sized as a family — e.g. two
+    independently auto-sized days) raises at evaluation time rather
+    than silently nulling words: ``zip_with`` pads the shorter array
+    with NULLs, which the merge lambda converts to an explicit
+    ``raise_error``. Size the family once from expected corpus scale
+    and pass that ``m_bits`` to every build."""
     if not bitmaps:
         raise ValueError("bloom_merge needs at least one bitmap")
     out = bitmaps[0]
@@ -365,7 +504,17 @@ def bloom_merge(bitmaps: Sequence[DataFrame]) -> DataFrame:
                 F.zip_with(
                     "bf",
                     f"__o{i}__",
-                    lambda a, b: a.bitwiseOR(b),
+                    lambda a, b: F.when(
+                        a.isNull() | b.isNull(),
+                        F.raise_error(
+                            F.lit(
+                                "bloom_merge: bitmap width mismatch — "
+                                "merge inputs must share m_bits (size "
+                                "the family once, pass it to every "
+                                "bloom_bitmap build)"
+                            )
+                        ).cast("long"),
+                    ).otherwise(a.bitwiseOR(b)),
                 ).alias("bf")
             )
         )

@@ -2412,8 +2412,14 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom oracle building blocks. The bitmap width is CORPUS-DERIVED in
+# both engines via the identical integer rule (auto_bloom_bits:
+# ((greatest(992, n*10) + 61) // 62) * 62), referenced as the scalar
+# subquery (SELECT m FROM mb) — one flipped bit OR a one-word sizing
+# divergence between Spark and DuckDB fails the value hash.
+_BLOOM_MB = "((greatest(992, {n_expr} * 10) + 61) // 62) * 62"
 _BLOOM_P = (
-    "CAST(concat('0x', substr(fp, {o}, 8)) AS BIGINT) % 4092"
+    "CAST(concat('0x', substr(fp, {o}, 8)) AS BIGINT) % (SELECT m FROM mb)"
 )
 _BLOOM_HIT = " AND ".join(
     f"""EXISTS(SELECT 1 FROM words x
@@ -2430,6 +2436,7 @@ _BLOOM_HIT = " AND ".join(
     WITH n AS (
       SELECT doc_id, md5({_NORM}) AS fp FROM documents),
     hist AS (SELECT DISTINCT fp FROM n WHERE doc_id % 3 = 0),
+    mb AS (SELECT {_BLOOM_MB.format(n_expr="COUNT(*)")} AS m FROM hist),
     hp AS (
       SELECT {_BLOOM_P.format(o=1)} AS p FROM hist
       UNION ALL SELECT {_BLOOM_P.format(o=9)} FROM hist
@@ -2458,8 +2465,11 @@ def dedup_bloom_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify join exists to remove. At 100 TB the guard turns the
     nightly batch-vs-corpus dedup join from batch-sized to
     duplicate-sized with one few-MB broadcast and zero shuffle. The
-    oracle rebuilds the identical bitmap bit-for-bit in SQL, so one
-    flipped bit anywhere fails the hash."""
+    bitmap width is CORPUS-DERIVED (auto_bloom_bits: ~10 bits per
+    history key — no fixed-capacity saturation hazard) and the oracle
+    re-derives the same width from its own COUNT(*) before rebuilding
+    the identical bitmap bit-for-bit in SQL, so one flipped bit — or
+    a sizing divergence — anywhere fails the hash."""
     from pyspark.sql import functions as F
 
     from ..functions import normalize_text
@@ -2471,7 +2481,7 @@ def dedup_bloom_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
     )
     hist = fps.filter("doc_id % 3 = 0").select("fp").distinct()
-    bmp = bloom_bitmap(hist)
+    bmp = bloom_bitmap(hist)  # m_bits=None -> auto-sized from hist count
     probed = bloom_might_contain(fps, bmp)
     truth = hist.withColumn("__t__", F.lit(1).cast("long"))
     return (
@@ -2535,6 +2545,8 @@ def dedup_containment_rare_shingle(
     oracle=f"""
     WITH n AS (
       SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    mb AS (SELECT {_BLOOM_MB.format(n_expr="COUNT(DISTINCT fp)")} AS m
+           FROM n),
     day1 AS (SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 0),
     day2 AS (SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 1),
     p1 AS (
@@ -2563,18 +2575,31 @@ def dedup_bloom_merge_nightly(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. The oracle builds the union's bitmap directly — equality
     of every word proves merge == rebuild bit-for-bit (Bloom filters
     are exactly mergeable under OR), which is what lets incremental
-    ingest never re-scan the historical corpus."""
+    ingest never re-scan the historical corpus.
+
+    OR-merge requires the family to SHARE a width, so the width is
+    derived ONCE from the full corpus's distinct-fingerprint count
+    (auto_bloom_bits) and passed to every daily build — exactly the
+    production contract: size from expected corpus scale up front,
+    never from each day's batch (bloom_merge raises loudly on a
+    mismatch). The oracle re-derives the same width from its own
+    COUNT(DISTINCT fp)."""
     from pyspark.sql import functions as F
 
     from ..functions import normalize_text
-    from ..operators.scale import bloom_bitmap, bloom_merge
+    from ..operators.scale import auto_bloom_bits, bloom_bitmap, bloom_merge
 
     d = _load(spark, sf_dir, "documents")
     fps = d.select(
         "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
     )
-    b1 = bloom_bitmap(fps.filter("doc_id % 2 = 0").select("fp").distinct())
-    b2 = bloom_bitmap(fps.filter("doc_id % 2 = 1").select("fp").distinct())
+    m_bits = auto_bloom_bits(fps.select("fp").distinct().count())
+    b1 = bloom_bitmap(
+        fps.filter("doc_id % 2 = 0").select("fp").distinct(), m_bits=m_bits
+    )
+    b2 = bloom_bitmap(
+        fps.filter("doc_id % 2 = 1").select("fp").distinct(), m_bits=m_bits
+    )
     merged = bloom_merge([b1, b2])
     return (
         merged.select(
@@ -2583,6 +2608,57 @@ def dedup_bloom_merge_nightly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != 0)
         .select(F.col("w").cast("long"), F.col("word").cast("long"))
     )
+
+
+@register(
+    "dedup_bloom_fill_audit",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM n WHERE doc_id % 3 = 0),
+    mb AS (SELECT {_BLOOM_MB.format(n_expr="COUNT(*)")} AS m FROM hist),
+    hp AS (
+      SELECT {_BLOOM_P.format(o=1)} AS p FROM hist
+      UNION ALL SELECT {_BLOOM_P.format(o=9)} FROM hist
+      UNION ALL SELECT {_BLOOM_P.format(o=17)} FROM hist),
+    words AS (
+      SELECT p // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS word
+      FROM hp GROUP BY 1)
+    SELECT CAST((SELECT m FROM mb) AS BIGINT) AS m_bits,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS set_bits,
+           round(CAST(SUM(bit_count(word)) AS DOUBLE)
+                 / (SELECT m FROM mb), 6) AS fill_ratio
+    FROM words
+    """,
+    tags=("llm", "dedup", "bloom", "qa"),
+    since=4,
+)
+def dedup_bloom_fill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The saturation audit that keeps the Bloom guard honest at
+    100 TB: popcount / width of the historical-corpus bitmap as a
+    one-row (m_bits, set_bits, fill_ratio). Auto-sizing pins healthy
+    fills near 1 - exp(-3/10) ≈ 0.26; a ratio drifting toward 1.0
+    is the silent-degradation signature (every probe → bloom_hit=1,
+    the pre-filter becomes a no-op in front of a batch-sized verify
+    join) — this query is the nightly emit that makes it loud. The
+    oracle rebuilds the same auto-sized bitmap in SQL and recomputes
+    the popcount independently."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text
+    from ..operators.scale import bloom_bitmap, bloom_fill_ratio
+
+    d = _load(spark, sf_dir, "documents")
+    hist = (
+        d.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+        )
+        .filter("doc_id % 3 = 0")
+        .select("fp")
+        .distinct()
+    )
+    return bloom_fill_ratio(bloom_bitmap(hist))
 
 
 @register(

@@ -513,8 +513,8 @@ def test_bloom_guard_no_false_negatives(spark, sf_dir):
     """The soundness invariant that makes the Bloom pre-filter safe:
     every true member is bloom-positive (a false negative would drop
     a real duplicate from the verify join). False positives are
-    allowed but must be a small minority at the designed load factor
-    (~167 keys in 4092 bits, k=3 -> sub-percent)."""
+    allowed but must be a small minority at the auto-sized load
+    factor (~10 bits/key, k=3 -> ~2% worst case)."""
     from flink_connectors_spark.registry import all_specs
 
     rows = all_specs()["dedup_bloom_guard"].fn(spark, sf_dir).collect()
@@ -594,3 +594,113 @@ def test_bloom_bitmap_bits_match_python_model(spark):
         n_hashes=n_hashes,
     ).collect()[0]["bf"]
     assert list(got) == words
+
+
+def test_auto_bloom_bits_sizing_rule():
+    """The corpus-derived sizing rule enforced in code: ~bits_per_key
+    bits per member, rounded UP to a 62-bit word, floored at 992 —
+    and identical to the DuckDB-side integer formula the oracles
+    embed (((greatest(992, n*10) + 61) // 62) * 62)."""
+    import pytest as _pytest
+
+    from flink_connectors_spark.operators.scale import auto_bloom_bits
+
+    for n in (0, 1, 50, 99, 100, 167, 1000, 12345, 10**7):
+        m = auto_bloom_bits(n)
+        assert m % 62 == 0
+        assert m >= max(992, n * 10)
+        assert m - 62 < max(992, n * 10)  # tight: no over-allocation
+        assert m == ((max(992, n * 10) + 61) // 62) * 62  # oracle formula
+    assert auto_bloom_bits(100, bits_per_key=20) >= 2000
+    with _pytest.raises(ValueError):
+        auto_bloom_bits(-1)
+    with _pytest.raises(ValueError):
+        auto_bloom_bits(10, bits_per_key=0)
+
+
+def test_bloom_saturation_guard_is_loud(spark):
+    """A deliberately undersized filter must REFUSE at build time
+    (BloomSaturationError), not silently degrade every probe to
+    bloom_hit=1; a correctly auto-sized filter over the same keys
+    passes the same guard with fill near the ~0.26 design point."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from flink_connectors_spark.operators.scale import (
+        BloomSaturationError,
+        bloom_bitmap,
+        bloom_fill_ratio,
+    )
+
+    keys = [(hashlib.md5(f"s{i}".encode()).hexdigest(),) for i in range(400)]
+    df = spark.createDataFrame(keys, "fp string")
+    with _pytest.raises(BloomSaturationError):
+        # 400 keys * 3 hashes into 124 bits: hopelessly saturated
+        bloom_bitmap(df, m_bits=62 * 2, assert_fill_below=0.5)
+    ok = bloom_bitmap(df, assert_fill_below=0.5)  # auto-sized: passes
+    fill = bloom_fill_ratio(ok).first()
+    assert fill["m_bits"] >= 4000  # 400 keys * 10 bits/key
+    assert 0.05 < fill["fill_ratio"] < 0.5
+    assert fill["set_bits"] <= 3 * 400
+
+
+def test_bloom_probe_null_fp_forces_verify(spark):
+    """ADVICE fix: a NULL fingerprint must get verdict 1 (routed to
+    the exact verify join), never NULL — a NULL verdict falls out of
+    both branches of the guarded-ingest filter and silently drops
+    the row."""
+    import hashlib
+
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    members = [(hashlib.md5(f"m{i}".encode()).hexdigest(),) for i in range(10)]
+    bmp = bloom_bitmap(spark.createDataFrame(members, "fp string"))
+    probe = spark.createDataFrame(
+        [(1, members[0][0]), (2, None)], "id long, fp string"
+    )
+    rows = {r["id"]: r["bloom_hit"] for r in bloom_might_contain(probe, bmp).collect()}
+    assert rows[1] == 1
+    assert rows[2] == 1  # NULL fp -> forced verify, not a silent drop
+
+
+def test_bloom_probe_preserves_caller_bf_column(spark):
+    """ADVICE fix: the probe name-spaces the bitmap column, so a
+    caller whose DataFrame already has a `bf` column keeps it."""
+    import hashlib
+
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    members = [(hashlib.md5(b"x").hexdigest(),)]
+    bmp = bloom_bitmap(spark.createDataFrame(members, "fp string"))
+    probe = spark.createDataFrame(
+        [(members[0][0], "keep-me")], "fp string, bf string"
+    )
+    out = bloom_might_contain(probe, bmp)
+    row = out.first()
+    assert out.columns == ["fp", "bf", "bloom_hit"]
+    assert row["bf"] == "keep-me"
+    assert row["bloom_hit"] == 1
+
+
+def test_bloom_merge_width_mismatch_raises(spark):
+    """Merging bitmaps of different widths (a family NOT sized once)
+    must raise at evaluation, not silently null out words."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from flink_connectors_spark.operators.scale import bloom_bitmap, bloom_merge
+
+    keys = [(hashlib.md5(f"w{i}".encode()).hexdigest(),) for i in range(5)]
+    df = spark.createDataFrame(keys, "fp string")
+    a = bloom_bitmap(df, m_bits=62 * 4)
+    b = bloom_bitmap(df, m_bits=62 * 8)
+    with _pytest.raises(Exception, match="width mismatch"):
+        bloom_merge([a, b]).collect()

@@ -414,6 +414,7 @@ def test_live_bloom_guarded_exact_dedup_ingest(spark, sf_dir, tmp_path):
     visible."""
     from flink_connectors_spark.functions import normalize_text
     from flink_connectors_spark.operators.scale import (
+        auto_bloom_bits,
         bloom_bitmap,
         bloom_merge,
         bloom_might_contain,
@@ -432,7 +433,16 @@ def test_live_bloom_guarded_exact_dedup_ingest(spark, sf_dir, tmp_path):
             "append"
         ).parquet(stream_dir)
 
-    state = {"bmp": bloom_bitmap(corpus, fp_col="fp").localCheckpoint(eager=True)}
+    # OR-merge needs one family-wide width: size it ONCE from the
+    # expected final corpus scale (current corpus + ingest headroom),
+    # then pass it to every build — per-batch auto-sizing would give
+    # mismatched widths and bloom_merge raises loudly on those.
+    m_bits = auto_bloom_bits(corpus.count() * 2)
+    state = {
+        "bmp": bloom_bitmap(
+            corpus, fp_col="fp", m_bits=m_bits
+        ).localCheckpoint(eager=True)
+    }
     seen_fps = {"df": corpus.select("fp").distinct().localCheckpoint(eager=True)}
     kept: list[int] = []
 
@@ -450,7 +460,7 @@ def test_live_bloom_guarded_exact_dedup_ingest(spark, sf_dir, tmp_path):
         kept.extend(r["doc_id"] for r in batch_kept.collect())
         # fold this batch into the standing index for later batches
         state["bmp"] = bloom_merge(
-            [state["bmp"], bloom_bitmap(batch_kept, fp_col="fp")]
+            [state["bmp"], bloom_bitmap(batch_kept, fp_col="fp", m_bits=m_bits)]
         ).localCheckpoint(eager=True)
         seen_fps["df"] = (
             seen_fps["df"]
