@@ -106,8 +106,27 @@ def precompact_changelog(df: DataFrame, opts: SinkOptions) -> DataFrame:
       so only the final I/UA/D row per key survives.
     - collapsing (unkeyed, sign-summed): identical (row, +1)/(row, -1)
       pairs cancel; net sign per distinct row value survives (exploded
-      |net| times for the pathological multi-count case).
+      |net| times for the pathological multi-count case). CAVEAT: this
+      path argues NET-STATE equivalence only. The groupBy reorders the
+      batch and re-emits synthesized ops, and CollapsingMergeTree is
+      order-sensitive within a part (a -1 arriving before its +1 in
+      the rewritten stream is kept, not collapsed), so PRE-merge part
+      contents and reads without ``FINAL`` / merge-complete guarantees
+      can differ from the raw stream more than the replacing path
+      does. Don't enable collapsing precompaction on sinks whose
+      readers skip FINAL.
     - insert_only: append-only, nothing to compact — returned as-is.
+
+    **Version-tie determinism** (replacing/upsert): within a batch the
+    winner per key is max version, tie-broken by batch arrival order
+    (``monotonically_increasing_id`` captured before the window) —
+    matching ReplacingMergeTree's keep-last-inserted-on-equal-version
+    rule for the raw path's per-partition insert order. With ties
+    split ACROSS Spark partitions the raw path itself is
+    nondeterministic (concurrent partition writers race the insert
+    order); the compacted path is then deterministic-but-arbitrary
+    among the tied rows. For strict raw==compacted equivalence keep
+    the version unique per key within a batch.
 
     Runs BEFORE :func:`translate_changelog`, on the raw op-column
     changelog. One keyed shuffle — the same key the sharded write path
@@ -127,17 +146,15 @@ def precompact_changelog(df: DataFrame, opts: SinkOptions) -> DataFrame:
                 "batch"
             )
         w = Window.partitionBy(*opts.primary_key).orderBy(
-            F.desc(opts.version_column)
+            F.desc(opts.version_column), F.desc("__arr__")
         )
-        cand = (
-            df.filter(op != OP_UPDATE_BEFORE)
-            if opts.write_mode == "upsert"
-            else df
-        )
+        cand = df.withColumn("__arr__", F.monotonically_increasing_id())
+        if opts.write_mode == "upsert":
+            cand = cand.filter(op != OP_UPDATE_BEFORE)
         return (
             cand.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
-            .drop("__rn__")
+            .drop("__rn__", "__arr__")
         )
     if opts.write_mode == "collapsing":
         sign = F.when(op.isin(OP_INSERT, OP_UPDATE_AFTER), 1).otherwise(-1)

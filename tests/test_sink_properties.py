@@ -215,6 +215,68 @@ def test_precompact_equivalence_random_changelogs(spark, logs):
     assert set(compacted) <= set(rows)
 
 
+def _final_replacing_state_tie_arrival(rows):
+    """Tie-aware model: on EQUAL versions the later arrival wins
+    (ReplacingMergeTree keeps the last-inserted row on a version
+    tie) — `>=` instead of `>` while scanning in arrival order."""
+    best = {}
+    for pk, ver, payload, op in rows:
+        deleted = 0 if op in ("I", "UA") else 1
+        if pk not in best or ver >= best[pk][0]:
+            best[pk] = (ver, payload, deleted)
+    return {
+        (pk, payload)
+        for pk, (ver, payload, deleted) in best.items()
+        if deleted == 0
+    }
+
+
+@given(
+    logs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # pk: few keys
+            st.integers(min_value=1, max_value=3),  # ver: DUPLICATES likely
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.sampled_from(["I", "UB", "UA", "D"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_precompact_equivalence_duplicate_versions(spark, logs):
+    """ADVICE gap closed: with NON-unique versions per key the
+    compacted winner must match the tie-aware reference model
+    (last arrival wins among max-version rows), on a single
+    partition where arrival order is total. The unique-version
+    property above can never exercise this branch."""
+    from flink_connectors_spark.sink.options import SinkOptions
+    from flink_connectors_spark.sink.writer import precompact_changelog
+
+    rows = [(pk, ver, payload, op) for pk, ver, payload, op in logs]
+    df = spark.createDataFrame(
+        rows, "pk long, ver long, payload double, op string"
+    ).coalesce(1)
+    opts = SinkOptions(
+        url="x", table_name="t", write_mode="replacing",
+        primary_key=("pk",), version_column="ver",
+    )
+    compacted = [
+        (r["pk"], r["ver"], r["payload"], r["op"])
+        for r in precompact_changelog(df, opts).collect()
+    ]
+    assert _final_replacing_state_tie_arrival(
+        compacted
+    ) == _final_replacing_state_tie_arrival(rows)
+    pks = [pk for pk, *_ in compacted]
+    assert len(pks) == len(set(pks))
+    assert set(compacted) <= set(rows)
+
+
 def _final_collapsing_state(rows):
     """Net sign per (pk, payload) value row — CollapsingMergeTree's
     merge outcome."""

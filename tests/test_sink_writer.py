@@ -405,6 +405,37 @@ def test_precompact_collapsing_cancels_pairs(spark):
     assert got == [(1, 11.0, "I"), (2, 20.0, "I")]
 
 
+def test_precompact_version_tie_breaks_by_arrival_order(spark):
+    """ADVICE fix: on EQUAL versions per key the compacted winner must
+    be deterministic and match ReplacingMergeTree's
+    keep-last-inserted rule for the raw stream — the latest row in
+    batch arrival order, not whichever row_number happened to see
+    first. Single partition so arrival order is total (across
+    partitions the raw path itself races; see docstring)."""
+    from flink_connectors_spark.sink.writer import precompact_changelog
+
+    rows = [
+        (1, 7, 10.0, "I"),
+        (1, 7, 11.0, "UA"),
+        (1, 7, 12.0, "UA"),  # same version 7 three times: last arrival wins
+        (2, 3, 20.0, "I"),
+        (2, 3, 21.0, "UA"),
+    ]
+    df = spark.createDataFrame(
+        rows, "pk long, ver long, payload double, op string"
+    ).coalesce(1)
+    opts = SinkOptions(
+        url="x", table_name="t", write_mode="replacing",
+        primary_key=("pk",), version_column="ver",
+    )
+    for _ in range(3):  # determinism: same winner on every evaluation
+        got = {
+            r["pk"]: r["payload"]
+            for r in precompact_changelog(df, opts).collect()
+        }
+        assert got == {1: 12.0, 2: 21.0}
+
+
 def test_precompact_requires_version_for_keyed_modes(spark):
     from flink_connectors_spark.sink.writer import precompact_changelog
 
