@@ -43,6 +43,7 @@ from flink_connectors_spark.operators.dedup import (
     decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
+    unpersist_inputs,
 )
 from flink_connectors_spark.operators.scale import write_zordered
 from flink_connectors_spark.operators.text import (
@@ -100,6 +101,15 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     # 4b. decontaminate against a held-out eval slice
     eval_set = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     deduped = decontaminate(deduped, eval_set, min_overlap=2)
+    # Materialize the dedup stage's survivors, then RELEASE the LSH
+    # shingle/band caches — the cache-lifetime contract: the plan
+    # persists them (several branches re-read the shingle table), the
+    # caller owns release once nothing downstream re-reads the lineage.
+    # The checkpoint cuts that lineage, so every later stage (quota,
+    # mixture, packing, write) starts from the materialized survivors
+    # instead of re-running the self-join with its caches evicted.
+    deduped = deduped.localCheckpoint(eager=True)
+    unpersist_inputs(pairs, blocking=True)
     n_deduped = deduped.count()
 
     # 5. per-source quality quota: no source may dominate the mix —

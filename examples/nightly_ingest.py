@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Nightly incremental-ingest dedup loop — the production shape
+`minhash_lsh_pairs_bipartite` is built for, demonstrating the CACHE
+LIFETIME contract end to end.
+
+Each night a new batch of documents arrives. The loop:
+
+1. builds the bipartite LSH plan (batch bands vs the standing corpus's
+   band index — cost ~ batch x occupancy, never corpus^2),
+2. drops batch docs that near-dup the corpus OR an earlier-kept doc of
+   the same batch (exact self-dedup within the batch),
+3. MATERIALIZES the survivors (`localCheckpoint` cuts the lineage so
+   nothing downstream re-reads the LSH plan),
+4. releases the plan's persisted shingle tables with
+   `unpersist_inputs` — the step a naive loop forgets, leaking one
+   corpus-sized cache per night into executor block managers until
+   eviction noise replaces real working-set caching,
+5. folds the survivors into the standing corpus for the next night.
+
+At 100 TB the corpus band table would be a persistent on-disk index
+(bucketed parquet) rather than a per-night recompute; the loop
+structure and the release contract are identical.
+
+Run:  python examples/nightly_ingest.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_connectors_spark.operators.dedup import (
+    minhash_lsh_pairs_bipartite,
+    unpersist_inputs,
+)
+from flink_connectors_spark.session import build_session, load_table, spread
+
+
+def nightly_ingest(spark, sf_dir: str, n_nights: int = 3) -> dict:
+    """Run the loop; returns per-night stats plus the cache-leak
+    audit the test asserts on: ``caches_seen`` (tracked persisted
+    frames that actually held memory blocks at materialization —
+    proves the check is non-vacuous) and ``leaked_caches`` (tracked
+    frames STILL holding blocks after their night's release — the
+    contract says always 0)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    # day-0 corpus plus n_nights arriving batches, split by doc_id
+    corpus = docs.filter(F.col("doc_id") % (n_nights + 1) == 0)
+    corpus = corpus.localCheckpoint(eager=True)
+
+    kept_per_night: list[int] = []
+    caches_seen = 0
+    leaked: list[object] = []
+    for night in range(1, n_nights + 1):
+        batch = docs.filter(F.col("doc_id") % (n_nights + 1) == night)
+        pairs = minhash_lsh_pairs_bipartite(batch, corpus, threshold=0.5)
+        dup_ids = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+        survivors = (
+            batch.join(dup_ids, "doc_id", "left_anti")
+            # batch-internal exact dedup: first id per fingerprint wins
+            .withColumn("__fp__", F.md5("text"))
+            .withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("__fp__").orderBy("doc_id")
+                ),
+            )
+            .filter("__rn__ = 1")
+            .drop("__fp__", "__rn__")
+        )
+        # (3) materialize BEFORE releasing: the checkpoint is the last
+        # reader of the LSH caches
+        survivors = survivors.localCheckpoint(eager=True)
+        cached = getattr(pairs, "_fcs_cached_inputs", [])
+        caches_seen += sum(1 for df in cached if df.storageLevel.useMemory)
+        # (4) the lifetime contract: caller releases after materialization
+        unpersist_inputs(pairs, blocking=True)
+        leaked.extend(df for df in cached if df.storageLevel.useMemory)
+        # (5) fold into the standing corpus
+        corpus = corpus.unionByName(survivors).localCheckpoint(eager=True)
+        kept_per_night.append(survivors.count())
+
+    return {
+        "corpus_final": corpus.count(),
+        "kept_per_night": kept_per_night,
+        "caches_seen": caches_seen,
+        "leaked_caches": len(leaked),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = build_session(app_name="nightly-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = nightly_ingest(spark, sf_dir)
+    for k, v in stats.items():
+        print(f"{k:16s} {v}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,3 +23,20 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     # every chunk carries a frozen split label
     splits = {r["split"] for r in back.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_nightly_ingest_loop_releases_caches(spark, sf_dir):
+    """The advertised nightly-ingest loop must exercise the cache
+    lifetime contract: each night's LSH shingle caches actually held
+    memory at materialization (non-vacuous) and ZERO remain cached
+    after the loop body released them — a naive loop leaks one
+    corpus-sized cache per night."""
+    sys.path.insert(0, "examples")
+    from nightly_ingest import nightly_ingest
+
+    stats = nightly_ingest(spark, sf_dir, n_nights=3)
+    assert stats["corpus_final"] > 0
+    assert len(stats["kept_per_night"]) == 3
+    assert all(k >= 0 for k in stats["kept_per_night"])
+    assert stats["caches_seen"] > 0, "check is vacuous — nothing was cached"
+    assert stats["leaked_caches"] == 0, "LSH caches leaked past release"
