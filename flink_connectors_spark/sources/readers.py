@@ -104,8 +104,11 @@ def write_date_partitioned(
     a `WHERE dt >= X` predicate prunes whole directories at planning
     time (PartitionFilters in the scan, pinned in
     tests/test_sources.py), which no row-group statistic can match.
-    The partition value is a string date (stable lexicographic order,
-    no timezone ambiguity at the directory boundary)."""
+    The partition value is a string date (stable lexicographic
+    order). The date is the event date in the SESSION timezone
+    (`date_format` renders in `spark.sql.session.timeZone`): pin the
+    session tz (UTC in `build_session`) across writers or the same
+    instant can land in different day directories."""
     from pyspark.sql import functions as F
 
     (
@@ -119,10 +122,31 @@ def write_date_partitioned(
 
 
 def read_date_partitioned(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, partition_col: str = "dt"
 ) -> DataFrame:
-    """Read a :func:`write_date_partitioned` layout. Filters on the
-    partition column prune directories before any file is opened;
-    basePath is implied (plain load), so the partition column appears
-    as a regular string column."""
-    return spark.read.parquet(path)
+    """Read a :func:`write_date_partitioned` layout with the partition
+    column typed STRING, honoring the write side's contract.
+
+    Spark's partition type inference (on by default) would parse the
+    yyyy-MM-dd directory values as DATE — a type the writer never
+    promised, and one whose parse runs in the session timezone. The
+    inferred schema is fetched once (footers + directory listing,
+    planning-time cost only) and re-applied with the partition column
+    overridden to string; a user-supplied schema disables inference
+    for that column while directory pruning on string predicates
+    (``dt >= '2024-01-01'``, stable lexicographic order) still shows
+    as PartitionFilters in the scan."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    inferred = spark.read.parquet(path).schema
+    schema = StructType(
+        [
+            StructField(
+                f.name,
+                StringType() if f.name == partition_col else f.dataType,
+                f.nullable,
+            )
+            for f in inferred
+        ]
+    )
+    return spark.read.schema(schema).parquet(path)

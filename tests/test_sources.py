@@ -150,11 +150,13 @@ def test_date_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     out = f"{tmp_path}/events_by_day"
     write_date_partitioned(ev, out, "ts")
 
-    days = sorted(
-        r["dt"]
-        for r in read_date_partitioned(spark, out).select("dt").distinct().collect()
-    )
+    back = read_date_partitioned(spark, out)
+    # the write-side contract, honored against partition type
+    # inference: dt is a STRING date, not an inferred DATE
+    assert dict(back.dtypes)["dt"] == "string"
+    days = sorted(r["dt"] for r in back.select("dt").distinct().collect())
     assert len(days) >= 3, f"need multiple day partitions, got {days}"
+    assert all(isinstance(d, str) for d in days)
 
     q = read_date_partitioned(spark, out).filter(F.col("dt") == days[0])
     buf = io.StringIO()
