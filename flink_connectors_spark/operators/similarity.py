@@ -162,6 +162,7 @@ def kmeans_assign_quantized(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sum_type: str = "long",
 ) -> DataFrame:
     """Deterministic quantized Lloyd k-means — the IVF *build* path
     for an unlabeled corpus (cosine_topk_ivf consumes any cluster
@@ -186,14 +187,24 @@ def kmeans_assign_quantized(
     the assignment (pin-tested) — and only the exact centroid update
     pays one keyed (cluster, dim) shuffle.
     Init: the k lowest-id vectors (deterministic, no RNG).
-    Bound: |x| <= scale/2 and cluster size n_c must keep
-    n_c * scale/2 within int64 when squared (~3e9), i.e. clusters up
-    to ~2M members at scale=1024 — switch to decimal(38,0) sums past
-    that.
+    Bound: with the default ``sum_type="long"``, |x| <= scale/2 and
+    cluster size n_c must keep (n_c * scale/2)^2 within int64, i.e.
+    clusters up to ~2M members at scale=1024. Past that, pass
+    ``sum_type="decimal(38,0)"``: centroid sums, the c*x - s
+    difference and its square run in exact 38-digit decimal (square
+    magnitude stays < 1e38 up to ~2e9-member clusters at 512 dims),
+    the determinism argument unchanged — decimal arithmetic is exact
+    integer math, and only the final division touches floats. Cost:
+    decimal aggregation is ~2-3x the int64 path, which is why it is
+    an escape hatch and not the default.
 
     Returns (id, cluster, dist) with dist = round(sq_dist/scale^2, 6)
     in original vector units.
     """
+    if sum_type not in ("long", "decimal(38,0)"):
+        raise ValueError(
+            f"sum_type must be 'long' or 'decimal(38,0)': {sum_type}"
+        )
     spark = df.sparkSession
     # float->double is exact and *2^10 is an exponent shift (exact in
     # both engines), so round() sees bit-identical doubles everywhere
@@ -202,6 +213,12 @@ def kmeans_assign_quantized(
         lambda v: F.round(v.cast("double") * scale).cast("long"),
     )
     q = df.select(F.col(id_col), qv.alias("qv"))
+
+    def as_sum(col):  # element-wise widen to the sum domain
+        if sum_type == "long":
+            return col
+        return F.transform(col, lambda v: v.cast(sum_type))
+
     # init: k lowest-id vectors, cluster ids 0..k-1
     init = (
         q.orderBy(id_col)
@@ -210,7 +227,7 @@ def kmeans_assign_quantized(
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
                 "cluster"
             ),
-            F.col("qv").alias("s"),
+            as_sum(F.col("qv")).alias("s"),
             F.lit(1).cast("long").alias("c"),
         )
     )
@@ -226,17 +243,21 @@ def kmeans_assign_quantized(
         ]
         cent = spark.createDataFrame(
             [(packed,)],
-            "cents array<struct<cluster:int,s:array<long>,c:long>>",
+            f"cents array<struct<cluster:int,s:array<{sum_type}>,c:long>>",
         )
 
         def dist_key(ct):
+            # long mode: all-int64. decimal mode: sv is decimal(38,0),
+            # so c*x - sv and its square widen to exact decimal (the
+            # square caps at precision 38 — values stay < 1e38 for
+            # any realistic cluster) before the one float division.
             sq = F.aggregate(
                 F.zip_with(
                     F.col("qv"),
                     ct["s"],
                     lambda x, sv: (ct["c"] * x - sv) * (ct["c"] * x - sv),
                 ),
-                F.lit(0).cast("long"),
+                F.lit(0).cast(sum_type),
                 lambda acc, v: acc + v,
             )
             return sq.cast("double") / (ct["c"] * ct["c"]).cast("double")
@@ -271,7 +292,12 @@ def kmeans_assign_quantized(
                 "cluster", F.posexplode("qv").alias("pos", "val")
             )
             .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s_d"), F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("val").cast(sum_type))
+                .cast(sum_type)
+                .alias("s_d"),
+                F.count(F.lit(1)).alias("c"),
+            )
             .groupBy("cluster", "c")
             .agg(
                 F.array_sort(

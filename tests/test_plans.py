@@ -231,6 +231,56 @@ def test_kmeans_assign_has_no_shuffle_before_assignment(spark, sf_dir):
     assert "Window" not in plan, "argmin must be an expression, not a window"
 
 
+def test_kmeans_decimal_sum_type_past_int64_bound(spark):
+    """The decimal(38,0) escape hatch: at magnitudes where the long
+    path's (c*x - s)^2 exceeds int64 (documented ~2M-member bound —
+    here forced with big components instead of big clusters), decimal
+    sums still produce the exactly-correct partition; and on in-bound
+    data the two sum types are bit-identical, so the hatch is a pure
+    domain extension, not a semantics fork."""
+    import pytest as _pytest
+
+    from flink_connectors_spark.operators.similarity import (
+        kmeans_assign_quantized,
+    )
+
+    # two tight groups at +/-4e3 (quantized ~ +/-4.1e6); cluster sums
+    # of 1500 members reach ~6e9 and the cross-group squared diff
+    # ~1.5e20 — far past int64's 9.2e18
+    rows = [(i, [4000.0 + (i % 7) * 0.01, 4000.0]) for i in range(0, 3000, 2)]
+    rows += [(i, [-4000.0 - (i % 5) * 0.01, -4000.0]) for i in range(1, 3000, 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_assign_quantized(
+        df, k=2, iters=2, sum_type="decimal(38,0)"
+    ).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] % 2)
+    # perfect separation: each cluster holds only one parity group
+    assert len(by_cluster) == 2
+    assert all(len(par) == 1 for par in by_cluster.values()), by_cluster
+
+    # equivalence on in-bound data: identical assignments AND dists
+    small = spark.createDataFrame(
+        [(i, [float((i * 7) % 13) / 13, float((i * 11) % 17) / 17])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(map(tuple, kmeans_assign_quantized(small, k=4, iters=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_assign_quantized(
+                small, k=4, iters=2, sum_type="decimal(38,0)"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    with _pytest.raises(ValueError, match="sum_type"):
+        kmeans_assign_quantized(small, k=2, sum_type="float")
+
+
 def test_unigram_logprob_hybrid_join_pins_tail_shuffle(spark, sf_dir):
     """The token->frequency join must stay a head/tail hybrid: the
     vocabulary tail is pinned shuffle_hash (an unpinned plan would
@@ -307,6 +357,24 @@ def test_pack_efficiency_reuses_packing_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_pack_efficiency")
     n_ex = plan.count("Exchange (")
     assert n_ex <= 2, f"expected window shuffle (+ distinct) only, got {n_ex}"
+
+
+def test_ivf_unlabeled_build_feeds_search_once(spark, sf_dir):
+    """The composed label-free lifecycle must run the k-means BUILD
+    exactly once: the assignment is checkpointed (Scan ExistingRDD in
+    the plan) and the search's two readers (cluster reps + candidate
+    scoring) both consume it. An un-checkpointed build inlines the
+    whole Lloyd subtree into BOTH readers — measured plan shape: 5
+    embeddings scans / 14 exchanges vs 3 / 10 checkpointed. Pin the
+    checkpointed shape."""
+    plan = _plan(spark, sf_dir, "similarity_topk_ivf_unlabeled")
+    assert "ExistingRDD" in plan, "build must be checkpoint-materialized"
+    n_scans = plan.count("embeddings.parquet")
+    assert n_scans <= 3, (
+        f"{n_scans} embeddings scans — the k-means build subtree is "
+        "being recomputed per search reader"
+    )
+    assert plan.count("Exchange (") <= 10
 
 
 def test_bloom_probe_is_broadcast_only(spark, sf_dir):
