@@ -74,6 +74,12 @@ HEADLINE = [
     "dedup_bloom_guard",
     "rollup_quantile_histogram",
     "sink_precompact_batch",
+    # r4 additions
+    "similarity_topk_int8",
+    "text_tfidf_topk",
+    "dedup_cluster_census",
+    "join_asof_tolerance",
+    "dedup_bloom_fill_audit",
 ]
 
 

@@ -162,3 +162,61 @@ def sql_text_hinted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderpriority
         """
     )
+
+
+@register(
+    "sql_text_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '1997-01-01'
+      UNION ALL
+      SELECT d + 1 FROM spine WHERE d < DATE '1997-01-31'),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-02-01'
+        AND CAST(o_orderdate AS DATE) <= DATE '1997-01-31'
+      GROUP BY 1)
+    SELECT spine.d AS order_day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+    tags=("sql", "recursive-cte", "gapfill"),
+    since=4,
+)
+def sql_text_recursive_date_spine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-filled daily order counts over a RECURSIVE-CTE date spine —
+    Spark 4's WITH RECURSIVE surface (the calendar-dimension /
+    zero-fill idiom every reporting stack needs), proven against
+    DuckDB's recursive CTE. The spine is bounded (31 rows, well under
+    the engine's recursion depth limit and planned driver-side-tiny);
+    the orders scan is date-pruned before the one broadcast-sized
+    left join. For multi-year spines prefer sequence()/explode (one
+    row-generator expression, no linear-depth recursion) — the
+    recursion is the right tool when each level derives from the
+    previous (org charts, BOM explosions), which a calendar also
+    demonstrates in minimal form."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '1997-01-01'
+          UNION ALL
+          SELECT date_add(d, 1) FROM spine WHERE d < DATE '1997-01-31')
+        SELECT spine.d AS order_day,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+        FROM spine
+        LEFT JOIN (
+          SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-02-01'
+            AND CAST(o_orderdate AS DATE) <= DATE '1997-01-31'
+          GROUP BY CAST(o_orderdate AS DATE)
+        ) daily ON spine.d = daily.d
+        """
+    )

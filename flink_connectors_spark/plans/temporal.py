@@ -111,6 +111,85 @@ def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, ts, user_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS raw_view_id,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS raw_view_ts
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    gapped AS (
+      SELECT event_id, ts, user_id, raw_view_id,
+             CAST(floor(date_part('epoch', ts))
+                  - floor(date_part('epoch', raw_view_ts)) AS BIGINT) AS g
+      FROM tagged WHERE event_type = 'click')
+    SELECT event_id AS click_id, ts AS click_ts, user_id,
+           CASE WHEN g <= 600 THEN raw_view_id END AS view_id,
+           CASE WHEN g <= 600 THEN g END AS gap_s,
+           CAST(CASE WHEN raw_view_id IS NOT NULL AND g > 600
+                THEN 1 ELSE 0 END AS BIGINT) AS stale_match
+    FROM gapped
+    """,
+    tags=("temporal", "asof", "tolerance", "window"),
+    since=4,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's ``tolerance=``,
+    QuestDB/kdb asof semantics): each click takes the same user's
+    most recent view only if it happened within the last 600 s;
+    older matches are voided to NULL and counted as ``stale_match``
+    instead — attribution windows, sensor-staleness joins. Same
+    single user-keyed shuffle as join_asof_last_view (the tolerance
+    is a post-window filter, never a second join); at 100 TB the
+    window state per key is one row."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("raw_view_id"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("raw_view_ts"),
+    )
+    g = (
+        F.floor(F.unix_timestamp("ts"))
+        - F.floor(F.unix_timestamp("raw_view_ts"))
+    ).cast("bigint")
+    in_tol = g <= 600
+    out = tagged.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+        F.when(in_tol, F.col("raw_view_id")).alias("view_id"),
+        F.when(in_tol, g).alias("gap_s"),
+        (F.col("raw_view_id").isNotNull() & (g > 600))
+        .cast("long")
+        .alias("stale_match"),
+    )
+    return U.ntz(out, "click_ts")
+
+
+@register(
     "join_interval_clicks_before_error",
     oracle="""
     SELECT e.event_id AS error_id, e.ts AS error_ts, e.user_id,

@@ -165,6 +165,7 @@ def _ensure_loaded() -> None:
         return
     from .plans import (  # noqa: F401
         llm_ops,
+        llm_ops2,
         relational,
         relational2,
         relational3,
