@@ -80,6 +80,8 @@ HEADLINE = [
     "dedup_cluster_census",
     "join_asof_tolerance",
     "dedup_bloom_fill_audit",
+    "pipeline_weighted_sample",
+    "window_session_dynamic_gap",
 ]
 
 

@@ -209,3 +209,64 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis keys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+             (CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 12))
+               AS BIGINT) + 1) / 281474976710656.0 AS u
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT doc_id, source, round(-ln(u) / w, 6) AS sample_key
+      FROM base)
+    SELECT doc_id, source, sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT 200
+    """,
+    tags=("llm", "pipeline", "sampling", "weighted"),
+    since=4,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-proportional weighted sampling WITHOUT replacement via
+    Efraimidis-Spirakis exponential keys: each doc draws a
+    deterministic md5-uniform u and competes on -ln(u)/w (w = its
+    char count), and the global smallest-key 200 are exactly a
+    weighted sample without replacement — the token-budget-
+    proportional subcorpus draw a pretraining mix needs, reproducible
+    across runs AND engines (no RNG state; the one libm ln is
+    IEEE-stable on an exact integer-derived ratio).
+
+    Scale shape: a narrow per-row projection (no shuffle) followed by
+    a global top-k — Spark plans TakeOrderedAndProject, so every
+    partition ships only its local 200 candidates, never the corpus.
+    """
+    d = _load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 6)
+    return (
+        d.select("doc_id", "source", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(200)
+    )

@@ -884,3 +884,75 @@ def rollup_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = merge_histogram(daily, "month")
     out = histogram_quantiles(monthly)
     return out.withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS es,
+             300 * (1 + user_id % 3) AS gap_s
+      FROM events),
+    flagged AS (
+      SELECT user_id, es, gap_s,
+             CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                          ORDER BY es, event_id)
+                       > gap_s
+                  OR lag(es) OVER (PARTITION BY user_id
+                                   ORDER BY es, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM g),
+    sessioned AS (
+      SELECT user_id, es,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY es
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_s
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+    tags=("temporal", "session", "dynamic-gap", "window"),
+    since=4,
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-USER inactivity gap (300/600/900 s by
+    user tier — Spark's session_window supports a dynamic gap
+    expression; this is its batch twin, and the lag+cumsum
+    formulation is how the same semantics run over historical data):
+    one user-keyed shuffle reused by both window passes, exact
+    integer epoch-second math, sessions summarized as (n_events,
+    duration_s). The fixed-gap variant is sql_text_window_sessions;
+    the dynamic gap is what real products need (engagement tiers,
+    device classes)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+        (F.lit(300) * (F.lit(1) + F.col("user_id") % 3)).alias("gap_s"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev = F.lag("es").over(wo)
+    flagged = ev.select(
+        "user_id",
+        "es",
+        (prev.isNull() | ((F.col("es") - prev) > F.col("gap_s")))
+        .cast("int")
+        .alias("is_start"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = flagged.select(
+        "user_id",
+        "es",
+        F.sum("is_start").over(wc).cast("long").alias("session_seq"),
+    )
+    return sessioned.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("es") - F.min("es")).cast("long").alias("duration_s"),
+    )
