@@ -304,16 +304,25 @@ def kmeans_assign_quantized(
         # expression in the job — measured 33 s vs 5 s per iteration
         # at 20k x 64), and its shuffle carried N*d exploded rows
         # where this one moves k*d partial sums per map partition.
+        # element_at projections land in their own Project so the
+        # aggregate's functions are sum(attribute) — measured 3x
+        # faster to codegen cold than sum(element_at(...)) aggregate
+        # children (1.1 s vs 3.2 s at d=64), identical execution.
+        pre = assigned.select(
+            "cluster",
+            *[
+                F.element_at(F.col("qv"), i + 1)
+                .cast(sum_type)
+                .alias(f"__d{i}__")
+                for i in range(dim)
+            ],
+        )
         upd = (
-            assigned.groupBy("cluster")
+            pre.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("c"),
                 *[
-                    F.sum(
-                        F.element_at(F.col("qv"), i + 1).cast(sum_type)
-                    )
-                    .cast(sum_type)
-                    .alias(f"__s{i}__")
+                    F.sum(f"__d{i}__").cast(sum_type).alias(f"__s{i}__")
                     for i in range(dim)
                 ],
             )
