@@ -134,9 +134,10 @@ def main() -> None:
             table_name="lineitem_out",
             batch_size=100_000,
         )
+        write_batch(li, opts)  # untimed warm-up: plan/codegen compile
         sink_secs = float("inf")
-        for _ in range(3):  # best-of-3: first pass pays plan/codegen
-            t0 = time.perf_counter()
+        for _ in range(3):  # best-of-3 steady state (same cold/warm
+            t0 = time.perf_counter()  # split as the query loop)
             write_batch(li, opts)
             sink_secs = min(sink_secs, time.perf_counter() - t0)
     finally:
