@@ -15,7 +15,14 @@ from pyspark.sql.window import Window
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..registry import register
-from .llm_ops import _MINHASH_K, _BAND, _PAIRS_CTES, _WORDS, _load
+from .llm_ops import (
+    _BAND,
+    _MINHASH_K,
+    _PAIRS_CTES,
+    _WORDS,
+    _load,
+    _sql_cos,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -270,3 +277,75 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(200)
     )
+
+
+@register(
+    "similarity_recall_int8",
+    oracle=f"""
+    WITH {_SQL_INT8_CODES},
+    q8 AS (SELECT vec_id AS query_id, codes AS qc
+           FROM codes WHERE vec_id < 20),
+    n8 AS (SELECT vec_id AS neighbor_id, codes AS cc FROM codes),
+    i_scored AS (
+      SELECT q8.query_id, n8.neighbor_id,
+             round({_sql_idot("q8.qc", "n8.cc")}
+                   / (sqrt({_sql_idot("q8.qc", "q8.qc")})
+                      * sqrt({_sql_idot("n8.cc", "n8.cc")})), 6) AS score
+      FROM n8 CROSS JOIN q8
+      WHERE n8.neighbor_id <> q8.query_id),
+    i8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM i_scored) t WHERE rnk <= 5),
+    bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    bf_scored AS (
+      SELECT bfq.query_id, bfc.neighbor_id,
+             {_sql_cos("bfq.qvec", "bfc.cvec")} AS score
+      FROM bfc CROSS JOIN bfq
+      WHERE bfc.neighbor_id <> bfq.query_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored) t WHERE rnk <= 5),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN i8 ON bf.query_id = i8.query_id
+                     AND bf.neighbor_id = i8.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT b.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "quantization", "qa"),
+    since=4,
+)
+def similarity_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the int8-quantized scan against the exact float32
+    brute force, per query — closes the quantized-store story: the
+    storage audit (embedding_quantize_error) bounds per-element error,
+    THIS bounds the retrieval consequence, and together they are the
+    go/no-go for flipping a 100 TB store to int8. Both sides and the
+    audit joins are result-sized; at scale the exact side runs over a
+    query sample."""
+    from ..operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_int8,
+        topk_recall_audit,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id < 20)
+    exact = cosine_topk_bruteforce(q, emb, k=5)
+    approx = cosine_topk_int8(q, emb, k=5)
+    return topk_recall_audit(exact, approx, k=5)
