@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..session import load_table
 
-_VIEWS = ("lineitem", "orders", "customer", "events")
+_VIEWS = ("lineitem", "orders", "customer", "events", "nation")
 
 
 def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
@@ -218,5 +218,40 @@ def sql_text_recursive_date_spine(
             AND CAST(o_orderdate AS DATE) <= DATE '1997-01-31'
           GROUP BY CAST(o_orderdate AS DATE)
         ) daily ON spine.d = daily.d
+        """
+    )
+
+
+@register(
+    "sql_text_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+    tags=("sql", "lateral", "topk", "correlated"),
+    since=4,
+)
+def sql_text_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance PER NATION via a correlated LATERAL
+    subquery — the per-row-parameterized-subquery surface (Flink SQL
+    and every modern engine ship it; users migrating bring these
+    queries verbatim). Catalyst decorrelates the LATERAL into the
+    same window/rank plan the DataFrame top-k-per-group uses — one
+    shuffle on the correlation key with rank-limit pushdown, NOT a
+    per-nation re-execution — which is exactly why the text form is
+    safe at 100 TB."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
