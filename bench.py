@@ -82,6 +82,8 @@ HEADLINE = [
     "dedup_bloom_fill_audit",
     "pipeline_weighted_sample",
     "window_session_dynamic_gap",
+    "similarity_recall_int8",
+    "sql_text_lateral_topk",
 ]
 
 
