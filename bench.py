@@ -84,6 +84,7 @@ HEADLINE = [
     "window_session_dynamic_gap",
     "similarity_recall_int8",
     "sql_text_lateral_topk",
+    "agg_bitmap_distinct",
 ]
 
 

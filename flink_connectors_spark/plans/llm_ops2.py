@@ -19,6 +19,7 @@ from .llm_ops import (
     _BAND,
     _MINHASH_K,
     _PAIRS_CTES,
+    _SHINGLES_CTE,
     _WORDS,
     _load,
     _sql_cos,
@@ -349,3 +350,48 @@ def similarity_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_bruteforce(q, emb, k=5)
     approx = cosine_topk_int8(q, emb, k=5)
     return topk_recall_audit(exact, approx, k=5)
+
+
+@register(
+    "text_top_boilerplate_spans",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    dfq AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+      FROM ex GROUP BY shingle HAVING COUNT(*) >= 2),
+    ranked AS (
+      SELECT shingle, df,
+             ROW_NUMBER() OVER (ORDER BY df DESC, shingle) AS rnk
+      FROM dfq)
+    SELECT shingle, df, rnk FROM ranked WHERE rnk <= 20
+    """,
+    tags=("llm", "text", "boilerplate", "report"),
+    since=4,
+)
+def text_top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-20 most-repeated 3-gram spans corpus-wide (document
+    frequency >= 2) — the report an operator READS before running
+    text_boilerplate_strip: it names the exact template strings
+    ("click here to subscribe") the strip would delete, with their
+    blast radius. One shingle explode + one keyed aggregate; the
+    global top-20 is a TakeOrderedAndProject over the aggregate
+    (each partition ships 20 candidates), so the report costs one
+    shuffle at any corpus size."""
+    from ..operators.dedup import with_shingles
+
+    d = _load(spark, sf_dir, "documents")
+    sh = with_shingles(d)
+    dfq = (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("shingle"))
+    return (
+        dfq.orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w))
+        .select("shingle", "df", "rnk")
+    )

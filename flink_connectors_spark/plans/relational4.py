@@ -364,3 +364,112 @@ def pipeline_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n.fp").alias("fp"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "bitmap", "distinct", "mergeable"),
+    since=4,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via Spark's bitmap aggregate surface
+    (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the
+    ClickHouse/Doris bitmap-index pattern the reference's ecosystem
+    leans on for distinct-heavy rollups. Why it matters at 100 TB:
+    the per-(group, bucket) bitmaps are ADDITIVE summaries — the
+    first aggregate map-side-combines values into 32k-bit buckets,
+    the second ORs bucket bitmaps, so the shuffle carries
+    groups x occupied-buckets fixed-size rows instead of one row per
+    distinct value (count_distinct's expand), and yesterday's bitmaps
+    merge with today's by OR exactly like the rollup sketches —
+    except bit-exact, which is why the oracle is plain
+    COUNT(DISTINCT): equality IS the exactness proof.
+
+    Shape subtlety (found the hard way): bit POSITIONS repeat across
+    buckets, so ``bitmap_or_agg`` may only merge bitmaps of the SAME
+    bucket (the nightly OR-merge path: OR per (group, bucket) across
+    days' bitmaps); a per-group total is SUM of per-bucket
+    bitmap_counts, and each counted column needs its OWN bucket
+    grouping — bucketing two columns in one groupBy replicates a
+    value's bit across the other column's buckets and double-counts
+    under SUM."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def per_group_distinct(col: str, out: str) -> DataFrame:
+        return (
+            li.groupBy(
+                "l_returnflag",
+                F.expr(f"bitmap_bucket_number({col})").alias("__b__"),
+            )
+            .agg(
+                F.expr(
+                    f"bitmap_construct_agg(bitmap_bit_position({col}))"
+                ).alias("__bm__")
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.expr("bitmap_count(__bm__)"))
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    supp = per_group_distinct("l_suppkey", "n_suppliers")
+    part = per_group_distinct("l_partkey", "n_parts")
+    return supp.join(part, "l_returnflag")
+
+
+@register(
+    "join_range_lookup_broadcast",
+    oracle="""
+    WITH brackets(label, lo, hi) AS (
+      VALUES ('small', 0, 50000), ('medium', 50000, 150000),
+             ('large', 150000, 1000000000)),
+    bucketed AS (
+      SELECT b.label, o.o_totalprice
+      FROM orders o JOIN brackets b
+        ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS total_value
+    FROM bucketed GROUP BY label
+    """,
+    tags=("join", "range", "broadcast", "lookup"),
+    since=4,
+)
+def join_range_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-lookup join: every order priced into a bracket from a
+    tiny [lo, hi) dimension — the IP-to-geo / tax-bracket / SLA-tier
+    shape. The bracket table BROADCASTS, so the fact side is scanned
+    once with a per-row range probe and never shuffles (the theta
+    join never becomes a cartesian against a big side); the aggregate
+    on top is int64-cents exact. At 100 TB the only cost is the scan
+    — the lookup rides inside it."""
+    o = load_table(spark, sf_dir, "orders")
+    brackets = spark.createDataFrame(
+        [("small", 0, 50_000), ("medium", 50_000, 150_000),
+         ("large", 150_000, 1_000_000_000)],
+        "label string, lo long, hi long",
+    )
+    priced = o.join(
+        F.broadcast(brackets),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return priced.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("total_value"),
+    )

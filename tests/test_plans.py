@@ -377,6 +377,69 @@ def test_ivf_unlabeled_build_feeds_search_once(spark, sf_dir):
     assert plan.count("Exchange (") <= 10
 
 
+def test_int8_topk_partial_toplimit_no_corpus_shuffle(spark, sf_dir):
+    """The quantized scan must rank-limit BEFORE the exchange
+    (WindowGroupLimit Partial: each partition ships <= |Q| x k rows)
+    and never shuffle or sort-merge the corpus side — the whole point
+    of the 1/4-byte scan is that cost = one pass over the codes."""
+    plan = _plan(spark, sf_dir, "similarity_topk_int8")
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL subquery must decorrelate into the
+    window/rank-limit plan — a per-outer-row re-execution (nested
+    loop / cartesian) would be quadratic at scale."""
+    plan = _plan(spark, sf_dir, "sql_text_lateral_topk")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_lookup_broadcasts_bracket_side(spark, sf_dir):
+    """The [lo, hi) bracket dimension must broadcast so the fact scan
+    absorbs the range probe — a shuffled theta join would move the
+    fact table for a 3-row lookup."""
+    plan = _plan(spark, sf_dir, "join_range_lookup_broadcast")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning") == 1  # only the final agg
+
+
+def test_bitmap_distinct_avoids_expand(spark, sf_dir):
+    """The bitmap-distinct path must not fall back to count_distinct's
+    Expand (one row per distinct-column per input row): the shuffle
+    carries fixed-size per-(group, bucket) bitmaps, partial-aggregated
+    map-side."""
+    plan = _plan(spark, sf_dir, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_int8_topk_finds_exact_twin(spark):
+    """Functional floor for the quantized scan: an exact duplicate
+    vector must be its twin's top-1 neighbor at score 1.0 (identical
+    codes -> identical integer dots -> cosine exactly 1), and scores
+    must stay within quantization noise of float cosine."""
+    from flink_connectors_spark.operators.similarity import cosine_topk_int8
+
+    rows = [
+        (0, [0.5, -0.25, 0.125, 1.0]),
+        (1, [0.5, -0.25, 0.125, 1.0]),  # exact twin of 0
+        (2, [-1.0, 0.75, 0.5, -0.125]),
+        (3, [0.3, 0.9, -0.2, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["score"])
+        for r in cosine_topk_int8(df.filter("vec_id < 2"), df, k=2).collect()
+    }
+    assert got[(0, 1)] == (1, 1.0)
+    assert got[(1, 1)] == (0, 1.0)
+
+
 def test_bloom_probe_is_broadcast_only(spark, sf_dir):
     """The bloom membership probe must never shuffle the probe side:
     the bitmap arrives as a broadcast one-row table, so the only
