@@ -395,3 +395,67 @@ def text_top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .select("shingle", "df", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modality dedup agreement: text LSH vs embedding LSH
+# ---------------------------------------------------------------------------
+
+from .llm_ops import _lsh_pairs_cte  # noqa: E402
+
+
+@register(
+    "dedup_modality_agreement",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CASE WHEN tp.d1 IS NOT NULL AND ep.d1 IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      CAST(SUM(CASE WHEN ep.d1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_text_only,
+      CAST(SUM(CASE WHEN tp.d1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_embedding_only
+    FROM (WITH {_PAIRS_CTES}
+          SELECT d1, d2 FROM pairs) tp
+    FULL JOIN (WITH {_lsh_pairs_cte()}
+               SELECT id1 AS d1, id2 AS d2 FROM scored
+               WHERE score >= 0.4) ep
+      ON tp.d1 = ep.d1 AND tp.d2 = ep.d2
+    """,
+    tags=("llm", "dedup", "qa", "multimodal-agreement"),
+    since=4,
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the TEXT near-dup detector (MinHash-LSH over shingles) and
+    the EMBEDDING near-dup detector (sign-LSH over vectors, cosine >=
+    0.4) agree? One-row report (n_both, n_text_only,
+    n_embedding_only) over the full-outer join of their pair lists —
+    the calibration readout that tells a curation run whether
+    embeddings are catching paraphrases the text stage misses (or
+    hallucinating pairs text disproves) BEFORE either is trusted to
+    delete data. Both pair generators are the banded/bucketed
+    corpus-scale paths; the agreement join is pair-list-sized, so
+    the report costs nothing beyond the two detectors."""
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    tp = D.minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
+    ).select("d1", "d2")
+    ep = (
+        S.cosine_near_dup_pairs_lsh(emb, threshold=0.4, n_planes=16,
+                                    bits_per_band=4)
+        .select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+    )
+    j = tp.alias("t").join(
+        ep.alias("e"),
+        (F.col("t.d1") == F.col("e.d1")) & (F.col("t.d2") == F.col("e.d2")),
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(
+            (F.col("t.d1").isNotNull() & F.col("e.d1").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_both"),
+        F.sum(F.col("e.d1").isNull().cast("long")).alias("n_text_only"),
+        F.sum(F.col("t.d1").isNull().cast("long")).alias("n_embedding_only"),
+    )
