@@ -675,3 +675,89 @@ def containment_pairs_rare_shingle(
             .alias("smaller"),
         )
     )
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash pipeline: for every LSH
+    candidate pair, compare the Jaccard ESTIMATE the signatures imply
+    (fraction of equal MinHash components — the only number a
+    signature-only pipeline would have) against the EXACT distinct-
+    shingle Jaccard. The audit answers "can we skip the exact verify
+    join and trust the sketch" the same way `similarity_recall_audit`
+    answers it for ANN: measured error on this corpus, not the paper
+    bound. Per pair: est = |{i: m_i(a) = m_i(b)}| / k (E[est] = true
+    Jaccard; sd = sqrt(J(1-J)/k)).
+
+    Audit joins are candidate-pair-sized; at corpus scale the exact
+    side runs over a pair sample so monitoring cost is independent of
+    the candidate count. Returns (d1, d2, est_jaccard, exact_jaccard,
+    abs_err) for candidates sharing >= 1 LSH band."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    shingled = with_shingles(df, text_col, id_col, shingle_n).persist()
+    sig = minhash_signatures(shingled, num_hashes).persist()
+    bands = F.array(
+        *[
+            F.concat(*[F.col(f"m{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    bt = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
+    )
+    a = bt.alias("a").hint("merge")
+    b = bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+    # both audit sides carry the full signature + shingle set; merge-
+    # pin for the same explode-derived-estimate reason as the verify
+    # joins in minhash_lsh_pairs
+    x = sig.select(
+        F.col(id_col).alias("d1"),
+        F.col("shingles").alias("sh1"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(num_hashes)],
+    ).hint("merge")
+    y = sig.select(
+        F.col(id_col).alias("d2"),
+        F.col("shingles").alias("sh2"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(num_hashes)],
+    ).hint("merge")
+    eq_count = sum(
+        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    out = (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .withColumn(
+            "est_jaccard",
+            F.round(eq_count.cast("double") / num_hashes, 6),
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.round(jaccard_distinct(F.col("sh1"), F.col("sh2")), 6),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
+        .select("d1", "d2", "est_jaccard", "exact_jaccard", "abs_err")
+    )
+    return _track_caches(out, [shingled, sig])

@@ -421,3 +421,63 @@ def frame_sample_audio(
             yield pd.DataFrame(rows, columns=cols)
 
     return mm.mapInPandas(run, FRAME_SCHEMA)
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_in_frame", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_sq_sum", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(mm: DataFrame, frame_samples: int = 64) -> DataFrame:
+    """Per-frame energy features over real audio payload bytes — the
+    feature-extraction stage after :func:`frame_sample_audio`'s
+    sampling stage: split each clip's PCM data into consecutive
+    ``frame_samples``-sample frames and emit per-frame integer
+    sufficient statistics (sample sum, energy = sum of squares, peak)
+    computed from the decoded samples.
+
+    All-integer outputs keep the value hash exact: energy per 64-
+    sample frame caps at 64 * 65535^2 ~ 2.7e11, comfortably int64.
+    An FFT/mel filterbank drops into this exact signature when scipy
+    exists; the decode + frame walk + vectorized numpy reduction per
+    frame IS the production plumbing. Arrow-batched mapInPandas,
+    output frame-metadata-sized — payload bytes never leave the
+    stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ENERGY_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    continue
+                pos, data = 12, b""
+                while pos + 8 <= len(p):
+                    cid, clen = struct.unpack_from("<4sI", p, pos)
+                    if cid == b"data":
+                        data = p[pos + 8 : pos + 8 + clen]
+                    pos += 8 + clen + (clen % 2)
+                arr = np.frombuffer(data, dtype="<u2").astype(np.int64)
+                for fi in range(0, -(-len(arr) // frame_samples)):
+                    seg = arr[fi * frame_samples : (fi + 1) * frame_samples]
+                    rows.append(
+                        (
+                            int(did),
+                            fi,
+                            len(seg),
+                            int(seg.sum()),
+                            int((seg * seg).sum()),
+                            int(seg.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return mm.mapInPandas(run, ENERGY_SCHEMA)

@@ -519,3 +519,103 @@ def bloom_merge(bitmaps: Sequence[DataFrame]) -> DataFrame:
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency summary
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(key: Column, j: int, width: int) -> Column:
+    """Row j's counter index for ``key``: md5('<j>|'||key) first 8 hex
+    chars as int, mod width — deterministic, engine-portable (the
+    DuckDB oracle re-derives the identical cell), independent across
+    rows j by the salt prefix."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def countmin_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a Count-Min sketch over ``df[key_col]`` as a counter
+    table ``(j, cell, n)`` — at most ``depth * width`` rows,
+    regardless of input size.
+
+    This is the streaming/mergeable answer to "how often does each
+    key occur" when the key domain is too large to count exactly: ONE
+    scan, the explode is depth× but feeds a map-side-combining hash
+    aggregate whose key domain is bounded by depth*width, so the
+    shuffle ships at most depth*width rows PER MAP PARTITION and the
+    result is sketch-sized, never domain-sized. Two sketches over
+    disjoint batches merge by cell-wise ``SUM`` (same additive-
+    summary property as the rollup histograms), so a nightly sketch
+    is yesterday's sketch + today's delta — no rescan.
+
+    Estimates from :func:`countmin_estimate` are biased UP only
+    (collisions add, never subtract): est >= true always, and
+    P[est > true + 2N/width] <= (1/2)^depth for N total rows.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_cell(F.col(key_col), j, width).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    ex = df.select(F.explode(cells).alias("jc"))
+    return (
+        ex.groupBy(
+            F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def countmin_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys[key_col]`` from a
+    :func:`countmin_counters` sketch: min over the depth counters the
+    key hashes to. The counter table (<= depth*width rows) broadcasts;
+    per queried key the probe is a depth-way explode + broadcast join
+    + min — query cost scales with |keys|, never with the sketched
+    input. A key absent from every counter row estimates 0 (only
+    possible when nothing hashed there — consistent with CMS
+    semantics)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_cell(F.col(key_col), j, width).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    probed = keys.select(
+        "*", F.explode(cells).alias("jc")
+    ).select("*", F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    joined = probed.join(F.broadcast(counters), ["j", "cell"], "left")
+    others = [c for c in keys.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias(out_col))
+    )

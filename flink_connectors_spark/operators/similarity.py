@@ -1020,3 +1020,52 @@ def cosine_topk_int8(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    corpus with the deterministic quantized k-means, then find
+    near-duplicate pairs WITHIN each cluster only — the pruning that
+    makes embedding dedup tractable corpus-wide (Abbas et al. 2023,
+    "SemDeDup": pairwise search inside k-means clusters instead of
+    all-pairs). Label-free: the cluster column comes from
+    :func:`kmeans_assign_quantized`, not a metadata label, so it
+    works on any corpus.
+
+    Pair volume is bounded by the largest cluster, never N^2; the
+    intra-cluster pair stage reuses :func:`cosine_near_dup_pairs`
+    with the learned cluster as the blocking key (one cluster-keyed
+    shuffle). Returns (cluster, keep_id, drop_id, score) with
+    keep_id < drop_id — the lower id is the canonical survivor, the
+    higher id the semantic duplicate to drop."""
+    assign = kmeans_assign_quantized(
+        df, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    clustered = df.select(id_col, vec_col).join(assign, id_col)
+    pairs = cosine_near_dup_pairs(
+        clustered,
+        block_col="cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+    )
+    # re-attach the cluster of the pair (id1's cluster == id2's)
+    return (
+        pairs.join(
+            assign.withColumnRenamed(id_col, "id1"), "id1"
+        )
+        .select(
+            "cluster",
+            F.col("id1").alias("keep_id"),
+            F.col("id2").alias("drop_id"),
+            "score",
+        )
+    )

@@ -1,0 +1,499 @@
+"""Round-4 wave 2: behavioral analytics (cohort retention, event
+transition matrix), skew-proof salted joins through the driver gate,
+Count-Min sketch frequency estimation, CDC changelog APPLY, SemDeDup
+semantic clustering dedup, MinHash sketch-accuracy audit, and audio
+frame-energy feature extraction.
+
+Same discipline as llm_ops/llm_ops2: DataFrame-first plans, Python
+only behind Arrow-batched mapInPandas (audio decode), every query
+value-exact against a DuckDB oracle (integer sufficient statistics or
+single-operation IEEE float steps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import scale as SC
+from ..operators import similarity as S
+from ..registry import register
+from ..session import load_table
+from ._util import dec, dsum
+from .llm_ops import (
+    _BAND_SELECTS,
+    _SHINGLES_CTE,
+    _SIG_COLS,
+    _km_chain_cte,
+    _load,
+    _sql_cos,
+)
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics over the events stream table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+    act AS (
+      SELECT uw.user_id, c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS INT)
+               AS weeks_since
+      FROM uw JOIN cohort c ON uw.user_id = c.user_id),
+    ret AS (
+      SELECT cohort_week, weeks_since,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM act GROUP BY cohort_week, weeks_since),
+    base AS (
+      SELECT cohort_week, n_active AS cohort_size
+      FROM ret WHERE weeks_since = 0)
+    SELECT r.cohort_week, r.weeks_since, r.n_active, b.cohort_size,
+           round(CAST(r.n_active AS DOUBLE) / CAST(b.cohort_size AS DOUBLE),
+                 6) AS retention
+    FROM ret r JOIN base b ON r.cohort_week = b.cohort_week
+    """,
+    tags=("temporal", "cohort", "retention", "analytics"),
+    since=4,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the standard product-analytics
+    triangle: users cohorted by their first active week, retention =
+    share of the cohort active again N weeks later. Plan shape: ONE
+    distinct on (user, week) + one user-keyed aggregate for the
+    cohort week, then a (cohort, weeks_since)-keyed count-distinct;
+    the per-cohort base sizes are a cohort-count-sized table joined
+    back broadcast. All counts exact int64; the single retention
+    division is the only float step."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = uw.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("weeks_since"),
+    )
+    ret = act.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    base = ret.filter(F.col("weeks_since") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event,
+             event_type AS next_event
+      FROM events),
+    cnt AS (
+      SELECT prev_event, next_event,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_event IS NOT NULL
+      GROUP BY prev_event, next_event)
+    SELECT prev_event, next_event, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY prev_event)
+                        AS DOUBLE), 6) AS prob
+    FROM cnt
+    """,
+    tags=("temporal", "markov", "transition", "analytics"),
+    since=4,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the Sankey/path-analysis table): lag each user's
+    time-ordered stream by one, count (prev -> next) transitions,
+    normalize per source state. ONE user-keyed window shuffle over
+    the stream; the count table is |event_types|^2 rows, so the
+    normalizing window costs nothing. Tie-break on event_id makes the
+    sequence — and therefore every count — engine-reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_event"),
+        F.col("event_type").alias("next_event"),
+    ).filter(F.col("prev_event").isNotNull())
+    cnt = seq.groupBy("prev_event", "next_event").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("prev_event")
+    return cnt.select(
+        "prev_event",
+        "next_event",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wn).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-proof salted join, driven through the correctness gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_salted_nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "skew", "salting", "scale"),
+    since=4,
+)
+def join_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order revenue through the SALTED join path — the
+    skew-mitigation machinery (`operators/scale.py salted_join`)
+    driven through the value-hash gate to prove it is result-
+    identical to the plain join the oracle runs. The fact side gets a
+    16-way salt, the customer dim replicates across the salt domain,
+    and the join key becomes (custkey, salt): a hot customer's rows
+    now land on 16 reducers instead of one straggler. Salt choice
+    provably cannot affect the result — every fact row meets exactly
+    its salt's dim replica — which is precisely what the oracle
+    verifies. Exact decimal money sums; nation broadcast."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    joined = SC.salted_join(orders, cust, key="c_custkey", n_salts=16)
+    return (
+        joined.join(
+            F.broadcast(nation),
+            joined.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimates + accuracy audit
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+_CMS_CELLS = " UNION ALL ".join(
+    f"""SELECT {j} AS j,
+        CAST(concat('0x', substr(md5('{j}|' || CAST(l_partkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % {_CMS_W} AS cell
+        FROM lineitem"""
+    for j in range(_CMS_D)
+)
+_CMS_PROBE = " UNION ALL ".join(
+    f"""SELECT l_partkey, exact_count, {j} AS j,
+        CAST(concat('0x', substr(md5('{j}|' || CAST(l_partkey AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % {_CMS_W} AS cell
+        FROM top"""
+    for j in range(_CMS_D)
+)
+
+
+@register(
+    "agg_countmin_frequency",
+    oracle=f"""
+    WITH ex AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM lineitem GROUP BY l_partkey),
+    top AS (
+      SELECT * FROM ex ORDER BY exact_count DESC, l_partkey LIMIT 10),
+    cells AS ({_CMS_CELLS}),
+    counters AS (
+      SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells GROUP BY j, cell),
+    probe AS ({_CMS_PROBE})
+    SELECT p.l_partkey, p.exact_count,
+           MIN(COALESCE(c.n, 0)) AS cms_estimate,
+           MIN(COALESCE(c.n, 0)) - p.exact_count AS overestimate
+    FROM probe p LEFT JOIN counters c ON c.j = p.j AND c.cell = p.cell
+    GROUP BY p.l_partkey, p.exact_count
+    """,
+    tags=("agg", "sketch", "countmin", "mergeable"),
+    since=4,
+)
+def agg_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation with its accuracy audit:
+    sketch the lineitem partkey stream into a 4x256 counter table
+    (ONE scan; the explode feeds a map-side-combining aggregate whose
+    key domain is bounded at d*w, so the shuffle is sketch-sized per
+    map partition regardless of input rows), then estimate the 10
+    hottest keys and report estimate vs exact. CMS is additive —
+    tomorrow's sketch is today's + the delta batch's, cell-wise SUM,
+    the same mergeable-summary contract as the rollup histograms —
+    and estimates only ever exceed the truth (collisions add), which
+    the driver-verified ``overestimate >= 0`` column exhibits. At
+    100 TB the exact side of this audit runs over a key sample; here
+    it doubles as the ground truth the gate hashes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("l_partkey")).limit(10)
+    counters = SC.countmin_counters(
+        li, "l_partkey", depth=_CMS_D, width=_CMS_W
+    )
+    est = SC.countmin_estimate(
+        top, counters, "l_partkey", depth=_CMS_D, width=_CMS_W
+    )
+    return est.select(
+        "l_partkey",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC: changelog APPLY (the consumer of pipeline_snapshot_changelog)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@register(
+    "pipeline_cdc_apply",
+    oracle=f"""
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 0 THEN {_NORM_SQL} || ' v2'
+                    ELSE {_NORM_SQL} END) AS fp
+    FROM documents WHERE doc_id % 3 <> 0
+    """,
+    tags=("pipeline", "cdc", "changelog", "merge"),
+    since=4,
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog APPLY — the consumer half of the CDC pair
+    (`pipeline_snapshot_changelog` produces I/UA/D deltas; this query
+    folds them into the old snapshot and must reproduce the new one
+    EXACTLY, which is what the oracle checks by computing the new
+    snapshot directly). This is the distributed MERGE INTO shape:
+    survivors = old ANTI JOIN touched-keys (one keyed shuffle),
+    new state = survivors UNION upserts. At 100 TB the delta is
+    duplicate-days smaller than the snapshot, so the apply costs one
+    snapshot-sized anti join instead of a full rebuild — the whole
+    point of shipping changelogs to the sink."""
+    from ..functions import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(norm).alias("fp")
+    )
+    new = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.concat(norm, F.lit(" v2")))
+            .otherwise(norm)
+        ).alias("fp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    op = (
+        F.when(F.col("o.doc_id").isNull(), "I")
+        .when(F.col("n.doc_id").isNull(), "D")
+        .otherwise("UA")
+    )
+    changelog = joined.filter(
+        F.col("o.doc_id").isNull()
+        | F.col("n.doc_id").isNull()
+        | (F.col("o.fp") != F.col("n.fp"))
+    ).select(
+        F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id"),
+        op.alias("op"),
+        F.col("n.fp").alias("fp"),
+    )
+    # APPLY: drop every touched key from the old snapshot, then add
+    # back the I/UA payloads. D keys simply never come back.
+    survivors = old.join(changelog.select("doc_id"), "doc_id", "left_anti")
+    upserts = changelog.filter(F.col("op") != "D").select("doc_id", "fp")
+    return survivors.unionByName(upserts)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means cluster pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH {_km_chain_cte()},
+    cl AS (SELECT vec_id, cluster FROM af),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id,
+             {_sql_cos("e1.embedding", "e2.embedding")} AS score
+      FROM cl a
+      JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a.vec_id
+      JOIN embeddings e2 ON e2.vec_id = b.vec_id)
+    SELECT CAST(cluster AS INT) AS cluster, keep_id, drop_id, score
+    FROM pairs WHERE score >= 0.4
+    """,
+    tags=("llm", "dedup", "embedding", "semdedup", "iterative"),
+    since=4,
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    found INSIDE deterministic k-means clusters only — the cluster
+    assignment prunes the pair space from N^2 to sum(cluster^2), the
+    published recipe for embedding-level dedup at LAION/LLM-corpus
+    scale. Label-free composition of two driver-verified primitives:
+    `embedding_kmeans_assign` builds the clusters (exact integer
+    centroid math, zero-Exchange assignment), then the intra-cluster
+    cosine pair stage reuses the blocked near-dup join with the
+    LEARNED cluster as blocking key. The oracle unrolls both Lloyd
+    iterations and the pair stage, so the whole composition is
+    value-hash-verified. Lower id is the canonical survivor."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_pairs(emb, k=8, iters=2, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch-accuracy audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, shingles,
+         {_SIG_COLS}
+      FROM sh),
+    bands AS (
+      {_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT c.d1, c.d2,
+             round(CAST({" + ".join(
+                 f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END"
+                 for i in range(8)
+             )} AS DOUBLE) / 8, 6) AS est_jaccard,
+             round(CAST(len(list_intersect(x.shingles, y.shingles))
+                        AS DOUBLE)
+                   / CAST(len(list_distinct(x.shingles || y.shingles))
+                          AS DOUBLE), 6) AS exact_jaccard
+      FROM cand c
+      JOIN sig x ON x.doc_id = c.d1
+      JOIN sig y ON y.doc_id = c.d2)
+    SELECT d1, d2, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM scored
+    """,
+    tags=("llm", "dedup", "minhash", "audit", "sketch"),
+    since=4,
+)
+def dedup_minhash_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash dedup pipeline: per LSH
+    candidate pair, the Jaccard the 8-component signature ESTIMATES
+    (fraction of equal minima — all a signature-only pipeline at
+    scale would have) vs the EXACT distinct-shingle Jaccard, plus the
+    absolute error. The measured-on-this-corpus answer to "can we
+    skip the exact verify join", sibling to `similarity_recall_audit`
+    on the ANN side. Audit joins are candidate-sized; at corpus scale
+    the exact side runs over a pair sample."""
+    return D.minhash_estimate_audit(_load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Audio frame-energy features over real decoded bytes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id, n_chars % 256 + 16 AS n_samples
+      FROM documents WHERE doc_id % 2 = 1),
+    fr AS (
+      SELECT doc_id, n_samples, CAST(f.fi AS BIGINT) AS frame_idx
+      FROM wav,
+           unnest(range(0, CAST((n_samples + 63) // 64 AS BIGINT)))
+             AS f(fi)),
+    seg AS (
+      SELECT doc_id, frame_idx,
+             list_transform(
+               range(frame_idx * 64,
+                     frame_idx * 64
+                     + least(64, n_samples - frame_idx * 64)),
+               i -> (i * 31 + doc_id) % 65536) AS s
+      FROM fr)
+    SELECT doc_id, frame_idx,
+           CAST(len(s) AS BIGINT) AS n_in_frame,
+           CAST(list_sum(s) AS BIGINT) AS sample_sum,
+           CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT)
+             AS sample_sq_sum,
+           CAST(list_max(s) AS BIGINT) AS peak
+    FROM seg
+    """,
+    tags=("llm", "multimodal", "audio", "features", "pandas_udf"),
+    since=4,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL decoded bytes: synthesize
+    the WAV clips (odd ids), decode the PCM data chunk, and emit
+    per-64-sample-frame integer sufficient statistics — sample sum,
+    energy (sum of squares), peak. The oracle predicts every value
+    arithmetically from the synthesis formula, so a single wrong
+    sample boundary in the numpy frame walk fails the hash. The
+    decode + vectorized per-frame reduction inside Arrow-batched
+    mapInPandas is the production plumbing an FFT/mel pipeline drops
+    into; output is frame-metadata-sized, payloads never leave the
+    stage."""
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id % 2 = 1")
+        .select("doc_id", "n_chars")
+    )
+    return M.audio_frame_energy(M.synthesize_media(d))

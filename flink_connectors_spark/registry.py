@@ -166,6 +166,7 @@ def _ensure_loaded() -> None:
     from .plans import (  # noqa: F401
         llm_ops,
         llm_ops2,
+        llm_ops3,
         relational,
         relational2,
         relational3,

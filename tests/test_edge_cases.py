@@ -254,3 +254,40 @@ def test_new_qa_operators_null_behavior(spark):
     )
     assert audit["sum_norm_micros"] == 1_000_000
     assert abs(audit["avg_norm"] - 1.0) < 1e-9  # mean over NON-null vecs
+
+
+def test_audio_frame_energy_agrees_with_stdlib_wave(spark):
+    """Independent decode cross-check: stdlib `wave` reads the same
+    payload and python recomputes every frame's (sum, energy, peak);
+    the numpy path inside audio_frame_energy must agree exactly —
+    including the short final frame."""
+    import io
+    import wave
+
+    from flink_connectors_spark.operators.multimodal import (
+        _make_wav,
+        audio_frame_energy,
+    )
+
+    payload = _make_wav(sample_rate=8000, n_samples=100, doc_id=11)
+    with wave.open(io.BytesIO(payload)) as w:
+        raw = w.readframes(w.getnframes())
+    samples = [
+        int.from_bytes(raw[i : i + 2], "little") for i in range(0, len(raw), 2)
+    ]
+    expect = []
+    for fi in range(0, (len(samples) + 63) // 64):
+        seg = samples[fi * 64 : (fi + 1) * 64]
+        expect.append(
+            (11, fi, len(seg), sum(seg), sum(s * s for s in seg), max(seg))
+        )
+    mm = spark.createDataFrame(
+        [(11, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = [
+        tuple(r)
+        for r in audio_frame_energy(mm).orderBy("frame_idx").collect()
+    ]
+    assert got == expect
+    # 100 samples -> frames of 64 + 36: the tail frame is short
+    assert got[-1][2] == 36

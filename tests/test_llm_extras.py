@@ -377,3 +377,166 @@ def test_unigram_logprob_rare_tokens_score_higher(spark):
     # all-identical corpus tokens would make every lp = ln(c/N) < 0,
     # so the negated average is strictly positive
     assert got[1]["avg_neg_logprob"] > 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic cluster dedup (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark, sf_dir):
+    """Every emitted pair shares the kmeans cluster of both members,
+    keep_id < drop_id, and the score clears the threshold — the
+    SemDeDup pruning contract."""
+    from flink_connectors_spark.operators.similarity import (
+        kmeans_assign_quantized,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(emb, k=4, iters=1, threshold=0.2).collect()
+    assert pairs, "expected at least one semantic near-dup pair"
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign_quantized(emb, k=4, iters=1).collect()
+    }
+    for r in pairs:
+        assert r["keep_id"] < r["drop_id"]
+        assert r["score"] >= 0.2
+        assert assign[r["keep_id"]] == r["cluster"]
+        assert assign[r["drop_id"]] == r["cluster"]
+
+
+def test_semantic_dedup_matches_numpy_within_cluster(spark, sf_dir):
+    """Independent model check: numpy recomputes all intra-cluster
+    cosines; the operator's pair set must match exactly (no missed
+    pairs inside a cluster, none invented across clusters)."""
+    import numpy as np
+
+    from flink_connectors_spark.operators.similarity import (
+        kmeans_assign_quantized,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign_quantized(emb, k=4, iters=1).collect()
+    }
+    thr = 0.2
+    expect = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if assign[a] != assign[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            denom = float(np.linalg.norm(va)) * float(np.linalg.norm(vb))
+            if denom and round(float(va @ vb) / denom, 6) >= thr:
+                expect.add((a, b))
+    got = {
+        (r["keep_id"], r["drop_id"])
+        for r in semantic_dedup_pairs(
+            emb, k=4, iters=1, threshold=thr
+        ).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate audit (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimate_audit_error_fields_consistent(spark, sf_dir):
+    """est is a multiple of 1/8 in [0,1], exact in [0,1], and abs_err
+    recomputes from the two — plus the estimator must be exact on
+    identical shingle sets (est = exact = 1)."""
+    from flink_connectors_spark.operators.dedup import (
+        minhash_estimate_audit,
+        unpersist_inputs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_estimate_audit(docs)
+    rows = out.collect()
+    assert rows, "LSH should surface candidate pairs at this sf"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert abs(r["est_jaccard"] * 8 - round(r["est_jaccard"] * 8)) < 1e-9
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(
+            r["abs_err"] - round(abs(r["est_jaccard"] - r["exact_jaccard"]), 6)
+        ) < 1e-9
+        if r["exact_jaccard"] == 1.0:
+            assert r["est_jaccard"] == 1.0
+    unpersist_inputs(out)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics invariants (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Week-0 retention is exactly 1.0 and no later week exceeds its
+    cohort's base."""
+    from flink_connectors_spark.plans.llm_ops3 import events_cohort_retention
+
+    rows = events_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_active"] <= r["cohort_size"]
+        if r["weeks_since"] == 0:
+            assert r["retention"] == 1.0
+        assert r["weeks_since"] >= 0
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir):
+    """Per prev_event the probabilities sum to ~1 and every count is
+    positive — the matrix is row-stochastic."""
+    from collections import defaultdict
+
+    from flink_connectors_spark.plans.llm_ops3 import events_transition_matrix
+
+    rows = events_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    sums = defaultdict(float)
+    for r in rows:
+        assert r["n_transitions"] > 0
+        sums[r["prev_event"]] += r["prob"]
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_cdc_apply_reconstructs_new_snapshot(spark, sf_dir):
+    """apply(old, diff(old, new)) == new, checked row-for-row against
+    the directly-computed new snapshot (the same identity the oracle
+    pins, asserted here independently of DuckDB)."""
+    from flink_connectors_spark.functions import normalize_text
+    from flink_connectors_spark.plans.llm_ops3 import pipeline_cdc_apply
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    direct = {
+        (r["doc_id"], r["fp"])
+        for r in d.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(norm, F.lit(" v2"))
+                ).otherwise(norm)
+            ).alias("fp"),
+        )
+        .collect()
+    }
+    applied = {
+        (r["doc_id"], r["fp"])
+        for r in pipeline_cdc_apply(spark, sf_dir).collect()
+    }
+    assert applied == direct

@@ -704,3 +704,55 @@ def test_bloom_merge_width_mismatch_raises(spark):
     b = bloom_bitmap(df, m_bits=62 * 8)
     with _pytest.raises(Exception, match="width mismatch"):
         bloom_merge([a, b]).collect()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_estimate_never_underestimates(spark, sf_dir):
+    """CMS structural guarantee: est >= exact for EVERY key (not just
+    the probed top-10) — collisions only ever add."""
+    from flink_connectors_spark.operators.scale import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    counters = countmin_counters(li, "l_partkey", depth=4, width=64)
+    est = countmin_estimate(exact, counters, "l_partkey", depth=4, width=64)
+    bad = est.filter(F.col("cms_estimate") < F.col("exact_n")).count()
+    assert bad == 0
+
+
+def test_countmin_merge_equals_rebuild(spark, sf_dir):
+    """Mergeability: sketch(A) + sketch(B) cell-wise == sketch(A∪B).
+    The additive-summary contract that makes the nightly sketch an
+    increment, not a rescan."""
+    from flink_connectors_spark.operators.scale import countmin_counters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        countmin_counters(a, "l_partkey", depth=2, width=32)
+        .unionByName(countmin_counters(b, "l_partkey", depth=2, width=32))
+        .groupBy("j", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = countmin_counters(li, "l_partkey", depth=2, width=32)
+    m = {(r["j"], r["cell"]): r["n"] for r in merged.collect()}
+    d = {(r["j"], r["cell"]): r["n"] for r in direct.collect()}
+    assert m == d
+
+
+def test_countmin_counter_table_bounded(spark, sf_dir):
+    """The sketch is sketch-sized: counter rows <= depth * width no
+    matter the input."""
+    from flink_connectors_spark.operators.scale import countmin_counters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = countmin_counters(li, "l_partkey", depth=3, width=16).count()
+    assert n <= 3 * 16
