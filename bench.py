@@ -85,6 +85,19 @@ HEADLINE = [
     "similarity_recall_int8",
     "sql_text_lateral_topk",
     "agg_bitmap_distinct",
+    # r4 wave 2
+    "dedup_semantic_cluster",
+    "agg_countmin_frequency",
+    "dedup_minhash_estimate_audit",
+    "events_cohort_retention",
+    "events_transition_matrix",
+    "pipeline_cdc_apply",
+    "multimodal_audio_energy",
+    "embedding_power_projection",
+    "pipeline_quality_winsorize",
+    "multimodal_image_resize",
+    "join_asof_nearest",
+    "sql_text_pivot_status",
 ]
 
 

@@ -481,3 +481,61 @@ def audio_frame_energy(mm: DataFrame, frame_samples: int = 64) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return mm.mapInPandas(run, ENERGY_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_width", LongType()),
+        StructField("in_height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("out_checksum", LongType()),
+    ]
+)
+
+
+def image_resize_nearest(mm: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image downsample over decoded BMP pixel bytes: nearest-
+    neighbor by ``factor`` (keep every factor-th row and column in
+    storage order), emitting the resized dimensions and the exact
+    byte checksum of the kept pixels' 3 channels. The decode →
+    ndarray reshape (height x stride -> height x width x 3, dropping
+    row padding) → strided slice → reduction is precisely the
+    production resize shape; a Pillow/Lanczos kernel drops into this
+    signature when the lib exists, with the SAME Spark-side
+    plumbing (Arrow-batched mapInPandas, metadata-sized output).
+    Non-BMP payloads pass through silently (dispatch upstream
+    filters modality)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:2] != b"BM":
+                    continue
+                data_offset = struct.unpack_from("<I", p, 10)[0]
+                width, height = struct.unpack_from("<ii", p, 18)
+                height = abs(height)
+                stride = (width * 3 + 3) // 4 * 4
+                arr = np.frombuffer(
+                    p, dtype=np.uint8, count=stride * height,
+                    offset=data_offset,
+                ).reshape(height, stride)
+                pix = arr[:, : width * 3].reshape(height, width, 3)
+                out = pix[::factor, ::factor, :]
+                rows.append(
+                    (
+                        int(did),
+                        width,
+                        height,
+                        out.shape[1],
+                        out.shape[0],
+                        int(out.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return mm.mapInPandas(run, RESIZE_SCHEMA)

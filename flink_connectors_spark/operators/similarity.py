@@ -1041,31 +1041,131 @@ def semantic_dedup_pairs(
     works on any corpus.
 
     Pair volume is bounded by the largest cluster, never N^2; the
-    intra-cluster pair stage reuses :func:`cosine_near_dup_pairs`
-    with the learned cluster as the blocking key (one cluster-keyed
-    shuffle). Returns (cluster, keep_id, drop_id, score) with
-    keep_id < drop_id — the lower id is the canonical survivor, the
-    higher id the semantic duplicate to drop."""
+    intra-cluster pair stage is the blocked cosine join of
+    :func:`cosine_near_dup_pairs` with the LEARNED cluster as
+    blocking key (one cluster-keyed shuffle). The clustered frame
+    (id, vector, cluster, norm) is computed ONCE and persisted —
+    both pair sides read it, so the corpus pays one scan + one
+    assignment argmin pass, not one per plan branch (unreleased,
+    that recompute tripled the scan: pin-tested). Caller releases
+    the cache with ``dedup.unpersist_inputs`` after materializing.
+    Returns (cluster, keep_id, drop_id, score) with keep_id <
+    drop_id — the lower id is the canonical survivor, the higher id
+    the semantic duplicate to drop."""
+    from ..functions import dot_product, l2_norm
+    from .dedup import _track_caches
+
     assign = kmeans_assign_quantized(
         df, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cluster")
-    clustered = df.select(id_col, vec_col).join(assign, id_col)
-    pairs = cosine_near_dup_pairs(
-        clustered,
-        block_col="cluster",
-        id_col=id_col,
-        vec_col=vec_col,
-        threshold=threshold,
+    clustered = (
+        df.select(id_col, vec_col)
+        .join(assign, id_col)
+        .withColumn("__nrm__", l2_norm(F.col(vec_col)))
+        .persist()
     )
-    # re-attach the cluster of the pair (id1's cluster == id2's)
-    return (
-        pairs.join(
-            assign.withColumnRenamed(id_col, "id1"), "id1"
+    a = clustered.alias("a")
+    b = clustered.alias("b")
+    score = F.round(
+        F.try_divide(
+            dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+            F.col("a.__nrm__") * F.col("b.__nrm__"),
+        ),
+        6,
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
         .select(
-            "cluster",
-            F.col("id1").alias("keep_id"),
-            F.col("id2").alias("drop_id"),
+            F.col("a.cluster").alias("cluster"),
+            F.col(f"a.{id_col}").alias("keep_id"),
+            F.col(f"b.{id_col}").alias("drop_id"),
             "score",
         )
     )
+    return _track_caches(out, [clustered])
+
+
+def power_iteration_projection(
+    df: DataFrame,
+    iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix by deterministic quantized POWER ITERATION, returning each
+    vector's integer projection onto it — the whitening/“remove the
+    dominant direction” build step embedding pipelines run before
+    cosine dedup or ANN (anisotropic corpora put most mass on one
+    axis; projecting it out sharpens neighbors).
+
+    Same determinism discipline as the k-means build: vectors and the
+    iterate quantize to integers, each iteration's matrix-vector
+    product s = X^T (X v) is EXACT int64 arithmetic (per-row dot +
+    d sum buffers — one map-side-combining aggregate, k·(d+1)-sized
+    shuffle, no vector rows move), the squared norm of s folds in
+    index order as exact 128-bit-safe decimal, and the one float
+    step per iteration (s · scale / ||s||, then floor(x+0.5))
+    re-quantizes with an op sequence both engines reproduce
+    bit-for-bit. Driver holds only the d-vector between iterations
+    (control plane, like the centroid rows). Init: v0 = scale at
+    every position — deterministic, and orthogonality to the top
+    eigenvector is measure-zero.
+
+    Returns (id, proj) with proj = <qv, v_final> exact int64 — the
+    distributed final pass. The learned direction itself is attached
+    as ``._fcs_component`` (list[int], scale units) for callers that
+    need the axis, not the projections.
+
+    Bound: |proj| <= d · max|qv| · scale; with 64 dims, |x|<=8 and
+    scale=1024 that is ~5.4e11 per row and the s_j sums stay within
+    int64 up to ~17M rows per job — past that, partial aggregation
+    over row buckets (the same decimal escape hatch as the k-means
+    sums) extends the domain."""
+    spark = df.sparkSession
+    qv = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * scale).cast("long"),
+    )
+    q = df.select(F.col(id_col), qv.alias("qv"))
+    dim = q.select(F.size("qv").alias("d")).first()["d"]
+
+    def project(vec: list[int]) -> DataFrame:
+        cent = spark.createDataFrame([(vec,)], "v array<long>")
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return q.crossJoin(F.broadcast(cent)).select(
+            id_col, F.col("qv"), dot.alias("dot")
+        )
+
+    v = [scale] * dim
+    for _ in range(iters):
+        projected = project(v)
+        sums = projected.groupBy().agg(
+            *[
+                F.sum(F.element_at("qv", j + 1) * F.col("dot")).alias(
+                    f"s{j}"
+                )
+                for j in range(dim)
+            ]
+        ).first()
+        s = [int(sums[f"s{j}"]) for j in range(dim)]
+        ss = sum(x * x for x in s)  # exact python int (128-bit safe)
+        if ss == 0:
+            raise ValueError("power iteration collapsed: X^T X v = 0")
+        nrm = math.sqrt(float(ss))
+        # floor(x + 0.5): explicit half-up, identical in the SQL twin
+        v = [math.floor(float(x) * scale / nrm + 0.5) for x in s]
+
+    out = project(v).select(id_col, F.col("dot").alias("proj"))
+    out._fcs_component = v  # type: ignore[attr-defined]
+    return out

@@ -497,3 +497,204 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return M.audio_frame_energy(M.synthesize_media(d))
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: top principal direction + per-vector projection
+# ---------------------------------------------------------------------------
+
+
+def _pi_iter(i: int, prev_v: str) -> str:
+    """One unrolled power-iteration step: s = X^T (X v) in exact
+    integer math, then re-quantize v' = floor(s*1024/||s|| + 0.5)."""
+    return f"""d{i} AS (
+      SELECT vec_id, qv,
+             list_sum(list_transform(list_zip(qv, {prev_v}.v),
+                                     p -> p[1] * p[2])) AS dot
+      FROM q, {prev_v}),
+    s{i}p AS (
+      SELECT r.pos, CAST(SUM(qv[r.pos] * dot) AS BIGINT) AS s
+      FROM d{i}, UNNEST(range(1, 65)) AS r(pos)
+      GROUP BY r.pos),
+    s{i} AS (SELECT list(s ORDER BY pos) AS sl FROM s{i}p),
+    n{i} AS (
+      SELECT sl,
+             sqrt(CAST(list_sum(list_transform(sl,
+                    x -> CAST(x AS HUGEINT) * x)) AS DOUBLE)) AS nrm
+      FROM s{i}),
+    v{i} AS (
+      SELECT list_transform(sl,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 / nrm + 0.5)
+                         AS BIGINT)) AS v
+      FROM n{i})"""
+
+
+@register(
+    "embedding_power_projection",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+      FROM embeddings),
+    v0 AS (SELECT list_transform(range(1, 65),
+                                 i -> CAST(1024 AS BIGINT)) AS v),
+    {_pi_iter(1, "v0")},
+    {_pi_iter(2, "v1")}
+    SELECT vec_id,
+           CAST(list_sum(list_transform(list_zip(qv, v2.v),
+                                        p -> p[1] * p[2])) AS BIGINT)
+             AS proj
+    FROM q, v2
+    """,
+    tags=("llm", "embedding", "pca", "iterative"),
+    since=4,
+)
+def embedding_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 2 rounds of
+    deterministic quantized POWER ITERATION, output as each vector's
+    exact-integer projection onto it — the anisotropy/whitening build
+    step ("all-but-the-top" embedding post-processing) that runs
+    before cosine dedup or ANN on skewed corpora. The iterative
+    linear-algebra sibling of `embedding_kmeans_assign`: per round,
+    ONE map-side-combining aggregate with d sum buffers (vector rows
+    never shuffle; the driver holds only the d-vector between
+    rounds), s's squared norm folds in index order as exact 128-bit
+    integers, and the single float step per round (scale/||s||, then
+    explicit half-up floor(x+0.5)) re-quantizes bit-identically in
+    both engines — so the driver's value hash verifies the whole
+    iterative algorithm, not just the final pass."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.power_iteration_projection(emb, iters=2, scale=1024)
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: per-source outlier clipping at exact order statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_quality_winsorize",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents),
+    w2 AS (
+      SELECT doc_id, source, n_chars,
+             MAX(CASE WHEN rn = (n + 19) // 20 THEN n_chars END)
+               OVER (PARTITION BY source) AS lo,
+             MAX(CASE WHEN rn = n - (n + 19) // 20 + 1 THEN n_chars END)
+               OVER (PARTITION BY source) AS hi
+      FROM r)
+    SELECT doc_id, source, n_chars,
+           LEAST(GREATEST(n_chars, lo), hi) AS clipped,
+           CAST(CASE WHEN n_chars < lo OR n_chars > hi
+                THEN 1 ELSE 0 END AS BIGINT) AS was_clipped
+    FROM w2
+    """,
+    tags=("llm", "pipeline", "winsorize", "quality"),
+    since=4,
+)
+def pipeline_quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization of the document-length signal at the
+    exact 5th/95th discrete order statistics (k = ceil(n/20), integer
+    formula identical in both engines — no float interpolation at the
+    cut, so boundary rows can't flip): the outlier-clipping feature
+    normalization run before length-aware curation models. ONE
+    source-keyed shuffle; the rank window and the bound-extraction
+    window share the partitioning, and the bounds attach as window
+    maxima — no second pass over the corpus, no join."""
+    d = _load(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wp = Window.partitionBy("source")
+    r = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    k_lo = F.expr("(n + 19) DIV 20")
+    k_hi = F.expr("n - ((n + 19) DIV 20) + 1")
+    w2 = r.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.max(F.when(F.col("rn") == k_lo, F.col("n_chars")))
+        .over(wp)
+        .alias("lo"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("n_chars")))
+        .over(wp)
+        .alias("hi"),
+    )
+    return w2.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))
+        .alias("clipped"),
+        ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+        .cast("long")
+        .alias("was_clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real image downsample over decoded BMP bytes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH bmp AS (
+      SELECT doc_id,
+             doc_id % 31 + 1 AS w,
+             n_chars % 17 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    dims AS (
+      SELECT doc_id, w, h,
+             (w * 3 + 3) // 4 * 4 AS stride,
+             (w + 1) // 2 AS ow,
+             (h + 1) // 2 AS oh
+      FROM bmp),
+    px AS (
+      SELECT doc_id, w, h, ow, oh,
+             CAST(list_sum(flatten(
+               list_transform(range(0, oh), r ->
+                 flatten(list_transform(range(0, ow), c ->
+                   list_transform(range(0, 3), ch ->
+                     ((2*r*stride + 6*c + ch) * 7 + doc_id) % 256))))))
+               AS BIGINT) AS out_checksum
+      FROM dims)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS in_width,
+           CAST(h AS BIGINT) AS in_height,
+           CAST(ow AS BIGINT) AS out_width,
+           CAST(oh AS BIGINT) AS out_height,
+           out_checksum
+    FROM px
+    """,
+    tags=("llm", "multimodal", "image", "resize", "pandas_udf"),
+    since=4,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image downsample: synthesize the BMP payloads (even ids),
+    decode the pixel array from the actual bytes, nearest-neighbor
+    2x downsample (every 2nd row and column in storage order), and
+    emit resized dims + the exact kept-byte checksum. The oracle
+    predicts every checksum arithmetically from the synthesis
+    formula — one wrong stride, padding byte, or row origin in the
+    ndarray walk fails the hash (the BMP row padding is exactly the
+    kind of bug this pins). Arrow-batched mapInPandas; a
+    Pillow/Lanczos kernel drops into the same signature when codec
+    libs exist."""
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter("doc_id % 2 = 0")
+        .select("doc_id", "n_chars")
+    )
+    return M.image_resize_nearest(M.synthesize_media(d), factor=2)

@@ -255,3 +255,44 @@ def sql_text_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
+
+
+@register(
+    "sql_text_pivot_status",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                AS BIGINT) AS open_n,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                AS BIGINT) AS finished_n,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                AS BIGINT) AS pending_n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sql", "pivot", "agg"),
+    since=4,
+)
+def sql_text_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text PIVOT: order counts per priority pivoted wide by
+    status through Spark's PIVOT clause (the relational wide-reshape
+    the DataFrame `pivot_daily_event_values` query does with
+    `.pivot()`; this proves the SQL front-end surface). COALESCE
+    normalizes PIVOT's absent-cell NULL to COUNT semantics' 0 so the
+    oracle can be plain conditional aggregation — the plans compile
+    identically (one partial-agg shuffle on the group key)."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT priority,
+               COALESCE(open_n, 0L) AS open_n,
+               COALESCE(finished_n, 0L) AS finished_n,
+               COALESCE(pending_n, 0L) AS pending_n
+        FROM (
+          SELECT o_orderpriority AS priority, o_orderstatus
+          FROM orders
+        ) PIVOT (
+          COUNT(*) FOR o_orderstatus
+          IN ('O' AS open_n, 'F' AS finished_n, 'P' AS pending_n)
+        )
+        """
+    )

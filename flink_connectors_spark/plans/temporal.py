@@ -956,3 +956,127 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (F.max("es") - F.min("es")).cast("long").alias("duration_s"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, ts, user_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS b_id,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS b_ts,
+             first_value(CASE WHEN event_type = 'view' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS f_id,
+             first_value(CASE WHEN event_type = 'view' THEN ts END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS f_ts
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    gapped AS (
+      SELECT event_id, ts, user_id, b_id, f_id,
+             CAST(floor(date_part('epoch', ts))
+                  - floor(date_part('epoch', b_ts)) AS BIGINT) AS gb,
+             CAST(floor(date_part('epoch', f_ts))
+                  - floor(date_part('epoch', ts)) AS BIGINT) AS gf
+      FROM tagged WHERE event_type = 'click'),
+    chosen AS (
+      SELECT event_id, ts, user_id,
+             CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf)
+                  THEN b_id ELSE f_id END AS raw_view_id,
+             CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf)
+                  THEN 'backward' ELSE 'forward' END AS raw_direction,
+             CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf)
+                  THEN gb ELSE gf END AS raw_gap
+      FROM gapped)
+    SELECT event_id AS click_id, ts AS click_ts, user_id,
+           CASE WHEN raw_gap <= 300 THEN raw_view_id END AS view_id,
+           CASE WHEN raw_gap <= 300 THEN raw_direction END AS direction,
+           CASE WHEN raw_gap <= 300 THEN raw_gap END AS gap_s
+    FROM chosen
+    """,
+    tags=("temporal", "asof", "nearest", "window"),
+    since=4,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof's third
+    direction): each click matches the CLOSEST view in time — before
+    or after — within a 300 s tolerance, ties broken backward. Both
+    direction candidates come from the SAME user-keyed sort: a
+    running last_value(ignorenulls) frame looking back and a
+    first_value frame looking forward share one Window sort, so the
+    plan still pays exactly ONE shuffle of the stream (pin: the
+    rows-frame pair collapses into a single Window operator). The
+    sensor-fusion / quote-matching join where the nearest reading
+    wins regardless of side."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(wb)
+        .alias("b_id"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(wb)
+        .alias("b_ts"),
+        F.first(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(wf)
+        .alias("f_id"),
+        F.first(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(wf)
+        .alias("f_ts"),
+    )
+    gb = (
+        F.floor(F.unix_timestamp("ts")) - F.floor(F.unix_timestamp("b_ts"))
+    ).cast("bigint")
+    gf = (
+        F.floor(F.unix_timestamp("f_ts")) - F.floor(F.unix_timestamp("ts"))
+    ).cast("bigint")
+    clicks = tagged.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "b_id", "f_id",
+        gb.alias("gb"), gf.alias("gf"),
+    )
+    take_back = F.col("gb").isNotNull() & (
+        F.col("gf").isNull() | (F.col("gb") <= F.col("gf"))
+    )
+    raw_id = F.when(take_back, F.col("b_id")).otherwise(F.col("f_id"))
+    raw_dir = F.when(take_back, F.lit("backward")).otherwise(
+        F.lit("forward")
+    )
+    raw_gap = F.when(take_back, F.col("gb")).otherwise(F.col("gf"))
+    in_tol = raw_gap <= 300
+    out = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+        F.when(in_tol, raw_id).alias("view_id"),
+        F.when(in_tol, raw_dir).alias("direction"),
+        F.when(in_tol, raw_gap).alias("gap_s"),
+    )
+    return U.ntz(out, "click_ts")

@@ -291,3 +291,36 @@ def test_audio_frame_energy_agrees_with_stdlib_wave(spark):
     assert got == expect
     # 100 samples -> frames of 64 + 36: the tail frame is short
     assert got[-1][2] == 36
+
+
+def test_image_resize_agrees_with_manual_pixel_walk(spark):
+    """Independent check of the BMP downsample: python re-slices the
+    pixel bytes (stride-aware, padding dropped) and must reproduce
+    the operator's checksum — on a width chosen so the stride padding
+    is nonzero (w=10 -> 30 data bytes, stride 32)."""
+    import struct as st
+
+    from flink_connectors_spark.operators.multimodal import (
+        _make_bmp,
+        image_resize_nearest,
+    )
+
+    payload = _make_bmp(width=10, height=5, doc_id=3)
+    data_offset = st.unpack_from("<I", payload, 10)[0]
+    stride = (10 * 3 + 3) // 4 * 4
+    expect = 0
+    for r in range(0, 5, 2):
+        row = payload[
+            data_offset + r * stride : data_offset + r * stride + 30
+        ]
+        for c in range(0, 10, 2):
+            expect += sum(row[c * 3 : c * 3 + 3])
+    mm = spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = image_resize_nearest(mm, factor=2).collect()[0]
+    assert (
+        got["in_width"], got["in_height"], got["out_width"],
+        got["out_height"],
+    ) == (10, 5, 5, 3)
+    assert got["out_checksum"] == expect

@@ -540,3 +540,148 @@ def test_cdc_apply_reconstructs_new_snapshot(spark, sf_dir):
         for r in pipeline_cdc_apply(spark, sf_dir).collect()
     }
     assert applied == direct
+
+
+# ---------------------------------------------------------------------------
+# Power iteration (r4 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_power_iteration_matches_numpy_model(spark, sf_dir):
+    """Independent model check: numpy replays the exact quantized
+    recipe (int64 X^T(Xv), exact-int norm fold, floor(x+0.5)
+    requantize) — every projection must match bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    from flink_connectors_spark.operators.similarity import (
+        power_iteration_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.collect()
+    )
+    X = np.array(
+        [[round(float(x) * 1024) for x in v] for _, v in rows],
+        dtype=object,  # python ints: exact, no int64 wraparound
+    )
+    v = [1024] * X.shape[1]
+    for _ in range(2):
+        dots = [sum(int(a) * b for a, b in zip(row, v)) for row in X]
+        s = [
+            sum(int(row[j]) * d for row, d in zip(X, dots))
+            for j in range(X.shape[1])
+        ]
+        nrm = math.sqrt(float(sum(x * x for x in s)))
+        v = [math.floor(float(x) * 1024 / nrm + 0.5) for x in s]
+    expect = {
+        vid: sum(int(a) * b for a, b in zip(row, v))
+        for (vid, _), row in zip(rows, X)
+    }
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in power_iteration_projection(emb, iters=2).collect()
+    }
+    assert got == expect
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    """On data with one dominant axis, the learned direction aligns
+    with it: projections recover the axis ordering."""
+    rows = [
+        (i, [float(100 + i), float((i * 7) % 5 - 2)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from flink_connectors_spark.operators.similarity import (
+        power_iteration_projection,
+    )
+
+    out = power_iteration_projection(df, iters=2)
+    comp = out._fcs_component
+    # dominant axis is dimension 0 (values ~100x dimension 1)
+    assert abs(comp[0]) > 50 * abs(comp[1])
+    projs = {r["vec_id"]: r["proj"] for r in out.collect()}
+    order = sorted(projs, key=lambda k: projs[k])
+    assert order == sorted(order) or order == sorted(order, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (r4 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_clips_within_exact_order_stat_bounds(spark, sf_dir):
+    """Every clipped value lies in [lo, hi] where lo/hi are the exact
+    k-th order statistics (k = ceil(n/20)) recomputed in python; the
+    clipped-row count per source is at most 2(k-1) + boundary ties."""
+    from collections import defaultdict
+
+    from flink_connectors_spark.plans.llm_ops3 import (
+        pipeline_quality_winsorize,
+    )
+
+    rows = pipeline_quality_winsorize(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        vals = sorted(x["n_chars"] for x in rs)
+        n = len(vals)
+        k = (n + 19) // 20
+        lo, hi = vals[k - 1], vals[n - k]
+        for r in rs:
+            assert lo <= r["clipped"] <= hi
+            assert r["clipped"] == min(max(r["n_chars"], lo), hi)
+            assert r["was_clipped"] == (
+                1 if (r["n_chars"] < lo or r["n_chars"] > hi) else 0
+            )
+
+
+# ---------------------------------------------------------------------------
+# As-of nearest (r4 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_nearest_picks_minimal_gap(spark, sf_dir):
+    """For every click, the chosen gap equals the true minimum
+    |view_ts - click_ts| over the user's views (within tolerance),
+    recomputed in python; ties go backward."""
+    from collections import defaultdict
+
+    from flink_connectors_spark.plans.temporal import join_asof_nearest
+    from flink_connectors_spark.session import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").filter(
+        "event_type IN ('view', 'click')"
+    )
+    views = defaultdict(list)
+    clicks = []
+    for r in ev.collect():
+        t = int(r["ts"].timestamp())
+        if r["event_type"] == "view":
+            views[r["user_id"]].append(t)
+        else:
+            clicks.append((r["event_id"], r["user_id"], t))
+    got = {
+        r["click_id"]: (r["gap_s"], r["direction"])
+        for r in join_asof_nearest(spark, sf_dir).collect()
+    }
+    assert len(got) == len(clicks)
+    n_matched = 0
+    for cid, uid, t in clicks:
+        gaps = [abs(vt - t) for vt in views.get(uid, [])]
+        best = min(gaps) if gaps else None
+        gap, direction = got[cid]
+        if best is None or best > 300:
+            assert gap is None and direction is None
+        else:
+            n_matched += 1
+            assert gap == best
+            # tie or backward-closest => backward
+            if any(t - vt == best for vt in views[uid]):
+                assert direction == "backward"
+            else:
+                assert direction == "forward"
+    assert n_matched > 0

@@ -450,3 +450,54 @@ def test_bloom_probe_is_broadcast_only(spark, sf_dir):
     # probe rows flow scan -> project -> broadcast joins; any
     # SortMergeJoin would mean the corpus-sized side got shuffled
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_pair_sides_read_cached_assignment(spark, sf_dir):
+    """SemDeDup's pair join must read the persisted clustered frame
+    on BOTH sides (InMemoryTableScan), not rebuild the scan + argmin
+    assignment per branch — unreleased, the recompute tripled the
+    corpus scan. The only BroadcastNestedLoopJoin allowed is the one
+    inside the cached assignment subplan (centroids-as-one-row)."""
+    from flink_connectors_spark.operators.dedup import unpersist_inputs
+
+    df = SPECS["dedup_semantic_cluster"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") >= 2, (
+        "both pair sides must read the cached clustered frame"
+    )
+    # outside the cached subplans (each InMemoryRelation re-renders
+    # the same cached plan inline), the pair join itself adds no
+    # vector recompute: exactly one argmin BNLJ per cache rendering,
+    # none extra
+    assert tree.count("BroadcastNestedLoopJoin") == tree.count(
+        "InMemoryRelation"
+    ), "argmin BNLJ must only appear inside the cached subplan"
+    unpersist_inputs(df)
+
+
+def test_cms_counters_partial_aggregate_and_broadcast_probe(spark, sf_dir):
+    """The CMS counter build must partial-aggregate map-side (two
+    HashAggregates around one exchange on the bounded (j, cell)
+    domain) and the probe must broadcast the sketch-sized counter
+    table — never shuffle the probed keys against it."""
+    plan = _plan(spark, sf_dir, "agg_countmin_frequency")
+    assert plan.count("HashAggregate") >= 4  # exact counts + counters
+    assert "BroadcastHashJoin" in plan, "counter probe should broadcast"
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_transition_matrix_single_stream_shuffle(spark, sf_dir):
+    """One user-keyed exchange for the lag window; the normalizing
+    window runs over the |event_types|^2 count table (post-agg), so
+    the plan carries exactly one pre-aggregation Exchange over the
+    stream."""
+    plan = _plan(spark, sf_dir, "events_transition_matrix")
+    tree = plan.split("\n\n")[0]
+    # exchanges: user window, agg, tiny normalize window = 3 total,
+    # but only ONE sits below the first Window (the stream-sized one)
+    assert tree.count("Window") == 2
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
