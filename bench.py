@@ -98,6 +98,8 @@ HEADLINE = [
     "multimodal_image_resize",
     "join_asof_nearest",
     "sql_text_pivot_status",
+    "similarity_topk_pq",
+    "pipeline_vocab_build",
 ]
 
 

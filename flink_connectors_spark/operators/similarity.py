@@ -340,11 +340,19 @@ def kmeans_assign_quantized(
         centroids = [new_rows.get(cl, (cl, s, c)) for cl, s, c in centroids]
 
     final = assign(centroids)
-    return final.select(
+    out = final.select(
         F.col(id_col),
         "cluster",
         F.round(F.col("dist_key") / float(scale * scale), 6).alias("dist"),
     )
+    # expose the trained codebook (exact integer (sum, count) pairs,
+    # the same representation the assignment used) for consumers that
+    # need the centroids themselves — e.g. the PQ ADC lookup table
+    out._fcs_centroids = [  # type: ignore[attr-defined]
+        (int(cl), [int(x) for x in s], int(c))
+        for cl, s, c in sorted(centroids)
+    ]
+    return out
 
 
 def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -1169,3 +1177,127 @@ def power_iteration_projection(
     out = project(v).select(id_col, F.col("dot").alias("proj"))
     out._fcs_component = v  # type: ignore[attr-defined]
     return out
+
+
+def topk_pq_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    subspaces: int = 2,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-Quantization top-k with Asymmetric Distance Computation
+    (Jégou et al. 2011): split vectors into ``subspaces`` contiguous
+    blocks, train a ``codebook_k``-codeword k-means PER BLOCK (the
+    deterministic quantized Lloyd build), ENCODE every corpus vector
+    as its per-block nearest-codeword ids, and answer queries by
+    summing per-block query↔codeword distances looked up from a tiny
+    table — the memory-compression endpoint of the quantization
+    ladder (float32 256 B → int8 64 B → PQ ``subspaces`` bytes per
+    vector here).
+
+    Scale shape: the corpus is scanned once per block by the k-means
+    build (vector rows never shuffle in assignment — inherited
+    pin-tested property), the code table is (id, m small ints) — the
+    ONLY corpus-sized thing the search touches — and the per-query
+    lookup table (|Q| × m × codebook_k rows) broadcasts. The scored
+    relation is |Q| × N like brute force, but each row costs two
+    integer lookups + one add instead of a d-wide dot product, and
+    it reads the m-byte codes, not the d·4-byte vectors: the scan is
+    memory-bandwidth-bound at 1/128th the bytes.
+
+    Deterministic end-to-end: codebooks are exact integer (sum,
+    count) pairs, ADC cell distances are the same
+    sq(c·x − s)/c² expression the k-means assignment uses (exact
+    integers into one IEEE division), and the two block distances
+    add in block order — so approx_dist is bit-reproducible and the
+    whole train+encode+search lifecycle value-hashes against an
+    unrolled SQL oracle. Returns (query_id, neighbor_id,
+    approx_dist, rnk) ranked by ascending approximate squared L2
+    distance in original vector units."""
+    spark = corpus.sparkSession
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by {subspaces} blocks")
+    width = dim // subspaces
+
+    code_cols = []
+    luts = []
+    codes = None
+    for b in range(subspaces):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), b * width + 1, width).alias("sub"),
+        )
+        assign = kmeans_assign_quantized(
+            sub,
+            k=codebook_k,
+            iters=iters,
+            scale=scale,
+            id_col=id_col,
+            vec_col="sub",
+        )
+        cb = assign._fcs_centroids  # trained codebook, exact ints
+        part = assign.select(
+            F.col(id_col), F.col("cluster").alias(f"c{b}")
+        )
+        codes = part if codes is None else codes.join(part, id_col)
+        code_cols.append(f"c{b}")
+
+        cent = spark.createDataFrame(
+            [(cl, s, c) for cl, s, c in cb],
+            "cluster int, s array<long>, c long",
+        )
+        qsub = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.slice(F.col(vec_col), b * width + 1, width),
+                lambda v: F.round(v.cast("double") * scale).cast("long"),
+            ).alias("qv"),
+        )
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("s"),
+                lambda x, sv: (F.col("c") * x - sv) * (F.col("c") * x - sv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        luts.append(
+            qsub.crossJoin(F.broadcast(cent)).select(
+                "query_id",
+                F.col("cluster").alias(f"c{b}"),
+                (
+                    sq.cast("double")
+                    / (F.col("c") * F.col("c")).cast("double")
+                ).alias(f"dk{b}"),
+            )
+        )
+
+    scored = codes
+    for b, lut in enumerate(luts):
+        on = [f"c{b}"] if b == 0 else ["query_id", f"c{b}"]
+        scored = scored.join(F.broadcast(lut), on)
+    adist = F.round(
+        sum(F.col(f"dk{b}") for b in range(subspaces))
+        / float(scale * scale),
+        6,
+    )
+    scored = scored.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        adist.alias("approx_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    )

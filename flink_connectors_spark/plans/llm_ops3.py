@@ -27,6 +27,7 @@ from .llm_ops import (
     _BAND_SELECTS,
     _SHINGLES_CTE,
     _SIG_COLS,
+    _WORDS,
     _km_chain_cte,
     _load,
     _sql_cos,
@@ -698,3 +699,175 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
     )
     return M.image_resize_nearest(M.synthesize_media(d), factor=2)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary build
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_vocab_build",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    t AS (SELECT doc_id, unnest(w) AS token FROM norm),
+    c AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM t GROUP BY token),
+    top AS (
+      SELECT * FROM c ORDER BY n_occurrences DESC, token LIMIT 50)
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                AS BIGINT) AS vocab_id,
+           token, n_occurrences, doc_freq
+    FROM top
+    """,
+    tags=("llm", "pipeline", "vocab", "tokenizer"),
+    since=4,
+)
+def pipeline_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: corpus token counts + document
+    frequencies, ranked into stable integer vocab ids (count desc,
+    token asc — fully deterministic, ids never depend on
+    partitioning). The frequency scan is one token explode into a
+    map-side-combining aggregate; the ranking runs AFTER a
+    TakeOrderedAndProject top-V cut, so the global row_number window
+    orders V rows, never the corpus vocabulary — at 100 TB the only
+    full-vocab stage is the keyed count, the id-assignment cost is
+    bounded by the vocab size you asked for."""
+    from ..functions import normalize_text
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "token"
+        ),
+    )
+    c = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    top = c.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("vocab_id"),
+        "token",
+        "n_occurrences",
+        "doc_freq",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization: train + encode + ADC search, fully unrolled
+# ---------------------------------------------------------------------------
+
+
+def _pq_sq(cent: str, qtab: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({qtab}.qv, {cent}.s), "
+        f"p -> ({cent}.c*p[1]-p[2])*({cent}.c*p[1]-p[2]))) AS DOUBLE) "
+        f"/ CAST({cent}.c*{cent}.c AS DOUBLE)"
+    )
+
+
+def _pq_assign(name: str, cent: str, qtab: str) -> str:
+    sq = _pq_sq(cent, qtab)
+    return f"""{name} AS (
+      SELECT vec_id, cluster, qv, dist_key FROM (
+        SELECT {qtab}.vec_id, {cent}.cluster, {qtab}.qv, {sq} AS dist_key,
+               row_number() OVER (PARTITION BY {qtab}.vec_id
+                                  ORDER BY {sq}, {cent}.cluster) AS rn
+        FROM {qtab} CROSS JOIN {cent}) t WHERE rn = 1)"""
+
+
+def _pq_update(a: str, prev: str, nxt: str, d: int) -> str:
+    return f"""{nxt}d AS (
+      SELECT cluster, pos, CAST(SUM(qv[pos]) AS BIGINT) AS s_d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {a}, UNNEST(range(1, {d + 1})) AS r(pos)
+      GROUP BY cluster, pos),
+    {nxt}u AS (
+      SELECT cluster, list(s_d ORDER BY pos) AS s, any_value(c) AS c
+      FROM {nxt}d GROUP BY cluster),
+    {nxt} AS (
+      SELECT {prev}.cluster, COALESCE({nxt}u.s, {prev}.s) AS s,
+             COALESCE({nxt}u.c, {prev}.c) AS c
+      FROM {prev} LEFT JOIN {nxt}u ON {prev}.cluster = {nxt}u.cluster)"""
+
+
+def _pq_block(tag: str, lo: int, width: int, k: int) -> str:
+    """Full per-block chain: quantized subvectors -> 2 Lloyd rounds ->
+    final assignment af{tag} + trained codebook c2{tag}."""
+    return f"""q{tag} AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, {lo}, {lo + width - 1}),
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0{tag} AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster,
+             qv AS s, CAST(1 AS BIGINT) AS c
+      FROM (SELECT * FROM q{tag} ORDER BY vec_id LIMIT {k})),
+    {_pq_assign(f"a1{tag}", f"c0{tag}", f"q{tag}")},
+    {_pq_update(f"a1{tag}", f"c0{tag}", f"c1{tag}", width)},
+    {_pq_assign(f"a2{tag}", f"c1{tag}", f"q{tag}")},
+    {_pq_update(f"a2{tag}", f"c1{tag}", f"c2{tag}", width)},
+    {_pq_assign(f"af{tag}", f"c2{tag}", f"q{tag}")}"""
+
+
+@register(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH {_pq_block("a", 1, 32, 16)},
+    {_pq_block("b", 33, 32, 16)},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    scored AS (
+      SELECT l0.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN luta l0 ON l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = l0.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> l0.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "pq", "quantization", "iterative"),
+    since=4,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN, the full lifecycle driver-verified:
+    train one 16-codeword deterministic k-means PER 32-dim BLOCK,
+    encode every corpus vector as 2 small code ids (the PQ memory
+    story: 2 ints/vector vs 64 floats — the compression endpoint
+    after float32 → int8), then answer top-5 by ADC — per-query
+    block-distance lookup tables (broadcast, 16 rows/block) summed
+    over the code table. The oracle unrolls BOTH per-block Lloyd
+    chains, the encoding, the lookup tables, and the ranking, so a
+    drift anywhere in train/encode/search fails the value hash.
+    approx_dist is exact-int arithmetic into one IEEE division per
+    block plus one add — bit-reproducible cross-engine."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_pq_adc(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=5,
+        subspaces=2,
+        codebook_k=16,
+        iters=2,
+    )

@@ -685,3 +685,70 @@ def test_asof_nearest_picks_minimal_gap(spark, sf_dir):
             else:
                 assert direction == "forward"
     assert n_matched > 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r4 wave 3)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_recalls_exact_l2_on_clustered_data(spark):
+    """On well-separated block-structured data, PQ-ADC top-3 must
+    recover the exact-L2 top-3 with high recall (the codebooks
+    converge to the block patterns, so ADC distance ~ true
+    distance)."""
+    import numpy as np
+
+    from flink_connectors_spark.operators.similarity import topk_pq_adc
+
+    rng = [(i * 37 + 11) % 100 for i in range(1000)]  # deterministic
+    patterns = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    rows = []
+    for i in range(40):
+        pa = patterns[i % 4]
+        pb = patterns[(i // 4) % 4]
+        jitter = [(rng[(i * 8 + j) % 1000] - 50) / 500.0 for j in range(8)]
+        rows.append(
+            (i, [a + e for a, e in zip(pa + pb, jitter)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = topk_pq_adc(
+        df.filter("vec_id < 8"), df, k=3, subspaces=2, codebook_k=4,
+        iters=2,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["neighbor_id"], r["approx_dist"])
+        )
+    X = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    hits = total = 0
+    for qid, lst in by_q.items():
+        assert sorted(r for r, _, _ in lst) == [1, 2, 3]
+        dists = sorted((r[2] for r in lst))
+        assert dists == [r[2] for r in sorted(lst)]  # ranked ascending
+        exact = sorted(
+            (float(((X[qid] - X[i]) ** 2).sum()), i)
+            for i in X if i != qid
+        )[:3]
+        exact_ids = {i for _, i in exact}
+        got_ids = {i for _, i, _ in lst}
+        hits += len(exact_ids & got_ids)
+        total += 3
+    assert len(by_q) == 8
+    # ADC cannot order WITHIN a cell (same codes => same distance), so
+    # recall@3 against exact L2 is bounded below 1 by construction;
+    # the structural guarantee is that the nearest PQ neighbor lives
+    # in the query's own cell (i ≡ q mod 16 here) — assert that
+    # exactly, plus a realistic recall floor for the rest.
+    for qid, lst in by_q.items():
+        rank1 = min(lst)[1]
+        assert rank1 % 16 == qid % 16, (
+            f"top-1 for {qid} must share both codes, got {rank1}"
+        )
+    assert hits / total >= 0.6, f"PQ recall {hits}/{total}"

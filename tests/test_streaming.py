@@ -613,3 +613,47 @@ def test_live_mixture_sampling_with_pinned_rates(spark, sf_dir, tmp_path):
     assert set(kept) == want
     assert 0 < len(want) < docs.count()
     rates.unpersist()
+
+
+def test_live_countmin_sketch_merge_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """The CMS additive-merge contract LIVE: each micro-batch builds
+    its own sketch-sized counter table, the driver folds them
+    cell-wise (the counters are <= depth*width rows, so the fold is
+    control-plane-sized) — and the standing sketch must equal the
+    batch-built sketch over the full table exactly. maxFilesPerTrigger
+    forces multiple micro-batches so the test proves MERGING, not a
+    single-batch rebuild."""
+    from collections import Counter
+
+    from flink_connectors_spark.operators.scale import countmin_counters
+
+    static = spark.read.parquet(events_stream_dir)
+    multi = str(tmp_path / "cms_stream")
+    static.repartition(6).write.mode("overwrite").parquet(multi)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(multi)
+    )
+    merged: Counter = Counter()
+    epochs = []
+
+    def on_batch(df, epoch_id):
+        epochs.append(epoch_id)
+        for r in countmin_counters(df, "user_id", depth=3, width=64).collect():
+            merged[(r["j"], r["cell"])] += r["n"]
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(epochs) >= 2, "need multiple micro-batches to prove merge"
+    batch = {
+        (r["j"], r["cell"]): r["n"]
+        for r in countmin_counters(static, "user_id", depth=3, width=64).collect()
+    }
+    assert dict(merged) == batch
