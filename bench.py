@@ -100,6 +100,8 @@ HEADLINE = [
     "sql_text_pivot_status",
     "similarity_topk_pq",
     "pipeline_vocab_build",
+    "pipeline_tokenize_ids",
+    "text_bigram_logprob",
 ]
 
 

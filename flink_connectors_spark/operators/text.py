@@ -733,3 +733,70 @@ def token_entropy(
         "n_distinct",
         F.round(ent + F.lit(0.0), 6).alias("entropy_bits"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-derived BIGRAM cross-entropy per document — one step up
+    the n-gram ladder from :func:`unigram_logprob_score`: per-token
+    surprise is ln P(w_i | w_{i-1}) = ln(c(w_{i-1}, w_i) / c(w_{i-1}·)),
+    so formulaic-but-unigram-plausible text (shuffled word salad,
+    keyword stuffing) scores high where the unigram model can't see
+    anything wrong. Counts come from the corpus's own bigram table —
+    both numerator and denominator are exact integers into one IEEE
+    division, and per-doc sums fold in TOKEN POSITION order (the same
+    sort_array fold as the unigram score), so partitioning can never
+    reorder the accumulation.
+
+    Plan: one doc-keyed window builds the bigram stream (lag), two
+    keyed counts over it, and the frequency joins are pinned
+    shuffle_hash — bigram/prefix tables are explode-derived (the
+    broadcast-OOM estimate hazard), and the corpus-scale variant
+    drops in the same head/tail hybrid `unigram_logprob_score`
+    already implements. Returns (id, n_bigrams, avg_neg_logprob);
+    single-token docs have no bigrams and drop out."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        F.col(id_col),
+        "pos",
+        F.lag("tok").over(w).alias("prev"),
+        "tok",
+    ).filter(F.col("prev").isNotNull())
+    bf = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    pf = big.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    rows = big.join(bf.hint("shuffle_hash"), ["prev", "tok"]).join(
+        pf.hint("shuffle_hash"), "prev"
+    )
+    lp = rows.select(
+        id_col,
+        "pos",
+        F.log(F.col("cb").cast("double") / F.col("cp").cast("double")).alias(
+            "lp"
+        ),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "lp")))
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                ordered, F.lit(0.0), lambda acc, x: acc + x["lp"]
+            ).alias("__s__"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(-F.col("__s__") / F.col("n_bigrams"), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -20,6 +20,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import scale as SC
 from ..operators import similarity as S
+from ..operators import text as T
 from ..registry import register
 from ..session import load_table
 from ._util import dec, dsum
@@ -871,3 +872,128 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook_k=16,
         iters=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-to-ids: apply the built vocabulary to the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_tokenize_ids",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    t AS (
+      SELECT doc_id, token, pos FROM (
+        SELECT doc_id, unnest(w) AS token,
+               generate_subscripts(w, 1) AS pos
+        FROM norm) z),
+    c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM t GROUP BY token),
+    top AS (
+      SELECT * FROM c ORDER BY n_occurrences DESC, token LIMIT 30),
+    vocab AS (
+      SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                  AS BIGINT) AS vocab_id, token
+      FROM top),
+    ids AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, 0) AS tid
+      FROM t LEFT JOIN vocab v ON t.token = v.token)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(pos * tid) AS BIGINT) AS ids_checksum
+    FROM ids GROUP BY doc_id
+    """,
+    tags=("llm", "pipeline", "tokenizer", "vocab"),
+    since=4,
+)
+def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids — the apply half of the vocabulary pair
+    (`pipeline_vocab_build` trains the id table; this encodes the
+    corpus with it): every token maps to its vocab id via a BROADCAST
+    join against the top-30 vocabulary, out-of-vocabulary tokens take
+    id 0, and each doc reports token/OOV counts plus a
+    position-weighted id checksum (sum of pos*id — pins the exact id
+    SEQUENCE, not just the multiset, so a reordered or misaligned
+    encoding fails the hash). One token explode, one broadcast map-
+    side join, one doc-keyed aggregate: the corpus never shuffles by
+    token — exactly how a 100 TB encode pass should look (the vocab
+    is the only thing that moves)."""
+    from ..functions import normalize_text
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = c.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(30)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    vocab = top.select(
+        F.row_number().over(w).cast("long").alias("vocab_id"), "token"
+    )
+    ids = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("vocab_id"), F.lit(0)).alias("tid"),
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+        F.sum(F.col("pos") * F.col("tid")).alias("ids_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, g.pos AS pos, d.w[g.pos] AS tok
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.w))) AS pos) g),
+    big AS (
+      SELECT a.doc_id, a.pos, b.tok AS prev, a.tok
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos - 1),
+    bf AS (SELECT prev, tok, COUNT(*) AS cb FROM big GROUP BY prev, tok),
+    pf AS (SELECT prev, COUNT(*) AS cp FROM big GROUP BY prev),
+    lp AS (
+      SELECT g.doc_id, g.pos,
+             ln(CAST(bf.cb AS DOUBLE) / CAST(pf.cp AS DOUBLE)) AS lp
+      FROM big g
+      JOIN bf ON bf.prev = g.prev AND bf.tok = g.tok
+      JOIN pf ON pf.prev = g.prev),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_sum(list(lp ORDER BY pos)) AS s
+      FROM lp GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, round(-s / n_bigrams, 6) AS avg_neg_logprob
+    FROM per_doc
+    """,
+    tags=("llm", "text", "quality", "ngram"),
+    since=4,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram cross-entropy per doc — the next rung of the
+    CCNet-style perplexity ladder after `text_unigram_logprob`:
+    conditional surprise ln P(w_i|w_{i-1}) from the corpus's own
+    bigram table catches formulaic-but-unigram-plausible text
+    (shuffled word salad) the unigram score can't. Exact integer
+    counts into one division + ln per bigram; per-doc sums fold in
+    position order in BOTH engines so accumulation never depends on
+    partitioning; frequency joins pinned shuffle_hash against the
+    explode-inherited broadcast estimate hazard."""
+    d = _load(spark, sf_dir, "documents")
+    return T.bigram_logprob_score(d)

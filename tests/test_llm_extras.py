@@ -752,3 +752,47 @@ def test_pq_adc_recalls_exact_l2_on_clustered_data(spark):
             f"top-1 for {qid} must share both codes, got {rank1}"
         )
     assert hits / total >= 0.6, f"PQ recall {hits}/{total}"
+
+
+def test_bigram_logprob_flags_shuffled_text(spark):
+    """The bigram score's reason to exist: text with the SAME unigram
+    distribution but broken word order (shuffled salad) must score
+    strictly higher than the coherent original repeated across the
+    corpus."""
+    from flink_connectors_spark.operators.text import bigram_logprob_score
+
+    coherent = "the quick brown fox jumps over the lazy dog"
+    salad = "fox the over dog quick lazy the jumps brown"
+    rows = [(i, coherent) for i in range(8)] + [(100, salad)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_logprob_score(df).collect()
+    }
+    assert got[100] > got[0], (
+        "shuffled word order must be more surprising under the bigram LM"
+    )
+
+
+def test_tokenize_ids_checksum_pins_sequence(spark):
+    """Two docs with the same token MULTISET but different order must
+    produce different ids_checksums (the pos-weighted sum pins the
+    sequence)."""
+    from flink_connectors_spark.plans.llm_ops3 import pipeline_tokenize_ids
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "en", "s", 16),
+                (2, "gamma beta alpha", "en", "s", 16),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"], r["ids_checksum"])
+            for r in pipeline_tokenize_ids(spark, td).collect()
+        }
+    assert out[1][0] == out[2][0] == 3
+    assert out[1][2] != out[2][2]
