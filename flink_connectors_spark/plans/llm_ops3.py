@@ -26,11 +26,13 @@ from ..session import load_table
 from ._util import dec, dsum
 from .llm_ops import (
     _BAND_SELECTS,
+    _PAIRS_CTES,
     _SHINGLES_CTE,
     _SIG_COLS,
     _WORDS,
     _km_chain_cte,
     _load,
+    _lsh_pairs_cte,
     _sql_cos,
 )
 
@@ -997,3 +999,116 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode-inherited broadcast estimate hazard."""
     d = _load(spark, sf_dir, "documents")
     return T.bigram_logprob_score(d)
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-list apply: the stage that actually shrinks the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_apply_keeplist",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (
+      SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL
+    """,
+    tags=("llm", "dedup", "apply", "iterative"),
+    since=4,
+)
+def dedup_apply_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stage that actually SHRINKS the corpus: MinHash-LSH pairs
+    -> connected components -> every non-canonical member (doc_id !=
+    its component's min label) becomes a drop row, and the surviving
+    corpus is one ANTI JOIN against that duplicate-sized drop list —
+    never a corpus-sized rewrite of anything but the final output.
+    Closes the dedup loop the pair/cluster/census queries analyze:
+    pairs (detection) -> clusters (grouping) -> THIS (the cut). The
+    oracle recomputes components with the recursive transitive-
+    closure CTE and anti-joins identically."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=8, band_size=2, threshold=0.5
+    )
+    comps = D.connected_components(pairs)
+    drops = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_graph_triangles",
+    oracle=f"""
+    WITH {_lsh_pairs_cte()},
+    e AS (SELECT id1 AS a, id2 AS b FROM scored WHERE score >= 0.3),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    ends AS (
+      SELECT a AS vec_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM ends GROUP BY vec_id
+    """,
+    tags=("llm", "similarity", "graph", "triangles"),
+    since=4,
+)
+def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the sign-LSH near-dup graph —
+    the clustering-density report that tells you whether near-dup
+    components are cliques (true duplicate groups: safe to keep one
+    representative) or chains (threshold too loose: transitive
+    merging is gluing unrelated docs). Standard distributed triangle
+    enumeration over the ORIENTED edge list (id1 < id2 everywhere),
+    so each triangle is found exactly once: two node-keyed joins on
+    a pair list that is candidate-sized, never corpus-sized — join
+    volume is bounded by the degree distribution the
+    `similarity_graph_degree` report already audits. The pair list is
+    persisted: three plan branches read it, one LSH computation pays
+    for all."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = (
+        S.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.3, n_planes=16, bits_per_band=4
+        )
+        .select("id1", "id2")
+        .persist()
+    )
+    ea = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    eb = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    ec = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    tri = ea.join(eb, "b").join(ec, ["a", "c"])
+    ends = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionAll(tri.select(F.col("b").alias("vec_id")))
+        .unionAll(tri.select(F.col("c").alias("vec_id")))
+    )
+    out = ends.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    from ..operators.dedup import _track_caches
+
+    return _track_caches(out, [pairs])
