@@ -1112,3 +1112,81 @@ def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _track_caches
 
     return _track_caches(out, [pairs])
+
+
+# ---------------------------------------------------------------------------
+# Prefix-sharded Bloom guard: the past-broadcast-size membership path
+# ---------------------------------------------------------------------------
+
+_NORM_SH = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SH_KEY = "CAST(concat('0x', substr(fp, 31, 2)) AS BIGINT) % 8"
+_SH_P = (
+    "CAST(concat('0x', substr(fp, {o}, 8)) AS BIGINT) % (SELECT m FROM mb)"
+)
+_SH_HIT = " AND ".join(
+    f"""EXISTS(SELECT 1 FROM words x
+        WHERE x.shard = ({_SH_KEY})
+          AND x.w = ({_SH_P.format(o=1 + 8 * j)}) // 62
+          AND (x.word & (CAST(1 AS BIGINT)
+               << CAST(({_SH_P.format(o=1 + 8 * j)}) % 62 AS INT))) != 0)"""
+    for j in range(3)
+)
+
+
+@register(
+    "dedup_bloom_guard_sharded",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, md5({_NORM_SH}) AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM n WHERE doc_id % 3 = 0),
+    mb AS (
+      SELECT ((greatest(992, ((COUNT(*) + 7) // 8) * 10) + 61) // 62) * 62
+               AS m
+      FROM hist),
+    hp AS (
+      SELECT {_SH_KEY} AS shard, {_SH_P.format(o=1)} AS p FROM hist
+      UNION ALL SELECT {_SH_KEY}, {_SH_P.format(o=9)} FROM hist
+      UNION ALL SELECT {_SH_KEY}, {_SH_P.format(o=17)} FROM hist),
+    words AS (
+      SELECT shard, p // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS word
+      FROM hp GROUP BY shard, p // 62)
+    SELECT doc_id,
+           CAST(CASE WHEN {_SH_HIT} THEN 1 ELSE 0 END AS BIGINT)
+             AS bloom_hit,
+           CAST(CASE WHEN fp IN (SELECT fp FROM hist) THEN 1 ELSE 0 END
+                AS BIGINT) AS true_dup
+    FROM n
+    """,
+    tags=("llm", "dedup", "bloom", "sharded", "scale"),
+    since=4,
+)
+def dedup_bloom_guard_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom guard at past-broadcast scale: the historical
+    fingerprint set shards by an md5 prefix into 8 independent
+    auto-sized bitmaps (each row a few MB however large the corpus —
+    raise n_shards, not the row width), and every probe routes to its
+    shard's bitmap through an 8-row broadcast join. Same
+    no-false-negative invariant as `dedup_bloom_guard`; the oracle
+    re-derives the per-shard width from its own COUNT(*) (mean
+    members per shard x 10 bits) and rebuilds every shard's bitmap
+    bit-for-bit, so a routing error, a width divergence, or one
+    flipped bit in ANY shard fails the value hash."""
+    from ..functions import normalize_text
+
+    d = _load(spark, sf_dir, "documents")
+    n = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fp"))
+    hist = n.filter(F.col("doc_id") % 3 == 0).select("fp").distinct()
+    family = SC.bloom_bitmap_sharded(hist, n_shards=8).localCheckpoint()
+    probed = SC.bloom_might_contain_sharded(n, family, n_shards=8)
+    truth = hist.withColumn("true_dup", F.lit(1).cast("long"))
+    return (
+        probed.join(F.broadcast(truth), "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("true_dup"), F.lit(0).cast("long")).alias(
+                "true_dup"
+            ),
+        )
+    )

@@ -756,3 +756,98 @@ def test_countmin_counter_table_bounded(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     n = countmin_counters(li, "l_partkey", depth=3, width=16).count()
     assert n <= 3 * 16
+
+
+# ---------------------------------------------------------------------------
+# Prefix-sharded Bloom family
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_bloom_no_false_negatives_and_filters(spark, sf_dir):
+    """Every member probes 1 across the family; non-members mostly
+    probe 0 (the filter actually filters); NULL fps probe 1."""
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap_sharded,
+        bloom_might_contain_sharded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    members = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text")).alias("fp")
+    )
+    family = bloom_bitmap_sharded(members, n_shards=8).localCheckpoint()
+    assert family.count() == 8
+    probed_members = bloom_might_contain_sharded(
+        members, family, n_shards=8
+    )
+    assert probed_members.filter(F.col("bloom_hit") == 0).count() == 0
+    others = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.md5(F.concat(F.col("text"), F.lit("-x"))).alias("fp")
+    )
+    n_others = others.count()
+    fp_hits = bloom_might_contain_sharded(others, family, n_shards=8).filter(
+        F.col("bloom_hit") == 1
+    ).count()
+    assert fp_hits < 0.15 * n_others, f"{fp_hits}/{n_others} false positives"
+    nulls = spark.createDataFrame([(None,)], "fp string")
+    got = bloom_might_contain_sharded(nulls, family, n_shards=8).first()
+    assert got["bloom_hit"] == 1  # forced verify, never silently dropped
+
+
+def test_sharded_bloom_merge_equals_rebuild(spark, sf_dir):
+    """family(A) OR family(B) == family(A ∪ B) word-for-word — the
+    per-shard additive maintenance contract."""
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap_sharded,
+        bloom_merge_sharded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("fp")
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("fp")
+    w = 62 * 40
+    fa = bloom_bitmap_sharded(a, n_shards=8, m_bits=w)
+    fb = bloom_bitmap_sharded(b, n_shards=8, m_bits=w)
+    merged = {
+        r["shard_id"]: list(r["bf"])
+        for r in bloom_merge_sharded([fa, fb]).collect()
+    }
+    direct = {
+        r["shard_id"]: list(r["bf"])
+        for r in bloom_bitmap_sharded(
+            docs.select("fp"), n_shards=8, m_bits=w
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_sharded_bloom_agrees_with_unsharded_semantics(spark, sf_dir):
+    """A 1-shard family IS the flat bitmap: identical words, identical
+    probe verdicts (sharding is pure routing, no bit-math change)."""
+    from flink_connectors_spark.operators.scale import (
+        bloom_bitmap,
+        bloom_bitmap_sharded,
+        bloom_might_contain,
+        bloom_might_contain_sharded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("fp")
+    )
+    w = 62 * 64
+    flat = bloom_bitmap(docs, m_bits=w)
+    fam1 = bloom_bitmap_sharded(docs, n_shards=1, m_bits=w)
+    assert list(flat.first()["bf"]) == list(fam1.first()["bf"])
+    probe_flat = {
+        r["fp"]: r["bloom_hit"]
+        for r in bloom_might_contain(docs, flat, m_bits=w).collect()
+    }
+    probe_fam = {
+        r["fp"]: r["bloom_hit"]
+        for r in bloom_might_contain_sharded(
+            docs, fam1, n_shards=1
+        ).collect()
+    }
+    assert probe_flat == probe_fam
