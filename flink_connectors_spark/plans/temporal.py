@@ -1080,3 +1080,135 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, raw_gap).alias("gap_s"),
     )
     return U.ntz(out, "click_ts")
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (
+      SELECT user_id, d,
+             CAST(d - CAST(row_number() OVER (PARTITION BY user_id
+                                              ORDER BY d) AS INT)
+                  AS DATE) AS anchor
+      FROM days),
+    streaks AS (
+      SELECT user_id, anchor,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS start_day
+      FROM grp GROUP BY user_id, anchor)
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(start_day) AS first_active_day
+    FROM streaks GROUP BY user_id
+    """,
+    tags=("temporal", "streaks", "gaps-islands", "analytics"),
+    since=4,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    GAPS-AND-ISLANDS shape: consecutive dates collapse to one island
+    because date minus row_number is constant within a run. ONE
+    user-keyed shuffle (distinct + window + both aggregates all share
+    the user partitioning); island anchors are exact date arithmetic,
+    so engine-portable with no session-timezone hazard (dates derive
+    from the same naive timestamps in both engines)."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start_day"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("start_day").alias("first_active_day"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+    base AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+                            (SELECT h FROM horizon)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS monetary
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+      FROM base)
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM scored
+    """,
+    tags=("temporal", "rfm", "segmentation", "analytics"),
+    since=4,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the standard behavioral-segmentation table: per-user days since
+    last event (against the corpus horizon), event count, and exact
+    int64-cents value sum, each scored into quintiles. ntile is made
+    deterministic by the user_id tie-break (a bare ntile over a
+    measure with ties is partition-order-dependent — untestable
+    cross-engine). One user-keyed aggregate; the quintile windows run
+    over the user-count-sized summary. Higher score = better on every
+    axis (recent, frequent, high-value), so rfm=555 is the best
+    segment."""
+    ev = _events(spark, sf_dir)
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    base = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("__last__"),
+        F.count(F.lit(1)).alias("frequency"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("monetary"),
+    )
+    base = base.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.datediff(F.col("h"), F.col("__last__"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    wf = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.asc("monetary"), F.asc("user_id"))
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        )
+        .cast("long")
+        .alias("rfm"),
+    )
