@@ -40,3 +40,19 @@ def test_nightly_ingest_loop_releases_caches(spark, sf_dir):
     assert all(k >= 0 for k in stats["kept_per_night"])
     assert stats["caches_seen"] > 0, "check is vacuous — nothing was cached"
     assert stats["leaked_caches"] == 0, "LSH caches leaked past release"
+
+
+def test_index_embeddings_lifecycle(spark, sf_dir):
+    """The composed vector-index example: both ANN paths produce
+    bounded recall against the exact baseline and the anisotropy
+    report is a sane share."""
+    sys.path.insert(0, "examples")
+    from index_embeddings import index_and_audit
+
+    stats = index_and_audit(spark, sf_dir, n_queries=10)
+    assert stats["corpus_size"] > 0
+    assert 0.0 <= stats["dominant_direction_share"] <= 1.0
+    assert 0.0 <= stats["recall_ivf_at_5"] <= 1.0
+    assert 0.0 <= stats["recall_pq_at_5"] <= 1.0
+    # the cluster-probed path must beat random guessing by far
+    assert stats["recall_ivf_at_5"] >= 0.2
