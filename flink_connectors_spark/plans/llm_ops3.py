@@ -1190,3 +1190,182 @@ def dedup_bloom_guard_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS as a rollup: daily sketches merged to month == direct build
+# ---------------------------------------------------------------------------
+
+_CMS_EV_CELLS = " UNION ALL ".join(
+    f"""SELECT {j} AS j,
+        CAST(concat('0x', substr(md5('{j}|' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 256 AS cell
+        FROM events"""
+    for j in range(4)
+)
+_CMS_EV_PROBE = " UNION ALL ".join(
+    f"""SELECT user_id, exact_count, {j} AS j,
+        CAST(concat('0x', substr(md5('{j}|' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 256 AS cell
+        FROM top"""
+    for j in range(4)
+)
+
+
+@register(
+    "rollup_countmin_daily",
+    oracle=f"""
+    WITH ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id),
+    top AS (
+      SELECT * FROM ex ORDER BY exact_count DESC, user_id LIMIT 10),
+    cells AS ({_CMS_EV_CELLS}),
+    counters AS (
+      SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells GROUP BY j, cell),
+    probe AS ({_CMS_EV_PROBE})
+    SELECT p.user_id, p.exact_count,
+           MIN(COALESCE(c.n, 0)) AS cms_estimate,
+           MIN(COALESCE(c.n, 0)) - p.exact_count AS overestimate
+    FROM probe p LEFT JOIN counters c ON c.j = p.j AND c.cell = p.cell
+    GROUP BY p.user_id, p.exact_count
+    """,
+    tags=("rollup", "sketch", "countmin", "mergeable"),
+    since=4,
+)
+def rollup_countmin_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min as a CONTINUOUS AGGREGATE: the plan builds one
+    sketch-sized counter table PER DAY and folds them to the month by
+    cell-wise SUM — the nightly maintenance path, where each day's
+    events are sketched once and the standing monthly sketch is an
+    increment, never a rescan. The oracle builds the monthly sketch
+    DIRECTLY from the raw stream, so the green row IS the
+    merge == rebuild proof (the same oracle construction
+    `rollup_merge_day` uses for additive rollups, extended to the
+    sketch family alongside the HLL rollup). Estimates for the 10
+    hottest users verify CMS's only-over guarantee against exact
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                SC._cms_cell(F.col("user_id"), j, 256).alias("cell"),
+            )
+            for j in range(4)
+        ]
+    )
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.explode(cells).alias("jc"),
+        )
+        .groupBy("day", F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    month = daily.groupBy("j", "cell").agg(F.sum("n").alias("n"))
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(10)
+    est = SC.countmin_estimate(top, month, "user_id", depth=4, width=256)
+    return est.select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_value_mad",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    m AS (
+      SELECT event_id, user_id, value,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+               OVER (PARTITION BY user_id) AS med
+      FROM r),
+    d AS (
+      SELECT event_id, user_id, value, med,
+             abs(value - med) AS dev,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(value - med), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM m),
+    md AS (
+      SELECT event_id, user_id, value, med, dev,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+               OVER (PARTITION BY user_id) AS mad
+      FROM d)
+    SELECT event_id, user_id,
+           round(value, 6) AS value,
+           round(med, 6) AS med,
+           round(mad, 6) AS mad,
+           round(dev, 6) AS deviation
+    FROM md WHERE dev > 3 * mad
+    """,
+    tags=("temporal", "anomaly", "mad", "robust"),
+    since=4,
+)
+def anomaly_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection via MEDIAN ABSOLUTE DEVIATION
+    — the companion to `anomaly_value_zscore` that extreme outliers
+    can't poison (mean and stddev both move with the outlier being
+    hunted; the median and MAD don't). Both medians are exact DISCRETE
+    order statistics (lower median, rank (n+1)//2 with event_id
+    tie-breaks — no float interpolation, so the cut row can't flip
+    across engines), picked as window maxima over the SAME user
+    partitioning the rank windows use: the whole two-stage median
+    computation rides one user-keyed shuffle. Flags rows with
+    |value - median| > 3 * MAD."""
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wp = Window.partitionBy("user_id")
+    r = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med = F.max(
+        F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("value"))
+    ).over(wp)
+    m = r.select("event_id", "user_id", "value", med.alias("med"))
+    dev = F.abs(F.col("value") - F.col("med"))
+    wd = Window.partitionBy("user_id").orderBy(dev, "event_id")
+    d = m.select(
+        "event_id",
+        "user_id",
+        "value",
+        "med",
+        dev.alias("dev"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mad = F.max(
+        F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("dev"))
+    ).over(wp)
+    md = d.select(
+        "event_id", "user_id", "value", "med", "dev", mad.alias("mad")
+    )
+    return md.filter(F.col("dev") > 3 * F.col("mad")).select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round("dev", 6).alias("deviation"),
+    )
