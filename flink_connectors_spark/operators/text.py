@@ -800,3 +800,95 @@ def bigram_logprob_score(
             ),
         )
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): fit two
+    hashed-unigram bag-of-words models — a TARGET model on the rows
+    where ``target_pred`` holds (the high-quality seed corpus:
+    wikipedia, textbooks) and a RAW model on the whole pool — and
+    score every document by sum over its tokens of
+    ln p_target(bucket) - ln p_raw(bucket), Laplace-smoothed
+    (alpha=1). High weight = "looks like the target distribution";
+    the standard next step is weighted/top-k selection
+    (``pipeline_weighted_sample`` / a TakeOrdered cut).
+
+    Scale shape — three bounded exchanges, vectors-of-counts never
+    raw tokens:
+      1. the corpus tokenizes and reduces to per-(doc, bucket)
+         counts: one (id, bucket)-keyed shuffle whose map-side
+         partials are bounded by n_buckets per doc, NOT token count;
+      2. the two LMs fall out of ONE further aggregate over those
+         rows — each map partition ships at most ``n_buckets`` rows
+         (the entire model fit crosses the wire as <=B rows per
+         partition, regardless of corpus size);
+      3. the per-bucket log-likelihood-ratio table (exactly B rows,
+         bounded by CONFIG, not data) broadcasts back onto the
+         per-doc bucket counts — a narrow join, no corpus shuffle.
+    The per-doc score folds c_b * llr_b in BUCKET order (array_sort
+    over (bucket, term) structs + sequential aggregate) so float
+    accumulation never depends on partitioning; ln() runs once per
+    bucket on exact integer ratios and round(6) absorbs last-ulp
+    libm drift. Identical fold order in the DuckDB oracle.
+    """
+    from .sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__t__"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    docb = toks.groupBy(
+        id_col, "__t__", hash_bucket(F.col("tok"), n_buckets).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    counts = docb.groupBy("b").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("__t__"), F.col("c")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("__nr__"), F.sum("ct").alias("__nt__")
+    )
+    bB = float(n_buckets)
+    llr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("ct") + F.lit(1.0))
+                    / (F.col("__nt__") + F.lit(bB))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0))
+                    / (F.col("__nr__") + F.lit(bB))
+                )
+            ).alias("v"),
+        )
+    )
+    terms = docb.join(F.broadcast(llr), "b").select(
+        id_col, "b", "c", (F.col("c").cast("double") * F.col("v")).alias("cv")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("b", "cv")))
+    return (
+        terms.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.aggregate(
+                ordered, F.lit(0.0), lambda acc, x: acc + x["cv"]
+            ).alias("__s__"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("__s__"), 6).alias("dsir_logweight"),
+        )
+    )

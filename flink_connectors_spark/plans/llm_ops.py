@@ -2701,3 +2701,53 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "pipeline_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS t, unnest({_WORDS}) AS tok
+      FROM documents),
+    bk AS (
+      SELECT doc_id, t,
+             CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) % 64 AS b
+      FROM toks),
+    docb AS (
+      SELECT doc_id, t, b, COUNT(*) AS c FROM bk GROUP BY 1, 2, 3),
+    counts AS (
+      SELECT b, SUM(c) AS cr, SUM(CASE WHEN t THEN c ELSE 0 END) AS ct
+      FROM docb GROUP BY b),
+    tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+    llr AS (
+      SELECT b,
+             ln((ct + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0)) AS v
+      FROM counts CROSS JOIN tot),
+    terms AS (
+      SELECT d.doc_id, d.b, CAST(d.c AS BIGINT) AS c,
+             CAST(d.c AS DOUBLE) * l.v AS cv
+      FROM docb d JOIN llr l ON d.b = l.b),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             list_sum(list(cv ORDER BY b)) AS s
+      FROM terms GROUP BY doc_id)
+    SELECT doc_id, n_tokens, round(s, 6) AS dsir_logweight
+    FROM per_doc
+    """,
+    tags=("llm", "pipeline", "sampling", "quality"),
+    since=4,
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): score every doc
+    by how much more likely its hashed-unigram bag is under the
+    target LM (here: the corpus's English slice as the quality seed)
+    than under the raw-pool LM. The whole model fit crosses the wire
+    as <=n_buckets rows per partition; the B-row log-likelihood-ratio
+    table broadcasts back onto per-doc bucket counts; per-doc scores
+    fold in bucket order in both engines. n_buckets=64 here so the
+    ~31-token synthetic vocabulary actually collides into shared
+    buckets (production default 10k)."""
+    d = _load(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    return T.dsir_logweights(d, F.col("lang") == "en", n_buckets=64)

@@ -501,3 +501,16 @@ def test_transition_matrix_single_stream_shuffle(spark, sf_dir):
     # but only ONE sits below the first Window (the stream-sized one)
     assert tree.count("Window") == 2
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_weights_broadcasts_llr_and_partial_aggregates(spark, sf_dir):
+    """DSIR plan pins: (1) the B-row log-likelihood-ratio table joins
+    back onto the per-doc bucket counts as a BROADCAST (never a
+    corpus shuffle); (2) the model-fit aggregates run with map-side
+    partials (each partition ships <= n_buckets rows); (3) no
+    cartesian product anywhere except the one-row totals attach."""
+    plan = _plan(spark, sf_dir, "pipeline_dsir_weights")
+    assert "BroadcastHashJoin" in plan, "llr table must broadcast"
+    assert "partial_" in plan or "HashAggregate" in plan
+    # the only nested-loop join allowed is the one-row totals attach
+    assert plan.count("CartesianProduct") == 0
