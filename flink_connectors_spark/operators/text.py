@@ -892,3 +892,91 @@ def dsir_logweights(
             F.round(F.col("__s__"), 6).alias("dsir_logweight"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document MAXIMAL duplicated spans — the k-gram-window form
+    of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", whose suffix-array
+    ExactSubstr this approximates at token granularity): a position
+    is duplicated if its k-token window occurs >= 2 times corpus-wide
+    (cross-doc template text AND in-doc loops both count, as in the
+    suffix-array formulation); overlapping duplicated windows then
+    merge into maximal spans via gaps-and-islands, yielding per doc
+    the span count, duplicated-token total, and duplicated fraction —
+    the triage report that decides between span-level CUTS (surgical,
+    this op's spans) and whole-doc drops (dup_fraction ~ 1).
+
+    Scale shape: one gram-keyed aggregate (map-side combine; the
+    HAVING >= 2 filter shrinks it to actual repeats before the join
+    back), one shuffle_hash-pinned join (the gram table descends from
+    an explode and would inherit its undersized broadcast estimate —
+    the crossdoc hazard class), then ONE doc-keyed exchange shared by
+    the lag window, the island aggregate, and the final per-doc
+    rollup (all three partition by doc). Span arithmetic is pure
+    integers; the single float division rounds to 6.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__w__")
+    )
+    wins = toks.select(
+        id_col,
+        F.size("__w__").alias("n_tokens"),
+        F.posexplode(raw_word_ngrams(F.col("__w__"), k)).alias(
+            "__p0__", "gram"
+        ),
+    ).select(
+        id_col,
+        "n_tokens",
+        (F.col("__p0__") + F.lit(1)).alias("pos"),
+        "gram",
+    )
+    repeated = (
+        wins.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") >= 2)
+        .select("gram")
+    )
+    dup = wins.join(repeated.hint("shuffle_hash"), "gram").select(
+        id_col, "n_tokens", "pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > F.lit(k), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = (
+        dup.withColumn("__brk__", brk)
+        .withColumn(
+            "island",
+            F.sum("__brk__").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "n_tokens", "island")
+        .agg(F.min("pos").alias("p1"), F.max("pos").alias("p2"))
+    )
+    return (
+        isl.groupBy(id_col, "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("p2") - F.col("p1") + F.lit(k))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+    )

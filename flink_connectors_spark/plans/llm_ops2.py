@@ -459,3 +459,58 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e.d1").isNull().cast("long")).alias("n_text_only"),
         F.sum(F.col("t.d1").isNull().cast("long")).alias("n_embedding_only"),
     )
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    wins AS (
+      SELECT doc_id, len(w) AS n_tokens, g.pos AS pos,
+             concat_ws(' ', w[g.pos], w[g.pos + 1], w[g.pos + 2],
+                       w[g.pos + 3], w[g.pos + 4]) AS gram
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.w) - 4)) AS pos) g
+      WHERE len(d.w) >= 5),
+    repeated AS (
+      SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= 2),
+    dup AS (
+      SELECT w.doc_id, w.n_tokens, w.pos
+      FROM wins w JOIN repeated r ON w.gram = r.gram),
+    lagged AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup),
+    isl AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged),
+    spans AS (
+      SELECT doc_id, n_tokens, island,
+             MIN(pos) AS p1, MAX(pos) AS p2
+      FROM isl GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(p2 - p1 + 5) AS BIGINT) AS dup_tokens,
+           round(CAST(SUM(p2 - p1 + 5) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS dup_fraction
+    FROM spans GROUP BY doc_id, n_tokens
+    """,
+    tags=("llm", "dedup", "substring", "spans"),
+    since=4,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans per document (k=5 token windows
+    repeated >= 2x corpus-wide, merged gaps-and-islands) — the
+    token-granular form of suffix-array exact-substring dedup.
+    Reports per doc: span count, duplicated tokens, duplicated
+    fraction. See operators/text.py duplicated_spans for the
+    three-exchange scale shape."""
+    from ..operators import text as T
+
+    d = _load(spark, sf_dir, "documents")
+    return T.duplicated_spans(d, k=5)

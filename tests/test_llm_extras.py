@@ -796,3 +796,59 @@ def test_tokenize_ids_checksum_pins_sequence(spark):
         }
     assert out[1][0] == out[2][0] == 3
     assert out[1][2] != out[2][2]
+
+
+def test_duplicated_spans_splits_islands_and_merges_overlaps(spark):
+    """Two docs share two SEPARATE 5-gram templates with unique text
+    between them -> two maximal spans per doc; overlapping duplicated
+    windows inside one template merge into ONE span, not one per
+    window. A doc with no repeated window is absent from the output."""
+    from flink_connectors_spark.operators.text import duplicated_spans
+
+    header = "alpha beta gamma delta epsilon zeta"      # 6 tokens: 2 windows
+    footer = "omega psi chi phi upsilon"                # 5 tokens: 1 window
+    mid1 = "one two three four"
+    mid2 = "five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"{header} {mid1} {footer}"),
+            (2, f"{header} {mid2} {footer}"),
+            (3, "totally unique words appear in this document only"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict() for r in duplicated_spans(df, k=5).collect()
+    }
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        # header: windows at pos 1,2 merge -> span tokens 1..6 (6 tokens)
+        # footer: one window of 5 tokens -> second span
+        assert out[d]["n_spans"] == 2
+        assert out[d]["dup_tokens"] == 6 + 5
+        assert out[d]["n_tokens"] == 15
+        assert abs(out[d]["dup_fraction"] - round(11 / 15, 6)) < 1e-9
+
+
+def test_dsir_logweights_ranks_target_like_docs_higher(spark):
+    """Docs built from the target slice's vocabulary must outscore
+    docs from a disjoint vocabulary; weights are finite for every doc
+    (Laplace smoothing) and n_tokens is exact."""
+    from pyspark.sql import functions as F
+
+    from flink_connectors_spark.operators.text import dsir_logweights
+
+    rows = [(i, "the quick brown fox jumps", True) for i in range(10)]
+    rows += [(100 + i, "zzz qqq vvv kkk www", False) for i in range(10)]
+    # score two held-out-ish docs: one target-like, one raw-only
+    rows += [(200, "the quick brown fox", False), (201, "zzz qqq vvv", False)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_logweights(
+            df, F.col("is_t"), n_buckets=64
+        ).collect()
+    }
+    assert out[200]["dsir_logweight"] > out[201]["dsir_logweight"]
+    assert out[200]["n_tokens"] == 4 and out[201]["n_tokens"] == 3
+    assert all(abs(v["dsir_logweight"]) < 1e6 for v in out.values())
