@@ -102,6 +102,10 @@ HEADLINE = [
     "pipeline_vocab_build",
     "pipeline_tokenize_ids",
     "text_bigram_logprob",
+    # r4 wave 3
+    "pipeline_dsir_weights",
+    "dedup_repeated_spans",
+    "rollup_sketch_user_overlap",
 ]
 
 

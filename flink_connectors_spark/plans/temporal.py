@@ -1212,3 +1212,86 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm"),
     )
+
+
+@register(
+    "rollup_sketch_user_overlap",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "rollup", "sketch", "approx", "setop"),
+    since=4,
+)
+def rollup_sketch_user_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch SET OPERATIONS over the rollup table: 'how many users
+    did BOTH type A and type B' answered from the per-type HLL
+    sketches alone via inclusion-exclusion
+    (|A∩B| = est(A) + est(B) - est(A ∪ B), the union being
+    ``hll_union`` of the two stored sketches) — no fact-table
+    re-scan, which is the whole point of keeping sketches in the
+    summary row at 100 TB. Inclusion-exclusion error compounds
+    (three estimates), so the checkable output is the 5%-bound
+    predicate per pair against the exact pairwise overlap, which the
+    oracle asserts; the pair table is |types|² rows, so the
+    cross-pairing and the audit joins are summary-sized. The exact
+    side (the audit) self-joins DISTINCT (type, user) rows — at
+    production scale you run it on a user sample or drop it and keep
+    only the sketch math."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("type_a") < F.col("type_b")
+    ).select(
+        "type_a",
+        "type_b",
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+        ).alias("est_overlap"),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return exact.join(pairs, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_exact",
+        (
+            F.abs(F.col("est_overlap") - F.col("n_exact"))
+            / F.greatest(F.col("n_exact"), F.lit(1)).cast("double")
+            < 0.05
+        ).alias("within_bound"),
+    )
