@@ -761,3 +761,95 @@ def minhash_estimate_audit(
         .select("d1", "d2", "est_jaccard", "exact_jaccard", "abs_err")
     )
     return _track_caches(out, [shingled, sig])
+
+
+def pagerank_undirected(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair graph (each pair becomes two
+    directed edges), ``iters`` power iterations UNROLLED into one
+    declarative plan — same verification strategy as the k-means
+    build: the oracle replays every iteration value-for-value, so
+    drift anywhere in the chain fails the hash. On the near-dup graph
+    this ranks centrality inside duplicate clusters: the high-rank
+    node of a component is the natural canonical representative when
+    "keep the min id" is too arbitrary (e.g. keep the most-connected
+    variant of a template).
+
+    Determinism discipline: every per-node contribution sum folds in
+    SOURCE-ID order (array_sort over (src, contrib) structs + a
+    sequential aggregate; ``list_sum(list(... ORDER BY src))`` in the
+    oracle) — never an unordered SUM whose float accumulation depends
+    on partitioning. Expression shapes are kept identical on both
+    sides: (1/n)/deg, then damp*s + (1-damp)/n, so even intermediate
+    (unrounded) iteration values match IEEE-exactly; only the final
+    output rounds (6).
+
+    Scale shape: edges are pair-list-sized (candidate volume, never
+    corpus²); every node has degree >= 1 by construction (no dangling
+    mass). Per iteration: one edge shuffle for the dst-grouped fold
+    plus one src-keyed join of the node-sized rank table, pinned
+    shuffle_hash — both edge tables and rank tables descend from an
+    explode-derived pair generator, the undersized-broadcast-estimate
+    hazard class. The one-row node-count table broadcasts.
+    """
+    edges = pairs.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).unionAll(
+        pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("__d__")
+    )
+    nn = edges.agg(
+        F.countDistinct("src").cast("double").alias("__n__")
+    )
+    base = F.lit(1.0 - damping) / F.col("__n__")
+    ordered = F.array_sort(F.collect_list(F.struct("src", "contrib")))
+    fold = F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x["contrib"])
+
+    ed = edges.join(deg.hint("shuffle_hash"), "src")
+    # iteration 1: uniform start 1/n
+    pr = (
+        ed.crossJoin(F.broadcast(nn))
+        .select(
+            "src",
+            "dst",
+            ((F.lit(1.0) / F.col("__n__")) / F.col("__d__")).alias(
+                "contrib"
+            ),
+        )
+        .groupBy("dst")
+        .agg(fold.alias("__s__"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("dst").alias("v"),
+            (F.lit(damping) * F.col("__s__") + base).alias("pr"),
+        )
+    )
+    for _ in range(iters - 1):
+        pr = (
+            ed.join(
+                pr.hint("shuffle_hash"),
+                F.col("src") == F.col("v"),
+            )
+            .select(
+                "src",
+                "dst",
+                (F.col("pr") / F.col("__d__")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(fold.alias("__s__"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("v"),
+                (F.lit(damping) * F.col("__s__") + base).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("v").alias("vec_id"), F.round("pr", 6).alias("pagerank")
+    )

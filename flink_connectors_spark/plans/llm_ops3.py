@@ -1369,3 +1369,56 @@ def anomaly_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         F.round("dev", 6).alias("deviation"),
     )
+
+
+@register(
+    "similarity_graph_pagerank",
+    oracle=f"""
+    WITH {_lsh_pairs_cte()},
+    base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM base
+              UNION ALL
+              SELECT id2 AS src, id1 AS dst FROM base),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM edges),
+    c1 AS (
+      SELECT e.dst, e.src, (1.0 / nn.n) / dg.d AS contrib
+      FROM edges e JOIN deg dg ON e.src = dg.src CROSS JOIN nn),
+    s1 AS (SELECT dst, list_sum(list(contrib ORDER BY src)) AS s
+           FROM c1 GROUP BY dst),
+    pr1 AS (SELECT s1.dst AS v, 0.85 * s1.s + (1.0 - 0.85) / nn.n AS pr
+            FROM s1 CROSS JOIN nn),
+    c2 AS (
+      SELECT e.dst, e.src, p.pr / dg.d AS contrib
+      FROM edges e JOIN deg dg ON e.src = dg.src
+      JOIN pr1 p ON p.v = e.src),
+    s2 AS (SELECT dst, list_sum(list(contrib ORDER BY src)) AS s
+           FROM c2 GROUP BY dst)
+    SELECT s2.dst AS vec_id,
+           round(0.85 * s2.s + (1.0 - 0.85) / nn.n, 6) AS pagerank
+    FROM s2 CROSS JOIN nn
+    """,
+    tags=("llm", "similarity", "graph", "pagerank", "iterative"),
+    since=4,
+)
+def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank over the sign-LSH near-dup graph — the
+    centrality-based canonical-representative picker (keep the
+    most-connected variant of a template instead of the arbitrary min
+    id). Both power iterations are UNROLLED in the oracle, so the
+    green row verifies the full iterative chain value-for-value, the
+    same proof strategy as the k-means build. Contribution sums fold
+    in source-id order on both engines; rank-table joins are
+    shuffle_hash-pinned (everything descends from the explode-derived
+    pair generator). The pair list is persisted: the edge/degree/rank
+    branches all read one LSH computation."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = (
+        S.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=16, bits_per_band=4
+        )
+        .select("id1", "id2")
+        .persist()
+    )
+    return D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)

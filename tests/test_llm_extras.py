@@ -852,3 +852,22 @@ def test_dsir_logweights_ranks_target_like_docs_higher(spark):
     assert out[200]["dsir_logweight"] > out[201]["dsir_logweight"]
     assert out[200]["n_tokens"] == 4 and out[201]["n_tokens"] == 3
     assert all(abs(v["dsir_logweight"]) < 1e6 for v in out.values())
+
+
+def test_pagerank_star_graph_mass_and_ordering(spark):
+    """Undirected star (1 center, 4 leaves): total rank mass stays 1
+    (no dangling nodes by construction) and the center outranks every
+    leaf; leaves tie exactly (identical neighborhoods)."""
+    from flink_connectors_spark.operators.dedup import pagerank_undirected
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "d1 int, d2 int"
+    )
+    out = {
+        r["vec_id"]: r["pagerank"]
+        for r in pagerank_undirected(pairs, iters=2).collect()
+    }
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    leaves = [out[i] for i in range(1, 5)]
+    assert all(out[0] > v for v in leaves)
+    assert len(set(leaves)) == 1
