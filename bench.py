@@ -106,6 +106,7 @@ HEADLINE = [
     "pipeline_dsir_weights",
     "dedup_repeated_spans",
     "rollup_sketch_user_overlap",
+    "similarity_graph_pagerank",
 ]
 
 

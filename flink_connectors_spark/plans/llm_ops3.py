@@ -1422,3 +1422,92 @@ def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     return D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
+
+
+@register(
+    "dedup_canonical_pagerank",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_cte()},
+    base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
+    uedges AS (SELECT id1 AS a, id2 AS b FROM base
+               UNION SELECT id2, id1 FROM base),
+    reach(a, b) AS (
+      SELECT a, b FROM uedges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN uedges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM base
+              UNION ALL
+              SELECT id2 AS src, id1 AS dst FROM base),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM edges),
+    c1 AS (
+      SELECT e.dst, e.src, (1.0 / nn.n) / dg.d AS contrib
+      FROM edges e JOIN deg dg ON e.src = dg.src CROSS JOIN nn),
+    s1 AS (SELECT dst, list_sum(list(contrib ORDER BY src)) AS s
+           FROM c1 GROUP BY dst),
+    pr1 AS (SELECT s1.dst AS v, 0.85 * s1.s + (1.0 - 0.85) / nn.n AS pr
+            FROM s1 CROSS JOIN nn),
+    c2 AS (
+      SELECT e.dst, e.src, p.pr / dg.d AS contrib
+      FROM edges e JOIN deg dg ON e.src = dg.src
+      JOIN pr1 p ON p.v = e.src),
+    s2 AS (SELECT dst, list_sum(list(contrib ORDER BY src)) AS s
+           FROM c2 GROUP BY dst),
+    pr2 AS (SELECT s2.dst AS vec_id,
+                   round(0.85 * s2.s + (1.0 - 0.85) / nn.n, 6) AS pagerank
+            FROM s2 CROSS JOIN nn),
+    ranked AS (
+      SELECT c.cluster_id, c.vec_id, p.pagerank,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY p.pagerank DESC, c.vec_id) AS rn
+      FROM comp c JOIN pr2 p ON p.vec_id = c.vec_id)
+    SELECT cluster_id, vec_id AS keep_id, pagerank
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "graph", "pagerank", "iterative"),
+    since=4,
+)
+def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-canonical representative per near-dup component:
+    connected components pick the cluster, PageRank picks WHICH
+    member to keep (highest centrality = the variant most connected
+    to the rest of its cluster — the least-mutated template copy),
+    tie-broken by rounded rank then min id so the choice is
+    engine-stable. Composes three verified pieces — the sign-LSH pair
+    generator, min-label components, and the unrolled two-iteration
+    PageRank — into the detect -> cluster -> RANK -> choose loop; the
+    oracle replays all three (recursive closure + unrolled power
+    iterations) so the whole composition is value-checked. Ranking
+    uses the ROUNDED pagerank: the unrounded doubles are
+    IEEE-deterministic here (no transcendentals in the chain), but
+    rounding before ORDER BY makes the tie-break robust by
+    construction rather than by proof. All joins are pair-list- or
+    node-sized; ONE LSH computation feeds both the component and the
+    rank branches via the persisted pair list."""
+    from pyspark.sql.window import Window as W
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = (
+        S.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=16, bits_per_band=4
+        )
+        .select("id1", "id2")
+        .persist()
+    )
+    comp = D.connected_components(pairs, src="id1", dst="id2").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    pr = D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("pagerank"), F.asc("vec_id")
+    )
+    return (
+        comp.join(pr, "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("vec_id").alias("keep_id"), "pagerank")
+    )
