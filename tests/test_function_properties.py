@@ -227,3 +227,61 @@ def test_containment_pairs_match_set_model(spark, docs):
             c = round(len(sa & sb) / min(len(sa), len(sb)), 6)
             want[(a, b)] = (c, a if len(sa) <= len(sb) else b)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans: Spark plan vs a brute-force Python model
+# ---------------------------------------------------------------------------
+
+
+def _model_spans(docs: dict[int, list[str]], k: int):
+    """Reference model: count k-windows over ALL docs, mark positions
+    whose window repeats, merge overlapping/adjacent windows into
+    maximal spans. Intentionally O(n^2)-naive."""
+    from collections import Counter
+
+    wins = {
+        i: [" ".join(w[j : j + k]) for j in range(len(w) - k + 1)]
+        for i, w in docs.items()
+        if len(w) >= k
+    }
+    cnt = Counter(g for gs in wins.values() for g in gs)
+    out = {}
+    for i, gs in wins.items():
+        pos = [j + 1 for j, g in enumerate(gs) if cnt[g] >= 2]
+        if not pos:
+            continue
+        spans = []
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev > k:
+                spans.append((start, prev))
+                start = p
+            prev = p
+        spans.append((start, prev))
+        dup = sum(p2 - p1 + k for p1, p2 in spans)
+        n = len(docs[i])
+        out[i] = (n, len(spans), dup, round(dup / n, 6))
+    return out
+
+
+@given(texts)
+@settings(**_SETTINGS)
+def test_duplicated_spans_match_bruteforce_model(spark, ts):
+    from flink_connectors_spark.operators.text import duplicated_spans
+
+    k = 2  # small k so short generated docs can actually repeat
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_spans"],
+            r["dup_tokens"],
+            r["dup_fraction"],
+        )
+        for r in duplicated_spans(df, k=k).collect()
+    }
+    exp = _model_spans({i: _model_tokens(t) for i, t in enumerate(ts)}, k)
+    assert got == exp, (ts, got, exp)
