@@ -980,3 +980,47 @@ def duplicated_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def lang_confidence(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-ID confidence margin — the trust gate on top of
+    ``lang_id`` (CCNet keeps a doc's language label only when the
+    classifier margin clears a threshold; this is that gate for the
+    stopword-vote classifier): margin = (top score - runner-up
+    score) / n_tokens, and an integer-arithmetic ``trusted`` flag
+    (top > 0 AND (top - second) * 20 >= n_tokens, i.e. a >=5% token
+    margin — no float at the decision boundary, so the flag can
+    never flip across engines). Low-margin docs are the mixed-language
+    / too-short / boilerplate cases a curation pipeline routes to a
+    heavier classifier instead of trusting the cheap vote.
+
+    Pure narrow column math (array sort of 4 ints per row), zero
+    shuffle, zero joins.
+    """
+    words = tokenize(F.col(text_col))
+    scores = {lang: stopword_hits(words, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, "und")
+    for lang in ("en", "es", "de", "fr"):
+        pred = pred.when(scores[lang] == best, lang)
+    ranked = F.sort_array(
+        F.array(*[scores[lang] for lang in ("en", "es", "de", "fr")]),
+        asc=False,
+    )
+    top = ranked[0]
+    second = ranked[1]
+    n = F.size(words)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        top.cast("long").alias("score_top"),
+        second.cast("long").alias("score_second"),
+        F.round(
+            (top - second).cast("double")
+            / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        ).alias("margin_ratio"),
+        ((top > 0) & ((top - second) * 20 >= n)).alias("trusted"),
+    )

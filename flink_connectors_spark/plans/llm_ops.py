@@ -2751,3 +2751,39 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return T.dsir_logweights(d, F.col("lang") == "en", n_buckets=64)
+
+
+@register(
+    "text_lang_margin",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    scored AS (
+      SELECT doc_id, len(w) AS n,
+           {_LANG_SCORES}
+      FROM base),
+    r AS (
+      SELECT doc_id, n, score_en, score_es, score_de, score_fr,
+             {_PRED} AS pred_lang,
+             list_sort([score_en, score_es, score_de, score_fr],
+                       'DESC') AS rk
+      FROM scored)
+    SELECT doc_id, pred_lang,
+           CAST(rk[1] AS BIGINT) AS score_top,
+           CAST(rk[2] AS BIGINT) AS score_second,
+           round(CAST(rk[1] - rk[2] AS DOUBLE)
+                 / CAST(greatest(n, 1) AS DOUBLE), 6) AS margin_ratio,
+           (rk[1] > 0 AND (rk[1] - rk[2]) * 20 >= n) AS trusted
+    FROM r
+    """,
+    tags=("llm", "text", "langid", "quality"),
+    since=4,
+)
+def text_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence margin + integer-threshold trust flag
+    (the CCNet-style gate on the cheap stopword-vote classifier):
+    low-margin docs — mixed-language, too-short, boilerplate — get
+    routed to a heavier classifier instead of trusting the vote. The
+    trusted decision is pure integer arithmetic ((top - second) * 20
+    >= n_tokens), so the boundary can never flip across engines.
+    Narrow row-local array math, zero shuffle."""
+    return T.lang_confidence(_load(spark, sf_dir, "documents"))
