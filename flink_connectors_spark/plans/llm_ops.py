@@ -2787,3 +2787,95 @@ def text_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= n_tokens), so the boundary can never flip across engines.
     Narrow row-local array math, zero shuffle."""
     return T.lang_confidence(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_dsir_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS t, unnest({_WORDS}) AS tok
+      FROM documents),
+    bk AS (
+      SELECT doc_id, t,
+             CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) % 64 AS b
+      FROM toks),
+    docb AS (
+      SELECT doc_id, t, b, COUNT(*) AS c FROM bk GROUP BY 1, 2, 3),
+    counts AS (
+      SELECT b, SUM(c) AS cr, SUM(CASE WHEN t THEN c ELSE 0 END) AS ct
+      FROM docb GROUP BY b),
+    tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM counts),
+    llr AS (
+      SELECT b,
+             ln((ct + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0)) AS v
+      FROM counts CROSS JOIN tot),
+    terms AS (
+      SELECT d.doc_id, d.b, CAST(d.c AS BIGINT) AS c,
+             CAST(d.c AS DOUBLE) * l.v AS cv
+      FROM docb d JOIN llr l ON d.b = l.b),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             round(list_sum(list(cv ORDER BY b)), 6) AS lw
+      FROM terms GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, n_tokens, lw AS dsir_logweight,
+             round(lw - ln(-ln(
+               (CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12))
+                 AS BIGINT) + 1) / 281474976710656.0)), 6) AS gumbel_key
+      FROM per_doc)
+    SELECT doc_id, n_tokens, dsir_logweight, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+    tags=("llm", "pipeline", "sampling", "quality"),
+    since=4,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR (Xie et al. 2023 §3: sample with
+    Gumbel-noised log-weights rather than hard top-k, so the draw
+    follows the importance distribution instead of collapsing onto
+    near-identical maximum-weight docs): each doc competes on
+    logweight + Gumbel(0,1), with the Gumbel drawn DETERMINISTICALLY
+    as -ln(-ln(u)) over the same md5-uniform construction the
+    Efraimidis-Spirakis sampler uses — reproducible across runs and
+    engines, no RNG state. Top-100 by noised key is the selected
+    subcorpus. Scale shape inherits dsir_logweights (bucket-bounded
+    shuffle + B-row broadcast) plus one narrow projection and a
+    global top-k: TakeOrderedAndProject ships only 100 candidates
+    per partition."""
+    d = _load(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    w = T.dsir_logweights(d, F.col("lang") == "en", n_buckets=64)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":dsir")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    key = F.round(
+        F.col("dsir_logweight") - F.log(-F.log(u)), 6
+    )
+    return (
+        w.select(
+            "doc_id",
+            "n_tokens",
+            "dsir_logweight",
+            key.alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -514,3 +514,12 @@ def test_dsir_weights_broadcasts_llr_and_partial_aggregates(spark, sf_dir):
     assert "partial_" in plan or "HashAggregate" in plan
     # the only nested-loop join allowed is the one-row totals attach
     assert plan.count("CartesianProduct") == 0
+
+
+def test_dsir_select_takeordered_not_global_sort(spark, sf_dir):
+    """The Gumbel-noised top-100 must plan as TakeOrderedAndProject
+    (each partition ships 100 candidates), never a global range
+    sort of the scored corpus."""
+    plan = _plan(spark, sf_dir, "pipeline_dsir_select")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
