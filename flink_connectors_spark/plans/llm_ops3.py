@@ -1095,7 +1095,11 @@ def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, threshold=0.3, n_planes=16, bits_per_band=4
         )
         .select("id1", "id2")
-        .persist()
+        # EAGER materialization, not lazy persist: the consuming
+        # branches launch concurrently and a lazy cache races — each
+        # branch recomputed the whole LSH pipeline before the cache
+        # filled (measured 2-4x on the bench; see PLANS.md r4 note).
+        .localCheckpoint(eager=True)
     )
     ea = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     eb = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
@@ -1419,7 +1423,11 @@ def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, threshold=0.4, n_planes=16, bits_per_band=4
         )
         .select("id1", "id2")
-        .persist()
+        # EAGER materialization, not lazy persist: the consuming
+        # branches launch concurrently and a lazy cache races — each
+        # branch recomputed the whole LSH pipeline before the cache
+        # filled (measured 2-4x on the bench; see PLANS.md r4 note).
+        .localCheckpoint(eager=True)
     )
     return D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
 
@@ -1496,7 +1504,11 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, threshold=0.4, n_planes=16, bits_per_band=4
         )
         .select("id1", "id2")
-        .persist()
+        # EAGER materialization, not lazy persist: the consuming
+        # branches launch concurrently and a lazy cache races — each
+        # branch recomputed the whole LSH pipeline before the cache
+        # filled (measured 2-4x on the bench; see PLANS.md r4 note).
+        .localCheckpoint(eager=True)
     )
     comp = D.connected_components(pairs, src="id1", dst="id2").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
