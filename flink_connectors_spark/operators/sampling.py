@@ -306,3 +306,49 @@ def sample_k_per_stratum(
         df.withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("pick_rank") <= k)
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    quality_col: str,
+    key_col: str,
+    n_shards: int = 8,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Deterministic curriculum training order: documents grouped
+    into quality bands (bucket = floor(quality * n_buckets), clamped)
+    and uniformly md5-shuffled WITHIN each band — the reader consumes
+    bands best-first (or an anneal schedule across bands), getting
+    curriculum learning's easy/clean-first ordering while keeping the
+    within-band order an unbiased reproducible permutation (the
+    ``global_shuffle_order`` construction applied per band).
+
+    The band boundary is a single IEEE multiply + floor on the
+    already-rounded quality score, so a doc's band can never differ
+    across engines; ordering needs ONE bounded-key shuffle
+    (n_buckets x n_shards keys), never a full-corpus range sort.
+    Returns (key, bucket, shard, pos).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import hex_prefix_to_long
+
+    key = F.col(key_col).cast("string")
+    bucket = F.least(
+        F.floor(F.col(quality_col) * n_buckets), F.lit(n_buckets - 1)
+    ).cast("long")
+    out = df.select(
+        key_col,
+        bucket.alias("bucket"),
+        F.md5(key).alias("__hx__"),
+        F.pmod(hex_prefix_to_long(F.md5(key), 12), F.lit(n_shards))
+        .cast("long")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("__hx__", key_col)
+    return out.select(
+        key_col,
+        "bucket",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -2879,3 +2879,53 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+             CAST({" + ".join(_sql_stop_hits(lang) for lang in T.STOPWORDS)} AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0) AS stop_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0) AS ttr,
+             CAST(CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END
+                  AS DOUBLE) AS length_ok
+      FROM base),
+    q AS (
+      SELECT doc_id,
+             round(alpha_ratio * 0.4 + least(stop_ratio * 4, 1.0) * 0.2
+                   + ttr * 0.2 + length_ok * 0.2, 6) AS qs
+      FROM m),
+    h AS (
+      SELECT doc_id,
+             least(CAST(floor(qs * 10) AS BIGINT), 9) AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS hx,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 8 AS shard
+      FROM q)
+    SELECT doc_id, bucket, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                   ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("llm", "pipeline", "sampling", "ordering", "curriculum"),
+    since=4,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quality bands consumed best-first,
+    each band internally a reproducible md5 permutation — curriculum
+    learning's clean-data-first schedule without sacrificing
+    within-band uniformity or determinism. The band boundary is one
+    IEEE multiply + floor on the already-rounded quality score
+    (cannot flip across engines); the order costs ONE bounded-key
+    shuffle (bands x shards = 80 keys), never a corpus range sort."""
+    from ..operators.sampling import curriculum_order
+
+    d = _load(spark, sf_dir, "documents")
+    qs = T.quality_score(d).select("doc_id", "quality_score")
+    return curriculum_order(qs, "quality_score", "doc_id")
