@@ -473,3 +473,88 @@ def join_range_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_value"),
     )
+
+
+@register(
+    "join_ivm_delta",
+    oracle="""
+    WITH
+    a_old AS (SELECT * FROM orders   WHERE o_orderdate < DATE '2001-06-01'),
+    b_old AS (SELECT * FROM lineitem WHERE l_shipdate  < DATE '2001-06-01'),
+    jn AS (
+      SELECT o.o_orderpriority,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    jo AS (
+      SELECT o.o_orderpriority,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM a_old o JOIN b_old l ON l.l_orderkey = o.o_orderkey),
+    agg_new AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS s
+      FROM jn GROUP BY 1),
+    agg_old AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS s
+      FROM jo GROUP BY 1)
+    SELECT n2.o_orderpriority,
+           CAST(n2.n - coalesce(o2.n, 0) AS BIGINT) AS delta_rows,
+           CAST(n2.s - coalesce(o2.s, 0) AS BIGINT) AS delta_cents
+    FROM agg_new n2 LEFT JOIN agg_old o2 USING (o_orderpriority)
+    WHERE n2.n - coalesce(o2.n, 0) <> 0
+    """,
+    tags=("join", "incremental", "ivm", "cdc"),
+    since=4,
+)
+def join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: with insert-only
+    deltas dA (new orders) and dB (new lineitems) against standing
+    snapshots A and B, the join's delta is the classic three-term
+    expansion  dA><B  UNION ALL  A><dB  UNION ALL  dA><dB  — cost
+    proportional to |delta|, never a re-join of the snapshots. The
+    oracle computes the SAME quantity the expensive way — full
+    new-state join minus full old-state join, group by group — so
+    the green row proves delta-maintenance == recompute exactly
+    (the aggregate-IVM proof pattern extended to joins; completes
+    the incremental story next to merge_aggregate_delta and
+    pipeline_cdc_apply).
+
+    Scale shape: both delta terms BROADCAST the delta side against
+    the standing snapshot (the whole point of IVM — the snapshot
+    never shuffles), and the dA><dB term is delta-sized on both
+    sides. Exact int64 cents keep the sums order-free."""
+    cut = F.lit("2001-06-01").cast("date")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a_old = o.filter(F.col("o_orderdate") < cut)
+    da = o.filter(F.col("o_orderdate") >= cut)
+    b_old = li.filter(F.col("l_shipdate") < cut)
+    db = li.filter(F.col("l_shipdate") >= cut)
+
+    def j(left_o: DataFrame, right_l: DataFrame, bcast: str) -> DataFrame:
+        lo, rl = left_o, right_l
+        if bcast == "o":
+            lo = F.broadcast(lo)
+        elif bcast == "l":
+            rl = F.broadcast(rl)
+        return rl.join(
+            lo.select("o_orderkey", "o_orderpriority"),
+            rl.l_orderkey == lo.o_orderkey,
+        ).select(
+            "o_orderpriority",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+
+    delta = (
+        j(da, b_old, "o")          # dA >< B: broadcast the order delta
+        .unionAll(j(a_old, db, "l"))  # A >< dB: broadcast the line delta
+        .unionAll(j(da, db, "o"))     # dA >< dB
+    )
+    return (
+        delta.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("delta_rows"),
+            F.sum("cents").cast("long").alias("delta_cents"),
+        )
+        .filter(F.col("delta_rows") != 0)
+    )

@@ -523,3 +523,13 @@ def test_dsir_select_takeordered_not_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_dsir_select")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ivm_delta_broadcasts_delta_sides(spark, sf_dir):
+    """IVM's reason to exist: the standing snapshots never shuffle —
+    every join term broadcasts a delta side (3 BroadcastHashJoins),
+    and the date split predicates reach the parquet scans."""
+    plan = _plan(spark, sf_dir, "join_ivm_delta")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "PushedFilters" in plan
