@@ -1295,3 +1295,51 @@ def rollup_sketch_user_overlap(
             < 0.05
         ).alias("within_bound"),
     )
+
+
+@register(
+    "rollup_bitmap_merge_day",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    tags=("temporal", "rollup", "bitmap", "distinct", "mergeable"),
+    since=4,
+)
+def rollup_bitmap_merge_day(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT distinct-user rollup maintained incrementally: daily
+    per-(type, bucket) bitmaps OR-merge to the full-range bitmap,
+    and the total is the sum of per-bucket popcounts — the exact
+    counterpart of the HLL/CMS/quantile merge-day proofs
+    (`rollup_merge_day` family), closing the mergeable-summary set:
+    additive, HLL, CMS, quantile histogram, and now exact bitmap.
+    The oracle is plain COUNT(DISTINCT) over the whole range, so the
+    green row proves merge == rebuild with zero estimation error.
+
+    Scale shape: the daily pass map-side-combines user ids into
+    32k-bit bucket bitmaps (shuffle rows = days x types x occupied
+    buckets, never one row per event or per user); the merge pass
+    ORs bitmaps of the SAME (type, bucket) across days — summary-
+    sized, the nightly-refresh cost at 100 TB. bitmap_or_agg may
+    only merge same-bucket bitmaps: bit positions repeat across
+    buckets (the agg_bitmap_distinct lesson, encoded here in the
+    grouping keys)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("__b__"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "__bm__"
+        )
+    )
+    merged = daily.groupBy("event_type", "__b__").agg(
+        F.expr("bitmap_or_agg(__bm__)").alias("__m__")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(__m__)")).cast("long").alias("n_distinct")
+    )
