@@ -107,6 +107,12 @@ HEADLINE = [
     "dedup_repeated_spans",
     "rollup_sketch_user_overlap",
     "similarity_graph_pagerank",
+    "pipeline_dsir_select",
+    "pipeline_curriculum_order",
+    "join_ivm_delta",
+    "rollup_bitmap_merge_day",
+    "dedup_canonical_pagerank",
+    "text_lang_margin",
 ]
 
 
