@@ -514,3 +514,87 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")
     return T.duplicated_spans(d, k=5)
+
+
+@register(
+    "text_zipf_alpha",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS tok FROM documents),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    top AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+      FROM vocab ORDER BY c DESC, tok LIMIT 30),
+    pts AS (
+      SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM top),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             list_sum(list(x ORDER BY r)) AS sx,
+             list_sum(list(y ORDER BY r)) AS sy,
+             list_sum(list(x * y ORDER BY r)) AS sxy,
+             list_sum(list(x * x ORDER BY r)) AS sxx
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS zipf_alpha,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM s
+    """,
+    tags=("llm", "text", "stats", "quality"),
+    since=4,
+)
+def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus frequency-rank curve — the
+    one-number corpus-health check (natural language sits near
+    alpha ~ 1; generated spam, template floods, and truncated
+    crawls bend the curve): least-squares slope of ln(count) vs
+    ln(rank) over the top-30 ranks. The rank table is a
+    TakeOrdered top-30 off the vocabulary aggregate (each partition
+    ships 30 candidates), so the whole fit costs one token
+    aggregate at any corpus size; the four regression sums fold in
+    RANK order on both engines and the slope/intercept expressions
+    are written with identical operation order, so the single
+    output row value-hash-matches."""
+    d = _load(spark, sf_dir, "documents")
+    from ..functions import tokenize
+    from pyspark.sql.window import Window as W
+
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        vocab.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(30)
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok")))
+        )
+    )
+    pts = top.select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("r", "x", "y"))
+    )
+
+    def fold(expr):
+        return F.aggregate(arr, F.lit(0.0), expr)
+
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold(lambda a, p: a + p["x"]).alias("sx"),
+        fold(lambda a, p: a + p["y"]).alias("sy"),
+        fold(lambda a, p: a + p["x"] * p["y"]).alias("sxy"),
+        fold(lambda a, p: a + p["x"] * p["x"]).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(-slope, 6).alias("zipf_alpha"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )

@@ -871,3 +871,24 @@ def test_pagerank_star_graph_mass_and_ordering(spark):
     leaves = [out[i] for i in range(1, 5)]
     assert all(out[0] > v for v in leaves)
     assert len(set(leaves)) == 1
+
+
+def test_dsir_logweights_empty_target_slice_is_uniform_zeroish(spark):
+    """With NO target docs, both LMs see identical counts only
+    through smoothing: ln((0+1)/(0+B)) - ln((c+1)/(N+B)) — finite,
+    well-defined, and identical for equal-frequency tokens. The
+    operator must not divide by zero or return NULLs."""
+    from pyspark.sql import functions as F
+
+    from flink_connectors_spark.operators.text import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd")],
+        "doc_id int, text string",
+    )
+    rows = dsir_logweights(df, F.lit(False), n_buckets=16).collect()
+    assert len(rows) == 3
+    assert all(r["dsir_logweight"] is not None for r in rows)
+    by_id = {r["doc_id"]: r["dsir_logweight"] for r in rows}
+    # docs 1 and 2 are identical -> identical weights
+    assert by_id[1] == by_id[2]
