@@ -1343,3 +1343,81 @@ def rollup_bitmap_merge_day(
     return merged.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(__m__)")).cast("long").alias("n_distinct")
     )
+
+
+@register(
+    "rollup_forecast_holt",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1),
+    ord AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+    holt(t, l, b) AS (
+      -- anchor types fix the recursion's column types: a bare 0.0
+      -- would type b as DECIMAL(2,1) and quantize the trend to 0.1
+      SELECT t, y, CAST(0.0 AS DOUBLE) FROM ord WHERE t = 1
+      UNION ALL
+      SELECT o.t,
+             0.5 * o.y + 0.5 * (h.l + h.b),
+             0.3 * ((0.5 * o.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+      FROM holt h JOIN ord o ON o.t = h.t + 1),
+    fin AS (SELECT l, b FROM holt ORDER BY t DESC LIMIT 1)
+    SELECT CAST(g.h AS BIGINT) AS horizon,
+           round(fin.l + g.h * fin.b, 6) AS forecast
+    FROM fin CROSS JOIN
+         (SELECT unnest(generate_series(1, 7)) AS h) g
+    """,
+    tags=("temporal", "rollup", "forecast", "iterative"),
+    since=4,
+)
+def rollup_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast off the daily rollup — the
+    'forecast next week's volume' read a summary table serves
+    without touching the fact table. The smoothing recursion
+    (alpha=0.5 level, beta=0.3 trend, l1=y1/b1=0 init) is inherently
+    sequential, but over DAYS, not rows: the fold length is bounded
+    by the calendar (365 elements/year), so it runs as a sequential
+    aggregate over the day-ordered array of daily counts — one
+    distributed aggregate to build the 30-row series, then O(days)
+    scalar work. The oracle replays the identical recursion with a
+    recursive CTE, value-for-value (literals written identically —
+    0.7, not 1-0.3 — so both engines execute the same IEEE ops in
+    the same order). Output: 7 forecast horizons."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    arr = F.array_sort(F.collect_list(F.struct("day", "y")))
+    init = F.struct(
+        F.lit(float("nan")).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(True).alias("first"),
+    )
+
+    def step(acc, p):
+        lnew = F.lit(0.5) * p["y"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        bnew = (
+            F.lit(0.3) * (lnew - acc["l"]) + F.lit(0.7) * acc["b"]
+        )
+        return F.when(
+            acc["first"],
+            F.struct(
+                p["y"].alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(False).alias("first"),
+            ),
+        ).otherwise(
+            F.struct(
+                lnew.alias("l"), bnew.alias("b"), F.lit(False).alias("first")
+            )
+        )
+
+    fin = daily.agg(F.aggregate(arr, init, step).alias("hb"))
+    return fin.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"), "hb"
+    ).select(
+        F.col("h").cast("long").alias("horizon"),
+        F.round(
+            F.col("hb.l") + F.col("h") * F.col("hb.b"), 6
+        ).alias("forecast"),
+    )
