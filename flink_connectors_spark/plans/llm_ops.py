@@ -2929,3 +2929,64 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     qs = T.quality_score(d).select("doc_id", "quality_score")
     return curriculum_order(qs, "quality_score", "doc_id")
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(len({_WORDS}) AS BIGINT) AS nt FROM documents),
+    cnt AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS n FROM tok GROUP BY source),
+    tot AS (
+      SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)) AS z
+      FROM cnt)
+    SELECT source, n AS n_tokens,
+           CAST(floor(sqrt(CAST(n AS DOUBLE)) / tot.z * 1000000.0)
+                AS BIGINT) AS weight_ppm,
+           CAST(floor(sqrt(CAST(n AS DOUBLE)) / tot.z * 10000000.0)
+                AS BIGINT) AS budget_tokens,
+           round(CAST(floor(sqrt(CAST(n AS DOUBLE)) / tot.z * 10000000.0)
+                      AS DOUBLE) / CAST(n AS DOUBLE), 6) AS epochs
+    FROM cnt CROSS JOIN tot
+    """,
+    tags=("llm", "pipeline", "sampling", "mixture"),
+    since=4,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget allocation for a fixed training budget
+    (here 10M tokens) under temperature alpha=0.5 weights — the
+    sampling-proportions table a pretraining config ships (per
+    source: weight, token budget, and EPOCHS, the repetition factor
+    that warns when a low-resource source would repeat many times).
+    Complements `pipeline_mixture_sample` (which draws rows) by
+    emitting the budget TABLE itself. sqrt is IEEE-correctly-rounded
+    and the normalizer folds over sources in sorted order, so the
+    doubles match bit-for-bit; budgets quantize via floor to exact
+    integers. One corpus token count -> source-sized everything."""
+    d = _load(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    from ..functions import tokenize
+
+    cnt = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n")
+    )
+    packed = cnt.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n"))),
+            F.lit(0.0),
+            lambda a, x: a + F.sqrt(x["n"].cast("double")),
+        ).alias("z")
+    )
+    w = F.sqrt(F.col("n").cast("double")) / F.col("z")
+    budget = F.floor(w * F.lit(10_000_000.0)).cast("long")
+    return cnt.crossJoin(F.broadcast(packed)).select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.floor(w * F.lit(1_000_000.0)).cast("long").alias("weight_ppm"),
+        budget.alias("budget_tokens"),
+        F.round(
+            budget.cast("double") / F.col("n").cast("double"), 6
+        ).alias("epochs"),
+    )
