@@ -1523,3 +1523,122 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("vec_id").alias("keep_id"), "pagerank")
     )
+
+
+def _km_chain_ns(p: str, where: str) -> str:
+    """Namespaced copy of llm_ops._km_chain_cte ending at ``{p}c2``
+    (cluster, s, c — the TRAINED codebook): lets one oracle run two
+    independent k-means builds (different corpus slices) in a single
+    WITH chain. Mirrors _km_assign/_km_update exactly, with every
+    CTE name prefixed and the source filtered by ``where``."""
+    sq = (
+        f"CAST(list_sum(list_transform(list_zip({p}q.qv, {{C}}.s), "
+        "pp -> ({C}.c*pp[1]-pp[2])*({C}.c*pp[1]-pp[2]))) AS DOUBLE) "
+        "/ CAST({C}.c*{C}.c AS DOUBLE)"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        s = sq.replace("{C}", cent)
+        return f"""{p}{name} AS (
+      SELECT vec_id, cluster, qv FROM (
+        SELECT {p}q.vec_id, {cent}.cluster, {p}q.qv,
+               row_number() OVER (PARTITION BY {p}q.vec_id
+                                  ORDER BY {s}, {cent}.cluster) AS rn
+        FROM {p}q CROSS JOIN {cent}) t WHERE rn = 1)"""
+
+    def update(a: str, prev: str, nxt: str) -> str:
+        return f"""{p}{nxt}d AS (
+      SELECT cluster, pos, CAST(SUM(qv[pos]) AS BIGINT) AS s_d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {p}{a}, UNNEST(range(1, 65)) AS r(pos)
+      GROUP BY cluster, pos),
+    {p}{nxt}u AS (
+      SELECT cluster, list(s_d ORDER BY pos) AS s, any_value(c) AS c
+      FROM {p}{nxt}d GROUP BY cluster),
+    {p}{nxt} AS (
+      SELECT {p}{prev}.cluster, COALESCE({p}{nxt}u.s, {p}{prev}.s) AS s,
+             COALESCE({p}{nxt}u.c, {p}{prev}.c) AS c
+      FROM {p}{prev} LEFT JOIN {p}{nxt}u
+        ON {p}{prev}.cluster = {p}{nxt}u.cluster)"""
+
+    return f"""{p}q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+      FROM embeddings WHERE {where}),
+    {p}c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster,
+             qv AS s, CAST(1 AS BIGINT) AS c
+      FROM (SELECT * FROM {p}q ORDER BY vec_id LIMIT 8)),
+    {assign("a1", p + "c0")},
+    {update("a1", "c0", "c1")},
+    {assign("a2", p + "c1")},
+    {update("a2", "c1", "c2")}"""
+
+
+_DRIFT_MEAN_O = "list_transform(o.s, v -> CAST(v AS DOUBLE) / CAST(o.c AS DOUBLE))"
+_DRIFT_MEAN_N = "list_transform(n.s, v -> CAST(v AS DOUBLE) / CAST(n.c AS DOUBLE))"
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH {_km_chain_ns("o_", "vec_id < 300")},
+    {_km_chain_ns("n_", "TRUE")}
+    SELECT o.cluster,
+           o.c AS n_old, n.c AS n_new,
+           round(sqrt(list_sum(list_transform(
+                   list_zip({_DRIFT_MEAN_O}, {_DRIFT_MEAN_N}),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))))
+                 / 1024.0, 6) AS drift
+    FROM o_c2 o JOIN n_c2 n USING (cluster)
+    """,
+    tags=("llm", "embedding", "kmeans", "ivf", "iterative", "qa"),
+    since=4,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-refresh trigger: train the SAME deterministic
+    k-means on yesterday's corpus slice (vec_id < 300) and on
+    today's full corpus — identical seeds, so cluster ids are
+    comparable — and report per-cluster centroid movement in
+    original embedding units. Large drift on a populous cluster
+    means the stored IVF index no longer matches the data
+    distribution and the build should re-run; near-zero drift means
+    the nightly refresh can skip the rebuild. The oracle replays
+    BOTH 2-iteration Lloyd chains in one recursive WITH (namespaced
+    CTE copies), so the entire old-build/new-build/compare pipeline
+    is value-checked. Both codebooks are exact integer (sum, count)
+    pairs; the only floats are the k final mean divisions and the
+    dim-ordered diff fold, identical on both engines. Output is
+    k-sized; each build costs the kmeans build (centroids broadcast,
+    zero assignment Exchange)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    old_cb = S.kmeans_assign_quantized(
+        emb.filter(F.col("vec_id") < 300), k=8, iters=2
+    )._fcs_centroids
+    new_cb = S.kmeans_assign_quantized(emb, k=8, iters=2)._fcs_centroids
+    rows = [
+        (cl, s, c, s2, c2)
+        for (cl, s, c), (_, s2, c2) in zip(old_cb, new_cb)
+    ]
+    cb = spark.createDataFrame(
+        rows,
+        "cluster int, s_o array<long>, c_o long, s_n array<long>, c_n long",
+    )
+    mo = F.transform(
+        F.col("s_o"), lambda v: v.cast("double") / F.col("c_o").cast("double")
+    )
+    mn = F.transform(
+        F.col("s_n"), lambda v: v.cast("double") / F.col("c_n").cast("double")
+    )
+    diff = F.zip_with(mo, mn, lambda a, b: (a - b) * (a - b))
+    return cb.select(
+        "cluster",
+        F.col("c_o").alias("n_old"),
+        F.col("c_n").alias("n_new"),
+        F.round(
+            F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
+            / F.lit(1024.0),
+            6,
+        ).alias("drift"),
+    )
