@@ -10,6 +10,9 @@ way a vector-store build job would run them.
       |> IVF top-5 search for a query batch (cluster-probed)
       |> PQ encode (2 blocks x 16 codewords) + ADC top-5 search
       |> recall audit: both ANN paths vs exact brute force
+      |> centroid-drift refresh trigger: same-seed build on the
+         older half vs the full corpus — rebuild only when clusters
+         actually moved
 
 Run:  python examples/index_embeddings.py [SF_DIR]
 
@@ -82,11 +85,25 @@ def index_and_audit(spark, sf_dir: str, n_queries: int = 20) -> dict:
         hits = e.join(a, ["query_id", "neighbor_id"]).count()
         return hits / e.count()
 
+    # 3. refresh trigger: would yesterday's index still serve today?
+    half = int(emb.count()) // 2
+    old_cb = kmeans_assign_quantized(
+        emb.filter(F.col("vec_id") < half), k=16, iters=2
+    )._fcs_centroids
+    new_cb = kmeans_assign_quantized(emb, k=16, iters=2)._fcs_centroids
+    max_drift = 0.0
+    for (cl, so, co), (_, sn, cn) in zip(old_cb, new_cb):
+        d = sum(
+            (x / co - y / cn) ** 2 for x, y in zip(so, sn)
+        ) ** 0.5 / 1024.0
+        max_drift = max(max_drift, d)
+
     out = {
         "corpus_size": emb.count(),
         "dominant_direction_share": round(float(dominant_share), 4),
         "recall_ivf_at_5": round(recall(ivf), 4),
         "recall_pq_at_5": round(recall(pq), 4),
+        "max_centroid_drift": round(max_drift, 4),
     }
     emb.unpersist()
     return out

@@ -56,3 +56,5 @@ def test_index_embeddings_lifecycle(spark, sf_dir):
     assert 0.0 <= stats["recall_pq_at_5"] <= 1.0
     # the cluster-probed path must beat random guessing by far
     assert stats["recall_ivf_at_5"] >= 0.2
+    # drift is a finite non-negative distance in embedding units
+    assert stats["max_centroid_drift"] >= 0.0
