@@ -113,6 +113,10 @@ HEADLINE = [
     "rollup_bitmap_merge_day",
     "dedup_canonical_pagerank",
     "text_lang_margin",
+    "text_zipf_alpha",
+    "rollup_forecast_holt",
+    "pipeline_token_budget",
+    "embedding_centroid_drift",
 ]
 
 

@@ -558,3 +558,88 @@ def join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("delta_rows") != 0)
     )
+
+
+_OLS_DETS = dict(
+    det="nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)",
+    d0="sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)",
+    d1="nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)",
+    d2="nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)",
+)
+
+
+@register(
+    "agg_ols_two_features",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+      FROM r GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(nn AS BIGINT) AS n,
+           round(({_OLS_DETS["d0"]}) / ({_OLS_DETS["det"]}), 6) AS b0_cents,
+           round(({_OLS_DETS["d1"]}) / ({_OLS_DETS["det"]}), 6) AS b1_per_qty,
+           round(({_OLS_DETS["d2"]}) / ({_OLS_DETS["det"]}), 6) AS b2_per_disc
+    FROM s
+    """,
+    tags=("agg", "regression", "ml"),
+    since=4,
+)
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount) per return flag,
+    solved in closed form from EXACT integer sufficient statistics —
+    the multi-feature extension of agg_corr_regression and the
+    pattern for in-engine analytics models at 100 TB: ONE map-side-
+    combining aggregate ships 9 numbers per group, the 3x3 normal
+    equations solve via Cramer's rule as a scalar expression over
+    those 9 doubles (written token-identical in both engines, so the
+    determinant arithmetic rounds identically), and no second pass
+    over the data exists. Features/targets quantize to integer units
+    (qty, discount cents, price cents) so the sufficient sums are
+    exact in any accumulation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = (
+        li.select(
+            "l_returnflag",
+            x1.alias("x1"),
+            x2.alias("x2"),
+            y.alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nn"),
+            F.sum("x1").cast("double").alias("s1"),
+            F.sum("x2").cast("double").alias("s2"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+            F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+            F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+            F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        )
+    )
+    det = F.expr(_OLS_DETS["det"])
+    return s.select(
+        "l_returnflag",
+        F.col("nn").cast("long").alias("n"),
+        F.round(F.expr(_OLS_DETS["d0"]) / det, 6).alias("b0_cents"),
+        F.round(F.expr(_OLS_DETS["d1"]) / det, 6).alias("b1_per_qty"),
+        F.round(F.expr(_OLS_DETS["d2"]) / det, 6).alias("b2_per_disc"),
+    )
