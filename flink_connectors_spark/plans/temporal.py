@@ -1421,3 +1421,64 @@ def rollup_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hb.l") + F.col("h") * F.col("hb.b"), 6
         ).alias("forecast"),
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events),
+    dau AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM du GROUP BY day),
+    cover AS (
+      SELECT CAST(g.d AS DATE) AS day, du.user_id
+      FROM du,
+           LATERAL (SELECT unnest(generate_series(du.day,
+                        du.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS d) g),
+    wau AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM cover GROUP BY day)
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w USING (day)
+    """,
+    tags=("temporal", "analytics", "distinct", "window"),
+    since=4,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users (DAU/WAU) —
+    the standard engagement panel, computed EXACTLY with the
+    bounded fan-out trick: each (day, user) activity row covers the
+    7 report days it contributes to (an explode of 7, bounded by
+    the WINDOW length, never by data), then one distinct-count per
+    report day. This replaces the naive per-day range self-join
+    (whose candidate volume is days x activity) and stays exact
+    where sliding-window sketches would approximate; for 30/90-day
+    windows at 100 TB you either accept the x30/x90 fan-out on the
+    already-deduplicated (day, user) table — tiny relative to raw
+    events — or switch to the HLL rollup
+    (`rollup_sketch_distinct_users`). Report days with no 7-day
+    history are still reported (partial windows, standard panel
+    semantics); days beyond the data's end are clipped by the join
+    with the DAU side."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    cover = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = cover.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day")
