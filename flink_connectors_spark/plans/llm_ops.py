@@ -2990,3 +2990,68 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             budget.cast("double") / F.col("n").cast("double"), 6
         ).alias("epochs"),
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    members AS (
+      SELECT d1 AS doc_id FROM pairs
+      UNION
+      SELECT d2 FROM pairs),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    dup AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM members m JOIN documents d ON d.doc_id = m.doc_id
+      GROUP BY d.source)
+    SELECT t.source, t.n_docs,
+           COALESCE(u.n_dup, 0) AS n_near_dup,
+           round(CAST(COALESCE(u.n_dup, 0) AS DOUBLE)
+                 / CAST(t.n_docs AS DOUBLE), 6) AS dup_rate
+    FROM tot t LEFT JOIN dup u ON u.source = t.source
+    """,
+    tags=("llm", "dedup", "report", "stats"),
+    since=4,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate per source — the which-crawl-is-dirtiest
+    report read before deciding per-source dedup aggressiveness or
+    dropping a mirror wholesale: the fraction of each source's docs
+    participating in at least one verified MinHash-LSH near-dup
+    pair. Pair machinery is the standard banded generator (one LSH
+    pass); everything after is member- and source-sized. Sources
+    with zero near-dups still report (LEFT join, rate 0)."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
+    )
+    members = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    tot = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    dup = (
+        members.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+    )
+    return tot.join(dup, "source", "left_outer").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias(
+            "n_near_dup"
+        ),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
