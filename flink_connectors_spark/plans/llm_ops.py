@@ -3055,3 +3055,107 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "pipeline_eval_burn_report",
+    oracle=f"""
+    WITH eval_set AS (
+      SELECT * FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    efp AS (SELECT doc_id AS eval_id, md5({_NORM}) AS fp FROM eval_set),
+    cfp AS (SELECT doc_id, md5({_NORM}) AS fp FROM corpus),
+    exact AS (
+      SELECT e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM efp e JOIN cfp c ON c.fp = e.fp GROUP BY e.eval_id),
+    esh AS (
+      SELECT DISTINCT n.doc_id AS eval_id, unnest(sh.shingles) AS shingle
+      FROM (SELECT doc_id, {_WORDS} AS w FROM eval_set) n,
+      LATERAL (SELECT list_distinct(list_transform(range(1, len(n.w)-1),
+                 i -> concat_ws(' ', n.w[i], n.w[i+1], n.w[i+2]))) AS shingles
+               WHERE len(n.w) >= 3) sh),
+    csh AS (
+      SELECT n.doc_id, unnest(sh.shingles) AS shingle
+      FROM (SELECT doc_id, {_WORDS} AS w FROM corpus) n,
+      LATERAL (SELECT list_distinct(list_transform(range(1, len(n.w)-1),
+                 i -> concat_ws(' ', n.w[i], n.w[i+1], n.w[i+2]))) AS shingles
+               WHERE len(n.w) >= 3) sh),
+    pairhits AS (
+      SELECT e.eval_id, c.doc_id
+      FROM csh c JOIN esh e ON c.shingle = e.shingle
+      GROUP BY e.eval_id, c.doc_id HAVING COUNT(*) >= 2),
+    leaks AS (
+      SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_leaks
+      FROM pairhits GROUP BY eval_id)
+    SELECT e.doc_id AS eval_id,
+           COALESCE(x.n_exact, 0) AS n_exact_copies,
+           COALESCE(l.n_leaks, 0) AS n_shingle_leaks
+    FROM eval_set e
+    LEFT JOIN exact x ON x.eval_id = e.doc_id
+    LEFT JOIN leaks l ON l.eval_id = e.doc_id
+    """,
+    tags=("llm", "pipeline", "decontamination", "report"),
+    since=4,
+)
+def pipeline_eval_burn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flip side of decontamination: per EVAL doc, how burned is
+    it — exact corpus copies and >= 2-shared-shingle paraphrase
+    leaks. Decontaminate answers "which training docs to drop"; this
+    answers "which benchmark items stopped measuring anything" (the
+    report an eval owner reads to retire items). Same corpus-linear
+    shingle machinery, grouped by the eval side; every eval doc
+    reports, zeros included."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text, tokenize, word_shingles
+
+    d = _load(spark, sf_dir, "documents")
+    eval_set = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    efp = eval_set.select(
+        F.col("doc_id").alias("eval_id"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    cfp = corpus.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+    exact = (
+        efp.join(cfp, "fp")
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+
+    def shingled(df, out_id):
+        return df.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(
+                word_shingles(tokenize(F.col("text")), 3)
+            ).alias("shingle"),
+        )
+
+    esh = shingled(eval_set, "eval_id")
+    csh = shingled(corpus, "doc_id")
+    pairhits = (
+        csh.join(esh.hint("shuffle_hash"), "shingle")
+        .groupBy("eval_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") >= 2)
+    )
+    leaks = pairhits.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaks")
+    )
+    return (
+        eval_set.select(F.col("doc_id").alias("eval_id"))
+        .join(exact, "eval_id", "left_outer")
+        .join(leaks, "eval_id", "left_outer")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_exact_copies"),
+            F.coalesce(F.col("n_leaks"), F.lit(0))
+            .cast("long")
+            .alias("n_shingle_leaks"),
+        )
+    )

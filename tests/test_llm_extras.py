@@ -892,3 +892,45 @@ def test_dsir_logweights_empty_target_slice_is_uniform_zeroish(spark):
     by_id = {r["doc_id"]: r["dsir_logweight"] for r in rows}
     # docs 1 and 2 are identical -> identical weights
     assert by_id[1] == by_id[2]
+
+
+def test_pagerank_matches_python_model_on_random_graph(spark):
+    """pagerank_undirected vs a pure-Python replay of the same
+    recursion (same init, same fold order) on a fixed pseudo-random
+    graph — every node's rounded rank must match exactly."""
+    import hashlib
+
+    from flink_connectors_spark.operators.dedup import pagerank_undirected
+
+    # deterministic "random" graph: edge (a,b) kept iff md5 parity
+    pairs = [
+        (a, b)
+        for a in range(12)
+        for b in range(a + 1, 12)
+        if hashlib.md5(f"{a}-{b}".encode()).digest()[0] % 3 == 0
+    ]
+    got = {
+        r["vec_id"]: r["pagerank"]
+        for r in pagerank_undirected(
+            spark.createDataFrame(pairs, "d1 int, d2 int"), iters=2
+        ).collect()
+    }
+    # python model
+    edges = {}
+    for a, b in pairs:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    nodes = sorted(edges)
+    n = float(len(nodes))
+    deg = {v: float(len(ns)) for v, ns in edges.items()}
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(2):
+        nxt = {}
+        for v in nodes:
+            s = 0.0
+            for u in sorted(edges[v]):  # src-id fold order
+                s += pr[u] / deg[u]
+            nxt[v] = 0.85 * s + (1.0 - 0.85) / n
+        pr = nxt
+    exp = {v: round(pr[v], 6) for v in nodes}
+    assert got == exp
