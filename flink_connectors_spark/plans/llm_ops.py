@@ -3159,3 +3159,93 @@ def pipeline_eval_burn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shingle_leaks"),
         )
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, len({_WORDS}) AS nt FROM documents),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(MIN(nt) AS BIGINT) AS min_tokens,
+             CAST(MAX(nt) AS BIGINT) AS max_tokens
+      FROM toks),
+    med AS (
+      SELECT CAST(nt AS BIGINT) AS median_tokens FROM toks
+      ORDER BY nt, doc_id
+      LIMIT 1 OFFSET (SELECT CAST((n_docs - 1) / 2 AS BIGINT) FROM base)),
+    fps AS (
+      SELECT md5({_NORM}) AS fp FROM documents),
+    dup AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+      FROM fps)
+    SELECT b.n_docs, b.n_tokens, b.n_langs, b.n_sources,
+           b.min_tokens, m.median_tokens, b.max_tokens,
+           d.n_exact_dups,
+           round(CAST(d.n_exact_dups AS DOUBLE)
+                 / CAST(b.n_docs AS DOUBLE), 6) AS exact_dup_rate
+    FROM base b CROSS JOIN med m CROSS JOIN dup d
+    """,
+    tags=("llm", "pipeline", "report", "stats"),
+    since=4,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one row: documents, tokens, language and
+    source counts, token-length min/median/max (median as the exact
+    lower discrete order statistic, doc_id tie-break — no float
+    interpolation), exact-duplicate count and rate — the summary
+    table a corpus release ships and a refresh job diffs against
+    yesterday's card to catch pipeline regressions (sudden dup-rate
+    or median shifts). Two corpus passes (token census + fingerprint
+    census); the median is a TakeOrdered-style bounded selection,
+    everything else folds map-side into one summary row."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text, tokenize
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source",
+        F.size(tokenize(F.col("text"))).alias("nt"),
+    )
+    base = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.min("nt").cast("long").alias("min_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+    )
+    n_docs = toks.count()
+    med = (
+        toks.orderBy("nt", "doc_id")
+        .limit((n_docs - 1) // 2 + 1)
+        .orderBy(F.desc("nt"), F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("nt").cast("long").alias("median_tokens"))
+    )
+    dup = d.select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).agg(
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_exact_dups")
+    )
+    return (
+        base.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(dup))
+        .select(
+            "n_docs", "n_tokens", "n_langs", "n_sources",
+            "min_tokens", "median_tokens", "max_tokens",
+            "n_exact_dups",
+            F.round(
+                F.col("n_exact_dups").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+        )
+    )
