@@ -117,6 +117,11 @@ HEADLINE = [
     "rollup_forecast_holt",
     "pipeline_token_budget",
     "embedding_centroid_drift",
+    "agg_ols_two_features",
+    "events_dau_wau",
+    "dedup_rate_by_source",
+    "pipeline_eval_burn_report",
+    "pipeline_dataset_card",
 ]
 
 
