@@ -79,6 +79,33 @@ def sliding_counts(
     )
 
 
+def sliding_distinct_users(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window DISTINCT users per window — the streaming DAU/
+    WAU shape (the batch twin is ``events_dau_wau``'s fan-out trick).
+    Exact ``count_distinct`` is unsupported in streaming aggregations
+    (state would be unbounded per window), so the stream side keeps
+    the standard two-level form: dedupe (window, user) pairs first —
+    state bounded by distinct users per window, expired by the
+    watermark — then count rows per window. Same answer as a batch
+    COUNT(DISTINCT), streaming-legal state."""
+    stream = ensure_event_time(stream, "ts")
+    pairs = (
+        stream.withWatermark("ts", watermark)
+        .select(F.window("ts", window, slide).alias("win"), "user_id")
+        .dropDuplicates(["win", "user_id"])
+    )
+    return (
+        pairs.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("win.start").alias("window_start"), "n_users")
+    )
+
+
 def session_counts(
     stream: DataFrame,
     gap: str = "30 minutes",

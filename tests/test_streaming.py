@@ -657,3 +657,24 @@ def test_live_countmin_sketch_merge_matches_batch(
         for r in countmin_counters(static, "user_id", depth=3, width=64).collect()
     }
     assert dict(merged) == batch
+
+
+def test_sliding_distinct_users_matches_batch(spark, events_stream_dir):
+    """Streaming DAU/WAU shape: windowed distinct users computed with
+    the streaming-legal two-level form (dedupe pairs, then count)
+    must equal the batch COUNT(DISTINCT) per window."""
+    from flink_connectors_spark.streaming import pipelines as P
+
+    stream = _events_stream(spark, events_stream_dir)
+    res = _run_stream(
+        spark, P.sliding_distinct_users(stream), "t_slide_du", "complete"
+    )
+    static = spark.read.parquet(events_stream_dir)
+    batch = (
+        static.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("win.start").alias("window_start"), "n_users")
+    )
+    got = {(r["window_start"], r["n_users"]) for r in res.collect()}
+    want = {(r["window_start"], r["n_users"]) for r in batch.collect()}
+    assert got == want and got
