@@ -643,3 +643,74 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_OLS_DETS["d1"]) / det, 6).alias("b1_per_qty"),
         F.round(F.expr(_OLS_DETS["d2"]) / det, 6).alias("b2_per_disc"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem),
+    cum AS (
+      SELECT l_returnflag, price_cents, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_cents
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w)
+    SELECT l_returnflag,
+           CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "median", "weighted", "window"),
+    since=4,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity) per return
+    flag — the robust center for skewed money distributions, defined
+    as the lower discrete weighted order statistic: the smallest
+    value whose cumulative weight reaches half the total. Pure
+    integer arithmetic end-to-end (cents, integer weights, the 2*cw
+    >= tw comparison), so the boundary row can never flip across
+    engines — no interpolation, no float weights. ONE group-keyed
+    shuffle shared by both window frames and the final aggregate;
+    at 100 TB a skewed group's window sort is the cost, and the
+    mergeable-quantile-histogram rollup is the documented
+    approximation escape."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window as W
+
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    cum = w.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("wt")
+        .over(
+            W.partitionBy("l_returnflag")
+            .orderBy("price_cents")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("tw").cast("long").alias("total_weight"),
+            F.min("price_cents").cast("long").alias(
+                "weighted_median_cents"
+            ),
+        )
+    )
