@@ -3249,3 +3249,65 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
     )
+
+
+@register(
+    "pipeline_source_gini",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, CAST(SUM(len({_WORDS})) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    rk AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, source) AS i FROM cnt),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(i * n) AS BIGINT) AS s1
+      FROM rk)
+    SELECT k AS n_sources, tot AS total_tokens,
+           round((2.0 * s1) / (k * CAST(tot AS DOUBLE))
+                 - (k + 1.0) / k, 6) AS gini
+    FROM s
+    """,
+    tags=("llm", "pipeline", "report", "stats"),
+    since=4,
+)
+def pipeline_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — the
+    one-number concentration check on the corpus mix (0 = perfectly
+    balanced sources, ->1 = one crawl dominates; read next to the
+    temperature-mixture and quota stages to decide whether
+    rebalancing is even needed). Sufficient statistics are exact
+    integers (rank-weighted sums over the source-sized table); the
+    closing formula is two divisions written token-identically in
+    both engines. One corpus token count; everything after is
+    source-sized."""
+    from pyspark.sql import functions as F
+
+    from pyspark.sql.window import Window as W
+
+    from ..functions import tokenize
+
+    d = _load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).cast("long").alias("n")
+    )
+    rk = cnt.select(
+        "n",
+        F.row_number().over(W.orderBy("n", "source")).alias("i"),
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("n")).cast("long").alias("s1"),
+    )
+    return s.select(
+        F.col("k").alias("n_sources"),
+        F.col("tot").alias("total_tokens"),
+        F.round(
+            (F.lit(2.0) * F.col("s1"))
+            / (F.col("k") * F.col("tot").cast("double"))
+            - (F.col("k") + F.lit(1.0)) / F.col("k"),
+            6,
+        ).alias("gini"),
+    )
