@@ -122,6 +122,8 @@ HEADLINE = [
     "dedup_rate_by_source",
     "pipeline_eval_burn_report",
     "pipeline_dataset_card",
+    "agg_weighted_median",
+    "pipeline_source_gini",
 ]
 
 

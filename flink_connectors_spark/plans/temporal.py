@@ -1482,3 +1482,90 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("wau")
     )
     return dau.join(wau, "day")
+
+
+@register(
+    "anomaly_daily_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    wd AS (
+      SELECT day, y, CAST(dayofweek(day) AS BIGINT) AS dow FROM daily),
+    base AS (
+      SELECT dow,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM wd GROUP BY dow),
+    resid AS (
+      SELECT w.day, w.y, w.dow,
+             CAST(w.y AS DOUBLE)
+               - CAST(b.sy AS DOUBLE) / CAST(b.c AS DOUBLE) AS r
+      FROM wd w JOIN base b ON b.dow = w.dow),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             list_sum(list(r ORDER BY day)) AS sr,
+             list_sum(list(r * r ORDER BY day)) AS srr
+      FROM resid)
+    SELECT r.day, r.y, round(r.r, 6) AS residual
+    FROM resid r CROSS JOIN stats s
+    WHERE r.r * r.r
+          > 4.0 * ((s.srr - s.sr * s.sr / s.n) / s.n)
+    """,
+    tags=("temporal", "anomaly", "seasonal"),
+    since=4,
+)
+def anomaly_daily_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: daily counts compared
+    to their WEEKDAY baseline (Monday vs Mondays), flagging days
+    whose residual exceeds 2 residual-sigmas — the detector that
+    doesn't page on every weekend dip, completing the anomaly family
+    next to the global z-score and the robust MAD. Decision is
+    squared-residual vs 4*variance — no sqrt at the boundary; the
+    residual moment sums fold in DAY order on both engines
+    (array_sort fold / list_sum ORDER BY day) — the calendar-bounded
+    series makes the fold cheap, and the ordering removes the one
+    ulp-drift hazard that could flip a boundary day. Everything after the daily rollup
+    is calendar-sized."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wd = daily.select(
+        "day", "y", F.dayofweek("day").cast("long").alias("dow")
+    )
+    base = wd.groupBy("dow").agg(
+        F.sum("y").cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    resid = wd.join(F.broadcast(base), "dow").select(
+        "day",
+        "y",
+        (
+            F.col("y").cast("double")
+            - F.col("sy").cast("double") / F.col("c").cast("double")
+        ).alias("r"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("day", "r")))
+    stats = resid.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x["r"]).alias(
+            "sr"
+        ),
+        F.aggregate(
+            ordered, F.lit(0.0), lambda a, x: a + x["r"] * x["r"]
+        ).alias("srr"),
+    )
+    return (
+        resid.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("r") * F.col("r")
+            > F.lit(4.0)
+            * (
+                (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+                / F.col("n")
+            )
+        )
+        .select("day", "y", F.round("r", 6).alias("residual"))
+    )
