@@ -124,6 +124,7 @@ HEADLINE = [
     "pipeline_dataset_card",
     "agg_weighted_median",
     "pipeline_source_gini",
+    "anomaly_daily_seasonal",
 ]
 
 
