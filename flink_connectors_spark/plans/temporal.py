@@ -1569,3 +1569,76 @@ def anomaly_daily_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "y", F.round("r", 6).alias("residual"))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, ts, user_id, event_type,
+             first_value(CASE WHEN event_type = 'view' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS view_id,
+             first_value(CASE WHEN event_type = 'view' THEN ts END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS view_ts
+      FROM events
+      WHERE event_type IN ('view', 'click')
+    )
+    SELECT event_id AS click_id, ts AS click_ts, user_id,
+           view_id, view_ts,
+           CAST(floor(date_part('epoch', view_ts))
+                - floor(date_part('epoch', ts)) AS BIGINT) AS gap_s
+    FROM tagged WHERE event_type = 'click'
+    """,
+    tags=("temporal", "asof", "window"),
+    since=4,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction (pandas merge_asof
+    direction='forward'): each click matched to the same user's
+    FIRST view at-or-after it — the "what did they do next"
+    attribution read, completing the direction set next to backward
+    (join_asof_last_view), nearest, and tolerance. Same single
+    user-keyed shuffle; the forward lookup is a first_value over the
+    FOLLOWING frame of the identical window sort, so adding the
+    direction costs no extra exchange. Clicks with no later view
+    keep NULL."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.first(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("view_id"),
+        F.first(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("view_ts"),
+    )
+    gap = (
+        F.floor(F.unix_timestamp("view_ts"))
+        - F.floor(F.unix_timestamp("ts"))
+    ).cast("bigint")
+    out = tagged.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+        "view_id",
+        "view_ts",
+        gap.alias("gap_s"),
+    )
+    return U.ntz(out, "click_ts", "view_ts")
