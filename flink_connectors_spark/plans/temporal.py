@@ -1642,3 +1642,71 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.alias("gap_s"),
     )
     return U.ntz(out, "click_ts", "view_ts")
+
+
+@register(
+    "events_pareto_share",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    rk AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS r
+      FROM ue),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS total_events,
+             CAST(SUM(CASE WHEN r * 10 <= (SELECT COUNT(*) FROM ue)
+                      THEN n ELSE 0 END) AS BIGINT) AS top_events,
+             CAST(SUM(CASE WHEN r * 10 <= (SELECT COUNT(*) FROM ue)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS top_users
+      FROM rk)
+    SELECT n_users, top_users, total_events, top_events,
+           round(CAST(top_events AS DOUBLE)
+                 / CAST(total_events AS DOUBLE), 6) AS top_decile_share
+    FROM s
+    """,
+    tags=("temporal", "analytics", "stats"),
+    since=4,
+)
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of user activity: what share of all
+    events do the top-decile users generate (the 80/20 check that
+    decides whether per-user skew handling — salting, hot-key
+    isolation — is worth wiring in). The decile boundary is pure
+    integer arithmetic (rank * 10 <= user count, rank desc with
+    user_id tie-break), counts are exact, and the single division
+    rounds at 6. One user-keyed aggregate + a user-sized rank."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    ue = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rk = ue.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("user_id")))
+        .alias("r"),
+    )
+    n_users_count = ue.count()
+    top = F.col("r") * 10 <= F.lit(n_users_count)
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(top, 1).otherwise(0)).cast("long").alias("top_users"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.sum(F.when(top, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("top_events"),
+    )
+    return s.select(
+        "n_users",
+        "top_users",
+        "total_events",
+        "top_events",
+        F.round(
+            F.col("top_events").cast("double")
+            / F.col("total_events").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
