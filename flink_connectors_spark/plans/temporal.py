@@ -1710,3 +1710,71 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+@register(
+    "events_first_touch_attribution",
+    oracle="""
+    WITH ft AS (
+      SELECT user_id, event_type AS channel FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t WHERE rn = 1),
+    purch AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT f.channel,
+           CAST(SUM(p.n_purchases) AS BIGINT) AS n_purchases,
+           CAST(SUM(p.revenue_cents) AS BIGINT) AS revenue_cents
+    FROM purch p JOIN ft f ON f.user_id = p.user_id
+    GROUP BY f.channel
+    """,
+    tags=("temporal", "analytics", "attribution", "window"),
+    since=4,
+)
+def events_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: every user's purchase revenue
+    credits the channel (event type) of their FIRST-ever event —
+    the marketing-analytics read that pairs with the funnel and
+    cohort queries. Money in exact int64 cents; the first touch is
+    a deterministic row_number over the (ts, event_id) total order.
+    One user-keyed window + one user-keyed purchase aggregate,
+    joined user-sized, output channel-sized."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    ft = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    return (
+        purch.join(ft, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.sum("n_purchases").cast("long").alias("n_purchases"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )
