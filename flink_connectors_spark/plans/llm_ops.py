@@ -3311,3 +3311,40 @@ def pipeline_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+           {_LANG_SCORES}
+      FROM base),
+    pred AS (
+      SELECT lang, {_PRED} AS pred_lang FROM scored)
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, pred_lang
+    """,
+    tags=("llm", "text", "langid", "qa", "report"),
+    since=4,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus's ground-truth
+    ``lang`` labels — the classifier-evaluation artifact that tells
+    you WHERE the cheap stopword vote fails (which language pairs
+    confuse, how much lands in 'und') before you trust it to route
+    documents. Pure narrow scoring + one |langs|² aggregate; pairs
+    with `text_lang_margin` (the per-doc trust gate) the way a
+    confusion matrix pairs with a confidence threshold."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents")
+    pred = T.lang_id(d).select("doc_id", "pred_lang")
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
