@@ -3348,3 +3348,81 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def _card_sql(pred: str) -> str:
+    """One dataset-card row (docs/tokens/dups) over the slice
+    selected by ``pred`` — shared by the card-diff oracle."""
+    return f"""(
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_WORDS})) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT md5({_NORM})) AS BIGINT)
+             AS n_exact_dups
+    FROM documents WHERE {pred})"""
+
+
+@register(
+    "pipeline_card_diff",
+    oracle=f"""
+    WITH old AS {_card_sql("doc_id % 10 <> 0")},
+    new AS {_card_sql("TRUE")}
+    SELECT o.n_docs AS old_docs, n.n_docs AS new_docs,
+           CAST(n.n_docs - o.n_docs AS BIGINT) AS delta_docs,
+           CAST(n.n_tokens - o.n_tokens AS BIGINT) AS delta_tokens,
+           CAST(n.n_exact_dups - o.n_exact_dups AS BIGINT)
+             AS delta_exact_dups,
+           round(CAST(n.n_exact_dups AS DOUBLE) / CAST(n.n_docs AS DOUBLE)
+                 - CAST(o.n_exact_dups AS DOUBLE) / CAST(o.n_docs AS DOUBLE),
+                 6) AS dup_rate_shift
+    FROM old o CROSS JOIN new n
+    """,
+    tags=("llm", "pipeline", "report", "stats"),
+    since=4,
+)
+def pipeline_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly card DIFF the dataset-card docstring promises:
+    yesterday's corpus (here: doc_id % 10 <> 0 plays the prior
+    snapshot) against today's, as deltas — doc/token growth,
+    exact-duplicate growth, and the dup-rate shift that screams when
+    an ingest bug starts double-feeding a source. Two summary rows
+    crossed; all counts exact, one rounded rate difference."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text, tokenize
+
+    d = _load(spark, sf_dir, "documents")
+
+    def card(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokenize(F.col("text"))))
+            .cast("long")
+            .alias("n_tokens"),
+            (
+                F.count(F.lit(1))
+                - F.countDistinct(F.md5(normalize_text(F.col("text"))))
+            )
+            .cast("long")
+            .alias("n_exact_dups"),
+        )
+
+    old = card(d.filter(F.col("doc_id") % 10 != 0))
+    new = card(d)
+    o, n = old.alias("o"), new.alias("n")
+    rate = lambda side: F.col(f"{side}.n_exact_dups").cast(  # noqa: E731
+        "double"
+    ) / F.col(f"{side}.n_docs").cast("double")
+    return o.crossJoin(F.broadcast(n)).select(
+        F.col("o.n_docs").alias("old_docs"),
+        F.col("n.n_docs").alias("new_docs"),
+        (F.col("n.n_docs") - F.col("o.n_docs"))
+        .cast("long")
+        .alias("delta_docs"),
+        (F.col("n.n_tokens") - F.col("o.n_tokens"))
+        .cast("long")
+        .alias("delta_tokens"),
+        (F.col("n.n_exact_dups") - F.col("o.n_exact_dups"))
+        .cast("long")
+        .alias("delta_exact_dups"),
+        F.round(rate("n") - rate("o"), 6).alias("dup_rate_shift"),
+    )
