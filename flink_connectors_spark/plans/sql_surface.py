@@ -296,3 +296,41 @@ def sql_text_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sql_text_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    tags=("sql", "agg", "grouping-sets"),
+    since=4,
+)
+def sql_text_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL-text front-end with an explicit
+    grouping-id column — the multi-grain summary a reporting layer
+    asks for in one statement (detail, per-flag, grand total). The
+    DataFrame cube/rollup twins are r1-green; this pins the SQL
+    PARSER path and the grouping() builtin. gid disambiguates real
+    NULL group keys from超 superaggregate rows — the value hash
+    covers all three grains."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
