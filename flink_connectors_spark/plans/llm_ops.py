@@ -3426,3 +3426,86 @@ def pipeline_card_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta_exact_dups"),
         F.round(rate("n") - rate("o"), 6).alias("dup_rate_shift"),
     )
+
+
+@register(
+    "pipeline_dedup_cascade",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    fps AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    spairs AS (
+      SELECT d1, d2 FROM pairs
+      WHERE d1 IN (SELECT doc_id FROM surv)
+        AND d2 IN (SELECT doc_id FROM surv)),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM spairs
+      UNION SELECT d2, d1 FROM spairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_after_exact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM comp
+              WHERE doc_id <> cluster_id) AS n_neardup_drops)
+    SELECT n_input, n_after_exact,
+           CAST(n_input - n_after_exact AS BIGINT) AS exact_removed,
+           n_neardup_drops AS neardup_removed,
+           CAST(n_after_exact - n_neardup_drops AS BIGINT)
+             AS n_after_neardup,
+           round(CAST(n_after_exact - n_neardup_drops AS DOUBLE)
+                 / CAST(n_input AS DOUBLE), 6) AS final_yield
+    FROM counts
+    """,
+    tags=("llm", "dedup", "pipeline", "report"),
+    since=4,
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yield accounting through the dedup cascade — exact
+    fingerprint dedup, then MinHash-LSH near-dup clustering over the
+    exact survivors — as one row: input docs, removals per stage,
+    final yield. The report a curation run logs per snapshot so a
+    sudden yield drop points at the stage that caused it. Near-dup
+    pairs among survivors are the full pair list FILTERED to
+    survivor endpoints (the pair predicate depends only on the two
+    docs, so filter-after == recompute-on-survivors); components run
+    on the filtered pairs. Counts exact, one rounded yield."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents")
+    n_input = d.count()
+    keep = D.exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    surv = d.join(keep, "doc_id")
+    n_after_exact = surv.count()
+    pairs = D.minhash_lsh_pairs(
+        surv, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
+    )
+    comp = D.connected_components(pairs)
+    n_drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_input,
+                n_after_exact,
+                n_input - n_after_exact,
+                n_drops,
+                n_after_exact - n_drops,
+            )
+        ],
+        "n_input long, n_after_exact long, exact_removed long, "
+        "neardup_removed long, n_after_neardup long",
+    ).select(
+        "*",
+        F.round(
+            F.col("n_after_neardup").cast("double")
+            / F.col("n_input").cast("double"),
+            6,
+        ).alias("final_yield"),
+    )
