@@ -1778,3 +1778,66 @@ def events_first_touch_attribution(
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "events_user_type_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id, event_type),
+    t AS (
+      SELECT user_id, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(MIN(t.n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(-list_sum(list(
+                   (CAST(k AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * ln(CAST(k AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 ORDER BY c.event_type)) + 0.0, 6) AS entropy_nats
+    FROM c JOIN t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+    tags=("temporal", "analytics", "entropy"),
+    since=4,
+)
+def events_user_type_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (nats) of each
+    user's event-type distribution — near zero flags single-action
+    bots/scrapers, high values are organically mixed usage; the
+    per-user cousin of the corpus-level token entropy gate. The
+    per-user fold runs over at most |event_types| terms in TYPE
+    order on both engines (the token-entropy discipline), counts are
+    exact, and `+ 0.0` normalizes the single-type -0.0 to 0.0 the
+    same way text_token_entropy does. One (user, type) aggregate;
+    the entropy reduce reuses its partitioning."""
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    w = Window.partitionBy("user_id")
+    rows = c.withColumn("n", F.sum("k").over(w))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    terms = rows.select(
+        "user_id",
+        "event_type",
+        "n",
+        (p * F.log(p)).alias("term"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("event_type", "term")))
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.min("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                -F.aggregate(
+                    ordered, F.lit(0.0), lambda a, x: a + x["term"]
+                )
+                + F.lit(0.0),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
