@@ -1841,3 +1841,78 @@ def events_user_type_entropy(
             ).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(date_part('epoch', ts))
+                  - floor(date_part('epoch',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)))
+                  AS BIGINT) AS gap
+      FROM events),
+    gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS sg,
+             CAST(SUM(gap * gap) AS BIGINT) AS sgg
+      FROM gg GROUP BY user_id)
+    SELECT user_id, n AS n_gaps,
+           round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+           round((sqrt((CAST(sgg AS DOUBLE)
+                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                  - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (sqrt((CAST(sgg AS DOUBLE)
+                          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                    + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)),
+                 6) AS burstiness
+    FROM s WHERE n >= 2
+    """,
+    tags=("temporal", "analytics", "stats"),
+    since=4,
+)
+def events_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-arrival burstiness per user (Goh & Barabasi's
+    B = (sigma - mu)/(sigma + mu) over the gap distribution):
+    B -> -1 is metronome-regular automation, B ~ 0 Poisson-like
+    organic activity, B -> 1 extreme bursts — the timing-based bot
+    signal complementing the type-entropy one. Gaps are exact
+    integer seconds off ONE user-keyed window sort; mean/sigma come
+    from exact integer sufficient statistics (sum, sum-of-squares)
+    so no accumulation-order hazard exists, and the closing
+    expression is written token-identically in both engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.floor(F.unix_timestamp("ts"))
+            - F.floor(F.unix_timestamp(F.lag("ts").over(w)))
+        )
+        .cast("long")
+        .alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sgg"),
+    )
+    nd = F.col("n").cast("double")
+    sgd = F.col("sg").cast("double")
+    sggd = F.col("sgg").cast("double")
+    mu = sgd / nd
+    sigma = F.sqrt((sggd - sgd * sgd / nd) / nd)
+    return s.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )
