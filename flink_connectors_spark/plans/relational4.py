@@ -714,3 +714,83 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n,
+             s1 / n AS m1,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+               AS m4
+      FROM s)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(m1, 6) AS mean_qty,
+           round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM m
+    """,
+    tags=("agg", "moments", "stats"),
+    since=4,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from EXACT integer
+    power sums (sum x..sum x^4 stay in int64 for quantity's domain)
+    — completing the moment ladder the corr/regression aggregates
+    started. Spark's skewness()/kurtosis() builtins accumulate
+    floats in partition order and can't hash-match an oracle; this
+    reformulation makes higher moments deterministic the same way
+    the exact-cents SUM did for money: one map-side-combining
+    aggregate, then central-moment algebra written token-identically
+    in both engines (m2/m3/m4 expanded around s_k / n)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n - m1 * m1
+    m3 = F.col("s3") / n - F.lit(3.0) * m1 * (F.col("s2") / n) + F.lit(
+        2.0
+    ) * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * m1 * (F.col("s3") / n)
+        + F.lit(6.0) * m1 * m1 * (F.col("s2") / n)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(m1, 6).alias("mean_qty"),
+        F.round(
+            m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6
+        ).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    )
