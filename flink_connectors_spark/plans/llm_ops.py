@@ -3509,3 +3509,94 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("final_yield"),
     )
+
+
+_UNIGRAM_SCORE_CTE = f"""docs AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, g.pos AS pos, d.w[g.pos] AS tok
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(1, len(d.w))) AS pos) g),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    lp AS (
+      SELECT t.doc_id, t.pos, ln(CAST(f.c AS DOUBLE) / tot.n) AS lp
+      FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id,
+             round(-list_sum(list(lp ORDER BY pos))
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS score
+      FROM lp GROUP BY doc_id)"""
+
+
+@register(
+    "pipeline_ccnet_buckets",
+    oracle=f"""
+    WITH {_UNIGRAM_SCORE_CTE},
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+    b1 AS (
+      SELECT score AS v FROM scored ORDER BY score, doc_id
+      LIMIT 1 OFFSET (SELECT (n + 2) / 3 - 1 FROM nn)),
+    b2 AS (
+      SELECT score AS v FROM scored ORDER BY score, doc_id
+      LIMIT 1 OFFSET (SELECT (2 * n + 2) / 3 - 1 FROM nn)),
+    bucketed AS (
+      SELECT s.doc_id, s.score,
+             CASE WHEN s.score <= b1.v THEN 'head'
+                  WHEN s.score <= b2.v THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s CROSS JOIN b1 CROSS JOIN b2)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(MIN(score), 6) AS min_score,
+           round(MAX(score), 6) AS max_score
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("llm", "pipeline", "quality", "ccnet"),
+    since=4,
+)
+def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: documents bucketed by
+    perplexity terciles of the corpus-unigram score (head = most
+    fluent third, the slice CCNet keeps by default). Scale-correct
+    formulation: the two tercile BOUNDARY VALUES are exact discrete
+    order statistics fetched via bounded TakeOrdered selections —
+    never a corpus-wide row_number (the global-sort anti-pattern) —
+    then broadcast into a comparison; ties land in the lower bucket
+    identically in both engines because scores are already
+    round(6)-exact. Bucket census output; the per-doc bucket column
+    is the same comparison applied without the final aggregate."""
+    from pyspark.sql import functions as F
+
+    d = _load(spark, sf_dir, "documents")
+    scored = T.unigram_logprob_score(d, head_k=8).select(
+        "doc_id", F.col("avg_neg_logprob").alias("score")
+    )
+    n = scored.count()
+
+    def boundary(offset: int):
+        return (
+            scored.orderBy("score", "doc_id")
+            .limit(offset + 1)
+            .orderBy(F.desc("score"), F.desc("doc_id"))
+            .limit(1)
+            .select(F.col("score").alias("v"))
+        )
+
+    b1 = boundary((n + 2) // 3 - 1)
+    b2 = boundary((2 * n + 2) // 3 - 1)
+    bucketed = (
+        scored.crossJoin(F.broadcast(b1.withColumnRenamed("v", "v1")))
+        .crossJoin(F.broadcast(b2.withColumnRenamed("v", "v2")))
+        .select(
+            "score",
+            F.when(F.col("score") <= F.col("v1"), "head")
+            .when(F.col("score") <= F.col("v2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
