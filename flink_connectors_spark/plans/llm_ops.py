@@ -2822,7 +2822,7 @@ def text_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(lw - ln(-ln(
                (CAST(concat('0x',
                    substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12))
-                 AS BIGINT) + 1) / 281474976710656.0)), 6) AS gumbel_key
+                 AS BIGINT) + 0.5) / 281474976710656.0)), 6) AS gumbel_key
       FROM per_doc)
     SELECT doc_id, n_tokens, dsir_logweight, gumbel_key
     FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
@@ -2836,8 +2836,11 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows the importance distribution instead of collapsing onto
     near-identical maximum-weight docs): each doc competes on
     logweight + Gumbel(0,1), with the Gumbel drawn DETERMINISTICALLY
-    as -ln(-ln(u)) over the same md5-uniform construction the
-    Efraimidis-Spirakis sampler uses — reproducible across runs and
+    as -ln(-ln(u)) over the md5-uniform construction the
+    Efraimidis-Spirakis sampler uses, with u = (h + 0.5) / 2^48 so u
+    lies strictly inside (0, 1): the all-ones 48-bit prefix would
+    otherwise reach u = 1.0 exactly and ln(-ln(1)) diverges (NULL in
+    Spark, a hard error in DuckDB). Reproducible across runs and
     engines, no RNG state. Top-100 by noised key is the selected
     subcorpus. Scale shape inherits dsir_logweights (bucket-bounded
     shuffle + B-row broadcast) plus one narrow projection and a
@@ -2862,8 +2865,9 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("long")
-            + 1
-        ).cast("double")
+            .cast("double")
+            + F.lit(0.5)
+        )
         / F.lit(281474976710656.0)
     )
     key = F.round(
@@ -3177,7 +3181,7 @@ def pipeline_eval_burn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     med AS (
       SELECT CAST(nt AS BIGINT) AS median_tokens FROM toks
       ORDER BY nt, doc_id
-      LIMIT 1 OFFSET (SELECT CAST((n_docs - 1) / 2 AS BIGINT) FROM base)),
+      LIMIT 1 OFFSET (SELECT (n_docs - 1) // 2 FROM base)),
     fps AS (
       SELECT md5({_NORM}) AS fp FROM documents),
     dup AS (
@@ -3535,10 +3539,10 @@ _UNIGRAM_SCORE_CTE = f"""docs AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
     b1 AS (
       SELECT score AS v FROM scored ORDER BY score, doc_id
-      LIMIT 1 OFFSET (SELECT (n + 2) / 3 - 1 FROM nn)),
+      LIMIT 1 OFFSET (SELECT (n + 2) // 3 - 1 FROM nn)),
     b2 AS (
       SELECT score AS v FROM scored ORDER BY score, doc_id
-      LIMIT 1 OFFSET (SELECT (2 * n + 2) / 3 - 1 FROM nn)),
+      LIMIT 1 OFFSET (SELECT (2 * n + 2) // 3 - 1 FROM nn)),
     bucketed AS (
       SELECT s.doc_id, s.score,
              CASE WHEN s.score <= b1.v THEN 'head'

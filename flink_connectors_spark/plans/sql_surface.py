@@ -319,7 +319,7 @@ def sql_text_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     asks for in one statement (detail, per-flag, grand total). The
     DataFrame cube/rollup twins are r1-green; this pins the SQL
     PARSER path and the grouping() builtin. gid disambiguates real
-    NULL group keys from超 superaggregate rows — the value hash
+    NULL group keys from superaggregate rows — the value hash
     covers all three grains."""
     _ensure_views(spark, sf_dir)
     return spark.sql(
