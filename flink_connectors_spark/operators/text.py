@@ -402,6 +402,8 @@ def source_shingle_overlap(
     df: DataFrame,
     text_col: str = "text",
     source_col: str = "source",
+    pair_strategy: str = "auto",
+    combinatoric_max_sources: int = 1024,
 ) -> DataFrame:
     """Pairwise source-overlap matrix: for every pair of sources, how
     many distinct 3-word shingles they share, plus the shingle-set
@@ -412,17 +414,32 @@ def source_shingle_overlap(
     Scale shape: the corpus is shuffled ONCE — groupBy(shingle) with
     collect_set(source) does the per-shingle dedup inside the
     aggregate (map-side partial sets), so there is no separate
-    distinct pass and no self-join; source pairs are generated with
-    array combinatorics over the per-shingle source list, which fans
-    out at most C(|sources|, 2) rows per shingle (sources are dozens,
-    not millions — past ~1k sources switch to a shingle-keyed
-    self-join instead). The per-source sizes and the pair counts both
-    derive from the shingle-grouped table, which is
-    vocabulary-sized, far smaller than the corpus.
+    distinct pass; everything downstream reads the vocabulary-sized
+    (shingle -> sources) table, far smaller than the corpus. Pair
+    generation has two physical strategies behind one semantics:
+
+    - ``combinatoric`` (default for <= ``combinatoric_max_sources``
+      distinct sources): all C(len(srcs), 2) ordered pairs are built
+      with array combinatorics inside the row — zero extra joins. At
+      thousands of sources a single hot shingle's pair ARRAY becomes
+      a multi-megabyte cell (C(2000, 2) ~ 2M structs materialized in
+      one value), which is a row-size/memory hazard independent of
+      the output volume.
+    - ``selfjoin`` (used automatically past the threshold): the
+      shingle-keyed self-join of the exploded (shingle, src) table
+      with ``src_a < src_b`` — identical pair multiset, but streamed
+      through a shuffle_hash join instead of materialized per-row.
+
+    ``pair_strategy='auto'`` switches to the self-join when the
+    distinct-source count (one count() over the per-source sizes
+    table — control-plane, vocabulary-bounded) exceeds the threshold;
+    pass ``'combinatoric'`` / ``'selfjoin'`` to force either.
 
     Returns (source_a, source_b, n_shared, jaccard) for source_a <
     source_b.
     """
+    if pair_strategy not in ("auto", "combinatoric", "selfjoin"):
+        raise ValueError(f"unknown pair_strategy: {pair_strategy!r}")
     # Three consumers (pair counts + both size joins) reference this
     # vocabulary-sized table; without materialization each would
     # re-run the corpus explode+aggregate (verified: no exchange
@@ -438,30 +455,57 @@ def source_shingle_overlap(
         .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
         .localCheckpoint(eager=False)
     )
-    sizes = (
-        grouped.select(F.explode("srcs").alias("src"))
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    exploded = grouped.select(
+        F.col("shingle"), F.explode("srcs").alias("src")
     )
-    # all C(len(srcs), 2) ordered pairs per shingle
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("srcs"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("srcs"), i + F.lit(2), F.size(F.col("srcs"))
-                ),
-                lambda y: F.struct(
-                    x.alias("source_a"), y.alias("source_b")
-                ),
-            ),
+    sizes = exploded.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    strategy = pair_strategy
+    if strategy == "auto":
+        # one scalar action over the vocabulary-bounded sizes table;
+        # also materializes the checkpoint every consumer reuses
+        n_sources = sizes.count()
+        strategy = (
+            "combinatoric"
+            if n_sources <= combinatoric_max_sources
+            else "selfjoin"
         )
-    )
-    shared = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.source_a", "p.source_b")
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    if strategy == "combinatoric":
+        # all C(len(srcs), 2) ordered pairs per shingle
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("srcs"), i + F.lit(2), F.size(F.col("srcs"))
+                    ),
+                    lambda y: F.struct(
+                        x.alias("source_a"), y.alias("source_b")
+                    ),
+                ),
+            )
+        )
+        pairs = grouped.select(F.explode(pair_structs).alias("p")).select(
+            "p.source_a", "p.source_b"
+        )
+    else:
+        # shuffle_hash pin: both sides descend from an exploded
+        # checkpoint of a small file and would otherwise inherit its
+        # size estimate and get broadcast (the explode-derived-join
+        # hazard class)
+        pairs = (
+            exploded.select("shingle", F.col("src").alias("source_a"))
+            .join(
+                exploded.select(
+                    "shingle", F.col("src").alias("source_b")
+                ).hint("shuffle_hash"),
+                "shingle",
+            )
+            .filter(F.col("source_a") < F.col("source_b"))
+        )
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
     )
     na = sizes.select(
         F.col("src").alias("source_a"), F.col("n_shingles").alias("n_a")

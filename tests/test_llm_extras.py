@@ -934,3 +934,41 @@ def test_pagerank_matches_python_model_on_random_graph(spark):
         pr = nxt
     exp = {v: round(pr[v], 6) for v in nodes}
     assert got == exp
+
+
+def test_source_overlap_selfjoin_equals_combinatoric_at_2k_sources(spark):
+    """The >~1k-source fallback: past combinatoric_max_sources the
+    auto strategy switches from per-row array combinatorics (whose
+    hot-shingle pair array is a row-size hazard at thousands of
+    sources) to the shingle-keyed self-join. Same pair multiset —
+    proven by running both strategies over a 2,000-source frame where
+    consecutive sources share exactly one 3-gram shingle."""
+    from flink_connectors_spark.operators.text import source_shingle_overlap
+
+    rows = [
+        (i, f"src{i:04d}", f"a{i} b{i} c{i} a{i + 1} b{i + 1} c{i + 1}")
+        for i in range(2000)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    combi = sorted(
+        map(tuple, source_shingle_overlap(d, pair_strategy="combinatoric").collect())
+    )
+    auto = sorted(
+        map(
+            tuple,
+            source_shingle_overlap(
+                d, pair_strategy="auto", combinatoric_max_sources=1024
+            ).collect(),
+        )
+    )
+    assert combi == auto
+    # neighbor pairs exist and each shares the one overlapping shingle
+    assert len(combi) >= 1999
+    by_pair = {(a, b): n for a, b, n, _ in combi}
+    assert by_pair[("src0000", "src0001")] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_strategy"):
+        source_shingle_overlap(d, pair_strategy="bogus")

@@ -533,3 +533,30 @@ def test_ivm_delta_broadcasts_delta_sides(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "PushedFilters" in plan
+
+
+def test_canonical_pagerank_one_lsh_feeds_both_branches(spark, sf_dir):
+    """The composed detect -> cluster -> rank -> choose loop must run
+    the sign-LSH pair generation exactly ONCE: the pair list is
+    eagerly checkpoint-materialized (Scan ExistingRDD) and both the
+    connected-components branch and the PageRank branch read it. An
+    un-checkpointed pair list inlines the whole LSH subtree into
+    every consumer — and a LAZY persist races when the branches
+    launch in the same action (the r4 2-4x bug). Pin: the final plan
+    reads only materialized RDDs, never the embeddings parquet."""
+    plan = _plan(spark, sf_dir, "dedup_canonical_pagerank")
+    assert "ExistingRDD" in plan, "pair list must be checkpoint-materialized"
+    assert "embeddings.parquet" not in plan, (
+        "LSH subtree re-inlined — pair list no longer materialized once"
+    )
+
+
+def test_centroid_drift_compare_is_control_plane_sized(spark, sf_dir):
+    """Both Lloyd chains run as BUILDS (control-plane collected
+    codebooks, k rows each); the drift compare itself must therefore
+    be a local k-sized table — no parquet scan, no exchange in the
+    final plan. If a FileScan appears here, vector data leaked into
+    the compare stage."""
+    plan = _plan(spark, sf_dir, "embedding_centroid_drift")
+    assert "FileScan" not in plan
+    assert "Exchange" not in plan

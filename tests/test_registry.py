@@ -138,3 +138,38 @@ def test_zero_rows_only_queries():
 
     missing = [n for n, s in all_specs().items() if s.oracle is None]
     assert missing == [], f"queries without oracles: {missing}"
+
+
+def test_post_backlog_window_degenerates_to_stalest_first_recheck(monkeypatch):
+    """Once the round-5 window lands (the 49 never-checked + 1 stale,
+    all green), every query has a driver row and the rotation must
+    degenerate to a pure stalest-first regression re-check: the r6
+    window is exactly the 50 least-recently-verified queries, which
+    puts the r1-green TPC-H rows (unchecked since round 1) at the
+    front of the line."""
+    names = list(registry.all_specs())
+    hist = dict(registry._driver_history())
+    simulated_r5 = names[:50]
+    for n in simulated_r5:
+        hist[n] = (5, True)
+    assert all(n in hist for n in names), "backlog must be cleared"
+
+    monkeypatch.setattr(registry, "_driver_history", lambda: hist)
+    order = list(registry.all_specs())
+
+    # no red, no never-checked => ascending latest-green-round order
+    rounds = [hist[n][0] for n in order]
+    assert rounds == sorted(rounds)
+
+    front = order[:50]
+    # window takes only queries at least as stale as anything outside it
+    worst_in = max(hist[n][0] for n in front)
+    best_out = min(hist[n][0] for n in order[50:])
+    assert worst_in <= best_out
+
+    # the r1 block (stalest: TPC-H shapes et al.) fits in and fronts it
+    r1_block = [n for n in names if hist[n][0] == 1]
+    assert 0 < len(r1_block) <= 50
+    assert set(r1_block) <= set(front)
+    tpch = [n for n in r1_block if n[0] == "q" and n[1].isdigit()]
+    assert tpch, "r1 TPC-H greens must be due for re-check in the r6 window"
