@@ -65,12 +65,20 @@ def release(spark):
             pass
 
 
-def canonical_pagerank(emb):
+def canonical_pagerank(emb, n_vec):
     """The registered dedup_canonical_pagerank composition over an
-    arbitrary embeddings frame (plans/llm_ops3.py:1482)."""
+    arbitrary embeddings frame (plans/llm_ops3.py:1482) — with the
+    ENFORCED auto-banding in place of the query's pinned 16x4 (the
+    pin exists for oracle parity on the tiny test table). Measured
+    consequence of keeping the pin at volume: at 10x (20k vectors)
+    the 4-bit bands put ~1,250 vectors in every bucket, the
+    candidate join's build side grows with occupancy^2 and the 32
+    concurrent shuffled-hash builds die with "Can't acquire ...
+    bytes to build hash relation" — the exact under-partitioning
+    hazard auto_lsh_bands (bits = ceil(log2 N)) exists to prevent."""
     pairs = (
         S.cosine_near_dup_pairs_lsh(
-            emb, threshold=0.4, n_planes=16, bits_per_band=4
+            emb, threshold=0.4, corpus_count=n_vec
         )
         .select("id1", "id2")
         .localCheckpoint(eager=True)
@@ -137,7 +145,7 @@ def main() -> None:
         print(f"\n=== {n}x: {n_vec} vectors ===", flush=True)
 
         for label, thunk in (
-            ("canonical_pagerank", lambda: canonical_pagerank(emb)),
+            ("canonical_pagerank", lambda: canonical_pagerank(emb, n_vec)),
             ("centroid_drift", lambda: centroid_drift(spark, emb)),
         ):
             times = []

@@ -1416,7 +1416,11 @@ def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in source-id order on both engines; rank-table joins are
     shuffle_hash-pinned (everything descends from the explode-derived
     pair generator). The pair list is persisted: the edge/degree/rank
-    branches all read one LSH computation."""
+    branches all read one LSH computation. The 16x4 banding is
+    oracle-parity sizing for the test corpus ONLY — production calls
+    omit the pins and get auto_lsh_bands (bits = ceil(log2 N));
+    SCALING.md r5 measured the pinned variant dying at 10x volume
+    (occupancy^2 hash-relation build) while the auto path scales."""
     emb = _load(spark, sf_dir, "embeddings")
     pairs = (
         S.cosine_near_dup_pairs_lsh(
@@ -1495,7 +1499,10 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding before ORDER BY makes the tie-break robust by
     construction rather than by proof. All joins are pair-list- or
     node-sized; ONE LSH computation feeds both the component and the
-    rank branches via the persisted pair list."""
+    rank branches via the persisted pair list. As with
+    similarity_graph_pagerank, the 16x4 banding is oracle-parity
+    sizing for the test corpus; production omits the pins for
+    auto_lsh_bands sizing (SCALING.md r5 curve)."""
     from pyspark.sql.window import Window as W
 
     emb = _load(spark, sf_dir, "embeddings")
