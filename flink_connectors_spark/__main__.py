@@ -97,6 +97,78 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_verify_all(args) -> int:
+    """Full-surface sweep: every registered query vs its DuckDB
+    oracle in ONE session (bench-style state release between
+    queries). The fixture-masked oracle-divergence class — discrete
+    order statistics whose ranks differ by corpus size — only shows
+    up when the same contract runs at MULTIPLE scale factors, so the
+    round-close hygiene is one sweep per sf dir:
+
+        python -m flink_connectors_spark verify-all --sf-dir /root/testdata/sf0.1
+    """
+    import duckdb
+
+    from . import TABLES
+
+    specs = _specs()
+    names = (
+        [n.strip() for n in args.names.split(",") if n.strip()]
+        if args.names
+        else sorted(specs)
+    )
+    spark = _session()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(args.sf_dir, t)}.parquet'"
+        )
+    failed: list[str] = []
+    for name in names:
+        spec = specs[name]
+        try:
+            s = sorted(
+                map(tuple, spec.fn(spark, args.sf_dir).collect()), key=str
+            )
+            if spec.oracle is None:
+                print(f"{name}: rows-only — {len(s)} rows")
+                continue
+            d = sorted(con.execute(spec.oracle).fetchall(), key=str)
+            ok = s == d
+        except Exception as e:  # a hard error is a failure, not a crash
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            failed.append(name)
+            ok = None
+        finally:
+            # release what the plan pinned (same lifecycle as bench.py)
+            spark.catalog.clearCache()
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                try:
+                    jrdd.unpersist()
+                except Exception:
+                    pass
+        if ok is None:
+            if args.stop_on_fail:
+                break
+            continue
+        print(
+            f"{name}: spark={len(s)} duckdb={len(d)} "
+            f"{'MATCH' if ok else 'MISMATCH'}"
+        )
+        if not ok:
+            failed.append(name)
+            if args.stop_on_fail:
+                break
+    print(
+        f"\n{len(names) - len(failed)}/{len(names)} matched"
+        + (f"; FAILED: {', '.join(failed)}" if failed else "")
+    )
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="flink_connectors_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -123,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
     sp.add_argument("name")
     sp.set_defaults(fn=cmd_oracle)
+
+    sp = sub.add_parser(
+        "verify-all",
+        help="run every query vs its oracle (one session, state "
+        "released per query); exit 1 on any mismatch",
+    )
+    sp.add_argument("--sf-dir", default=default_sf)
+    sp.add_argument("--names", default=None, help="comma-separated subset")
+    sp.add_argument("--stop-on-fail", action="store_true")
+    sp.set_defaults(fn=cmd_verify_all)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -63,3 +63,22 @@ def test_bench_headline_names_registered():
         "funnel_signup_click_purchase", "resample_gapfill_hourly",
     ]
     assert bench.HEADLINE[: len(frozen)] == frozen
+
+
+def test_cli_verify_all_subset(spark, sf_dir):
+    """verify-all sweeps a name subset in one session with per-query
+    state release — the repeatable form of the cross-SF hardening
+    sweep (round-close hygiene: run once per sf dir; fixture-masked
+    order-statistic divergences only show up across corpus sizes)."""
+    rc, out = _run(
+        [
+            "verify-all",
+            "--sf-dir",
+            sf_dir,
+            "--names",
+            "dedup_exact,sort_limit_topk",
+        ]
+    )
+    assert rc == 0
+    assert "2/2 matched" in out
+    assert out.count("MATCH") == 2
