@@ -972,3 +972,65 @@ def test_source_overlap_selfjoin_equals_combinatoric_at_2k_sources(spark):
 
     with pytest.raises(ValueError, match="pair_strategy"):
         source_shingle_overlap(d, pair_strategy="bogus")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    graphs=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, graphs):
+    """Property: min-label propagation == an independent pure-Python
+    union-find on arbitrary random graphs (self-loops, multi-edges,
+    disconnected fragments included). Each Hypothesis example packs
+    several graphs into ONE disjoint union (node ids offset per
+    graph) so a single operator invocation checks them all —
+    components of a disjoint union are the per-graph components."""
+    from flink_connectors_spark.operators.dedup import connected_components
+
+    edges = [
+        (a + 100 * i, b + 100 * i)
+        for i, g in enumerate(graphs)
+        for a, b in g
+    ]
+
+    # independent model: union-find, label = min reachable node id
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
