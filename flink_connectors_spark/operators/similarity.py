@@ -1225,15 +1225,21 @@ def topk_pq_adc(
         raise ValueError(f"dim {dim} not divisible by {subspaces} blocks")
     width = dim // subspaces
 
-    code_cols = []
-    luts = []
-    codes = None
-    for b in range(subspaces):
+    # The per-block codebook builds are INDEPENDENT Lloyd chains
+    # (disjoint vector slices, no shared state) whose cost is
+    # control-plane latency: each iteration collects a k-row centroid
+    # table, so a sequential loop serializes 2 x (1 + iters) small
+    # actions per block. Submitting the builds from a thread pool
+    # overlaps them on the same scheduler — results are bit-identical
+    # (exact integer centroid math, no RNG, no shared mutable state).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(b: int):
         sub = corpus.select(
             F.col(id_col),
             F.slice(F.col(vec_col), b * width + 1, width).alias("sub"),
         )
-        assign = kmeans_assign_quantized(
+        return kmeans_assign_quantized(
             sub,
             k=codebook_k,
             iters=iters,
@@ -1241,6 +1247,14 @@ def topk_pq_adc(
             id_col=id_col,
             vec_col="sub",
         )
+
+    with ThreadPoolExecutor(max_workers=subspaces) as pool:
+        assigns = list(pool.map(_build, range(subspaces)))
+
+    code_cols = []
+    luts = []
+    codes = None
+    for b, assign in enumerate(assigns):
         cb = assign._fcs_centroids  # trained codebook, exact ints
         part = assign.select(
             F.col(id_col), F.col("cluster").alias(f"c{b}")

@@ -1620,10 +1620,21 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-sized; each build costs the kmeans build (centroids broadcast,
     zero assignment Exchange)."""
     emb = _load(spark, sf_dir, "embeddings")
-    old_cb = S.kmeans_assign_quantized(
-        emb.filter(F.col("vec_id") < 300), k=8, iters=2
-    )._fcs_centroids
-    new_cb = S.kmeans_assign_quantized(emb, k=8, iters=2)._fcs_centroids
+    # the two Lloyd chains are independent (different corpus slices,
+    # exact integer math, no shared state) — submit them concurrently
+    # so the control-plane collects overlap instead of serializing
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(
+            S.kmeans_assign_quantized,
+            emb.filter(F.col("vec_id") < 300),
+            k=8,
+            iters=2,
+        )
+        f_new = pool.submit(S.kmeans_assign_quantized, emb, k=8, iters=2)
+        old_cb = f_old.result()._fcs_centroids
+        new_cb = f_new.result()._fcs_centroids
     rows = [
         (cl, s, c, s2, c2)
         for (cl, s, c), (_, s2, c2) in zip(old_cb, new_cb)
