@@ -361,6 +361,8 @@ def connected_components(
             F.least("a", "nbr_min").alias("cluster_id"),
         )
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iters):
         # propagate: my new label = min(my label, labels of neighbors)
         nbr = (
@@ -373,6 +375,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        # Convergence check rides the pin action: labels only ever
+        # DECREASE, so "this round changed something" is exactly
+        # "some nbr_min undercut the current label" — summed as an
+        # Observation metric during the eager checkpoint instead of
+        # a second join+count action per iteration (halves the
+        # control-plane round count; at graph diameters of 2-3 that
+        # was most of the loop's driver latency).
+        obs = Observation()
         updated = (
             labels.join(nbr, labels.doc_id == nbr.a, "left_outer")
             .select(
@@ -381,18 +391,16 @@ def connected_components(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id"))
+                .cast("long")
+                .alias("__chg__"),
             )
+            .observe(obs, F.sum("__chg__").alias("n_changed"))
+            .select("doc_id", "cluster_id")
         )
-        updated = _pin(updated)  # cut lineage growth
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        updated = _pin(updated)  # cut lineage growth (one action)
         labels = updated
-        if changed == 0:
+        if not (obs.get["n_changed"] or 0):
             break
     return labels
 
