@@ -82,3 +82,27 @@ def test_cli_verify_all_subset(spark, sf_dir):
     assert rc == 0
     assert "2/2 matched" in out
     assert out.count("MATCH") == 2
+
+
+def test_cli_verify_all_reports_mismatch(spark, sf_dir, monkeypatch):
+    """The sweep must FAIL loudly on a wrong oracle — exit 1 and a
+    MISMATCH line — not report a polite success. Doctors one spec's
+    oracle to return an extra row."""
+    import dataclasses
+
+    from flink_connectors_spark import registry
+
+    specs = dict(registry.all_specs())
+    good = specs["sort_limit_topk"]
+    assert "LIMIT 25" in good.oracle
+    specs["sort_limit_topk"] = dataclasses.replace(
+        good, oracle=good.oracle.replace("LIMIT 25", "LIMIT 24")
+    )
+    monkeypatch.setattr(
+        "flink_connectors_spark.__main__._specs", lambda: specs
+    )
+    rc, out = _run(
+        ["verify-all", "--sf-dir", sf_dir, "--names", "sort_limit_topk"]
+    )
+    assert rc == 1
+    assert "MISMATCH" in out and "FAILED: sort_limit_topk" in out
