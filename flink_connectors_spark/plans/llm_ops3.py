@@ -81,7 +81,14 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is the only float step."""
     ev = load_table(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts")).cast("date")
-    uw = ev.select("user_id", week.alias("week")).distinct()
+    # (user, week)-sized after the one corpus distinct; feeds both
+    # the cohort-week aggregate and the activity join — checkpoint
+    # so the events scan runs once (plan audit: 8 scans without)
+    uw = (
+        ev.select("user_id", week.alias("week"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     act = uw.join(cohort, "user_id").select(
         "user_id",
@@ -90,8 +97,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("weeks_since"),
     )
-    ret = act.groupBy("cohort_week", "weeks_since").agg(
-        F.countDistinct("user_id").alias("n_active")
+    # cohort x weeks-sized; read by the base-size filter AND the
+    # final join
+    ret = (
+        act.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .localCheckpoint(eager=False)
     )
     base = ret.filter(F.col("weeks_since") == 0).select(
         "cohort_week", F.col("n_active").alias("cohort_size")

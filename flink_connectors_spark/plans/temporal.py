@@ -1463,9 +1463,17 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics); days beyond the data's end are clipped by the join
     with the DAU side."""
     ev = _events(spark, sf_dir)
-    du = ev.select(
-        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
-    ).distinct()
+    # the deduplicated (day, user) table is the working set both the
+    # DAU and the fan-out/WAU branches read — checkpoint it so the
+    # corpus scan + distinct run once, not once per branch
+    du = (
+        ev.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dau = du.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("dau")
     )
@@ -1529,9 +1537,18 @@ def anomaly_daily_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp-drift hazard that could flip a boundary day. Everything after the daily rollup
     is calendar-sized."""
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy(
-        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    # calendar-sized after the one corpus aggregate; THREE consumers
+    # (weekday base, residuals, the final filter's second read) would
+    # each re-inline the events scan without this checkpoint — the
+    # plan audit read 8 parquet scans for a query whose data volume
+    # is |days| rows after stage one
+    daily = (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
     wd = daily.select(
         "day", "y", F.dayofweek("day").cast("long").alias("dow")
     )

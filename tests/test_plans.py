@@ -560,3 +560,24 @@ def test_centroid_drift_compare_is_control_plane_sized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_centroid_drift")
     assert "FileScan" not in plan
     assert "Exchange" not in plan
+
+
+def test_behavioral_multiconsumer_frames_checkpointed_once(spark, sf_dir):
+    """anomaly_daily_seasonal / events_cohort_retention /
+    events_dau_wau each aggregate the events corpus into a small
+    frame (calendar-, user-week-, day-user-sized) that several
+    branches then read. Without materialization every branch
+    re-inlines the corpus scan — the r5 plan audit read 8 parquet
+    scans per query. Pin: the final plans read only checkpointed
+    RDDs; the corpus scan happens exactly once, inside the
+    checkpoint build."""
+    for name in (
+        "anomaly_daily_seasonal",
+        "events_cohort_retention",
+        "events_dau_wau",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "ExistingRDD" in plan, f"{name}: base frame not materialized"
+        assert "Scan parquet" not in plan, (
+            f"{name}: corpus scan re-inlined into a consumer branch"
+        )
