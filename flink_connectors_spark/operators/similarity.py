@@ -566,7 +566,15 @@ def cosine_near_dup_pairs_lsh(
         threshold,
     )
     planes = random_hyperplanes(n_planes, dim)
-    sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
+    # Both self-join sides read the signature table; without
+    # materialization each side re-runs the n_planes x dim dot-product
+    # fold over the corpus (the expensive part of the pipeline — at
+    # auto-sized banding that is up to ~128 bands x 15 bits of plane
+    # projections per vector, twice). Same signature-table
+    # materialization step the MinHash path has always done.
+    sig = band_signatures(
+        df, planes, bits_per_band, id_col, vec_col
+    ).localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(

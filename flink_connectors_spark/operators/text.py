@@ -647,11 +647,24 @@ def unigram_logprob_score(
     Returns (id, n_tokens, avg_neg_logprob) — higher = more
     surprising under the corpus unigram model.
     """
+    # FOUR consumers read the exploded token table (total, freq,
+    # head rows, tail rows) and two read the vocabulary counts —
+    # without materialization each branch re-runs the corpus
+    # tokenize+explode (plan audit: 14 scans for the plain score, 42
+    # for the ccnet-bucket consumer that reads the score 3 more
+    # times). Checkpoint both: toks is token-stream-sized (one
+    # materialization vs four scan+explode passes — the
+    # inverted-index tradeoff SCALING.md measured at 4x for the
+    # containment index), freq is vocabulary-sized.
     toks = df.select(
         F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
-    )
+    ).localCheckpoint(eager=False)
     total = toks.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # deterministic head: count desc, token asc tie-break
     head = freq.orderBy(F.desc("c"), F.asc("tok")).limit(head_k)
     tail = freq.join(F.broadcast(head.select("tok")), "tok", "left_anti")

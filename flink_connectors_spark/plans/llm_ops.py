@@ -3572,8 +3572,14 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = _load(spark, sf_dir, "documents")
-    scored = T.unigram_logprob_score(d, head_k=8).select(
-        "doc_id", F.col("avg_neg_logprob").alias("score")
+    # doc-sized; FOUR consumers (count, both boundary selections, the
+    # bucket compare) would otherwise each re-inline the whole
+    # unigram-scoring pipeline — the worst plan in the r5 audit at 42
+    # parquet scans. The count() materializes the checkpoint.
+    scored = (
+        T.unigram_logprob_score(d, head_k=8)
+        .select("doc_id", F.col("avg_neg_logprob").alias("score"))
+        .localCheckpoint(eager=False)
     )
     n = scored.count()
 
