@@ -554,16 +554,22 @@ def boilerplate_strip(
 
     Returns (id, n_tokens, n_removed, clean_text).
     """
+    # each exploded table feeds TWO branches (toks: the anti-join and
+    # the per-doc stats; grams: the DF aggregate and the coverage
+    # join) — materialize both so the corpus tokenize+explode runs
+    # once per table, not once per consumer (plan audit: 8 scans
+    # without; the same inverted-index tradeoff as the containment
+    # and unigram paths)
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
-    )
+    ).localCheckpoint(eager=False)
     grams = df.select(
         F.col(id_col),
         F.posexplode(
             raw_word_ngrams(tokenize(F.col(text_col)), 3)
         ).alias("p", "gram"),
-    )
+    ).localCheckpoint(eager=False)
     dfreq = (
         grams.select(id_col, "gram")
         .distinct()

@@ -3031,9 +3031,13 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = _load(spark, sf_dir, "documents")
+    # pair-list-sized; the d1/d2 member union reads it twice and
+    # would re-run the candidate+verify joins per side without
+    # materialization (the band table is persisted inside the
+    # generator, but the joins above it are not)
     pairs = D.minhash_lsh_pairs(
         d, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
-    )
+    ).localCheckpoint(eager=False)
     members = (
         pairs.select(F.col("d1").alias("doc_id"))
         .union(pairs.select(F.col("d2").alias("doc_id")))

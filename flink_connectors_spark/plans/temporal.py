@@ -1246,9 +1246,17 @@ def rollup_sketch_user_overlap(
     production scale you run it on a user sample or drop it and keep
     only the sketch math."""
     ev = _events(spark, sf_dir)
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").cast("bigint").alias("n"),
+    # |types|-sized sketch table read by BOTH pairing sides;
+    # the (type, user) distinct below is read by both audit sides —
+    # checkpoint each so the corpus pays one scan per table, not one
+    # per join side
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = per_type.select(
         F.col("event_type").alias("type_a"),
@@ -1271,7 +1279,11 @@ def rollup_sketch_user_overlap(
             - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
         ).alias("est_overlap"),
     )
-    du = ev.select("event_type", "user_id").distinct()
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     exact = (
         du.alias("x")
         .join(
