@@ -567,14 +567,19 @@ def cosine_near_dup_pairs_lsh(
     )
     planes = random_hyperplanes(n_planes, dim)
     # Both self-join sides read the signature table; without
-    # materialization each side re-runs the n_planes x dim dot-product
-    # fold over the corpus (the expensive part of the pipeline — at
-    # auto-sized banding that is up to ~128 bands x 15 bits of plane
-    # projections per vector, twice). Same signature-table
-    # materialization step the MinHash path has always done.
-    sig = band_signatures(
-        df, planes, bits_per_band, id_col, vec_col
-    ).localCheckpoint(eager=False)
+    # materialization each side re-runs the n_planes x dim
+    # dot-product fold over the corpus. Whether materializing wins
+    # depends on the signature width: at AUTO sizing (hundreds of
+    # planes — e.g. 128 bands x 15 bits at threshold 0.4) the fold
+    # dominates and the checkpoint halves it, the same
+    # signature-table materialization the MinHash path has always
+    # done; at narrow pinned widths (the 16x4 oracle-parity setting)
+    # the fold is cheaper than the checkpoint write + lineage cut,
+    # measured ~2 s slower at sf0.1. Threshold 64 planes separates
+    # the two regimes.
+    sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
+    if n_planes >= 64:
+        sig = sig.localCheckpoint(eager=False)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
