@@ -554,22 +554,31 @@ def boilerplate_strip(
 
     Returns (id, n_tokens, n_removed, clean_text).
     """
-    # each exploded table feeds TWO branches (toks: the anti-join and
-    # the per-doc stats; grams: the DF aggregate and the coverage
-    # join) — materialize both so the corpus tokenize+explode runs
-    # once per table, not once per consumer (plan audit: 8 scans
-    # without; the same inverted-index tradeoff as the containment
-    # and unigram paths)
+    # each exploded table feeds exactly TWO branches (toks: the
+    # anti-join and the per-doc stats; grams: the DF aggregate and
+    # the coverage join). Deliberately NOT checkpointed: with two
+    # consumers, materializing a full exploded table (~3x corpus
+    # rows for the trigrams) pays one distributed write + read and
+    # real block-manager pressure to save ONE recompute of a narrow
+    # explode — r3's clean stress run measured the recompute
+    # formulation at 6.0 s warm at 10x, and an r5 A/B of the
+    # checkpointed variant showed no reproducible win (both
+    # variants read 10-14 s under r5 session noise). Contrast
+    # unigram_logprob_score, where the token table has FOUR
+    # consumers and the checkpoint measured 9.4 -> 7.0 s at 10x.
+    # Rule of thumb: materialize at >= 3 consumers or when the
+    # per-row compute is heavy (wide LSH signature folds); recompute
+    # cheap narrow explodes read twice.
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
-    ).localCheckpoint(eager=False)
+    )
     grams = df.select(
         F.col(id_col),
         F.posexplode(
             raw_word_ngrams(tokenize(F.col(text_col)), 3)
         ).alias("p", "gram"),
-    ).localCheckpoint(eager=False)
+    )
     dfreq = (
         grams.select(id_col, "gram")
         .distinct()
