@@ -324,3 +324,85 @@ def test_image_resize_agrees_with_manual_pixel_walk(spark):
         got["out_height"],
     ) == (10, 5, 5, 3)
     assert got["out_checksum"] == expect
+
+
+def test_source_overlap_degenerate_corpora(spark):
+    """One source -> no pairs; empty corpus -> no pairs; disjoint
+    vocabularies -> no pairs — for BOTH pair strategies."""
+    from flink_connectors_spark.operators.text import source_shingle_overlap
+
+    schema = "doc_id long, source string, text string"
+    for strategy in ("combinatoric", "selfjoin"):
+        empty = spark.createDataFrame([], schema)
+        assert source_shingle_overlap(empty, pair_strategy=strategy).count() == 0
+        one = spark.createDataFrame(
+            [(1, "s0", "alpha beta gamma delta")], schema
+        )
+        assert source_shingle_overlap(one, pair_strategy=strategy).count() == 0
+        disjoint = spark.createDataFrame(
+            [
+                (1, "s0", "alpha beta gamma delta"),
+                (2, "s1", "one two three four"),
+            ],
+            schema,
+        )
+        assert (
+            source_shingle_overlap(disjoint, pair_strategy=strategy).count()
+            == 0
+        )
+
+
+def test_boilerplate_strip_empty_and_all_boilerplate(spark):
+    """A doc whose every trigram is corpus-repeated strips to empty
+    text (n_removed == n_tokens); a unique doc keeps everything; an
+    empty corpus yields an empty report."""
+    from flink_connectors_spark.operators.text import boilerplate_strip
+
+    schema = "doc_id long, text string"
+    assert boilerplate_strip(spark.createDataFrame([], schema)).count() == 0
+
+    docs = spark.createDataFrame(
+        [
+            (1, "copy me exactly please"),
+            (2, "copy me exactly please"),
+            (3, "totally unique content here"),
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: r for r in boilerplate_strip(docs).collect()}
+    assert out[1]["n_removed"] == out[1]["n_tokens"]
+    assert out[1]["clean_text"] == ""
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "totally unique content here"
+
+
+def test_unigram_logprob_single_doc_uniform_score(spark):
+    """A one-doc corpus of all-distinct tokens: every token has
+    c/N = 1/n, so avg_neg_logprob == ln(n) exactly."""
+    import math
+
+    from flink_connectors_spark.operators.text import unigram_logprob_score
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    row = unigram_logprob_score(d).first()
+    assert row["n_tokens"] == 4
+    assert abs(row["avg_neg_logprob"] - round(math.log(4), 6)) < 1e-9
+
+
+def test_connected_components_two_phase_convergence_count(spark):
+    """A 5-node path graph labels fully in <= max_iters and the
+    Observation-based convergence check stops the loop (regression
+    guard for the fold-into-pin refactor: a broken n_changed metric
+    would either loop to max_iters or stop early with wrong labels)."""
+    from flink_connectors_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(5)}
