@@ -869,7 +869,17 @@ def topk_recall_audit(
     Returns (query_id, n_exact, n_hits, recall) with recall rounded
     to 6 (exact small-integer division — engine-stable).
     """
-    e = exact.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
+    # |Q| x k rows, but read by BOTH the hits join and the base
+    # count — without materialization the whole upstream search
+    # (brute force: |Q| x N scoring) re-inlines into each branch,
+    # doubling the expensive exact side (r5 plan audit: 16 parquet
+    # scans on the recall queries). Small multi-branch frames always
+    # checkpoint.
+    e = (
+        exact.filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     a = approx.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
     hits = (
         e.join(a, ["query_id", "neighbor_id"])
