@@ -581,3 +581,28 @@ def test_behavioral_multiconsumer_frames_checkpointed_once(spark, sf_dir):
         assert "Scan parquet" not in plan, (
             f"{name}: corpus scan re-inlined into a consumer branch"
         )
+
+
+def test_multiconsumer_materializations_hold(spark, sf_dir):
+    """r5 audit fixes, pinned: the small multi-branch frames in
+    these queries (verified pair list, per-type HLL + distinct
+    (type,user), unigram token/freq/score tables, exact top-k) are
+    checkpoint-materialized, so the final plans read far fewer
+    parquet scans than the re-inlining variants did (13/8/14/42/16/12
+    respectively). Pin a ceiling comfortably above the fixed shape
+    and below the regressed one."""
+    ceilings = {
+        "dedup_rate_by_source": 6,
+        "rollup_sketch_user_overlap": 2,
+        "text_unigram_logprob": 2,
+        "pipeline_ccnet_buckets": 2,
+        "similarity_recall_audit": 10,
+        "similarity_recall_int8": 6,
+    }
+    for name, max_scans in ceilings.items():
+        plan = _plan(spark, sf_dir, name)
+        n = plan.count("Scan parquet")
+        assert n <= max_scans, (
+            f"{name}: {n} parquet scans (> {max_scans}) — a "
+            "multi-branch frame lost its materialization"
+        )
