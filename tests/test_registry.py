@@ -58,7 +58,13 @@ def test_front_is_red_then_unchecked_then_stalest_verified():
 
 def test_front_50_maximizes_unchecked_coverage():
     """Every never-checked query must land in the driver's window before
-    any already-verified query occupies a slot."""
+    any already-verified query occupies a slot, and the verified slots
+    that do make the window must be a stalest-first prefix: no verified
+    query OUTSIDE the window may be staler than one inside it.
+
+    (Round-5 lesson: asserting every window slot sits at THE single
+    stalest round broke the moment the history held 48 round-1 rows —
+    two round-2 rows then legitimately fill the window.)"""
     names = list(registry.all_specs())
     hist = _history()
     unchecked = [n for n in names if n not in hist]
@@ -67,9 +73,11 @@ def test_front_50_maximizes_unchecked_coverage():
         assert set(unchecked) <= set(front)
         # spare slots go to stalest verified queries (regression re-checks)
         spare = [n for n in front if n in hist and hist[n][1]]
-        if spare:
-            stalest_round = min(hist[n][0] for n in names if n in hist and hist[n][1])
-            assert all(hist[n][0] == stalest_round for n in spare)
+        outside = [n for n in names[50:] if n in hist and hist[n][1]]
+        if spare and outside:
+            assert max(hist[n][0] for n in spare) <= min(
+                hist[n][0] for n in outside
+            ), "a verified query outside the window is staler than one inside"
     else:
         assert all(n in unchecked or (n in hist and not hist[n][1]) for n in front)
 
@@ -141,18 +149,29 @@ def test_zero_rows_only_queries():
 
 
 def test_post_backlog_window_degenerates_to_stalest_first_recheck(monkeypatch):
-    """Once the round-5 window lands (the 49 never-checked + 1 stale,
-    all green), every query has a driver row and the rotation must
-    degenerate to a pure stalest-first regression re-check: the r6
-    window is exactly the 50 least-recently-verified queries, which
-    puts the r1-green TPC-H rows (unchecked since round 1) at the
-    front of the line."""
-    names = list(registry.all_specs())
-    hist = dict(registry._driver_history())
-    simulated_r5 = names[:50]
-    for n in simulated_r5:
-        hist[n] = (5, True)
-    assert all(n in hist for n in names), "backlog must be cleared"
+    """Once every query has a (green) driver row the rotation must
+    degenerate to a pure stalest-first regression re-check: each round's
+    window is exactly the 50 least-recently-verified queries.
+
+    The history here is FULLY SYNTHETIC — fabricated from the registry's
+    name list alone, never from the on-disk CORRECTNESS_r*.json files —
+    so the test stays valid no matter which round's artifacts the driver
+    has landed in the working tree (round-5 lesson: a simulation seeded
+    from the live history broke the moment CORRECTNESS_r05.json
+    appeared)."""
+    names = sorted(registry.all_specs())  # registration set, order-independent
+    assert len(names) > 50
+    # fabricate: 48 stalest rows at round 1, 2 at round 2, the remainder
+    # spread over rounds 3..5 — all green, no never-checked, no red.
+    hist = {}
+    for i, n in enumerate(names):
+        if i < 48:
+            rnd = 1
+        elif i < 50:
+            rnd = 2
+        else:
+            rnd = 3 + (i % 3)
+        hist[n] = (rnd, True)
 
     monkeypatch.setattr(registry, "_driver_history", lambda: hist)
     order = list(registry.all_specs())
@@ -167,9 +186,7 @@ def test_post_backlog_window_degenerates_to_stalest_first_recheck(monkeypatch):
     best_out = min(hist[n][0] for n in order[50:])
     assert worst_in <= best_out
 
-    # the r1 block (stalest: TPC-H shapes et al.) fits in and fronts it
+    # the synthetic stalest block fits in and fronts the window
     r1_block = [n for n in names if hist[n][0] == 1]
     assert 0 < len(r1_block) <= 50
-    assert set(r1_block) <= set(front)
-    tpch = [n for n in r1_block if n[0] == "q" and n[1].isdigit()]
-    assert tpch, "r1 TPC-H greens must be due for re-check in the r6 window"
+    assert set(order[: len(r1_block)]) == set(r1_block)
