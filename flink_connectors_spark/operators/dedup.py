@@ -626,12 +626,12 @@ def containment_pairs_rare_shingle(
     )
     # The shingle table is read by FIVE subtrees (DF count, both sides
     # of the rare-shingle self-join, and the two verify sides) — the
-    # lazy checkpoint computes the tokenize+shingle projection ONCE on
-    # first action instead of five times (the crossdoc_shingle_mass
+    # eager checkpoint computes the tokenize+shingle projection ONCE up
+    # front instead of five times (the crossdoc_shingle_mass
     # lesson; measured ~2x on the whole operator at sf0.1). At 100 TB
     # this materialization IS the PPJoin "build the inverted index"
     # step — you want it on disk anyway.
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.localCheckpoint(eager=True)
     ex = sh.select(id_col, F.explode("shingles").alias("s"))
     rare = (
         ex.groupBy("s")

@@ -579,7 +579,11 @@ def cosine_near_dup_pairs_lsh(
     # the two regimes.
     sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
     if n_planes >= 64:
-        sig = sig.localCheckpoint(eager=False)
+        # eager: both self-join sides consume this within ONE action —
+        # a lazy pin lets the two exchange map-stages race-compute
+        # partitions before the cache fills (wasted recompute, the
+        # r4-documented lazy-pin hazard).
+        sig = sig.localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
@@ -878,7 +882,10 @@ def topk_recall_audit(
     e = (
         exact.filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        # eager: the hits join and the base count both read this inside
+        # one action; lazy would let them race-recompute the expensive
+        # exact search before the checkpoint fills.
+        .localCheckpoint(eager=True)
     )
     a = approx.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
     hits = (

@@ -443,7 +443,9 @@ def source_shingle_overlap(
     # Three consumers (pair counts + both size joins) reference this
     # vocabulary-sized table; without materialization each would
     # re-run the corpus explode+aggregate (verified: no exchange
-    # reuse). Lazy localCheckpoint computes it once on first action.
+    # reuse). Eager localCheckpoint computes it exactly once up front
+    # (a lazy pin would let the explicit-strategy path's two exchange
+    # map-stages race-compute it before the cache fills).
     grouped = (
         df.select(
             F.col(source_col).alias("src"),
@@ -453,7 +455,7 @@ def source_shingle_overlap(
         )
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     exploded = grouped.select(
         F.col("shingle"), F.explode("srcs").alias("src")
@@ -673,12 +675,12 @@ def unigram_logprob_score(
     # containment index), freq is vocabulary-sized.
     toks = df.select(
         F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     total = toks.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
     freq = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # deterministic head: count desc, token asc tie-break
     head = freq.orderBy(F.desc("c"), F.asc("tok")).limit(head_k)

@@ -1650,7 +1650,7 @@ def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame
     assign = (
         S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
         .select("vec_id", "cluster")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     corpus = emb.join(assign, "vec_id")
     return S.cosine_topk_ivf(
@@ -3037,7 +3037,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generator, but the joins above it are not)
     pairs = D.minhash_lsh_pairs(
         d, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     members = (
         pairs.select(F.col("d1").alias("doc_id"))
         .union(pairs.select(F.col("d2").alias("doc_id")))

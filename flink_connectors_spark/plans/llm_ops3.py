@@ -87,7 +87,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     uw = (
         ev.select("user_id", week.alias("week"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     act = uw.join(cohort, "user_id").select(
@@ -102,7 +102,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = (
         act.groupBy("cohort_week", "weeks_since")
         .agg(F.countDistinct("user_id").alias("n_active"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     base = ret.filter(F.col("weeks_since") == 0).select(
         "cohort_week", F.col("n_active").alias("cohort_size")

@@ -205,3 +205,72 @@ def sink_precompact_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary_key=("pk",), version_column="ver",
     )
     return precompact_changelog(_changelog(spark, sf_dir), opts)
+
+
+@register(
+    "sink_map_struct_roundtrip",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("sink", "types", "roundtrip"),
+    since=6,
+)
+def sink_map_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP/STRUCT columns through the REAL sink write path — the r6
+    extension past reference parity (the reference's converter throws
+    UnsupportedOperationException for both,
+    `ClickHouseRowConverter.java:144-145,227-228`).
+
+    Per-customer order stats are packed into a struct column
+    (``summary``: n_orders + first order timestamp) and a map column
+    (``counts``: {'all','open'} -> count), written through the batched
+    Arrow writer into the parquet backend, read back, and unpacked —
+    so the driver's oracle (the same stats computed directly from
+    ``orders``) verifies the nested values survived the
+    changelog-translate -> Arrow-batch -> backend round trip intact.
+
+    Scale shape: one key shuffle for the aggregate; the write itself
+    is the sink's streaming-batched Arrow path (no driver collect);
+    the readback scans only what the sink wrote."""
+    import tempfile
+
+    from ..sink.options import SinkOptions
+    from ..sink.writer import write_batch
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("n_open"),
+        )
+    )
+    packed = agg.select(
+        "o_custkey",
+        F.struct(
+            F.col("n_orders").alias("n"), F.col("first_order").alias("first")
+        ).alias("summary"),
+        F.create_map(
+            F.lit("all"), F.col("n_orders"), F.lit("open"), F.col("n_open")
+        ).alias("counts"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="fcs_map_struct_")
+    opts = SinkOptions(
+        url=f"parquet://{out_dir}", table_name="order_stats"
+    )
+    write_batch(packed, opts)
+    back = spark.read.parquet(f"{out_dir}/order_stats")
+    return back.select(
+        "o_custkey",
+        F.col("summary.n").alias("n_orders"),
+        F.col("summary.first").alias("first_order"),
+        F.col("counts")["open"].alias("n_open"),
+    )

@@ -1256,7 +1256,7 @@ def rollup_sketch_user_overlap(
             F.hll_sketch_agg("user_id").alias("sk"),
             F.countDistinct("user_id").cast("bigint").alias("n"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = per_type.select(
         F.col("event_type").alias("type_a"),
@@ -1282,7 +1282,7 @@ def rollup_sketch_user_overlap(
     du = (
         ev.select("event_type", "user_id")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     exact = (
         du.alias("x")
@@ -1484,7 +1484,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     dau = du.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("dau")
@@ -1559,7 +1559,7 @@ def anomaly_daily_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     wd = daily.select(
         "day", "y", F.dayofweek("day").cast("long").alias("dow")

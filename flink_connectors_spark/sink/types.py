@@ -12,8 +12,16 @@ Spark-DataType -> ClickHouse-DDL mapping:
 - ARRAY is properly supported here (the reference throws,
   `ClickHouseRowConverter.java:144-145`; SURVEY flags it as a fix —
   the test corpus has array<float> embeddings).
-- MAP/STRUCT stay unsupported, matching the reference's explicit
-  UnsupportedOperationException.
+- MAP/STRUCT are supported as of r6, extending past reference parity
+  (the reference throws for both at
+  `ClickHouseRowConverter.java:144-145,227-228`; SURVEY §1.3 lists
+  the extension as a stretch goal): MapType -> `Map(K, V)` (keys
+  must be non-Nullable — ClickHouse rejects Nullable map keys),
+  StructType -> named `Tuple(name T, ...)`. Like Array, neither
+  composes with Nullable at the outer level, so outer nullability is
+  dropped; field/value nullability maps to Nullable inner types.
+  The Arrow write path carries both natively (round-trip proven by
+  the registered `sink_map_struct_roundtrip` query).
 """
 
 from __future__ import annotations
@@ -40,21 +48,34 @@ _SIMPLE = {
 
 def clickhouse_type_for(dtype: T.DataType, nullable: bool = False) -> str:
     """ClickHouse DDL type for a Spark DataType; raises for types the
-    lattice does not admit (MAP/STRUCT — same boundary as the
-    reference)."""
+    lattice does not admit."""
     if isinstance(dtype, T.DecimalType):
         base = f"Decimal({dtype.precision}, {dtype.scale})"
     elif isinstance(dtype, T.ArrayType):
-        base = f"Array({clickhouse_type_for(dtype.elementType)})"
-        # ClickHouse forbids Nullable(Array(...)); nullability applies
-        # to elements only.
-        return base
+        # Elements map non-Nullable: Spark defaults containsNull=True
+        # on every parquet-read array, so honoring it would wrap all
+        # numeric vector columns in Nullable and defeat ClickHouse's
+        # dense array layout. ClickHouse forbids Nullable(Array(...));
+        # outer nullability is dropped.
+        return f"Array({clickhouse_type_for(dtype.elementType)})"
+    elif isinstance(dtype, T.MapType):
+        # ClickHouse Map keys must be non-Nullable; values may be.
+        key = clickhouse_type_for(dtype.keyType, nullable=False)
+        val = clickhouse_type_for(
+            dtype.valueType, nullable=dtype.valueContainsNull
+        )
+        return f"Map({key}, {val})"  # Nullable(Map) is forbidden too
+    elif isinstance(dtype, T.StructType):
+        fields = ", ".join(
+            f"`{f.name}` {clickhouse_type_for(f.dataType, f.nullable)}"
+            for f in dtype.fields
+        )
+        return f"Tuple({fields})"  # named tuple; Nullable(Tuple) forbidden
     elif type(dtype) in _SIMPLE:
         base = _SIMPLE[type(dtype)]
     else:
         raise TypeError(
-            f"unsupported type for ClickHouse sink: {dtype.simpleString()} "
-            "(MAP/STRUCT are outside the reference's converter lattice)"
+            f"unsupported type for ClickHouse sink: {dtype.simpleString()}"
         )
     return f"Nullable({base})" if nullable else base
 

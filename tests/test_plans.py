@@ -23,6 +23,32 @@ def _plan(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
+def _count_file_scans(df) -> int:
+    """Structural count of FileSourceScan nodes in the physical plan,
+    including subquery plans and nested adaptive subtrees. Counting the
+    plan TREE (not 'Scan parquet' substrings of the formatted explain,
+    which prints every node twice — once in the tree sketch, once in
+    the numbered detail section) keeps the ceilings valid across Spark
+    plan-format changes."""
+    n = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        if cls.startswith("FileSourceScan"):
+            n += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            stack.append(subs.apply(i))
+    return n
+
+
 def test_q3_broadcasts_dims_and_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q3_shipping_priority")
     assert "BroadcastHashJoin" in plan, "customer dim should broadcast"
@@ -588,21 +614,83 @@ def test_multiconsumer_materializations_hold(spark, sf_dir):
     these queries (verified pair list, per-type HLL + distinct
     (type,user), unigram token/freq/score tables, exact top-k) are
     checkpoint-materialized, so the final plans read far fewer
-    parquet scans than the re-inlining variants did (13/8/14/42/16/12
-    respectively). Pin a ceiling comfortably above the fixed shape
-    and below the regressed one."""
+    parquet scans than the re-inlining variants did (structurally
+    6/4/7/21/8/6 respectively). Pin a ceiling comfortably above the
+    fixed shape and below the regressed one — counted from the plan
+    tree, not explain-output substrings (r5 ADVICE: text pins break
+    on plan-format changes with no real regression)."""
     ceilings = {
-        "dedup_rate_by_source": 6,
-        "rollup_sketch_user_overlap": 2,
-        "text_unigram_logprob": 2,
-        "pipeline_ccnet_buckets": 2,
-        "similarity_recall_audit": 10,
-        "similarity_recall_int8": 6,
+        "dedup_rate_by_source": 3,
+        "rollup_sketch_user_overlap": 1,
+        "text_unigram_logprob": 1,
+        "pipeline_ccnet_buckets": 1,
+        "similarity_recall_audit": 5,
+        "similarity_recall_int8": 3,
     }
     for name, max_scans in ceilings.items():
-        plan = _plan(spark, sf_dir, name)
-        n = plan.count("Scan parquet")
+        df = SPECS[name].fn(spark, sf_dir)
+        n = _count_file_scans(df)
         assert n <= max_scans, (
-            f"{name}: {n} parquet scans (> {max_scans}) — a "
+            f"{name}: {n} file scans (> {max_scans}) — a "
             "multi-branch frame lost its materialization"
         )
+
+
+# Queries whose plans legitimately read more than _SCAN_DEFAULT base-
+# table scans: multi-table TPC-H joins (q5/q7/q8 touch 6 tables),
+# snapshot+changelog re-reads (CDC/IVM read the base twice by design),
+# funnel's three event-stage reads, and the dup-graph degree audit's
+# bipartite sides. Values are the audited structural counts (r6);
+# a query exceeding its pin means a subtree got re-inlined.
+_SCAN_ALLOWLIST = {
+    "funnel_signup_click_purchase": 6,
+    "join_ivm_delta": 6,
+    "pipeline_cdc_apply": 5,
+    "pipeline_decontaminate": 5,
+    "pipeline_doc_embedding_audit": 6,
+    "pipeline_eval_burn_report": 5,
+    "q11_important_part_value": 6,
+    "q21_waiting_suppliers": 6,
+    "q2_min_price_supplier": 5,
+    "q5_region_revenue": 6,
+    "q7_nation_volume": 6,
+    "q8_market_share": 8,
+    "q9_product_profit": 5,
+    "similarity_graph_degree": 8,
+}
+_SCAN_DEFAULT = 4
+
+
+def test_registry_scan_ceilings(spark, sf_dir):
+    """Registry-wide re-inlining tripwire: EVERY registered query's
+    physical plan reads at most _SCAN_DEFAULT file scans (the audited
+    multi-table exceptions carry their own pinned ceiling above).
+    A future edit that drops a localCheckpoint/persist on a
+    multi-consumer frame re-inlines its whole upstream subtree into
+    each consumer branch — the scan count jumps and this fails loudly
+    naming the query (r5 audit: regressions showed 2-10x the scans)."""
+    over = {}
+    for name, spec in SPECS.items():
+        df = spec.fn(spark, sf_dir)
+        n = _count_file_scans(df)
+        ceiling = _SCAN_ALLOWLIST.get(name, _SCAN_DEFAULT)
+        if n > ceiling:
+            over[name] = (n, ceiling)
+        _release(spark)
+    assert not over, f"scan ceilings exceeded (n, ceiling): {over}"
+
+
+def _release(spark) -> None:
+    """Unpin per-query session state (same lifecycle bench.py uses) so
+    the registry sweep's eager checkpoints don't accumulate across
+    200+ plan builds."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            try:
+                jrdd.unpersist()
+            except Exception:
+                pass
+    except Exception:
+        pass

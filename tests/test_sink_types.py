@@ -54,15 +54,53 @@ def test_array_supported_not_nullable_wrapped():
 
 
 @pytest.mark.parametrize(
-    "dtype",
+    "dtype,expected",
     [
-        T.MapType(T.StringType(), T.LongType()),
-        T.StructType([T.StructField("x", T.LongType())]),
+        # extension past reference parity (the reference throws for
+        # both, ClickHouseRowConverter.java:144-145,227-228)
+        (
+            T.MapType(T.StringType(), T.LongType(), valueContainsNull=False),
+            "Map(String, Int64)",
+        ),
+        (
+            T.MapType(T.StringType(), T.DoubleType(), valueContainsNull=True),
+            "Map(String, Nullable(Float64))",
+        ),
+        (
+            # map keys are always non-Nullable in ClickHouse
+            T.MapType(T.IntegerType(), T.ArrayType(T.FloatType())),
+            "Map(Int32, Array(Float32))",
+        ),
+        (
+            T.StructType(
+                [
+                    T.StructField("n", T.LongType(), False),
+                    T.StructField("total", T.DoubleType(), True),
+                ]
+            ),
+            "Tuple(`n` Int64, `total` Nullable(Float64))",
+        ),
+        (
+            # nested: struct inside map value, array inside struct
+            T.MapType(
+                T.StringType(),
+                T.StructType([T.StructField("v", T.ArrayType(T.LongType()), False)]),
+                valueContainsNull=False,
+            ),
+            "Map(String, Tuple(`v` Array(Int64)))",
+        ),
     ],
 )
-def test_map_struct_rejected(dtype):
+def test_map_struct_supported(dtype, expected):
+    assert clickhouse_type_for(dtype) == expected
+    # Nullable(Map)/Nullable(Tuple) are forbidden in ClickHouse —
+    # outer nullability drops, same rule as Array
+    assert clickhouse_type_for(dtype, nullable=True) == expected
+
+
+def test_truly_unsupported_types_still_raise():
     with pytest.raises(TypeError, match="unsupported type"):
-        clickhouse_type_for(dtype)
+        clickhouse_type_for(T.NullType())
 
 
 def test_create_table_statement_roundtrips_through_duckdb_shape():
