@@ -443,9 +443,11 @@ def source_shingle_overlap(
     # Three consumers (pair counts + both size joins) reference this
     # vocabulary-sized table; without materialization each would
     # re-run the corpus explode+aggregate (verified: no exchange
-    # reuse). Eager localCheckpoint computes it exactly once up front
-    # (a lazy pin would let the explicit-strategy path's two exchange
-    # map-stages race-compute it before the cache fills).
+    # reuse). Lazy checkpoint: the auto-strategy sizes.count() below
+    # is an early materializing action that fills the cache before
+    # any branch pair can race (r6 interleaved A/B at sf0.1: lazy
+    # 1.35 s vs eager 1.41 s — the eager variant pays an extra
+    # materialization job for nothing).
     grouped = (
         df.select(
             F.col(source_col).alias("src"),
@@ -455,7 +457,7 @@ def source_shingle_overlap(
         )
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     exploded = grouped.select(
         F.col("shingle"), F.explode("srcs").alias("src")
