@@ -274,3 +274,58 @@ def sink_map_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("summary.first").alias("first_order"),
         F.col("counts")["open"].alias("n_open"),
     )
+
+
+@register(
+    "sink_shard_routing_compat",
+    oracle="""
+    WITH h AS (
+      SELECT user_id,
+             xor((31 + hc) & 4294967295, 2147483648) - 2147483648 AS h
+      FROM (
+        SELECT user_id,
+               xor(xor(user_id, (user_id >> 32) & 4294967295)
+                   & 4294967295, 2147483648) - 2147483648 AS hc
+        FROM events))
+    SELECT CAST(((h % 8) + 8) % 8 AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM h GROUP BY 1
+    """,
+    tags=("sink", "sharding", "compat"),
+    since=6,
+)
+def sink_shard_routing_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-EXACT shard routing, driver-verified: the r6
+    'hash-compat' partition strategy reproduces the reference's
+    `HashPartitioner.java:18-25` bit for bit — ArrayList hashCode
+    (h = 31*h + Long.hashCode(v), 32-bit overflow arithmetic) then
+    `(h % n + n) % n` — so a deployment migrating from the reference
+    keeps every row on the shard the old writer chose (shard-local
+    replacing/collapsing state stays consistent mid-migration).
+
+    The oracle rebuilds the same hash in DuckDB integer bit math;
+    per-shard row/user counts + key extrema hash-match only if every
+    single row routed identically in both engines.
+
+    Scale shape: the shard id is a codegen'd projection (no UDF); the
+    per-shard aggregate is one bounded-key shuffle (n_shards groups).
+    In the real writer this expression feeds `repartition(n, shard)`
+    — one exchange, then each task holds exactly one shard's rows."""
+    from ..sink.options import SinkOptions
+    from ..sink.partitioner import SHARD_COLUMN, with_shard_column
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    opts = SinkOptions(
+        url="parquet:///tmp/unused", table_name="t",
+        partition_strategy="hash-compat", partition_key=("user_id",),
+    )
+    routed = with_shard_column(ev, opts, 8)
+    return routed.groupBy(F.col(SHARD_COLUMN).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )

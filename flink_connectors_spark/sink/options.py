@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-PARTITION_STRATEGIES = ("balanced", "shuffle", "hash")
+PARTITION_STRATEGIES = ("balanced", "shuffle", "hash", "hash-compat")
 WRITE_MODES = ("insert_only", "collapsing", "replacing", "upsert")
 
 
@@ -66,10 +66,14 @@ class SinkOptions:
                 f"'{self.partition_strategy}', expected one of "
                 f"{PARTITION_STRATEGIES}"
             )
-        # hash strategy requires a partition key (reference `:175-177`).
-        if self.partition_strategy == "hash" and not self.partition_key:
+        # hash strategies require a partition key (reference `:175-177`).
+        if (
+            self.partition_strategy in ("hash", "hash-compat")
+            and not self.partition_key
+        ):
             raise ValueError(
-                "sink.partition-strategy 'hash' requires sink.partition-key"
+                f"sink.partition-strategy '{self.partition_strategy}' "
+                "requires sink.partition-key"
             )
         # username and password must come together (reference `:179-183`).
         if bool(self.username) != bool(self.password):

@@ -23,19 +23,78 @@ from .options import SinkOptions
 
 SHARD_COLUMN = "__fcs_shard__"
 
+_WRAP_MASK = 0xFFFFFFFF
+_SIGN_BIT = 0x80000000
 
-def shard_expr(opts: SinkOptions, n_shards: int, columns: list[str]):
+
+def _wrap32(col):
+    """Truncate a 64-bit expression to Java 32-bit int semantics
+    (two's-complement wraparound), staying in long arithmetic so the
+    formula also works where CAST overflow would throw (ANSI mode)."""
+    low = col.bitwiseAND(F.lit(_WRAP_MASK))
+    return low.bitwiseXOR(F.lit(_SIGN_BIT)) - F.lit(_SIGN_BIT)
+
+
+def java_list_hash(schema, keys: tuple[str, ...]):
+    """`java.util.Objects.hashCode(List<Object>)` of the key fields as
+    a Spark Column — the EXACT hash the reference's shard router
+    computes (`HashPartitioner.java:18-25` builds an ArrayList of the
+    key values and takes its hashCode: h = 1; h = 31*h + e.hashCode()
+    per element, 32-bit overflow arithmetic; null hashes 0).
+
+    Supported key types are the integral ones (Long.hashCode =
+    (int)(v ^ v>>>32); Integer/Short/Byte hash to their int value) —
+    shard keys are ids in practice. Other types raise: a silent
+    fallback to a different hash would route rows to DIFFERENT shards
+    than the reference, which is the one thing this expression exists
+    to prevent."""
+    from pyspark.sql import types as T
+
+    h = F.lit(1).cast("long")
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for k in keys:
+        dt = by_name[k]
+        v = F.col(k).cast("long")
+        if isinstance(dt, T.LongType):
+            hc = _wrap32(v.bitwiseXOR(F.shiftrightunsigned(v, 32)))
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            hc = v  # Integer/Short/Byte.hashCode == the int value
+        else:
+            raise TypeError(
+                f"hash-compat partition key '{k}' has type "
+                f"{dt.simpleString()}; reference-exact routing is "
+                "implemented for integral keys only"
+            )
+        hc = F.when(F.col(k).isNull(), F.lit(0)).otherwise(hc)
+        h = _wrap32(h * F.lit(31) + hc)
+    return h
+
+
+def shard_expr(opts: SinkOptions, n_shards: int, columns: list[str], schema=None):
     """Column expression computing the target shard id for each row."""
-    if opts.partition_strategy == "hash":
+    if opts.partition_strategy in ("hash", "hash-compat"):
         missing = [k for k in opts.partition_key if k not in columns]
         if missing:
             raise ValueError(
                 f"partition key field(s) {missing} not found in schema "
                 f"{columns}"
             )
-        # Plain hash-modulo, like the reference (README claims
-        # consistent-hash; HashPartitioner.java:18-25 is modulo).
-        # pmod keeps negatives out.
+    if opts.partition_strategy == "hash-compat":
+        # Bit-exact reference routing ((h % n + n) % n over the Java
+        # list hash, HashPartitioner.java:18-25) for migrations that
+        # must keep the reference deployment's row->shard placement
+        # (shard-local replacing/collapsing state lives where the old
+        # writer put it). Needs the schema for type dispatch.
+        if schema is None:
+            raise ValueError("hash-compat requires the DataFrame schema")
+        return F.pmod(
+            java_list_hash(schema, opts.partition_key), F.lit(n_shards)
+        ).cast("int")
+    if opts.partition_strategy == "hash":
+        # Spark-native Murmur3 hash-modulo (better avalanche than the
+        # reference's Java hashCode; documented deviation — use
+        # 'hash-compat' when placement parity with a live reference
+        # deployment matters). pmod keeps negatives out.
         return F.pmod(F.hash(*[F.col(k) for k in opts.partition_key]), F.lit(n_shards))
     if opts.partition_strategy == "shuffle":
         return F.floor(F.rand() * n_shards).cast("int")
@@ -59,7 +118,7 @@ def apply_partitioning(
         raise ValueError("n_shards must be positive")
     if opts.partition_strategy == "balanced":
         return df.repartition(n_shards)
-    sid = shard_expr(opts, n_shards, df.columns)
+    sid = shard_expr(opts, n_shards, df.columns, df.schema)
     return df.repartition(n_shards, sid)
 
 
@@ -69,4 +128,6 @@ def with_shard_column(
     """Alternative in-task routing shape: append the shard id as a
     column (for writers that keep per-shard buffers inside one task,
     like the reference's ShardOutputFormat)."""
-    return df.withColumn(SHARD_COLUMN, shard_expr(opts, n_shards, df.columns))
+    return df.withColumn(
+        SHARD_COLUMN, shard_expr(opts, n_shards, df.columns, df.schema)
+    )

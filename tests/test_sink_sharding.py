@@ -243,3 +243,114 @@ def test_write_local_upsert_routes_mutations_per_shard(spark, tmp_path):
         merged += con.execute("SELECT name, grade, rate FROM sink_t").fetchall()
         con.close()
     assert sorted(merged) == [("alice", 1, 11.0), ("carol", 3, 30.0)]
+
+
+# ---------------------------------------------------------------------------
+# hash-compat: reference-exact routing (HashPartitioner.java:18-25)
+# ---------------------------------------------------------------------------
+
+
+def _wrap32_py(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def _java_long_hash(v: int) -> int:
+    u = v & 0xFFFFFFFFFFFFFFFF
+    return _wrap32_py(u ^ (u >> 32))
+
+
+def _java_list_hash_py(values, dtypes) -> int:
+    h = 1
+    for v, dt in zip(values, dtypes):
+        if v is None:
+            hc = 0
+        elif dt == "long":
+            hc = _java_long_hash(v)
+        else:  # int/short/byte: hashCode == the int value
+            hc = v
+        h = _wrap32_py(31 * h + hc)
+    return h
+
+
+def test_hash_compat_matches_java_semantics_exactly(spark):
+    """The hash-compat shard expression reproduces
+    `(Objects.hashCode(List<key>) % n + n) % n` bit for bit — checked
+    against a pure-Python Java emulation over boundary values and a
+    seeded random sample (negative, sign-bit, >32-bit longs)."""
+    import random
+
+    from flink_connectors_spark.sink.partitioner import java_list_hash
+
+    rng = random.Random(0xC0FFEE)
+    vals = [
+        0, 1, -1, 31, -31, 2**31 - 1, -(2**31), 2**31, -(2**31) - 1,
+        2**63 - 1, -(2**63), None,
+    ] + [rng.randint(-(2**63), 2**63 - 1) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.h
+        for r in df.select(
+            "v", java_list_hash(df.schema, ("v",)).alias("h")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == _java_list_hash_py([v], ["long"]), v
+
+
+def test_hash_compat_multi_key_and_int_types(spark):
+    from flink_connectors_spark.sink.partitioner import java_list_hash
+
+    rows = [(5, -3), (-(2**31) + 1, 7), (0, None), (None, None), (-1, -1)]
+    df = spark.createDataFrame(rows, "a int, b long")
+    got = df.select(
+        "a", "b", java_list_hash(df.schema, ("a", "b")).alias("h")
+    ).collect()
+    for r in got:
+        assert r.h == _java_list_hash_py([r.a, r.b], ["int", "long"])
+
+
+def test_hash_compat_routing_is_reference_normalized(spark):
+    """Shard ids come out of the Java-% normalization non-negative and
+    < n, and key-equal rows land on one shard."""
+    from flink_connectors_spark.sink.partitioner import (
+        SHARD_COLUMN,
+        with_shard_column,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in range(-50, 50)] * 2, "k long"
+    )
+    opts = SinkOptions(
+        url="parquet:///tmp/unused", table_name="t",
+        partition_strategy="hash-compat", partition_key=("k",),
+    )
+    routed = with_shard_column(df, opts, 7)
+    per_key = (
+        routed.groupBy("k")
+        .agg(F.countDistinct(SHARD_COLUMN).alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_key)
+    sids = [r[0] for r in routed.select(SHARD_COLUMN).distinct().collect()]
+    assert all(0 <= s < 7 for s in sids)
+
+
+def test_hash_compat_rejects_non_integral_keys(spark):
+    from flink_connectors_spark.sink.partitioner import with_shard_column
+
+    df = spark.createDataFrame([("x", 1)], "s string, k long")
+    opts = SinkOptions(
+        url="parquet:///tmp/unused", table_name="t",
+        partition_strategy="hash-compat", partition_key=("s",),
+    )
+    with pytest.raises(TypeError, match="integral"):
+        with_shard_column(df, opts, 4)
+
+
+def test_hash_compat_requires_partition_key():
+    with pytest.raises(ValueError, match="requires sink.partition-key"):
+        SinkOptions(
+            url="parquet:///tmp/unused", table_name="t",
+            partition_strategy="hash-compat",
+        )
