@@ -125,6 +125,9 @@ HEADLINE = [
     "agg_weighted_median",
     "pipeline_source_gini",
     "anomaly_daily_seasonal",
+    # r6 additions
+    "sink_map_struct_roundtrip",
+    "sink_shard_routing_compat",
 ]
 
 
