@@ -1253,6 +1253,28 @@ def topk_pq_adc(
     unrolled SQL oracle. Returns (query_id, neighbor_id,
     approx_dist, rnk) ranked by ascending approximate squared L2
     distance in original vector units."""
+    codes, luts = _pq_train_encode(
+        queries, corpus, subspaces, codebook_k, iters, scale, id_col, vec_col
+    )
+    return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
+
+
+def _pq_train_encode(
+    queries: DataFrame,
+    corpus: DataFrame,
+    subspaces: int,
+    codebook_k: int,
+    iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """PQ train + encode + per-query lookup-table build, shared by the
+    flat scan (`topk_pq_adc`) and the cluster-routed scan
+    (`topk_ivfpq`). Returns (codes, luts): ``codes`` is the
+    (id, c0..c{m-1}) corpus code table — the only corpus-sized thing
+    the search reads — and ``luts`` one broadcastable per-block
+    (query_id, c{b}, dk{b}) distance table."""
     spark = corpus.sparkSession
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % subspaces != 0:
@@ -1327,9 +1349,24 @@ def topk_pq_adc(
             )
         )
 
-    scored = codes
+    return codes, luts
+
+
+def _pq_adc_rank(
+    scored: DataFrame,
+    luts: list[DataFrame],
+    k: int,
+    subspaces: int,
+    scale: int,
+    id_col: str,
+) -> DataFrame:
+    """ADC scoring tail: join the broadcast per-block lookup tables
+    onto a (possibly cluster-restricted) code table, sum block
+    distances in block order, rank ascending."""
     for b, lut in enumerate(luts):
-        on = [f"c{b}"] if b == 0 else ["query_id", f"c{b}"]
+        on = [f"c{b}"] if b == 0 and "query_id" not in scored.columns else [
+            "query_id", f"c{b}"
+        ]
         scored = scored.join(F.broadcast(lut), on)
     adist = F.round(
         sum(F.col(f"dk{b}") for b in range(subspaces))
@@ -1349,3 +1386,78 @@ def topk_pq_adc(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rnk")
     )
+
+
+def topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    subspaces: int = 2,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1024,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (Jégou et al. 2011;
+    the FAISS `IVFx,PQy` index shape) — coarse routing picks the
+    ``n_probe`` most-promising inverted lists per query, then PQ/ADC
+    scores ONLY those lists' code entries. The registry's
+    `similarity_topk_ivf` (route + exact scan) and
+    `similarity_topk_pq` (flat compressed scan) are each half of
+    this; composed, the scan cost drops twice: n_probe/n_lists of the
+    corpus is touched, and each touched row costs two integer
+    lookups + one add on an m-byte code instead of a d·4-byte dot
+    product.
+
+    Routing mirrors `cosine_topk_ivf`: deterministic per-cluster
+    medoid representatives (min-id), probe ranking by round(cos, 6)
+    desc with cluster-asc tie-break. Codebooks are GLOBAL (trained on
+    the full corpus, not per-list residuals — the IVFADC-without-
+    residuals variant; residual encoding is a quality refinement, not
+    a scale requirement, and global codebooks keep the lookup tables
+    query-only).
+
+    Scale shape: reps broadcast (one row per cluster); probes
+    broadcast (|Q| × n_probe rows); the code table shuffles on
+    nothing — the probe join is map-side against broadcast probes and
+    prunes (1 − n_probe/n_lists) of it before any LUT join; the rank
+    window sees only surviving candidates. At 100 TB the inverted
+    lists would be bucketed/partitioned BY cluster on disk so the
+    probe join becomes partition pruning — the plan shape here is
+    that layout's logical twin.
+
+    Deterministic end-to-end for the same reason as
+    `similarity_topk_pq` (exact-integer codebooks, IEEE-identical
+    division, block-ordered adds) plus `similarity_topk_ivf`'s
+    rounded probe scores. Returns (query_id, neighbor_id,
+    approx_dist, rnk)."""
+    codes, luts = _pq_train_encode(
+        queries, corpus, subspaces, codebook_k, iters, scale, id_col, vec_col
+    )
+    reps = cluster_representatives(corpus, cluster_col, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_score"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn(
+            "rep_score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    routed = codes.join(
+        corpus.select(
+            F.col(id_col), F.col(cluster_col).alias("cluster")
+        ),
+        id_col,
+    ).join(F.broadcast(probes), "cluster")
+    return _pq_adc_rank(routed, luts, k, subspaces, scale, id_col)
