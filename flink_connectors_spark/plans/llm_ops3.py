@@ -887,6 +887,83 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_topk_ivfpq",
+    oracle=f"""
+    WITH {_pq_block("a", 1, 32, 16)},
+    {_pq_block("b", 33, 32, 16)},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 20),
+    reps AS (
+      SELECT label AS cluster, embedding AS rvec FROM (
+        SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.query_id, r.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_sql_cos("q.qvec", "r.rvec")} DESC,
+                            r.cluster) AS pr
+        FROM q CROSS JOIN reps r) t WHERE pr <= 2),
+    memb AS (SELECT vec_id, label AS cluster FROM embeddings),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN memb m ON m.vec_id = c.vec_id
+      JOIN probes p ON p.cluster = m.cluster
+      JOIN luta l0 ON l0.query_id = p.query_id AND l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = p.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "ivf", "pq", "ann", "iterative"),
+    since=7,
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN composition (FAISS `IVFx,PQy`):
+    coarse routing picks each query's 2 most-similar inverted lists
+    (deterministic medoid reps, round(cos,6)-desc/cluster-asc probe
+    ranking — `similarity_topk_ivf`'s routing), then ADC scores ONLY
+    those lists' PQ code entries (`similarity_topk_pq`'s global
+    2×16-codeword codebooks). The oracle unrolls BOTH halves — both
+    per-block Lloyd chains, the encoding, the per-query lookup
+    tables, the probe ranking, the membership restriction, and the
+    final rank — so a drift anywhere in route/train/encode/search
+    fails the value hash. Scan cost drops twice vs brute force:
+    n_probe/n_lists of the corpus is touched, and each touched row
+    costs two integer lookups + one add on a 2-byte code instead of
+    a 64-float dot product."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_ivfpq(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=5,
+        n_probe=2,
+        subspaces=2,
+        codebook_k=16,
+        iters=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenize-to-ids: apply the built vocabulary to the corpus
 # ---------------------------------------------------------------------------

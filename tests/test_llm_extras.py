@@ -754,6 +754,68 @@ def test_pq_adc_recalls_exact_l2_on_clustered_data(spark):
     assert hits / total >= 0.6, f"PQ recall {hits}/{total}"
 
 
+def test_ivfpq_full_probe_equals_flat_pq(spark):
+    """IVF-PQ correctness invariant: with n_probe = n_lists the
+    routing restriction admits EVERY inverted list, so the composed
+    search must be row-for-row identical to the flat PQ scan (same
+    global codebooks, same ADC arithmetic, same tie-breaks). Any
+    divergence means the probe join dropped or duplicated candidates
+    — the one bug class routing can introduce."""
+    from flink_connectors_spark.operators.similarity import (
+        topk_ivfpq,
+        topk_pq_adc,
+    )
+
+    rng = [(i * 37 + 11) % 100 for i in range(1000)]  # deterministic
+    rows = []
+    for i in range(40):
+        base = [float((i % 4 == j) * 10) for j in range(4)] + [
+            float(((i // 4) % 4 == j) * 10) for j in range(4)
+        ]
+        jitter = [(rng[(i * 8 + j) % 1000] - 50) / 500.0 for j in range(8)]
+        rows.append((i, i % 3, [b + e for b, e in zip(base, jitter)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    q = df.filter("vec_id < 6")
+    kwargs = dict(k=3, subspaces=2, codebook_k=4, iters=2)
+    flat = topk_pq_adc(q, df, **kwargs).collect()
+    routed = topk_ivfpq(q, df, n_probe=3, **kwargs).collect()
+    key = lambda r: (r["query_id"], r["rnk"])
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, flat))
+    assert len(flat) == 6 * 3
+
+
+def test_ivfpq_restricts_to_probed_clusters(spark):
+    """With n_probe=1 every reported neighbor must belong to the
+    query's single probed cluster — the routing restriction actually
+    prunes (and self-matches are still excluded)."""
+    from flink_connectors_spark.operators.similarity import topk_ivfpq
+
+    rng = [(i * 53 + 7) % 100 for i in range(1000)]
+    rows = []
+    for i in range(36):
+        base = [float((i % 3 == j) * 10) for j in range(4)] + [
+            float(((i // 3) % 4 == j) * 10) for j in range(4)
+        ]
+        jitter = [(rng[(i * 8 + j) % 1000] - 50) / 500.0 for j in range(8)]
+        rows.append((i, i % 3, [b + e for b, e in zip(base, jitter)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = topk_ivfpq(
+        df.filter("vec_id < 6"), df, k=3, n_probe=1,
+        subspaces=2, codebook_k=4, iters=2,
+    ).collect()
+    label = {i: lab for i, lab, _ in rows}
+    probed = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        probed.setdefault(r["query_id"], set()).add(label[r["neighbor_id"]])
+    for qid, labs in probed.items():
+        assert len(labs) == 1, f"query {qid} escaped its probe: {labs}"
+
+
 def test_bigram_logprob_flags_shuffled_text(spark):
     """The bigram score's reason to exist: text with the SAME unigram
     distribution but broken word order (shuffled salad) must score

@@ -414,6 +414,25 @@ def test_int8_topk_partial_toplimit_no_corpus_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivfpq_probes_broadcast_code_table_unshuffled(spark, sf_dir):
+    """IVF-PQ scale pins: the cluster reps and per-query probe list
+    join the code table as BROADCAST sides (reps = one row per
+    cluster; probes = |Q| x n_probe rows), and the per-query ADC
+    lookup tables broadcast too — so the corpus-sized code table is
+    pruned map-side by the probe join and never shuffles for the
+    routing or the LUT scoring. The only corpus-keyed exchange
+    allowed is the per-block code-id zip (codes join on vec_id) and
+    the final rank-limit exchange, which ships <= |Q| x k rows per
+    partition (WindowGroupLimit Partial before the Exchange)."""
+    plan = _plan(spark, sf_dir, "similarity_topk_ivfpq")
+    # probes + membership + 2 LUTs + codebook broadcasts
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    # the ONLY SortMergeJoin is the two per-block code tables zipping
+    # on vec_id (id + small int each side — the compressed corpus)
+    assert plan.count("SortMergeJoin") <= 2
+
+
 def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     """The correlated LATERAL subquery must decorrelate into the
     window/rank-limit plan — a per-outer-row re-execution (nested
@@ -657,6 +676,11 @@ _SCAN_ALLOWLIST = {
     "q8_market_share": 8,
     "q9_product_profit": 5,
     "similarity_graph_degree": 8,
+    # IVF-PQ composes the two audited halves: PQ train/encode (4, the
+    # similarity_topk_pq shape) + IVF routing (3: reps, membership,
+    # query probes) — each a column-pruned cheap read, none a
+    # re-inlined expensive subtree (r7 audit).
+    "similarity_topk_ivfpq": 7,
 }
 _SCAN_DEFAULT = 4
 
