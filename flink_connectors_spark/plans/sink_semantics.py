@@ -41,6 +41,20 @@ from pyspark.sql.window import Window
 from ..registry import register
 from ..session import load_table
 
+_TMP_CLEANUPS: set[str] = set()
+
+
+def _register_tmp_cleanup(path: str) -> None:
+    """Remove ``path`` at interpreter exit (once per path — repeated
+    plan builds re-use the same session-scoped directory)."""
+    if path in _TMP_CLEANUPS:
+        return
+    import atexit
+    import shutil
+
+    _TMP_CLEANUPS.add(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
 # event_type -> RowKind op code (I / UB / UA / D), chosen so every kind
 # appears: signup=I, click/view=UA, error=D, purchase=UB.
 _OP_SQL = """
@@ -237,6 +251,8 @@ def sink_map_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one key shuffle for the aggregate; the write itself
     is the sink's streaming-batched Arrow path (no driver collect);
     the readback scans only what the sink wrote."""
+    import os
+    import shutil
     import tempfile
 
     from ..sink.options import SinkOptions
@@ -262,7 +278,15 @@ def sink_map_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("all"), F.col("n_orders"), F.lit("open"), F.col("n_open")
         ).alias("counts"),
     )
-    out_dir = tempfile.mkdtemp(prefix="fcs_map_struct_")
+    # Session-scoped fixed directory, rewritten per build: repeated
+    # plan builds (registry sweeps, bench runs) must not accumulate
+    # parquet copies in /tmp, and the readback below stays valid for
+    # this invocation's lifetime. Cleaned at interpreter exit.
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "fcs_map_struct_roundtrip"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _register_tmp_cleanup(out_dir)
     opts = SinkOptions(
         url=f"parquet://{out_dir}", table_name="order_stats"
     )
@@ -284,8 +308,10 @@ def sink_map_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              xor((31 + hc) & 4294967295, 2147483648) - 2147483648 AS h
       FROM (
         SELECT user_id,
-               xor(xor(user_id, (user_id >> 32) & 4294967295)
-                   & 4294967295, 2147483648) - 2147483648 AS hc
+               CASE WHEN user_id IS NULL THEN 0 ELSE
+                 xor(xor(user_id, (user_id >> 32) & 4294967295)
+                     & 4294967295, 2147483648) - 2147483648
+               END AS hc
         FROM events))
     SELECT CAST(((h % 8) + 8) % 8 AS INTEGER) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -306,7 +332,9 @@ def sink_shard_routing_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps every row on the shard the old writer chose (shard-local
     replacing/collapsing state stays consistent mid-migration).
 
-    The oracle rebuilds the same hash in DuckDB integer bit math;
+    The oracle rebuilds the same hash in DuckDB integer bit math
+    (including the null-element rule: a NULL key hashes 0, so a NULL
+    user_id routes to shard (31 % n), same as the Spark expression);
     per-shard row/user counts + key extrema hash-match only if every
     single row routed identically in both engines.
 

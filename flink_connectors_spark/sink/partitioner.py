@@ -42,12 +42,14 @@ def java_list_hash(schema, keys: tuple[str, ...]):
     key values and takes its hashCode: h = 1; h = 31*h + e.hashCode()
     per element, 32-bit overflow arithmetic; null hashes 0).
 
-    Supported key types are the integral ones (Long.hashCode =
-    (int)(v ^ v>>>32); Integer/Short/Byte hash to their int value) —
-    shard keys are ids in practice. Other types raise: a silent
-    fallback to a different hash would route rows to DIFFERENT shards
-    than the reference, which is the one thing this expression exists
-    to prevent."""
+    Supported key types: the integral ones (Long.hashCode =
+    (int)(v ^ v>>>32); Integer/Short/Byte hash to their int value)
+    and String (h = 31*h + codeUnit per UTF-16 code unit — the
+    codegen'd fold expands non-BMP codepoints into their surrogate
+    pair, exactly what Java's char iteration sees). Other types
+    raise: a silent fallback to a different hash would route rows to
+    DIFFERENT shards than the reference, which is the one thing this
+    expression exists to prevent."""
     from pyspark.sql import types as T
 
     h = F.lit(1).cast("long")
@@ -59,15 +61,40 @@ def java_list_hash(schema, keys: tuple[str, ...]):
             hc = _wrap32(v.bitwiseXOR(F.shiftrightunsigned(v, 32)))
         elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
             hc = v  # Integer/Short/Byte.hashCode == the int value
+        elif isinstance(dt, T.StringType):
+            hc = _java_string_hash(F.col(k))
         else:
             raise TypeError(
                 f"hash-compat partition key '{k}' has type "
                 f"{dt.simpleString()}; reference-exact routing is "
-                "implemented for integral keys only"
+                "implemented for integral and string keys only"
             )
         hc = F.when(F.col(k).isNull(), F.lit(0)).otherwise(hc)
         h = _wrap32(h * F.lit(31) + hc)
     return h
+
+
+def _java_string_hash(col):
+    """`java.lang.String.hashCode` as a codegen'd fold: h = 31*h + c
+    over the UTF-16 CODE UNITS (not codepoints — a supplementary
+    character contributes its surrogate pair, two iterations in
+    Java's char loop, so the fold expands cp > 0xFFFF into
+    high/low halves). split('') yields one element per codepoint and
+    [''] for the empty string; empty elements are filtered so '' hashes
+    to 0, matching Java."""
+    chars = F.filter(
+        F.split(col, ""), lambda c: F.length(c) > 0
+    )
+
+    def step(acc, ch):
+        cp = F.ascii(ch).cast("long")
+        bmp = _wrap32(acc * F.lit(31) + cp)
+        hi = F.lit(0xD800) + F.shiftright(cp - F.lit(0x10000), 10)
+        lo = F.lit(0xDC00) + (cp - F.lit(0x10000)).bitwiseAND(F.lit(0x3FF))
+        sup = _wrap32(_wrap32(acc * F.lit(31) + hi) * F.lit(31) + lo)
+        return F.when(cp > F.lit(0xFFFF), sup).otherwise(bmp)
+
+    return F.aggregate(chars, F.lit(0).cast("long"), step)
 
 
 def shard_expr(opts: SinkOptions, n_shards: int, columns: list[str], schema=None):

@@ -260,6 +260,22 @@ def _java_long_hash(v: int) -> int:
     return _wrap32_py(u ^ (u >> 32))
 
 
+def _java_string_hash_py(s: str) -> int:
+    """java.lang.String.hashCode: h = 31*h + c over UTF-16 code
+    units (supplementary codepoints contribute their surrogate
+    pair, matching Java's char iteration)."""
+    h = 0
+    for ch in s:
+        cp = ord(ch)
+        if cp > 0xFFFF:
+            off = cp - 0x10000
+            h = _wrap32_py(31 * h + (0xD800 + (off >> 10)))
+            h = _wrap32_py(31 * h + (0xDC00 + (off & 0x3FF)))
+        else:
+            h = _wrap32_py(31 * h + cp)
+    return h
+
+
 def _java_list_hash_py(values, dtypes) -> int:
     h = 1
     for v, dt in zip(values, dtypes):
@@ -267,6 +283,8 @@ def _java_list_hash_py(values, dtypes) -> int:
             hc = 0
         elif dt == "long":
             hc = _java_long_hash(v)
+        elif dt == "string":
+            hc = _java_string_hash_py(v)
         else:  # int/short/byte: hashCode == the int value
             hc = v
         h = _wrap32_py(31 * h + hc)
@@ -336,15 +354,62 @@ def test_hash_compat_routing_is_reference_normalized(spark):
     assert all(0 <= s < 7 for s in sids)
 
 
-def test_hash_compat_rejects_non_integral_keys(spark):
+def test_hash_compat_string_keys_match_java_semantics(spark):
+    """String shard keys (common in reference deployments) hash with
+    java.lang.String.hashCode semantics — checked against the pure-
+    Python Java emulation over ASCII, accented BMP, supplementary
+    (surrogate-pair), empty, and NULL keys plus a seeded random
+    sample of printable strings."""
+    import random
+    import string as _string
+
+    from flink_connectors_spark.sink.partitioner import java_list_hash
+
+    rng = random.Random(0xBEEF)
+    vals = [
+        "", "a", "abc", "user-42", "héllo wörld", "€uro", "日本語",
+        "a\U0001d11eb",  # surrogate pair in the middle
+        "\U0001f600\U0001f601",  # two supplementary codepoints
+        None,
+    ] + [
+        "".join(
+            rng.choice(_string.printable)
+            for _ in range(rng.randint(1, 30))
+        )
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r.v: r.h
+        for r in df.select(
+            "v", java_list_hash(df.schema, ("v",)).alias("h")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == _java_list_hash_py([v], ["string"]), repr(v)
+
+
+def test_hash_compat_mixed_string_and_long_keys(spark):
+    from flink_connectors_spark.sink.partitioner import java_list_hash
+
+    rows = [("eu-west", 5), ("us-east", -(2**31)), (None, 7), ("", None)]
+    df = spark.createDataFrame(rows, "region string, k long")
+    got = df.select(
+        "region", "k", java_list_hash(df.schema, ("region", "k")).alias("h")
+    ).collect()
+    for r in got:
+        assert r.h == _java_list_hash_py([r.region, r.k], ["string", "long"])
+
+
+def test_hash_compat_rejects_unsupported_key_types(spark):
     from flink_connectors_spark.sink.partitioner import with_shard_column
 
-    df = spark.createDataFrame([("x", 1)], "s string, k long")
+    df = spark.createDataFrame([(1.5, 1)], "s double, k long")
     opts = SinkOptions(
         url="parquet:///tmp/unused", table_name="t",
         partition_strategy="hash-compat", partition_key=("s",),
     )
-    with pytest.raises(TypeError, match="integral"):
+    with pytest.raises(TypeError, match="integral and string"):
         with_shard_column(df, opts, 4)
 
 
