@@ -307,6 +307,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: C(A in B) =
+    |S(A) ∩ S(B)| / |S(A)| — the detector for SUBSET duplicates
+    (a doc quoted or embedded inside a larger doc), which symmetric
+    Jaccard structurally misses: a 100-shingle doc fully contained in
+    a 10,000-shingle doc has Jaccard ~0.01 but containment 1.0 (the
+    Broder 1997 resemblance-vs-containment distinction; modern corpus
+    pipelines gate on both).
+
+    Emits one row per unordered pair with BOTH directed scores and
+    keeps pairs where either direction clears the threshold; the
+    caller drops the contained side (the smaller doc, in practice).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — the self-
+    join shuffles on the blocking key (pair volume bounded by the
+    largest block, never corpus²), shingle-bearing sides pinned to a
+    merge join so the tiny-file size estimate can't broadcast an
+    exploded O(corpus x tokens) relation. The intersection count is
+    computed once per pair and feeds both directed divisions."""
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("__words__"),
+    ).filter(F.size("__words__") >= shingle_n).select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        word_shingles(F.col("__words__"), shingle_n).alias("shingles"),
+    )
+    a = sh.alias("a").hint("merge")
+    b = sh.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    ).cast("double")
+    c12 = F.round(
+        F.try_divide(inter, F.size(F.col("a.shingles")).cast("double")), 6
+    )
+    c21 = F.round(
+        F.try_divide(inter, F.size(F.col("b.shingles")).cast("double")), 6
+    )
+    return (
+        a.join(b, cond)
+        .withColumn("c_d1_in_d2", c12)
+        .withColumn("c_d2_in_d1", c21)
+        .filter(
+            F.greatest(F.col("c_d1_in_d2"), F.col("c_d2_in_d1"))
+            >= threshold
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            "c_d1_in_d2",
+            "c_d2_in_d1",
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",

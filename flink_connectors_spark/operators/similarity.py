@@ -1461,3 +1461,194 @@ def topk_ivfpq(
         id_col,
     ).join(F.broadcast(probes), "cluster")
     return _pq_adc_rank(routed, luts, k, subspaces, scale, id_col)
+
+
+def topk_ivfadc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    subspaces: int = 2,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1024,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-encoded IVFADC (Jégou et al. 2011 §III.C — the exact
+    FAISS `IVFx,PQy` default): PQ codebooks train on RESIDUALS
+    (vector minus its inverted list's representative) instead of raw
+    vectors. Residuals concentrate near the origin, so the same
+    codebook budget spends its codewords on the fine structure the
+    coarse quantizer left behind — the quality step past
+    `topk_ivfpq`'s global-codebook variant. The price: ADC lookup
+    tables become per-(query, probed list) — the query's OWN residual
+    differs per probed list — so LUT volume is
+    |Q| x n_probe x codebook_k per block (still broadcast-sized).
+
+    Determinism: residuals are exact integer differences of
+    quantized units (round(v*scale) - round(rep*scale)); dividing by
+    the power-of-two scale is an exact exponent shift, so the Lloyd
+    chains see bit-identical values in both engines; the ADC cell
+    distance is the same exact-ints-into-one-IEEE-division expression
+    the k-means assignment uses; probe ranking reuses
+    `topk_ivfpq`'s round(cos, 6) tie-broken ordering.
+
+    Scale shape: reps broadcast (one row per list, checkpointed —
+    consumed by probe ranking, residual build, and LUT build); the
+    residual transform is codegen'd zip_with (the corpus never
+    shuffles for it — membership join against broadcast reps); code
+    table and probe-restricted scoring mirror `topk_ivfpq` (the LUT
+    inner join IS the probe restriction: LUT rows exist only for
+    probed (query, list) pairs). At 100 TB the inverted lists are
+    disk-partitioned by list id and the residual encode is a map-only
+    pass. Returns (query_id, neighbor_id, approx_dist, rnk)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = corpus.sparkSession
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by {subspaces} blocks")
+    width = dim // subspaces
+
+    reps = cluster_representatives(
+        corpus, cluster_col, id_col, vec_col
+    ).select(
+        "cluster",
+        "rvec",
+        F.transform(
+            "rvec", lambda v: F.round(v.cast("double") * scale).cast("long")
+        ).alias("rq"),
+    ).localCheckpoint(eager=True)  # k rows; 3 consumers below
+
+    # Residuals in original units: exact int difference / 2^scale-shift
+    # (rq_res/scale is exactly representable, and the kmeans build's
+    # round(x*scale) round-trips it to the same integers the oracle
+    # computes directly).
+    memb = corpus.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).alias("v"),
+    )
+    res = memb.join(
+        F.broadcast(reps.select("cluster", "rq")), "cluster"
+    ).select(
+        F.col(id_col),
+        "cluster",
+        F.zip_with(
+            "v",
+            "rq",
+            lambda x, r: (
+                F.round(x.cast("double") * scale).cast("long") - r
+            ).cast("double")
+            / scale,
+        ).alias("res"),
+    ).localCheckpoint(eager=True)  # consumed by `subspaces` builds
+
+    def _build(b: int):
+        sub = res.select(
+            F.col(id_col),
+            F.slice(F.col("res"), b * width + 1, width).alias("sub"),
+        )
+        return kmeans_assign_quantized(
+            sub,
+            k=codebook_k,
+            iters=iters,
+            scale=scale,
+            id_col=id_col,
+            vec_col="sub",
+        )
+
+    with ThreadPoolExecutor(max_workers=subspaces) as pool:
+        assigns = list(pool.map(_build, range(subspaces)))
+
+    codes = None
+    for b, assign in enumerate(assigns):
+        part = assign.select(F.col(id_col), F.col("cluster").alias(f"c{b}"))
+        codes = part if codes is None else codes.join(part, id_col)
+
+    # Probe ranking (round(cos,6) desc, cluster asc) + per-probe query
+    # residual in quantized units.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.transform(
+            vec_col, lambda v: F.round(v.cast("double") * scale).cast("long")
+        ).alias("qq"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_score"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn(
+            "rep_score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(
+            "query_id",
+            "cluster",
+            F.zip_with("qq", "rq", lambda x, r: x - r).alias("qres"),
+        )
+        .localCheckpoint(eager=True)  # |Q| x n_probe rows; per-block use
+    )
+
+    # Per-block, per-(query, probed list) ADC lookup tables.
+    luts = []
+    for b, assign in enumerate(assigns):
+        cb = assign._fcs_centroids
+        cent = spark.createDataFrame(
+            [(cl, s, c) for cl, s, c in cb],
+            "codeword int, s array<long>, c long",
+        )
+        sub = F.slice(F.col("qres"), b * width + 1, width)
+        sq = F.aggregate(
+            F.zip_with(
+                sub,
+                F.col("s"),
+                lambda x, sv: (F.col("c") * x - sv) * (F.col("c") * x - sv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        luts.append(
+            probes.crossJoin(F.broadcast(cent)).select(
+                "query_id",
+                "cluster",
+                F.col("codeword").alias(f"c{b}"),
+                (
+                    sq.cast("double")
+                    / (F.col("c") * F.col("c")).cast("double")
+                ).alias(f"dk{b}"),
+            )
+        )
+
+    scored = codes.join(
+        memb.select(F.col(id_col), "cluster"), id_col
+    )
+    for b, lut in enumerate(luts):
+        on = ["cluster", f"c{b}"] if b == 0 else [
+            "query_id", "cluster", f"c{b}"
+        ]
+        scored = scored.join(F.broadcast(lut), on)
+    adist = F.round(
+        sum(F.col(f"dk{b}") for b in range(subspaces))
+        / float(scale * scale),
+        6,
+    )
+    scored = scored.filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        adist.alias("approx_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    )

@@ -323,6 +323,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    blocked AS (
+      SELECT d.lang, d.source, s.doc_id, s.shingles
+      FROM documents d JOIN sh s ON d.doc_id = s.doc_id),
+    paired AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               AS inter,
+             CAST(len(a.shingles) AS DOUBLE) AS na,
+             CAST(len(b.shingles) AS DOUBLE) AS nb
+      FROM blocked a JOIN blocked b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id)
+    SELECT d1, d2,
+           round(inter / na, 6) AS c_d1_in_d2,
+           round(inter / nb, 6) AS c_d2_in_d1
+    FROM paired
+    WHERE greatest(round(inter / na, 6), round(inter / nb, 6)) >= 0.5
+    """,
+    tags=("llm", "dedup", "ngram", "containment"),
+    since=7,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (Broder 1997): a doc
+    quoted inside a much larger doc scores ~1.0 here but near 0 on
+    Jaccard — the subset-duplicate detector symmetric dedup misses.
+    Both directed scores per pair; either direction >= 0.5 keeps the
+    pair. Same blocked self-join shape (and scale bound) as
+    `dedup_ngram_jaccard`."""
+    return D.ngram_containment_pairs(
+        _load(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        threshold=0.5,
+    )
+
+
 _SIMHASH_BITS = 16
 _VOTE_COLS = ", ".join(f"SUM((h >> {j}) & 1) AS s{j}" for j in range(_SIMHASH_BITS))
 _FP_EXPR = " + ".join(

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..registry import register
+from ..session import load_table
 from .llm_ops import (
     _BAND,
     _MINHASH_K,
@@ -597,4 +598,78 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout effectiveness audit (r7)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _sql_morton2(r0: str, r1: str, bits: int) -> str:
+    """DuckDB bit-interleave of two `bits`-bit ranks — the same
+    shift/and/or expansion `operators.scale.morton_code` codegens."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({r0} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({r1} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "pipeline_zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT user_id AS d0,
+             CAST(round(value * 100) AS BIGINT) AS d1
+      FROM events),
+    b AS (
+      SELECT MIN(d0) AS mn0, MAX(d0) AS mx0,
+             MIN(d1) AS mn1, MAX(d1) AS mx1
+      FROM dims),
+    ranked AS (
+      SELECT d0, d1,
+             CAST(floor((d0 - mn0) * {(1 << _Z_BITS) - 1}
+                        / greatest(mx0 - mn0, 1)) AS BIGINT) AS r0,
+             CAST(floor((d1 - mn1) * {(1 << _Z_BITS) - 1}
+                        / greatest(mx1 - mn1, 1)) AS BIGINT) AS r1
+      FROM dims CROSS JOIN b),
+    coded AS (
+      SELECT d0, d1,
+             ({_sql_morton2("r0", "r1", _Z_BITS)}) >> {_Z_BITS} AS zbucket
+      FROM ranked)
+    SELECT zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(d0) AS min_user, MAX(d0) AS max_user,
+           MIN(d1) AS min_cents, MAX(d1) AS max_cents
+    FROM coded GROUP BY zbucket
+    """,
+    tags=("pipeline", "layout", "zorder", "scale"),
+    since=7,
+)
+def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit — the per-file min/max report behind
+    Delta/Iceberg OPTIMIZE ZORDER, driver-verified: events rows are
+    min-max-normalized on (user_id, value-cents), bit-interleaved
+    into a Morton code (`operators.scale.morton_code` — the same
+    codegen'd key `write_zordered` lays files out by), and grouped
+    into 2^8 layout buckets ≈ files. Each bucket's [min, max] spans
+    narrow ranges in BOTH dimensions at once — the property that lets
+    parquet row-group stats prune a 100 TB scan filtering on EITHER
+    column, where a single-column sort prunes only its leading key.
+    The normalize/interleave is exact IEEE-step arithmetic (int
+    products into one correctly-rounded double division + floor), so
+    bucket assignment value-hashes cross-engine; the report is one
+    bounded-key shuffle (256 groups)."""
+    from ..operators.scale import zorder_layout_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    return zorder_layout_audit(
+        ev,
+        [F.col("user_id"), F.round(F.col("value") * 100).cast("long")],
+        ["user", "cents"],
+        bits=_Z_BITS,
+        bucket_bits=_Z_BITS,
     )

