@@ -126,10 +126,16 @@ def minhash_lsh_pairs(
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     # The shingle set feeds four plan branches (both band-join sides
-    # and both verify sides); persist it so the tokenize+shingle work
-    # runs once. At cluster scale this is the standard
-    # signature-table materialization step of an LSH pipeline.
-    shingled = with_shingles(df, text_col, id_col, shingle_n).persist()
+    # and both verify sides); its consumers launch CONCURRENTLY as
+    # the action's first stages, so a lazy .persist() races — every
+    # side recomputes tokenize+shingle before the cache fills (the
+    # eager/lazy rule; r7 A/B at sf0.1, interleaved one-session:
+    # eager 1.39-1.59 s vs lazy 1.99-2.50 s). Eager localCheckpoint
+    # is the standard signature-table materialization step of an LSH
+    # pipeline anyway.
+    shingled = with_shingles(df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     sig = minhash_signatures(shingled, num_hashes)
     bands = F.array(
         *[
@@ -139,7 +145,8 @@ def minhash_lsh_pairs(
     )
     bt = sig.select(
         F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
-    ).persist()  # both sides of the self-join read it: hash once, not twice
+    ).localCheckpoint(eager=True)  # self-join sides launch together:
+    # eager, or both race the cache and hash twice (same A/B as above)
     # merge-hint: equal-size self-join sides, never broadcast either
     a = bt.alias("a").hint("merge")
     b = bt.alias("b")
