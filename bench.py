@@ -128,6 +128,11 @@ HEADLINE = [
     # r6 additions
     "sink_map_struct_roundtrip",
     "sink_shard_routing_compat",
+    # r7 additions
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfadc",
+    "dedup_ngram_containment",
+    "pipeline_zorder_layout",
 ]
 
 
