@@ -133,6 +133,8 @@ HEADLINE = [
     "similarity_topk_ivfadc",
     "dedup_ngram_containment",
     "pipeline_zorder_layout",
+    "dedup_containment_keeplist",
+    "pipeline_zorder_skipping_gain",
 ]
 
 

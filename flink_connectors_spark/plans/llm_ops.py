@@ -13,6 +13,7 @@ value-for-value.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -359,6 +360,73 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "documents"),
         block_cols=["lang", "source"],
         threshold=0.5,
+    )
+
+
+_CONTAIN_PAIRS_CTE = f"""{_SHINGLES_CTE},
+    blocked AS (
+      SELECT d.lang, d.source, s.doc_id, s.shingles
+      FROM documents d JOIN sh s ON d.doc_id = s.doc_id),
+    cpairs AS (
+      SELECT d1, d2,
+             round(inter / na, 6) AS c12, round(inter / nb, 6) AS c21
+      FROM (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 AS inter,
+               CAST(len(a.shingles) AS DOUBLE) AS na,
+               CAST(len(b.shingles) AS DOUBLE) AS nb
+        FROM blocked a JOIN blocked b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id) t)"""
+
+
+@register(
+    "dedup_containment_keeplist",
+    oracle=f"""
+    WITH {_CONTAIN_PAIRS_CTE},
+    drops AS (
+      SELECT d1 AS doc_id FROM cpairs WHERE c12 >= 0.5 AND c21 < 0.5
+      UNION
+      SELECT d2 FROM cpairs WHERE c21 >= 0.5)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d LEFT JOIN drops x ON d.doc_id = x.doc_id
+    WHERE x.doc_id IS NULL
+    """,
+    tags=("llm", "dedup", "containment", "apply"),
+    since=7,
+)
+def dedup_containment_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment CUT: every doc that is contained (>= 0.5 of
+    its shingles) inside another doc is dropped — quoted/embedded
+    subset duplicates leave the corpus, the container survives.
+    Mutual containment (near-identical pair) keeps the lower id, so
+    the rule is deterministic: with pairs ordered d1 < d2, drop d1
+    when only it is contained, drop d2 whenever it is contained.
+    Survivors = corpus ANTI JOIN drops — duplicate-sized, like
+    `dedup_apply_keeplist`; the pair pass is the blocked LSH-class
+    self-join, never corpus²."""
+    docs = _load(spark, sf_dir, "documents")
+    # pair-list-sized, two consumers launching together (both drop
+    # branches): eager-checkpoint per the materialization rule
+    pairs = D.ngram_containment_pairs(
+        docs, block_cols=["lang", "source"], threshold=0.5
+    ).localCheckpoint(eager=True)
+    thr = F.lit(0.5)
+    drops = (
+        pairs.filter(
+            (F.col("c_d1_in_d2") >= thr) & (F.col("c_d2_in_d1") < thr)
+        )
+        .select(F.col("d1").alias("doc_id"))
+        .unionByName(
+            pairs.filter(F.col("c_d2_in_d1") >= thr).select(
+                F.col("d2").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
     )
 
 

@@ -673,3 +673,113 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_Z_BITS,
         bucket_bits=_Z_BITS,
     )
+
+
+@register(
+    "pipeline_zorder_skipping_gain",
+    oracle=f"""
+    WITH dims AS (
+      SELECT user_id AS d0,
+             CAST(round(value * 100) AS BIGINT) AS d1
+      FROM events),
+    b AS (
+      SELECT MIN(d0) AS mn0, MAX(d0) AS mx0,
+             MIN(d1) AS mn1, MAX(d1) AS mx1
+      FROM dims),
+    ranked AS (
+      SELECT d0, d1,
+             CAST(floor((d0 - mn0) * {(1 << _Z_BITS) - 1}
+                        / greatest(mx0 - mn0, 1)) AS BIGINT) AS r0,
+             CAST(floor((d1 - mn1) * {(1 << _Z_BITS) - 1}
+                        / greatest(mx1 - mn1, 1)) AS BIGINT) AS r1
+      FROM dims CROSS JOIN b),
+    coded AS (
+      SELECT d0, d1,
+             ({_sql_morton2("r0", "r1", _Z_BITS)}) >> {_Z_BITS} AS zbucket
+      FROM ranked),
+    buckets AS (
+      SELECT zbucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(d0) AS min_user, MAX(d0) AS max_user,
+             MIN(d1) AS min_cents, MAX(d1) AS max_cents
+      FROM coded GROUP BY zbucket),
+    preds AS (
+      SELECT mn0 + ((mx0 - mn0) * 4) // 10 AS u_lo,
+             mn0 + ((mx0 - mn0) * 5) // 10 AS u_hi,
+             mn1 + ((mx1 - mn1) * 9) // 10 AS c_lo
+      FROM b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN max_user < u_lo OR min_user > u_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS skip_user_band,
+           CAST(SUM(CASE WHEN max_cents < c_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS skip_cents_tail,
+           CAST(SUM(CASE WHEN max_user < u_lo OR min_user > u_hi
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_skipped_user,
+           CAST(SUM(CASE WHEN max_cents < c_lo THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_skipped_cents
+    FROM buckets CROSS JOIN preds
+    """,
+    tags=("pipeline", "layout", "zorder", "scale"),
+    since=7,
+)
+def pipeline_zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order payoff, measured: against the 256-bucket layout of
+    `pipeline_zorder_layout`, how many buckets (≈ files at 100 TB)
+    does min/max pruning SKIP for two canonical predicates — a 10%
+    user-id band (the multi-tenant slice query) and a top-decile
+    value filter (the high-ticket scan)? Thresholds derive from the
+    global bounds by exact integer arithmetic, a bucket is skippable
+    exactly when its [min, max] excludes the predicate — the same
+    decision parquet row-group stats make — and the report counts
+    skipped buckets AND skipped rows for both predicates on DIMENSION
+    2 AND DIMENSION 1 *of the same layout*: the number a plain sort
+    can only deliver for its leading column. One-row output; the
+    bucket table is 256 rows, checkpointed across its two consumers
+    (bounds + skip counts)."""
+    from ..operators.scale import zorder_layout_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    audit = zorder_layout_audit(
+        ev,
+        [F.col("user_id"), F.round(F.col("value") * 100).cast("long")],
+        ["user", "cents"],
+        bits=_Z_BITS,
+        bucket_bits=_Z_BITS,
+    ).localCheckpoint(eager=True)  # 256 rows, 2 consumers
+    bounds = F.broadcast(
+        audit.agg(
+            F.min("min_user").alias("mn0"),
+            F.max("max_user").alias("mx0"),
+            F.min("min_cents").alias("mn1"),
+            F.max("max_cents").alias("mx1"),
+        ).select(
+            (
+                F.col("mn0")
+                + F.floor((F.col("mx0") - F.col("mn0")) * 4 / 10)
+            ).alias("u_lo"),
+            (
+                F.col("mn0")
+                + F.floor((F.col("mx0") - F.col("mn0")) * 5 / 10)
+            ).alias("u_hi"),
+            (
+                F.col("mn1")
+                + F.floor((F.col("mx1") - F.col("mn1")) * 9 / 10)
+            ).alias("c_lo"),
+        )
+    )
+    skip_u = (F.col("max_user") < F.col("u_lo")) | (
+        F.col("min_user") > F.col("u_hi")
+    )
+    skip_c = F.col("max_cents") < F.col("c_lo")
+    return audit.crossJoin(bounds).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(skip_u.cast("long")).alias("skip_user_band"),
+        F.sum(skip_c.cast("long")).alias("skip_cents_tail"),
+        F.sum(F.when(skip_u, F.col("n_rows")).otherwise(0)).alias(
+            "rows_skipped_user"
+        ),
+        F.sum(F.when(skip_c, F.col("n_rows")).otherwise(0)).alias(
+            "rows_skipped_cents"
+        ),
+    )

@@ -883,6 +883,40 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     assert jac == []
 
 
+def test_containment_keeplist_drops_contained_keeps_container(spark, sf_dir):
+    """The cut rule: a doc contained in a larger doc is dropped and
+    its container survives; a mutually-contained (near-identical)
+    pair keeps the LOWER id. Checked against the registered query's
+    own fn on a fixture where both cases exist."""
+    from flink_connectors_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from flink_connectors_spark.registry import all_specs
+
+    survivors = {
+        r["doc_id"]
+        for r in all_specs()["dedup_containment_keeplist"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    from flink_connectors_spark.plans.llm_ops import _load
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(
+        docs, block_cols=["lang", "source"], threshold=0.5
+    ).collect()
+    assert pairs, "fixture must produce at least one containment pair"
+    for p in pairs:
+        if p["c_d1_in_d2"] >= 0.5 and p["c_d2_in_d1"] < 0.5:
+            assert p["d1"] not in survivors
+        if p["c_d2_in_d1"] >= 0.5:
+            assert p["d2"] not in survivors
+        if p["c_d1_in_d2"] >= 0.5 and p["c_d2_in_d1"] >= 0.5:
+            # mutual: lower id survives unless itself contained
+            # elsewhere; the higher id must be gone
+            assert p["d2"] not in survivors
+
+
 def test_bigram_logprob_flags_shuffled_text(spark):
     """The bigram score's reason to exist: text with the SAME unigram
     distribution but broken word order (shuffled salad) must score
