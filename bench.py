@@ -135,6 +135,7 @@ HEADLINE = [
     "pipeline_zorder_layout",
     "dedup_containment_keeplist",
     "pipeline_zorder_skipping_gain",
+    "similarity_recall_ivfadc",
 ]
 
 

@@ -1794,10 +1794,7 @@ _QINT = (
 )
 
 
-@register(
-    "similarity_topk_ivfadc",
-    oracle=f"""
-    WITH reps AS (
+_IVFADC_CTES = f"""reps AS (
       SELECT label AS cluster, embedding AS rvec FROM (
         SELECT label, embedding,
                row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
@@ -1845,7 +1842,13 @@ _QINT = (
       SELECT query_id, neighbor_id, approx_dist,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY approx_dist, neighbor_id) AS rnk
-      FROM scored)
+      FROM scored)"""
+
+
+@register(
+    "similarity_topk_ivfadc",
+    oracle=f"""
+    WITH {_IVFADC_CTES}
     SELECT query_id, neighbor_id, approx_dist, rnk
     FROM ranked WHERE rnk <= 5
     """,
@@ -1876,3 +1879,63 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook_k=16,
         iters=2,
     )
+
+
+@register(
+    "similarity_recall_ivfadc",
+    oracle=f"""
+    WITH {_IVFADC_CTES},
+    ann AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+    bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    bf_scored AS (
+      SELECT bfq.query_id, bfc.neighbor_id,
+             {_sql_cos("bfq.qvec", "bfc.cvec")} AS score
+      FROM bfc CROSS JOIN bfq
+      WHERE bfc.neighbor_id <> bfq.query_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored) t WHERE rnk <= 5),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN ann ON bf.query_id = ann.query_id
+                      AND bf.neighbor_id = ann.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT b.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "ann", "qa", "residual", "iterative"),
+    since=7,
+)
+def similarity_recall_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of residual IVFADC against exact brute-force cosine,
+    per query — the go/no-go QA gate before the compressed index
+    replaces brute force (the same audit `similarity_recall_audit`
+    runs for sign-LSH and `similarity_recall_int8` for the int8
+    scan; every ANN rung gets its recall meter). The oracle replays
+    the ENTIRE IVFADC lifecycle (reps, residuals, both Lloyd chains,
+    encode, probe, LUT, rank) AND the brute-force side, then the
+    hit-count compare. Audit joins are |Q| x k-sized — at 100 TB the
+    exact side runs over a query sample so monitoring cost is
+    independent of corpus size. Note the metric is honest about
+    compression: ADC distance ties within a PQ cell rank by
+    neighbor id, so recall < 1.0 is expected and the number to WATCH
+    is round-over-round drift, not the absolute."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    approx = S.topk_ivfadc(
+        q, emb, k=5, n_probe=2, subspaces=2, codebook_k=16, iters=2
+    )
+    return S.topk_recall_audit(exact, approx, k=5)

@@ -433,6 +433,19 @@ def test_ivfpq_probes_broadcast_code_table_unshuffled(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 2
 
 
+def test_ivfadc_residual_build_checkpointed_luts_broadcast(spark, sf_dir):
+    """Residual IVFADC scale pins: the reps and residual frames are
+    checkpoint-materialized (Scan ExistingRDD — the residual build
+    runs once, not per block), the per-(query, probed list) ADC
+    lookup tables and membership join broadcast, and the rank limits
+    before the final exchange."""
+    plan = _plan(spark, sf_dir, "similarity_topk_ivfadc")
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # memb + 2 LUTs
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert plan.count("SortMergeJoin") <= 2  # per-block code-id zip only
+
+
 def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     """The correlated LATERAL subquery must decorrelate into the
     window/rank-limit plan — a per-outer-row re-execution (nested
