@@ -136,6 +136,7 @@ HEADLINE = [
     "dedup_containment_keeplist",
     "pipeline_zorder_skipping_gain",
     "similarity_recall_ivfadc",
+    "embedding_matryoshka_audit",
 ]
 
 

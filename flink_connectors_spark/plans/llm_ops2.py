@@ -783,3 +783,75 @@ def pipeline_zorder_skipping_gain(spark: SparkSession, sf_dir: str) -> DataFrame
             "rows_skipped_cents"
         ),
     )
+
+
+@register(
+    "embedding_matryoshka_audit",
+    oracle=f"""
+    WITH bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT bfq.query_id, bfc.neighbor_id,
+               row_number() OVER (PARTITION BY bfq.query_id
+                   ORDER BY {_sql_cos("bfq.qvec", "bfc.cvec")} DESC,
+                            bfc.neighbor_id) AS rnk
+        FROM bfc CROSS JOIN bfq
+        WHERE bfc.neighbor_id <> bfq.query_id) t WHERE rnk <= 5),
+    tq AS (SELECT vec_id AS query_id,
+                  list_slice(embedding, 1, 32) AS qvec
+           FROM embeddings WHERE vec_id < 20),
+    tc AS (SELECT vec_id AS neighbor_id,
+                  list_slice(embedding, 1, 32) AS cvec
+           FROM embeddings),
+    tr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT tq.query_id, tc.neighbor_id,
+               row_number() OVER (PARTITION BY tq.query_id
+                   ORDER BY {_sql_cos("tq.qvec", "tc.cvec")} DESC,
+                            tc.neighbor_id) AS rnk
+        FROM tc CROSS JOIN tq
+        WHERE tc.neighbor_id <> tq.query_id) t WHERE rnk <= 5),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN tr ON bf.query_id = tr.query_id
+                     AND bf.neighbor_id = tr.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT b.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "embedding", "qa", "matryoshka"),
+    since=7,
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022 MRL; the
+    dimension-adaptive retrieval now standard in embedding serving):
+    recall@5 of cosine top-k computed on the FIRST 32 of 64
+    dimensions against the full-dimension answer — the measurement
+    that decides whether the index can store/scan HALF the bytes
+    (truncate-then-search) before any re-rank pass. Same |Q| x k
+    audit-join shape as the other recall meters; the truncated scan
+    is the point: at 100 TB, halving the vector width halves the
+    memory-bandwidth bill of every brute-force or IVF scan, and this
+    number says what that costs in recall. Both sides' ranking math
+    is the engine-stable round(cos,6) fold."""
+    emb = _load(spark, sf_dir, "embeddings")
+
+    def half(df):
+        return df.select(
+            "vec_id",
+            F.slice("embedding", 1, 32).alias("embedding"),
+            "label",
+        )
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    trunc = S.cosine_topk_bruteforce(half(q), half(emb), k=5)
+    return S.topk_recall_audit(exact, trunc, k=5)

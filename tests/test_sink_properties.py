@@ -377,3 +377,49 @@ def test_precompact_upsert_equivalence_random(spark, logs):
     pks = [pk for pk, *_ in compacted]
     assert len(pks) == len(set(pks))
     assert all(op != "UB" for *_, op in compacted)
+
+
+# ---------------------------------------------------------------------------
+# hash-compat string keys: property vs the pure-Python Java emulation
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(
+            # full unicode incl. supplementary planes; exclude
+            # surrogates (not encodable as real text)
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x10FFFF
+            ),
+            max_size=24,
+        )
+        | st.none(),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_java_string_hash_property_matches_emulation(spark, vals):
+    """For arbitrary unicode strings (incl. supplementary codepoints
+    -> surrogate pairs in Java's char view) and NULLs, the codegen'd
+    hash-compat expression equals java.lang.String.hashCode exactly
+    (via the pure-Python emulation in test_sink_sharding)."""
+    from test_sink_sharding import _java_list_hash_py
+
+    from flink_connectors_spark.sink.partitioner import java_list_hash
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r.v: r.h
+        for r in df.select(
+            "v", java_list_hash(df.schema, ("v",)).alias("h")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == _java_list_hash_py([v], ["string"]), repr(v)
