@@ -137,6 +137,7 @@ HEADLINE = [
     "pipeline_zorder_skipping_gain",
     "similarity_recall_ivfadc",
     "embedding_matryoshka_audit",
+    "events_pattern_match",
 ]
 
 

@@ -1945,3 +1945,79 @@ def events_interarrival_burstiness(
         F.round(mu, 6).alias("mean_gap_s"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-shape event pattern matching (r7)
+# ---------------------------------------------------------------------------
+
+_SYM_SQL = """CASE event_type WHEN 'signup' THEN 's'
+                    WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' ELSE 'e' END"""
+_PATTERN = "s[vc]*p"
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH sym AS (
+      SELECT user_id, {_SYM_SQL} AS sy, ts, event_id FROM events),
+    seq AS (
+      SELECT user_id,
+             string_agg(sy, '' ORDER BY ts, event_id) AS s
+      FROM sym GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, '{_PATTERN}')) AS BIGINT)
+             AS n_matches,
+           regexp_extract(s, '{_PATTERN}') AS first_match
+    FROM seq
+    """,
+    tags=("events", "pattern", "match_recognize", "temporal"),
+    since=7,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shape row-pattern matching — the Flink SQL
+    1.12 surface feature (`MATCH_RECOGNIZE PATTERN (S V* P)`) Spark
+    SQL lacks natively, emulated exactly: each user's event history
+    becomes an ordered symbol string (one char per event, ordered by
+    (ts, event_id) so ties are deterministic), and the pattern
+    signup -> (view|click)* -> purchase compiles to the regex
+    's[vc]*p' evaluated per user — n_matches is the non-overlapping
+    left-to-right match count (MATCH_RECOGNIZE AFTER MATCH SKIP PAST
+    LAST ROW semantics), first_match the first matched symbol run.
+
+    Scale shape: ONE user-keyed shuffle builds the per-user sequence
+    (array_sort of (ts, event_id, sym) structs — no window, no
+    second exchange), then the regex is a codegen'd per-row scalar
+    over strings whose length is the user's event count. At 100 TB
+    this is the same cost class as sessionization: the sequence
+    build IS the shuffle, pattern evaluation is free. Greedy-regex
+    semantics are engine-identical here because the quantified class
+    [vc] excludes both anchors."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = ev.select(
+        "user_id",
+        F.expr(_SYM_SQL).alias("sy"),
+        "ts",
+        "event_id",
+    )
+    seq = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "sy"))
+                ),
+                lambda st: st["sy"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.regexp_count(F.col("s"), F.lit(_PATTERN))
+        .cast("long")
+        .alias("n_matches"),
+        F.regexp_extract(F.col("s"), _PATTERN, 0).alias("first_match"),
+    )

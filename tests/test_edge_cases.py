@@ -406,3 +406,54 @@ def test_connected_components_two_phase_convergence_count(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {i: 0 for i in range(5)}
+
+
+def test_pattern_match_skip_past_last_row_semantics(spark):
+    """MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW: matches are
+    counted non-overlapping left-to-right, the quantifier is greedy,
+    and users with no complete pattern report 0 with an empty
+    first_match. Pinned on a hand-built sequence."""
+    import datetime as dt
+
+    from flink_connectors_spark.registry import all_specs
+    import tempfile, os, shutil
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: s v v p | s c p  -> 2 matches, first 'svvp'
+    # user 2: v p s v         -> 0 matches (no terminal p after s)
+    # user 3: s p             -> 1 match 'sp'
+    events = {
+        1: ["signup", "view", "view", "purchase", "signup", "click",
+            "purchase"],
+        2: ["view", "purchase", "signup", "view"],
+        3: ["signup", "purchase"],
+    }
+    rows = []
+    eid = 0
+    for uid, seq in events.items():
+        for i, et in enumerate(seq):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=i), uid, et, 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out_dir = tempfile.mkdtemp(prefix="fcs_pattern_fixture_")
+    try:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet")
+        )
+        got = {
+            r["user_id"]: (r["n_matches"], r["first_match"])
+            for r in all_specs()["events_pattern_match"]
+            .fn(spark, out_dir)
+            .collect()
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    assert got[1] == (2, "svvp")
+    assert got[2] == (0, "")
+    assert got[3] == (1, "sp")
