@@ -1995,29 +1995,13 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     build IS the shuffle, pattern evaluation is free. Greedy-regex
     semantics are engine-identical here because the quantified class
     [vc] excludes both anchors."""
+    from ..operators.sequence import match_recognize
+
     ev = load_table(spark, sf_dir, "events")
-    sym = ev.select(
-        "user_id",
-        F.expr(_SYM_SQL).alias("sy"),
-        "ts",
-        "event_id",
-    )
-    seq = sym.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ts", "event_id", "sy"))
-                ),
-                lambda st: st["sy"],
-            ),
-            "",
-        ).alias("s")
-    )
-    return seq.select(
-        "user_id",
-        F.length("s").cast("long").alias("n_events"),
-        F.regexp_count(F.col("s"), F.lit(_PATTERN))
-        .cast("long")
-        .alias("n_matches"),
-        F.regexp_extract(F.col("s"), _PATTERN, 0).alias("first_match"),
+    return match_recognize(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        symbol=F.expr(_SYM_SQL),
+        pattern=_PATTERN,
     )

@@ -457,3 +457,38 @@ def test_pattern_match_skip_past_last_row_semantics(spark):
     assert got[1] == (2, "svvp")
     assert got[2] == (0, "")
     assert got[3] == (1, "sp")
+
+
+def test_match_recognize_operator_custom_pattern_and_keys(spark):
+    """The general operator: composite keys, custom classifier and
+    pattern. Sessions alternating a/b: pattern '(ab)+' greedily
+    matches the longest run, SKIP PAST LAST ROW counts runs."""
+    from flink_connectors_spark.operators.sequence import match_recognize
+    from pyspark.sql import functions as F
+    import pytest
+
+    rows = [
+        # (region, uid, seq_no, kind)
+        ("eu", 1, 1, "a"), ("eu", 1, 2, "b"), ("eu", 1, 3, "a"),
+        ("eu", 1, 4, "b"), ("eu", 1, 5, "x"), ("eu", 1, 6, "a"),
+        ("eu", 1, 7, "b"),
+        ("us", 1, 1, "b"), ("us", 1, 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "region string, uid long, seq_no long, kind string"
+    )
+    got = {
+        (r["region"], r["uid"]): (r["n_events"], r["n_matches"],
+                                  r["first_match"])
+        for r in match_recognize(
+            df,
+            key_cols=["region", "uid"],
+            order_cols=["seq_no"],
+            symbol=F.col("kind"),
+            pattern="(ab)+",
+        ).collect()
+    }
+    assert got[("eu", 1)] == (7, 2, "abab")  # greedy run, then 'ab'
+    assert got[("us", 1)] == (2, 0, "")
+    with pytest.raises(ValueError):
+        match_recognize(df, [], ["seq_no"], F.col("kind"), "a")
