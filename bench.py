@@ -138,6 +138,8 @@ HEADLINE = [
     "similarity_recall_ivfadc",
     "embedding_matryoshka_audit",
     "events_pattern_match",
+    "dedup_simhash_pairs",
+    "sample_uniform_hash",
 ]
 
 

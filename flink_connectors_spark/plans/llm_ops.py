@@ -1290,6 +1290,75 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register(
+    "sample_uniform_hash",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(concat('0x', substr(
+            md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 20
+    """,
+    tags=("llm", "sampling"),
+    since=7,
+)
+def sample_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain deterministic ~20% uniform sample (md5-bucket on the
+    key) — the unstratified primitive under `sample_stratified_hash`:
+    same rows every run, every engine, any partitioning, and a doc's
+    membership never flips as the corpus grows (engine RNG sampling
+    gives none of these). Zero shuffle — a codegen'd filter."""
+    from ..operators.sampling import sample_uniform
+
+    d = _load(spark, sf_dir, "documents")
+    return sample_uniform(d, "doc_id", 20).select("doc_id", "source")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, {_SIMHASH_BITS // 4})) AS BIGINT) AS h
+      FROM toks),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, {_VOTE_COLS}
+      FROM hashed GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash
+      FROM votes),
+    blocked AS (
+      SELECT d.lang, d.source, f.doc_id, f.simhash
+      FROM documents d JOIN fp f ON d.doc_id = f.doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+             AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("llm", "dedup", "simhash", "pairs"),
+    since=7,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the search half over the
+    `dedup_simhash` fingerprints: within (lang, source) blocks,
+    pairs whose 16-bit fingerprints differ in <= 3 bits (Hamming
+    distance via one XOR + popcount per pair — the whole point of
+    SimHash: similarity collapses to integer bit ops on 2 bytes/doc,
+    no shingle sets at compare time). Blocked self-join bounds the
+    pair volume by the largest block; at corpus scale the standard
+    refinement is Charikar bucketing on fingerprint prefixes, which
+    this blocked join is the semantic twin of."""
+    return D.simhash_pairs(
+        _load(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        n_bits=_SIMHASH_BITS,
+        max_hamming=3,
+    )
+
+
 _FH_DIMS = 8
 _FH_H = "CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT)"
 _FH_COLS = ",\n           ".join(
