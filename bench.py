@@ -140,6 +140,7 @@ HEADLINE = [
     "events_pattern_match",
     "dedup_simhash_pairs",
     "sample_uniform_hash",
+    "dedup_simhash_lsh",
 ]
 
 

@@ -934,3 +934,94 @@ def pagerank_undirected(
     return pr.select(
         F.col("v").alias("vec_id"), F.round("pr", 6).alias("pagerank")
     )
+
+
+def simhash_lsh_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via BANDED fingerprint bucketing — the
+    scale path over :func:`simhash_pairs`'s exhaustive blocked join
+    (Charikar 2002's bucketing idea as LSH banding): split the
+    n_bits fingerprint into ``n_bands`` equal bands; by pigeonhole,
+    any pair within ``max_hamming`` <= n_bands - 1 differing bits
+    has AT LEAST ONE band bit-identical, so joining on (band_id,
+    band_value) buckets finds every qualifying pair — candidate
+    volume is bucket-bounded instead of block². The popcount verify
+    then drops band-collision false positives.
+
+    LOSSLESS by construction (requires max_hamming < n_bands): the
+    result is row-identical to the exhaustive join, which is exactly
+    what the driver oracle checks. Scale shape: fingerprints are 2
+    bytes/doc, the explode is n_bands rows/doc, the join shuffles on
+    small integer band keys, verification is one XOR + popcount per
+    candidate."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands})"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"{n_bits} bits not divisible by {n_bands}")
+    width = n_bits // n_bands
+    base = df.select(
+        *[F.col(c) for c in block_cols], F.col(id_col), F.col(text_col)
+    )
+    fps = (
+        simhash(base, text_col, id_col, n_bits)
+        .join(base, id_col)
+        .drop(text_col)
+        .select(*[F.col(c) for c in block_cols], id_col, "simhash")
+        # 2-byte rows, consumed by the band explode AND both verify
+        # sides launching together — eager per the materialization rule
+        .localCheckpoint(eager=True)
+    )
+    mask = (1 << width) - 1
+    bands = fps.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.alias("a").hint("merge")
+    b = bands.alias("b")
+    cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+        )
+        .distinct()
+    )
+    x = fps.select(F.col(id_col).alias("d1"), F.col("simhash").alias("f1"))
+    y = fps.select(F.col(id_col).alias("d2"), F.col("simhash").alias("f2"))
+    return (
+        cand.join(F.broadcast(x), "d1")
+        .join(F.broadcast(y), "d2")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

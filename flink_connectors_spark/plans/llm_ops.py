@@ -1359,6 +1359,55 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, {_SIMHASH_BITS // 4})) AS BIGINT) AS h
+      FROM toks),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, {_VOTE_COLS}
+      FROM hashed GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash
+      FROM votes),
+    blocked AS (
+      SELECT d.lang, d.source, f.doc_id, f.simhash
+      FROM documents d JOIN fp f ON d.doc_id = f.doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+             AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register(
+    "dedup_simhash_lsh",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    tags=("llm", "dedup", "simhash", "lsh", "pairs"),
+    since=7,
+)
+def dedup_simhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash bucketing — the SCALE path for fingerprint
+    near-dup search (Charikar-style LSH on the fingerprint): 4 bands
+    of 4 bits; by pigeonhole any pair within Hamming 3 shares at
+    least one exact band, so the band-bucket join finds EVERY
+    qualifying pair with bucket-bounded candidate volume, and the
+    popcount verify drops band collisions. The oracle is deliberately
+    the EXHAUSTIVE blocked join (`dedup_simhash_pairs`'s oracle): the
+    value-hash match IS the proof that banding lost nothing."""
+    return D.simhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        n_bits=_SIMHASH_BITS,
+        max_hamming=3,
+        n_bands=4,
+    )
+
+
 _FH_DIMS = 8
 _FH_H = "CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT)"
 _FH_COLS = ",\n           ".join(

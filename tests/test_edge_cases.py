@@ -492,3 +492,37 @@ def test_match_recognize_operator_custom_pattern_and_keys(spark):
     assert got[("us", 1)] == (2, 0, "")
     with pytest.raises(ValueError):
         match_recognize(df, [], ["seq_no"], F.col("kind"), "a")
+
+
+def test_simhash_lsh_guard_and_equivalence(spark, sf_dir):
+    """The pigeonhole guard raises when max_hamming >= n_bands (the
+    lossless guarantee would break), and on the real fixture the
+    banded path returns row-for-row the exhaustive blocked join."""
+    import pytest
+
+    from flink_connectors_spark.operators.dedup import (
+        simhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from flink_connectors_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_lsh_pairs(docs, ["lang"], max_hamming=4, n_bands=4)
+    banded = sorted(
+        map(
+            tuple,
+            simhash_lsh_pairs(
+                docs, ["lang", "source"], max_hamming=3, n_bands=4
+            ).collect(),
+        )
+    )
+    exhaustive = sorted(
+        map(
+            tuple,
+            simhash_pairs(
+                docs, ["lang", "source"], max_hamming=3
+            ).collect(),
+        )
+    )
+    assert banded == exhaustive and banded
