@@ -141,6 +141,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "sample_uniform_hash",
     "dedup_simhash_lsh",
+    "similarity_topk_matryoshka",
 ]
 
 

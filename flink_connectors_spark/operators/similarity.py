@@ -1652,3 +1652,63 @@ def topk_ivfadc(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rnk")
     )
+
+
+def topk_matryoshka_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    trunc_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval (Kusupati et al. 2022 — the
+    production MRL serving pattern): stage 1 generates
+    ``n_candidates`` per query by cosine over the FIRST ``trunc_dim``
+    dimensions (reading trunc_dim/d of the bytes — the cheap wide
+    scan), stage 2 re-ranks ONLY those candidates with the
+    full-dimension cosine and keeps top-k. The candidate stage's
+    recall ceiling is what `embedding_matryoshka_audit` measures;
+    re-ranking recovers exact ordering WITHIN the candidate set, so
+    quality is bounded by candidate recall alone.
+
+    Scale shape: stage 1 is the brute-force scan shape (corpus
+    scanned once, queries broadcast) at a fraction of the bytes;
+    stage 2 is result-sized — |Q| x n_candidates ids broadcast back
+    against the corpus for one id-join, full vectors touched only
+    for candidates. Returns (query_id, neighbor_id, score, rnk) with
+    the engine-stable round(cos, 6) ranking."""
+
+    def trunc(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col),
+        )
+
+    cand = cosine_topk_bruteforce(
+        trunc(queries), trunc(corpus), k=n_candidates,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    rer = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

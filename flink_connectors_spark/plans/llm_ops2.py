@@ -855,3 +855,56 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk_bruteforce(q, emb, k=5)
     trunc = S.cosine_topk_bruteforce(half(q), half(emb), k=5)
     return S.topk_recall_audit(exact, trunc, k=5)
+
+
+@register(
+    "similarity_topk_matryoshka",
+    oracle=f"""
+    WITH tq AS (SELECT vec_id AS query_id,
+                       list_slice(embedding, 1, 32) AS qvec
+                FROM embeddings WHERE vec_id < 20),
+    tc AS (SELECT vec_id AS neighbor_id,
+                  list_slice(embedding, 1, 32) AS cvec
+           FROM embeddings),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT tq.query_id, tc.neighbor_id,
+               row_number() OVER (PARTITION BY tq.query_id
+                   ORDER BY {_sql_cos("tq.qvec", "tc.cvec")} DESC,
+                            tc.neighbor_id) AS rnk
+        FROM tc CROSS JOIN tq
+        WHERE tc.neighbor_id <> tq.query_id) t WHERE rnk <= 20),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+          FROM embeddings),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_sql_cos("q.qvec", "c.cvec")} AS score
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN c ON c.neighbor_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM rer)
+    SELECT query_id, neighbor_id, score, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "matryoshka", "rerank"),
+    since=7,
+)
+def similarity_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka retrieval, driver-verified: top-20
+    candidates by cosine over the first 32 of 64 dims (half the scan
+    bytes), exact full-dim re-rank to top-5 — the serving pattern
+    that turns `embedding_matryoshka_audit`'s recall number into a
+    latency/quality dial (candidate recall is the only loss; the
+    re-rank restores exact order within candidates). The oracle
+    unrolls both stages."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_matryoshka_rerank(
+        emb.filter(F.col("vec_id") < 20), emb,
+        k=5, n_candidates=20, trunc_dim=32,
+    )
