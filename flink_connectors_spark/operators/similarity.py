@@ -1560,41 +1560,49 @@ def topk_ivfadc(
             vec_col="sub",
         )
 
-    with ThreadPoolExecutor(max_workers=subspaces) as pool:
+    # Probe ranking (round(cos,6) desc, cluster asc) + per-probe query
+    # residual in quantized units. Depends ONLY on reps + queries, so
+    # its eager-checkpoint action overlaps the per-block Lloyd chains
+    # on the same scheduler (bit-identical results: disjoint inputs,
+    # no shared mutable state — the same argument as the threaded
+    # block builds).
+    def _build_probes():
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.transform(
+                vec_col,
+                lambda v: F.round(v.cast("double") * scale).cast("long"),
+            ).alias("qq"),
+        )
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.desc("rep_score"), F.asc("cluster")
+        )
+        return (
+            q.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "rep_score",
+                F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
+            )
+            .withColumn("probe_rank", F.row_number().over(probe_w))
+            .filter(F.col("probe_rank") <= n_probe)
+            .select(
+                "query_id",
+                "cluster",
+                F.zip_with("qq", "rq", lambda x, r: x - r).alias("qres"),
+            )
+            .localCheckpoint(eager=True)  # |Q| x n_probe rows
+        )
+
+    with ThreadPoolExecutor(max_workers=subspaces + 1) as pool:
+        probes_f = pool.submit(_build_probes)
         assigns = list(pool.map(_build, range(subspaces)))
+        probes = probes_f.result()
 
     codes = None
     for b, assign in enumerate(assigns):
         part = assign.select(F.col(id_col), F.col("cluster").alias(f"c{b}"))
         codes = part if codes is None else codes.join(part, id_col)
-
-    # Probe ranking (round(cos,6) desc, cluster asc) + per-probe query
-    # residual in quantized units.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.transform(
-            vec_col, lambda v: F.round(v.cast("double") * scale).cast("long")
-        ).alias("qq"),
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("rep_score"), F.asc("cluster")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(reps))
-        .withColumn(
-            "rep_score",
-            F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
-        )
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= n_probe)
-        .select(
-            "query_id",
-            "cluster",
-            F.zip_with("qq", "rq", lambda x, r: x - r).alias("qres"),
-        )
-        .localCheckpoint(eager=True)  # |Q| x n_probe rows; per-block use
-    )
 
     # Per-block, per-(query, probed list) ADC lookup tables.
     luts = []
