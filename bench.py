@@ -142,6 +142,7 @@ HEADLINE = [
     "sample_uniform_hash",
     "dedup_simhash_lsh",
     "similarity_topk_matryoshka",
+    "pipeline_bpe_merges",
 ]
 
 

@@ -1100,3 +1100,102 @@ def lang_confidence(
         ).alias("margin_ratio"),
         ((top > 0) & ((top - second) * 20 >= n)).alias("trusted"),
     )
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), distributed:
+    the iterative merge loop that produces a tokenizer's merges
+    table. Start from the word-frequency table with each word as a
+    character-symbol sequence; each round counts all adjacent symbol
+    pairs corpus-wide (weighted by word frequency), merges the most
+    frequent pair everywhere (greedy left-to-right, non-overlapping
+    — the BPE rule), and repeats. Returns the artifact a tokenizer
+    ships: (merge_rank, left_sym, right_sym, pair_count).
+
+    Engine-exact representation trick: a word's symbol sequence is
+    one delimited string ``|s1||s2||...|``, so the merge step is ONE
+    codegen'd string replace of ``|L||R|`` with ``|LR|`` — and both
+    Spark's and DuckDB's replace scan left-to-right non-overlapping,
+    which IS the BPE merge rule (verified: '|a||a||a||a|' merges to
+    '|aa||aa|' in both). Ties break (count desc, left asc, right
+    asc) — binary string order, engine-identical.
+
+    Scale shape: the working set is the WORD table (vocabulary-
+    sized, not corpus-sized — the standard BPE-training reduction),
+    checkpointed per round; each round is one explode + one
+    map-side-combining pair count + a driver-side top-1 (the k-means
+    control-plane pattern: one small collect per iteration), and the
+    merge itself is a narrow per-row string op. Words containing the
+    delimiter are excluded up front (symbol safety)."""
+    from ..functions import tokenize
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = words.select(
+        "cnt",
+        F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.filter(F.split("w", ""), lambda c: F.length(c) > 0),
+                "||",
+            ),
+            F.lit("|"),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), "\\|\\|"
+        )
+        # sequence(1, 0) counts DOWN in Spark (the word_shingles
+        # gotcha) — single-symbol words must yield an empty pair list
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = sym.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("l"),
+                        F.element_at(syms, i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l_, r_, n_ = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((rnd, l_, r_, n_))
+        sym = sym.select(
+            "cnt",
+            F.replace(
+                F.col("s"),
+                F.lit(f"|{l_}||{r_}|"),
+                F.lit(f"|{l_}{r_}|"),
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " pair_count long",
+    )

@@ -1939,3 +1939,72 @@ def similarity_recall_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, emb, k=5, n_probe=2, subspaces=2, codebook_k=16, iters=2
     )
     return S.topk_recall_audit(exact, approx, k=5)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (r7)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_round(i: int) -> str:
+    """One unrolled BPE round: pair-count over s{i-1}, top-1 merge
+    m{i}, merged table s{i} — the same round structure the Spark
+    loop executes."""
+    prev = f"s{i - 1}"
+    return f"""p{i} AS (
+      SELECT sy[ix] AS l, sy[ix + 1] AS r, SUM(cnt) AS n
+      FROM (
+        SELECT cnt,
+               string_split(substring(s, 2, length(s) - 2), '||') AS sy
+        FROM {prev}) t,
+        UNNEST(range(1, len(sy))) AS u(ix)
+      GROUP BY l, r),
+    m{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+    s{i} AS (
+      SELECT cnt,
+             replace(s, '|' || m{i}.l || '||' || m{i}.r || '|',
+                     '|' || m{i}.l || m{i}.r || '|') AS s
+      FROM {prev} CROSS JOIN m{i})"""
+
+
+@register(
+    "pipeline_bpe_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_WORDS}) AS w FROM documents) t
+      WHERE len(w) > 0 AND w NOT LIKE '%|%'
+      GROUP BY w),
+    s0 AS (
+      SELECT cnt,
+             '|' || array_to_string(
+               list_filter(string_split(w, ''), c -> len(c) > 0),
+               '||') || '|' AS s
+      FROM words),
+    {_bpe_round(1)},
+    {_bpe_round(2)},
+    {_bpe_round(3)}
+    SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym,
+           CAST(n AS BIGINT) AS pair_count FROM m1
+    UNION ALL
+    SELECT 2, l, r, CAST(n AS BIGINT) FROM m2
+    UNION ALL
+    SELECT 3, l, r, CAST(n AS BIGINT) FROM m3
+    """,
+    tags=("llm", "pipeline", "tokenizer", "bpe", "iterative"),
+    since=7,
+)
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, driver-verified: 3 merge rounds over
+    the corpus word-frequency table — each round's corpus-wide
+    weighted pair count, the greedy most-frequent merge (count desc,
+    then lexicographic tie-break), and the non-overlapping
+    left-to-right application are all replayed by the oracle's three
+    unrolled round CTEs, so a drift anywhere in the iterative
+    training fails the value hash (the Lloyd-chain discipline,
+    applied to the OTHER famous training loop in an LLM data
+    pipeline). Output is the merges table a tokenizer ships."""
+    from ..operators.text import bpe_merge_table
+
+    d = _load(spark, sf_dir, "documents")
+    return bpe_merge_table(d, n_merges=3)

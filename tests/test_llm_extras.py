@@ -1197,3 +1197,18 @@ def test_connected_components_matches_union_find(spark, graphs):
         for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_bpe_merges_hand_corpus_and_early_stop(spark):
+    """BPE training semantics pinned by hand: corpus 'abab abab ab'
+    -> merge 1 is (a,b) weight 5, merge 2 is (ab,ab) weight 2, and
+    round 3 finds no pairs left so the loop stops early with 2 rows
+    (greedy non-overlapping within-word application: 'abab' becomes
+    [ab, ab] after merge 1, [abab] after merge 2)."""
+    from flink_connectors_spark.operators.text import bpe_merge_table
+
+    df = spark.createDataFrame(
+        [(1, "abab abab ab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_merge_table(df, n_merges=3).collect()]
+    assert got == [(1, "a", "b", 5), (2, "ab", "ab", 2)]
