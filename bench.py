@@ -143,6 +143,7 @@ HEADLINE = [
     "dedup_simhash_lsh",
     "similarity_topk_matryoshka",
     "pipeline_bpe_merges",
+    "pipeline_bpe_encode",
 ]
 
 

@@ -1199,3 +1199,56 @@ def bpe_merge_table(
         "merge_rank int, left_sym string, right_sym string,"
         " pair_count long",
     )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """The APPLY half of :func:`bpe_merge_table` (the vocab-build /
+    tokenize-ids pairing, for BPE): train the merge table, then
+    encode every document with the learned merges in rank order and
+    report per-doc (n_chars, n_symbols) — the compression the
+    tokenizer actually buys, the number a vocab-size decision reads.
+    Encoding is the same delimited-string replace chain as training
+    (rank order matters: later merges consume earlier merges'
+    symbols), applied per word occurrence; n_symbols sums the
+    per-word symbol counts. The merge table is 3 collected rows —
+    broadcast-free codegen'd literals — so the encode pass is one
+    narrow projection + one doc-keyed aggregate."""
+    from ..functions import tokenize
+
+    merges = bpe_merge_table(df, text_col, n_merges).collect()
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    ).filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+    s = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.filter(F.split("w", ""), lambda c: F.length(c) > 0), "||"
+        ),
+        F.lit("|"),
+    )
+    for m in merges:
+        left, right = m["left_sym"], m["right_sym"]
+        s = F.replace(
+            s, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
+        )
+    n_sym = F.size(
+        F.split(F.expr("substring(enc, 2, length(enc) - 2)"), "\\|\\|")
+    )
+    return (
+        toks.select(
+            F.col(id_col),
+            F.length("w").alias("n_chars_w"),
+            s.alias("enc"),
+        )
+        .select(F.col(id_col), "n_chars_w", n_sym.alias("n_sym_w"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_chars_w").cast("long").alias("n_chars"),
+            F.sum("n_sym_w").cast("long").alias("n_symbols"),
+        )
+    )

@@ -2008,3 +2008,65 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")
     return bpe_merge_table(d, n_merges=3)
+
+
+@register(
+    "pipeline_bpe_encode",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_WORDS}) AS w FROM documents) t
+      WHERE len(w) > 0 AND w NOT LIKE '%|%'
+      GROUP BY w),
+    s0 AS (
+      SELECT cnt,
+             '|' || array_to_string(
+               list_filter(string_split(w, ''), c -> len(c) > 0),
+               '||') || '|' AS s
+      FROM words),
+    {_bpe_round(1)},
+    {_bpe_round(2)},
+    {_bpe_round(3)},
+    toks AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents) t
+      WHERE len(w) > 0 AND w NOT LIKE '%|%'),
+    enc AS (
+      SELECT doc_id, length(w) AS n_chars_w,
+             replace(
+               replace(
+                 replace(
+                   '|' || array_to_string(
+                     list_filter(string_split(w, ''), c -> len(c) > 0),
+                     '||') || '|',
+                   '|' || m1.l || '||' || m1.r || '|',
+                   '|' || m1.l || m1.r || '|'),
+                 '|' || m2.l || '||' || m2.r || '|',
+                 '|' || m2.l || m2.r || '|'),
+               '|' || m3.l || '||' || m3.r || '|',
+               '|' || m3.l || m3.r || '|') AS e
+      FROM toks CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)
+    SELECT doc_id,
+           CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(
+             substring(e, 2, length(e) - 2), '||'))) AS BIGINT)
+             AS n_symbols
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("llm", "pipeline", "tokenizer", "bpe", "iterative"),
+    since=7,
+)
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of `pipeline_bpe_merges`: every
+    document encoded with the 3 learned merges in rank order,
+    reporting per-doc character and symbol counts (the compression
+    the tokenizer buys — what a vocab-size decision reads). The
+    oracle replays the full training AND the encode, so the value
+    hash pins train -> apply end to end. The merge table is 3
+    driver-collected rows compiled into codegen'd replace literals;
+    the encode pass is one token explode + one doc-keyed aggregate,
+    the corpus never shuffles by token."""
+    from ..operators.text import bpe_encode_stats
+
+    d = _load(spark, sf_dir, "documents")
+    return bpe_encode_stats(d, n_merges=3)
