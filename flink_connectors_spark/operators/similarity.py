@@ -1720,3 +1720,77 @@ def topk_matryoshka_rerank(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def hamming_topk_onebit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k retrieval over 1-BIT (sign-binarized) embeddings — the
+    last rung of the quantization ladder float32 (256 B) -> int8
+    (64 B) -> PQ (2 B) -> one bit per dimension (8 B at 64 dims,
+    i.e. ONE int64 word per 64-dim vector).  Sign binarization is
+    the classic SimHash/ITQ-zero observation (Charikar 2002): for
+    unit-ish vectors, Hamming distance between sign patterns is a
+    monotone estimator of angular distance, so ranking by Hamming
+    approximates ranking by cosine at 1/32 the bytes of int8.
+
+    Execution shape: each side packs ``sign(x_i) >= 0`` bits into
+    ``ceil(dims/32)`` 32-bit words held in int64 columns via one
+    codegen'd ``aggregate`` fold over an array slice — no explode,
+    no shuffle, the packing lives inside the scan projection.  The
+    packed query set (|Q| x n_words ints) broadcasts; scoring is
+    XOR + POPCNT per word — the cheapest possible distance kernel,
+    and exactly why binary embeddings are the current large-scale
+    retrieval darling (a 100 TB float32 store becomes 3 TB of
+    words scanned at memory bandwidth with no float unit touched).
+    Only the |Q| x k ranked rows ever shuffle (window over the
+    broadcast-joined scan).
+
+    Integer-exact end to end (bit packing, XOR, popcount, ties by
+    neighbor_id) — value-identical across engines by construction,
+    with retrieval quality vs float32 measured by the companion
+    recall audit, mirroring the int8/PQ rungs' QA pattern.
+    Returns (query_id, neighbor_id, hamming, rnk).
+    """
+    n_words = (dims + 31) // 32
+
+    def pack(side: DataFrame, out_id: str, prefix: str) -> DataFrame:
+        cols = [F.col(id_col).alias(out_id)]
+        for w in range(n_words):
+            word = F.aggregate(
+                F.slice(F.col(vec_col), w * 32 + 1, 32),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2
+                + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+            )
+            cols.append(word.alias(f"{prefix}{w}"))
+        return side.select(*cols)
+
+    q = pack(queries, "query_id", "qw")
+    c = pack(corpus, "neighbor_id", "cw")
+
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.col(f"qw{w}").bitwiseXOR(F.col(f"cw{w}"))
+        )
+        ham = term if ham is None else ham + term
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham.cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

@@ -2070,3 +2070,123 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")
     return bpe_encode_stats(d, n_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# One-bit (sign-binarized) retrieval: the last rung of the
+# quantization ladder, with its recall gate
+# ---------------------------------------------------------------------------
+
+_SQL_ONEBIT_WORDS = """
+    bits AS (
+      SELECT vec_id,
+             list_reduce(list_transform(list_slice(embedding, 1, 32),
+               x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a * 2 + b) AS w0,
+             list_reduce(list_transform(list_slice(embedding, 33, 64),
+               x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a * 2 + b) AS w1
+      FROM embeddings)
+"""
+
+_SQL_ONEBIT_TOPK = f"""
+    WITH {_SQL_ONEBIT_WORDS},
+    obq AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+            FROM bits WHERE vec_id < 20),
+    obc AS (SELECT vec_id AS neighbor_id, w0 AS cw0, w1 AS cw1
+            FROM bits),
+    ob_scored AS (
+      SELECT obq.query_id, obc.neighbor_id,
+             CAST(bit_count(xor(obq.qw0, obc.cw0))
+                  + bit_count(xor(obq.qw1, obc.cw1)) AS BIGINT)
+               AS hamming
+      FROM obc CROSS JOIN obq
+      WHERE obc.neighbor_id <> obq.query_id),
+    ob_ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM ob_scored)
+"""
+
+
+@register(
+    "similarity_topk_onebit",
+    oracle=f"""
+    {_SQL_ONEBIT_TOPK}
+    SELECT query_id, neighbor_id, hamming, rnk
+    FROM ob_ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "quantization", "binary"),
+    since=7,
+)
+def similarity_topk_onebit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 retrieval over 1-BIT sign-binarized embeddings — the
+    final rung of the quantization ladder (float32 256 B -> int8
+    64 B -> PQ 2 B -> 8 B of sign bits at 64 dims): Hamming distance
+    between sign patterns is a monotone estimator of angular
+    distance (Charikar 2002), so the whole 100 TB scan collapses to
+    XOR + POPCNT over one int64 word per 32 dims, no float unit
+    touched. Packing is a codegen'd aggregate fold inside the scan
+    projection (no explode, no shuffle); the packed query set
+    broadcasts; only |Q| x k ranked rows shuffle. Integer-exact end
+    to end, so the oracle match is value-identical by construction;
+    retrieval quality vs float32 is the companion
+    `similarity_recall_onebit` gate."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.hamming_topk_onebit(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, dims=64
+    )
+
+
+@register(
+    "similarity_recall_onebit",
+    oracle=f"""
+    {_SQL_ONEBIT_TOPK},
+    ob AS (SELECT query_id, neighbor_id FROM ob_ranked WHERE rnk <= 5),
+    bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    bf_scored AS (
+      SELECT bfq.query_id, bfc.neighbor_id,
+             {{cos}} AS score
+      FROM bfc CROSS JOIN bfq
+      WHERE bfc.neighbor_id <> bfq.query_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored) t WHERE rnk <= 5),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN ob ON bf.query_id = ob.query_id
+                     AND bf.neighbor_id = ob.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT b.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    """.format(cos=_sql_cos("bfq.qvec", "bfc.cvec")),
+    tags=("llm", "similarity", "quantization", "binary", "qa"),
+    since=7,
+)
+def similarity_recall_onebit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 1-bit Hamming scan against exact float32
+    brute force, per query — the go/no-go QA gate for the cheapest
+    rung of the quantization ladder, mirroring the int8/IVFADC/
+    matryoshka recall meters: the storage rung says what the bytes
+    cost, THIS says what the bytes buy back in retrieval quality.
+    Both sides and the audit joins are result-sized (|Q| x k); at
+    corpus scale the exact side runs over a query sample."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    approx = S.hamming_topk_onebit(q, emb, k=5, dims=64)
+    return S.topk_recall_audit(exact, approx, k=5)

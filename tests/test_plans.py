@@ -731,3 +731,43 @@ def _release(spark) -> None:
                 pass
     except Exception:
         pass
+
+
+def test_onebit_topk_partial_toplimit_no_corpus_shuffle(spark, sf_dir):
+    """The 1-bit Hamming scan (r7) must keep the int8 rung's plan
+    contract: bit packing lives inside the scan projection (no
+    explode, no corpus exchange), the packed query set joins as a
+    broadcast nested-loop, and the rank-limit prunes partial
+    (WindowGroupLimit Partial + Final) so each partition ships at
+    most |Q| x k rows into the only exchange."""
+    plan = _plan(spark, sf_dir, "similarity_topk_onebit")
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan  # no explode: packing is a fold
+
+
+def test_onebit_hamming_twin_and_opposite(spark):
+    """Functional floor for sign binarization: an exact-twin vector
+    is its twin's top-1 at Hamming 0, and a sign-flipped vector sits
+    at the far end at Hamming = dims (every bit differs)."""
+    from flink_connectors_spark.operators.similarity import (
+        hamming_topk_onebit,
+    )
+
+    rows = [
+        (0, [0.5, -0.25, 0.125, -1.0]),
+        (1, [0.5, -0.25, 0.125, -1.0]),  # exact twin of 0
+        (2, [-0.5, 0.25, -0.125, 1.0]),  # sign-flip of 0
+        (3, [0.3, 0.9, -0.2, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["hamming"])
+        for r in hamming_topk_onebit(
+            df.filter("vec_id < 2"), df, k=3, dims=4
+        ).collect()
+    }
+    assert got[(0, 1)] == (1, 0)  # twin at Hamming 0
+    assert got[(0, 3)] == (2, 4)  # sign-flip at Hamming = dims
+    assert got[(1, 1)] == (0, 0)
