@@ -85,3 +85,64 @@ def match_recognize(
             "first_match"
         ),
     )
+
+
+def pack_firstfit(
+    docs: DataFrame,
+    budget: int = 2048,
+    chain_cols: Sequence[str] = ("source", "bucket"),
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """EXACT greedy first-fit sequence packing — the stateful sibling
+    of the window-expressible concat-and-chunk packing
+    (``pipeline_sequence_packing``): docs are walked in ``order_col``
+    order within each chain and a doc that would overflow the current
+    pack CLOSES it and starts the next one, so documents are never
+    split across packs and the tail capacity of each closed pack is
+    wasted (the utilization tradeoff `fill_after` exposes — this is
+    the "no cross-document attention contamination" packing variant
+    used when training recipes forbid doc splits).
+
+    The fold is inherently sequential per chain (each decision
+    depends on the running fill), which is exactly why the operator
+    takes a bounded CHAIN key (e.g. (source, doc_id // 256)): the
+    sequential unit is capped at a few hundred docs, the chains
+    themselves are embarrassingly parallel, and the Python boundary
+    is one Arrow-batched ``applyInPandas`` fold per chain — no
+    driver-side loop, no row-at-a-time UDF. At 100 TB this is one
+    shuffle on the chain key followed by pure map work; pre-bucketing
+    the corpus by the chain key turns even that shuffle into a local
+    sort.
+
+    Input must carry ``chain_cols``, ``order_col`` and ``tokens_col``;
+    output appends (pack_no, fill_after) — pack ids are per-chain,
+    globally unique as (*chain_cols, pack_no). Deterministic: layout
+    depends only on the chain partition and ``order_col`` order.
+    """
+    import pandas as pd
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in docs.schema]
+    schema = ", ".join(out_fields + ["pack_no bigint", "fill_after bigint"])
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        pack, fill = 0, 0
+        packs, fills = [], []
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                pack += 1
+                fill = 0
+            fill += n
+            packs.append(pack)
+            fills.append(fill)
+        pdf["pack_no"] = pd.Series(packs, dtype="int64")
+        pdf["fill_after"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return docs.groupBy(*[F.col(c) for c in chain_cols]).applyInPandas(
+        fold, schema
+    )

@@ -2190,3 +2190,76 @@ def similarity_recall_onebit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk_bruteforce(q, emb, k=5)
     approx = S.hamming_topk_onebit(q, emb, k=5, dims=64)
     return S.topk_recall_audit(exact, approx, k=5)
+
+
+# ---------------------------------------------------------------------------
+# First-fit sequence packing: the stateful packing variant, oracle-
+# replayed by a recursive CTE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_pack_firstfit",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source, doc_id // 256 AS bucket,
+             CAST(len(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    ord AS (
+      SELECT doc_id, source, bucket, n_tokens,
+             row_number() OVER (PARTITION BY source, bucket
+                                ORDER BY doc_id) AS idx
+      FROM toks),
+    packed(source, bucket, idx, doc_id, n_tokens, pack_no,
+           fill_after) AS (
+      SELECT source, bucket, idx, doc_id, n_tokens,
+             CAST(0 AS BIGINT), n_tokens
+      FROM ord WHERE idx = 1
+      UNION ALL
+      SELECT o.source, o.bucket, o.idx, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill_after > 0
+                       AND p.fill_after + o.n_tokens > 2048
+                  THEN p.pack_no + 1 ELSE p.pack_no END,
+             CASE WHEN p.fill_after > 0
+                       AND p.fill_after + o.n_tokens > 2048
+                  THEN o.n_tokens
+                  ELSE p.fill_after + o.n_tokens END
+      FROM packed p
+      JOIN ord o ON o.source = p.source AND o.bucket = p.bucket
+                AND o.idx = p.idx + 1)
+    SELECT doc_id, source, bucket, n_tokens, pack_no, fill_after
+    FROM packed
+    """,
+    tags=("llm", "pipeline", "packing", "stateful", "grouped-map"),
+    since=7,
+)
+def pipeline_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT first-fit sequence packing (budget 2048): the stateful
+    packing variant training recipes use when documents must NOT be
+    split across packs — a doc that would overflow the current pack
+    closes it, wasting the tail (`fill_after` exposes the
+    utilization cost vs the concat-chunk `pipeline_sequence_packing`,
+    which wastes nothing but splits docs). The per-chain fold is
+    inherently sequential, so the chain key is BOUNDED — (source,
+    doc_id // 256) caps each sequential unit at 256 docs — and runs
+    as one Arrow-batched applyInPandas per chain: one shuffle on the
+    chain key, then pure parallel map work at any corpus size. The
+    oracle replays the identical greedy fold as a recursive CTE
+    advancing all chains in lockstep, so the driver hash pins every
+    packing decision."""
+    from ..functions import tokenize
+    from ..operators.sequence import pack_firstfit
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") / 256).cast("bigint").alias("bucket"),
+        F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return pack_firstfit(
+        d, budget=2048, chain_cols=("source", "bucket"),
+        order_col="doc_id", tokens_col="n_tokens",
+    ).select("doc_id", "source", "bucket", "n_tokens", "pack_no",
+             "fill_after")

@@ -526,3 +526,39 @@ def test_simhash_lsh_guard_and_equivalence(spark, sf_dir):
         )
     )
     assert banded == exhaustive and banded
+
+
+def test_pack_firstfit_hand_checked_layout(spark):
+    """First-fit greedy semantics pinned on a hand-computed chain:
+    docs never split, a doc that would overflow closes the pack
+    (wasting the tail), an over-budget doc occupies a pack alone,
+    and independent chains pack independently."""
+    from flink_connectors_spark.operators.sequence import pack_firstfit
+
+    rows = [
+        # chain A: 60+30 fit (90), 20 overflows budget 100 -> pack 1;
+        # 150 > budget closes pack 1 -> pack 2 alone; 10 -> pack 3
+        ("A", 0, 60), ("A", 1, 30), ("A", 2, 20),
+        ("A", 3, 150), ("A", 4, 10),
+        # chain B: fresh numbering
+        ("B", 10, 100), ("B", 11, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "chain string, doc_id long, n_tokens long"
+    )
+    got = {
+        (r["chain"], r["doc_id"]): (r["pack_no"], r["fill_after"])
+        for r in pack_firstfit(
+            df, budget=100, chain_cols=("chain",),
+            order_col="doc_id", tokens_col="n_tokens",
+        ).collect()
+    }
+    assert got == {
+        ("A", 0): (0, 60),
+        ("A", 1): (0, 90),
+        ("A", 2): (1, 20),
+        ("A", 3): (2, 150),
+        ("A", 4): (3, 10),
+        ("B", 10): (0, 100),
+        ("B", 11): (1, 1),  # 100+1 overflows the exactly-full pack
+    }
