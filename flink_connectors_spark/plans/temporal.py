@@ -2005,3 +2005,116 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol=F.expr(_SYM_SQL),
         pattern=_PATTERN,
     )
+
+
+@register(
+    "anomaly_changepoint_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    pre AS (
+      SELECT event_type, day, ts, event_id, cents,
+             CAST(COUNT(*) OVER (PARTITION BY event_type, day)
+                  AS BIGINT) AS n,
+             CAST(SUM(cents) OVER (PARTITION BY event_type, day)
+                  AS BIGINT) AS s_all,
+             CAST(SUM(cents) OVER (PARTITION BY event_type, day
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+             CAST(row_number() OVER (PARTITION BY event_type, day
+                    ORDER BY ts, event_id) AS BIGINT) AS i
+      FROM s),
+    c AS (SELECT *, abs(n * p - i * s_all) AS abs_c FROM pre),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, day
+               ORDER BY abs_c DESC, ts, event_id) AS rnk
+      FROM c)
+    SELECT event_type, day, n AS n_events, ts AS cp_ts,
+           CAST(abs_c AS BIGINT) AS max_abs_cusum,
+           round(CAST(i AS DOUBLE) / n, 6) AS split_frac,
+           round(p / (100.0 * i), 6) AS mean_before,
+           CASE WHEN n > i
+                THEN round((s_all - p) / (100.0 * (n - i)), 6)
+           END AS mean_after
+    FROM r WHERE rnk = 1
+    """,
+    tags=("temporal", "anomaly", "changepoint", "cusum"),
+    since=7,
+)
+def anomaly_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per (event_type, day) series —
+    the third member of the anomaly family (z-score: global outlier;
+    MAD: robust outlier; THIS: level SHIFT — where in the day a
+    metric's mean moved, the page a rollout/incident review reads).
+    The statistic is the scaled CUSUM C_i = n*P_i - i*S (P_i = cents
+    prefix sum, S = series total): identical argmax to the textbook
+    sum of (x_j - mean) but computed entirely in exact int64 cents —
+    no float accumulation anywhere near the argmax decision, so the
+    reported changepoint is value-exact across engines (the two
+    reported means are single exact-int divisions rounded once).
+    Overflow bound: |C_i| <= n * |S|, safe in int64 while
+    rows x total-cents < 9e18 per series — series are day-bounded by
+    construction, which is also the scale story: all four windows
+    share ONE partitioning key (event_type, day), so the whole
+    detector is a single bounded-key shuffle followed by map work,
+    at any corpus size. Ties (equal |C_i|) break to the earliest
+    (ts, event_id) on both engines."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w0 = Window.partitionBy("event_type", "day")
+    word = w0.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = base.select(
+        "event_type",
+        "day",
+        "ts",
+        F.count(F.lit(1)).over(w0).cast("long").alias("n"),
+        F.sum("cents").over(w0).cast("long").alias("s_all"),
+        F.sum("cents").over(word).cast("long").alias("p"),
+        F.row_number()
+        .over(w0.orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("i"),
+        "event_id",
+    )
+    c = pre.withColumn(
+        "abs_c",
+        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("s_all")),
+    )
+    r = c.withColumn(
+        "rnk",
+        F.row_number().over(
+            w0.orderBy(F.desc("abs_c"), F.asc("ts"), F.asc("event_id"))
+        ),
+    )
+    return r.filter(F.col("rnk") == 1).select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("ts").alias("cp_ts"),
+        F.col("abs_c").cast("long").alias("max_abs_cusum"),
+        F.round(F.col("i").cast("double") / F.col("n"), 6).alias(
+            "split_frac"
+        ),
+        F.round(F.col("p") / (F.lit(100.0) * F.col("i")), 6).alias(
+            "mean_before"
+        ),
+        F.when(
+            F.col("n") > F.col("i"),
+            F.round(
+                (F.col("s_all") - F.col("p"))
+                / (F.lit(100.0) * (F.col("n") - F.col("i"))),
+                6,
+            ),
+        ).alias("mean_after"),
+    )

@@ -562,3 +562,39 @@ def test_pack_firstfit_hand_checked_layout(spark):
         ("B", 10): (0, 100),
         ("B", 11): (1, 1),  # 100+1 overflows the exactly-full pack
     }
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """A series of 10 at value 1.00 then 10 at value 9.00 must put
+    the changepoint at the boundary row (the last low point, where
+    |n*P - i*S| peaks), with the before/after means recovered
+    exactly."""
+    import datetime as dt
+
+    from flink_connectors_spark.plans.temporal import (
+        anomaly_changepoint_cusum,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 7, "shift",
+         1.0 if i < 10 else 9.0, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = tmp_path / "events.parquet"
+    df.coalesce(1).write.parquet(str(out.parent / "events.parquet"))
+    got = anomaly_changepoint_cusum(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # argmax |C_i| at i=10 (the last low row): C_10 = 20*1000-10*10000
+    assert r["n_events"] == 20
+    assert r["split_frac"] == 0.5
+    assert r["max_abs_cusum"] == abs(20 * 1000 - 10 * 10000)
+    assert r["mean_before"] == 1.0
+    assert r["mean_after"] == 9.0
+    assert r["cp_ts"] == t0 + dt.timedelta(minutes=9)

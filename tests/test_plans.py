@@ -771,3 +771,13 @@ def test_onebit_hamming_twin_and_opposite(spark):
     assert got[(0, 1)] == (1, 0)  # twin at Hamming 0
     assert got[(0, 3)] == (2, 4)  # sign-flip at Hamming = dims
     assert got[(1, 1)] == (0, 0)
+
+
+def test_cusum_changepoint_single_exchange(spark, sf_dir):
+    """All four CUSUM windows share one partitioning key
+    (event_type, day), so the whole detector must cost exactly ONE
+    shuffle, with the argmax rank pruned partial (WindowGroupLimit
+    before the rank window)."""
+    plan = _plan(spark, sf_dir, "anomaly_changepoint_cusum")
+    assert plan.count("Exchange (") == 1
+    assert "WindowGroupLimit" in plan
