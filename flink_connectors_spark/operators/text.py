@@ -1201,28 +1201,27 @@ def bpe_merge_table(
     )
 
 
-def bpe_encode_stats(
+def _bpe_encoded_words(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """The APPLY half of :func:`bpe_merge_table` (the vocab-build /
-    tokenize-ids pairing, for BPE): train the merge table, then
-    encode every document with the learned merges in rank order and
-    report per-doc (n_chars, n_symbols) — the compression the
-    tokenizer actually buys, the number a vocab-size decision reads.
-    Encoding is the same delimited-string replace chain as training
-    (rank order matters: later merges consume earlier merges'
-    symbols), applied per word occurrence; n_symbols sums the
-    per-word symbol counts. The merge table is 3 collected rows —
-    broadcast-free codegen'd literals — so the encode pass is one
-    narrow projection + one doc-keyed aggregate."""
+    """Shared encode pass under :func:`bpe_encode_stats` and
+    :func:`bpe_fertility`: train the merge table, then encode every
+    word occurrence with the learned merges in rank order, returning
+    one row per word — (id_col, *extra_cols, n_chars_w, n_sym_w).
+    The merge table is 3 collected rows — broadcast-free codegen'd
+    replace literals — so the encode is one narrow projection;
+    callers add the one keyed aggregate they need."""
     from ..functions import tokenize
 
     merges = bpe_merge_table(df, text_col, n_merges).collect()
     toks = df.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(tokenize(F.col(text_col))).alias("w"),
     ).filter((F.length("w") > 0) & (~F.col("w").contains("|")))
     s = F.concat(
         F.lit("|"),
@@ -1239,16 +1238,66 @@ def bpe_encode_stats(
     n_sym = F.size(
         F.split(F.expr("substring(enc, 2, length(enc) - 2)"), "\\|\\|")
     )
-    return (
-        toks.select(
-            F.col(id_col),
-            F.length("w").alias("n_chars_w"),
-            s.alias("enc"),
-        )
-        .select(F.col(id_col), "n_chars_w", n_sym.alias("n_sym_w"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("n_chars_w").cast("long").alias("n_chars"),
-            F.sum("n_sym_w").cast("long").alias("n_symbols"),
-        )
+    keep = [F.col(id_col), *[F.col(c) for c in extra_cols]]
+    return toks.select(
+        *keep,
+        F.length("w").alias("n_chars_w"),
+        s.alias("enc"),
+    ).select(*keep, "n_chars_w", n_sym.alias("n_sym_w"))
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """The APPLY half of :func:`bpe_merge_table` (the vocab-build /
+    tokenize-ids pairing, for BPE): train the merge table, then
+    encode every document with the learned merges in rank order and
+    report per-doc (n_chars, n_symbols) — the compression the
+    tokenizer actually buys, the number a vocab-size decision reads.
+    Encoding is the same delimited-string replace chain as training
+    (rank order matters: later merges consume earlier merges'
+    symbols), applied per word occurrence; n_symbols sums the
+    per-word symbol counts. One narrow projection + one doc-keyed
+    aggregate."""
+    words = _bpe_encoded_words(df, text_col, id_col, n_merges)
+    return words.groupBy(id_col).agg(
+        F.sum("n_chars_w").cast("long").alias("n_chars"),
+        F.sum("n_sym_w").cast("long").alias("n_symbols"),
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Tokenizer FERTILITY by group (canonically language): symbols
+    emitted per word under the learned BPE merges — the multilingual-
+    fairness number (a tokenizer trained on English-heavy data
+    fragments other languages into more symbols per word, inflating
+    their effective sequence length and training cost; fertility
+    drift per language is the metric tokenizer papers report).
+    Shares the exact encode pass with :func:`bpe_encode_stats`; the
+    only difference is the aggregate key, so train->encode->report
+    stays one pipeline. Ratios are single divisions of exact int64
+    sums, rounded once — engine-stable."""
+    words = _bpe_encoded_words(
+        df, text_col, id_col, n_merges, extra_cols=(group_col,)
+    )
+    return words.groupBy(group_col).agg(
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chars_w").cast("long").alias("n_chars"),
+        F.sum("n_sym_w").cast("long").alias("n_symbols"),
+        F.round(
+            F.sum("n_sym_w").cast("double") / F.count(F.lit(1)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars_w").cast("double") / F.sum("n_sym_w"), 6
+        ).alias("compression"),
     )

@@ -2263,3 +2263,76 @@ def pipeline_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="doc_id", tokens_col="n_tokens",
     ).select("doc_id", "source", "bucket", "n_tokens", "pack_no",
              "fill_after")
+
+
+@register(
+    "pipeline_tokenizer_fertility",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_WORDS}) AS w FROM documents) t
+      WHERE len(w) > 0 AND w NOT LIKE '%|%'
+      GROUP BY w),
+    s0 AS (
+      SELECT cnt,
+             '|' || array_to_string(
+               list_filter(string_split(w, ''), c -> len(c) > 0),
+               '||') || '|' AS s
+      FROM words),
+    {_bpe_round(1)},
+    {_bpe_round(2)},
+    {_bpe_round(3)},
+    toks AS (
+      SELECT doc_id, lang, w
+      FROM (SELECT doc_id, lang, unnest({_WORDS}) AS w
+            FROM documents) t
+      WHERE len(w) > 0 AND w NOT LIKE '%|%'),
+    enc AS (
+      SELECT doc_id, lang, length(w) AS n_chars_w,
+             replace(
+               replace(
+                 replace(
+                   '|' || array_to_string(
+                     list_filter(string_split(w, ''), c -> len(c) > 0),
+                     '||') || '|',
+                   '|' || m1.l || '||' || m1.r || '|',
+                   '|' || m1.l || m1.r || '|'),
+                 '|' || m2.l || '||' || m2.r || '|',
+                 '|' || m2.l || m2.r || '|'),
+               '|' || m3.l || '||' || m3.r || '|',
+               '|' || m3.l || m3.r || '|') AS e
+      FROM toks CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3),
+    perw AS (
+      SELECT doc_id, lang, n_chars_w,
+             len(string_split(substring(e, 2, length(e) - 2), '||'))
+               AS n_sym_w
+      FROM enc)
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+           CAST(SUM(n_sym_w) AS BIGINT) AS n_symbols,
+           round(CAST(SUM(n_sym_w) AS DOUBLE) / COUNT(*), 6)
+             AS fertility,
+           round(CAST(SUM(n_chars_w) AS DOUBLE) / SUM(n_sym_w), 6)
+             AS compression
+    FROM perw GROUP BY lang
+    """,
+    tags=("llm", "pipeline", "tokenizer", "bpe", "qa"),
+    since=7,
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by LANGUAGE — symbols per word under the
+    learned BPE merges, the multilingual-fairness metric (an
+    English-heavy tokenizer fragments other languages into more
+    symbols per word, inflating their effective sequence length and
+    per-token training cost; this is the table tokenizer papers
+    report per language). Completes the BPE lifecycle: merges (the
+    artifact) -> encode (per-doc compression) -> THIS (per-language
+    equity of that compression). The oracle replays training AND the
+    per-language rollup, so the hash pins the whole chain; output is
+    |languages| rows."""
+    from ..operators.text import bpe_fertility
+
+    d = _load(spark, sf_dir, "documents")
+    return bpe_fertility(d, group_col="lang", n_merges=3)
