@@ -221,3 +221,50 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_cents",
         )
     )
+
+
+@register(
+    "stream_topk_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+               AS window_start_s,
+             event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2, 3),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start_s, event_type
+               ORDER BY n_events DESC, user_id) AS rnk
+      FROM c)
+    SELECT window_start_s, event_type, user_id, n_events, rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("streaming", "window", "topk", "heavy-hitters"),
+    since=7,
+)
+def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per (10-minute window, event_type) — the batch
+    twin of the streaming heavy-hitters pipeline
+    (`streaming.pipelines.windowed_heavy_hitters`, an
+    applyInPandasWithState Space-Saving sketch with bounded state
+    and a reported per-key error; with capacity >= distinct keys it
+    is exact and equals THIS query — the live pytest pins that).
+    Batch shape: one keyed count + one rank window whose partition
+    key is a prefix of the agg key, with the rank pruned partial
+    (WindowGroupLimit ships <= 3 rows per group per partition).
+    Ties break to the smaller user_id on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(_epoch() / 600) * 600).cast("bigint")
+    counts = e.groupBy(
+        bucket.alias("window_start_s"),
+        F.col("event_type"),
+        F.col("user_id"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("window_start_s", "event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -262,3 +262,103 @@ def enrich_with_static_profile(
     ).select(
         "event_id", "ts", "user_id", "event_type", "value", "user_tier"
     )
+
+
+def _space_saving_fold(tbl: dict, items, capacity: int) -> dict:
+    """Pure Space-Saving (Metwally et al. 2005) counter fold:
+    ``tbl`` maps key -> [est_count, err]. A new key beyond capacity
+    evicts the minimum counter (deterministic tie-break: smallest
+    key) and inherits its count as the new key's error bound —
+    est_count overestimates by at most err, and any key with true
+    frequency > min-counter is guaranteed present. Kept separate
+    from the streaming wiring so the sketch math unit-tests without
+    a stream."""
+    for u in items:
+        u = int(u)
+        if u in tbl:
+            tbl[u][0] += 1
+        elif len(tbl) < capacity:
+            tbl[u] = [1, 0]
+        else:
+            mu = min(tbl, key=lambda x: (tbl[x][0], x))
+            mc = tbl[mu][0]
+            del tbl[mu]
+            tbl[u] = [mc + 1, mc]
+    return tbl
+
+
+def windowed_heavy_hitters(
+    stream: DataFrame,
+    k: int = 3,
+    capacity: int = 256,
+    width_s: int = 600,
+) -> DataFrame:
+    """Streaming top-k HEAVY HITTERS per tumbling window via
+    applyInPandasWithState holding a Space-Saving sketch per
+    (window, event_type) — the bounded-state formulation of "top
+    users per 10 minutes" (a rank window is not expressible on a
+    stream, and exact per-key counts grow with the key universe;
+    Space-Saving caps state at ``capacity`` counters per window
+    with a per-key error bound it REPORTS). Each trigger emits the
+    current top-k (update mode): (window_start_s, event_type,
+    user_id, est_count, err, rnk). With capacity >= distinct keys
+    per window the sketch is exact (err 0) and equals the batch
+    twin `stream_topk_heavy_hitters` — the live test pins that.
+    At scale: state is O(windows x types x capacity), independent
+    of stream length; the watermark closes windows as usual."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = (
+        "window_start_s bigint, event_type string, user_id bigint, "
+        "est_count bigint, err bigint, rnk int"
+    )
+    state_schema = (
+        "users array<bigint>, counts array<bigint>, errs array<bigint>"
+    )
+
+    keyed = stream.select(
+        (F.floor(F.unix_timestamp("ts") / width_s) * width_s)
+        .cast("bigint")
+        .alias("window_start_s"),
+        "event_type",
+        "user_id",
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            users, counts, errs = state.get
+            tbl = {
+                int(u): [int(c), int(e)]
+                for u, c, e in zip(users, counts, errs)
+            }
+        else:
+            tbl = {}
+        for pdf in pdfs:
+            _space_saving_fold(tbl, pdf["user_id"], capacity)
+        state.update(
+            (
+                list(tbl),
+                [v[0] for v in tbl.values()],
+                [v[1] for v in tbl.values()],
+            )
+        )
+        top = sorted(tbl.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "window_start_s": [key[0]] * len(top),
+                "event_type": [key[1]] * len(top),
+                "user_id": [u for u, _ in top],
+                "est_count": [v[0] for _, v in top],
+                "err": [v[1] for _, v in top],
+                "rnk": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return keyed.groupBy("window_start_s", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -678,3 +678,58 @@ def test_sliding_distinct_users_matches_batch(spark, events_stream_dir):
     got = {(r["window_start"], r["n_users"]) for r in res.collect()}
     want = {(r["window_start"], r["n_users"]) for r in batch.collect()}
     assert got == want and got
+
+
+def test_space_saving_fold_eviction_math():
+    """Sketch math pinned without a stream: capacity-1 fold over
+    a,a,b must evict a (count 2) and credit b with est 3 / err 2 —
+    the Space-Saving overestimate-with-bound contract — while
+    capacity >= distinct keys stays exact (err 0)."""
+    from flink_connectors_spark.streaming.pipelines import (
+        _space_saving_fold,
+    )
+
+    tbl = _space_saving_fold({}, [1, 1, 2], capacity=1)
+    assert tbl == {2: [3, 2]}
+    exact = _space_saving_fold({}, [1, 1, 2, 3, 2, 1], capacity=8)
+    assert exact == {1: [3, 0], 2: [2, 0], 3: [1, 0]}
+
+
+def test_streaming_heavy_hitters_match_batch_twin(
+    spark, sf_dir, events_stream_dir
+):
+    """With capacity >= distinct users per window the Space-Saving
+    stream is exact: the final emission per (window, type) must
+    equal the registered batch twin stream_topk_heavy_hitters row
+    for row, with every error bound zero."""
+    from flink_connectors_spark.plans.streaming_batch import (
+        stream_topk_heavy_hitters,
+    )
+
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(
+        events_stream_dir
+    )
+    res = _run_stream(
+        spark,
+        P.windowed_heavy_hitters(stream, k=3, capacity=4096),
+        "t_heavy_hitters",
+        mode="update",
+    )
+    got = {
+        (r["window_start_s"], r["event_type"], r["rnk"]): (
+            r["user_id"],
+            r["est_count"],
+            r["err"],
+        )
+        for r in res.collect()
+    }
+    want = {
+        (r["window_start_s"], r["event_type"], r["rnk"]): (
+            r["user_id"],
+            r["n_events"],
+            0,
+        )
+        for r in stream_topk_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert got == want
