@@ -1794,3 +1794,61 @@ def hamming_topk_onebit(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     )
+
+
+def link_prediction_jaccard(pairs: DataFrame) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over an oriented pair
+    list (id1 < id2): returns the NON-edges (x, y) sharing at least
+    one neighbor, scored by |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — in a
+    dedup pipeline, the recall auditor for probabilistic banding
+    (a non-edge with near-identical neighborhoods is a pair the LSH
+    likely missed). All joins are node-keyed over the candidate-
+    sized pair list; the undirected edge list feeds three branches
+    in one action, so it is eagerly checkpointed here (callers own
+    the checkpoint of ``pairs`` itself). Output: (id1, id2,
+    common_neighbors, jaccard) — exact integer counts, one rounded
+    division."""
+    e = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionAll(
+            pairs.select(
+                F.col("id2").alias("a"), F.col("id1").alias("b")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    cn = (
+        e.select(F.col("a").alias("x"), F.col("b").alias("n"))
+        .join(
+            e.select(F.col("a").alias("y"), F.col("b").alias("n")), "n"
+        )
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    new_p = cn.join(
+        pairs,
+        (cn.x == pairs.id1) & (cn.y == pairs.id2),
+        "left_anti",
+    )
+    return (
+        new_p.join(
+            deg.select(F.col("a").alias("x"), F.col("d").alias("dx")),
+            "x",
+        )
+        .join(
+            deg.select(F.col("a").alias("y"), F.col("d").alias("dy")),
+            "y",
+        )
+        .select(
+            F.col("x").alias("id1"),
+            F.col("y").alias("id2"),
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common")
+                / (F.col("dx") + F.col("dy") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

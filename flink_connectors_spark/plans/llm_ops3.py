@@ -2336,3 +2336,60 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _load(spark, sf_dir, "documents")
     return bpe_fertility(d, group_col="lang", n_merges=3)
+
+
+@register(
+    "similarity_graph_link_prediction",
+    oracle=f"""
+    WITH {_lsh_pairs_cte()},
+    p AS (SELECT id1, id2 FROM scored WHERE score >= 0.3),
+    e AS (SELECT id1 AS a, id2 AS b FROM p
+          UNION ALL SELECT id2, id1 FROM p),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY a),
+    cn AS (
+      SELECT e1.a AS x, e2.a AS y, CAST(COUNT(*) AS BIGINT) AS common
+      FROM e e1 JOIN e e2 ON e1.b = e2.b AND e1.a < e2.a
+      GROUP BY 1, 2),
+    new_p AS (
+      SELECT cn.x, cn.y, cn.common FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.id1 = cn.x AND p.id2 = cn.y))
+    SELECT n.x AS id1, n.y AS id2,
+           n.common AS common_neighbors,
+           round(n.common / (dx.d + dy.d - n.common), 6) AS jaccard
+    FROM new_p n
+    JOIN deg dx ON dx.a = n.x
+    JOIN deg dy ON dy.a = n.y
+    """,
+    tags=("llm", "similarity", "graph", "link-prediction"),
+    since=7,
+)
+def similarity_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard LINK PREDICTION over the sign-LSH
+    near-dup graph: pairs NOT currently connected, scored by the
+    Jaccard of their neighbor sets (|common| / |union|) — the
+    standard common-neighbors predictor, and in a dedup pipeline the
+    recall auditor: a non-edge pair whose neighborhoods almost
+    coincide is a near-dup the LSH banding probably MISSED (band
+    collision is probabilistic), so the top of this list is exactly
+    where a threshold/band-count review looks. All joins are
+    node-keyed over the candidate-sized pair list (never corpus-
+    sized); join volume is bounded by the same degree distribution
+    `similarity_graph_degree` audits, and the one LSH computation is
+    checkpointed so the edge list, both self-join sides, and the
+    existing-edge anti-join all read it once."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = (
+        S.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.3, n_planes=16, bits_per_band=4
+        )
+        .select("id1", "id2")
+        # 3 consumers (undirected edges x2, anti-join) launching in
+        # one action: eager checkpoint, not lazy persist
+        .localCheckpoint(eager=True)
+    )
+    out = S.link_prediction_jaccard(pairs)
+    from ..operators.dedup import _track_caches
+
+    return _track_caches(out, [pairs])

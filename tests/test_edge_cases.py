@@ -598,3 +598,31 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     assert r["mean_before"] == 1.0
     assert r["mean_after"] == 9.0
     assert r["cp_ts"] == t0 + dt.timedelta(minutes=9)
+
+
+def test_link_prediction_path_and_square(spark):
+    """Hand-checked graphs: path 1-2-3 predicts exactly (1,3) at
+    Jaccard 1.0 (sole neighbor shared); square 1-2-3-4-1 predicts
+    both diagonals at 1.0 and nothing else (adjacent pairs are
+    existing edges, excluded)."""
+    from flink_connectors_spark.operators.similarity import (
+        link_prediction_jaccard,
+    )
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id1 bigint, id2 bigint"
+    )
+    got = {
+        (r["id1"], r["id2"]): (r["common_neighbors"], r["jaccard"])
+        for r in link_prediction_jaccard(path).collect()
+    }
+    assert got == {(1, 3): (1, 1.0)}
+
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "id1 bigint, id2 bigint"
+    )
+    got = {
+        (r["id1"], r["id2"]): (r["common_neighbors"], r["jaccard"])
+        for r in link_prediction_jaccard(square).collect()
+    }
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
