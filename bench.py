@@ -144,6 +144,14 @@ HEADLINE = [
     "similarity_topk_matryoshka",
     "pipeline_bpe_merges",
     "pipeline_bpe_encode",
+    # r7 continuation additions
+    "similarity_topk_onebit",
+    "similarity_recall_onebit",
+    "pipeline_pack_firstfit",
+    "anomaly_changepoint_cusum",
+    "pipeline_tokenizer_fertility",
+    "stream_topk_heavy_hitters",
+    "similarity_graph_link_prediction",
 ]
 
 
