@@ -1852,3 +1852,68 @@ def link_prediction_jaccard(pairs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def hybrid_rrf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    k_cand: int = 20,
+    rrf_c: int = 60,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    2009): each retrieval system contributes ``1/(c + rank)`` for its
+    top ``k_cand`` candidates, missing candidates contribute 0, and
+    the fused top-k re-ranks the union.  Fused here: the exact
+    float32 cosine rung and the 1-bit Hamming rung — the pattern a
+    production stack uses to combine a dense index with a cheap
+    binary (or lexical BM25) index without calibrating their
+    incomparable score scales; RRF only consumes RANKS, which is
+    what makes it engine-stable too (integer ranks in, one rounded
+    double out).
+
+    Each rung keeps its own optimal plan (broadcast queries, single
+    corpus scan, WindowGroupLimit-pruned top-k_cand — only
+    |Q| x k_cand rows ever leave either scan); the fusion is a
+    full-outer join of two |Q| x k_cand row sets, i.e. driver-scale
+    work regardless of corpus size.  Ranks ride the fused rows out
+    (NULL where a rung missed the candidate — the honest "only one
+    system found it" signal).  Returns
+    (query_id, neighbor_id, cos_rnk, ham_rnk, rrf, rnk)."""
+    bf = cosine_topk_bruteforce(
+        queries, corpus, k=k_cand, id_col=id_col, vec_col=vec_col
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rnk").cast("long").alias("cos_rnk"),
+    )
+    ob = hamming_topk_onebit(
+        queries, corpus, k=k_cand, dims=dims, id_col=id_col,
+        vec_col=vec_col,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rnk").cast("long").alias("ham_rnk"),
+    )
+    fused = bf.join(ob, ["query_id", "neighbor_id"], "full_outer")
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_c)) + F.col(c).cast("double")),
+        F.lit(0.0),
+    )
+    scored = fused.withColumn(
+        "rrf", F.round(contrib("cos_rnk") + contrib("ham_rnk"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_rnk", "ham_rnk", "rrf",
+            "rnk",
+        )
+    )

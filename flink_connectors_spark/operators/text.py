@@ -1301,3 +1301,210 @@ def bpe_fertility(
             F.sum("n_chars_w").cast("double") / F.sum("n_sym_w"), 6
         ).alias("compression"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents for a fixed bag of
+    query terms — the sparse counterpart of the embedding ANN rungs
+    (production retrieval fuses both; see the companion
+    ``similarity_hybrid_rrf``).
+
+    Execution shape is the remarkable part: with a literal query,
+    per-term tf is ``size(filter(words, w -> w = term))`` — a
+    codegen'd array fold inside the scan projection, so the corpus
+    is scanned ONCE with no explode and no token shuffle.  The
+    corpus statistics BM25 needs (N, avgdl, per-term df) reduce to a
+    single one-row aggregate that broadcasts back over the scan via
+    crossJoin; scoring is then pure arithmetic and the only ordered
+    movement is the TakeOrderedAndProject top-k (per-partition
+    top-k, k-row merge).  At 100 TB: one pass, zero wide shuffles.
+
+    idf is the Lucene-style always-positive variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; a zero-tf term contributes
+    exactly 0.0, so ``score > 0`` keeps precisely the docs hitting
+    >= 1 query term in both engines.  Returns
+    (doc_id, dl, n_hit, bm25) ordered-by-construction on the rounded
+    score with doc_id tie-break (a total order, so the top-k SET is
+    engine-stable)."""
+    words = tokenize(F.col(text_col))
+    base_cols = [
+        F.col(id_col),
+        F.size(words).cast("long").alias("dl"),
+    ]
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter(words, lambda w: w == F.lit(t)))  # noqa: B023
+        base_cols.append(tf.cast("double").alias(f"tf{i}"))
+    base = df.select(*base_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    score = None
+    n_hit = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        term = idf * F.col(f"tf{i}") * F.lit(k1 + 1.0) / (
+            F.col(f"tf{i}") + norm
+        )
+        hit = (F.col(f"tf{i}") > 0).cast("long")
+        score = term if score is None else score + term
+        n_hit = hit if n_hit is None else n_hit + hit
+    return (
+        j.withColumn("bm25", F.round(score, 6))
+        .withColumn("n_hit", n_hit)
+        .filter(F.col("bm25") > 0)
+        .select(id_col, "dl", "n_hit", "bm25")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def top_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frac2_max: float = 0.20,
+    frac3_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1): per
+    document, the fraction of word positions covered by the single
+    most frequent 2-gram and 3-gram.  Boilerplate and degenerate
+    generations repeat one phrase; a high top-gram fraction flags
+    them even when no OTHER document shares the phrase (which is why
+    cross-doc dedup never catches it — this is the within-doc
+    counterpart of ``text_crossdoc_ngram_mass``).
+
+    Multiplicity matters (the same reason ``raw_word_ngrams`` exists
+    next to the distinct dedup shingles): the signal is the max
+    COUNT.  One explode of the tagged 2+3-gram stream, then two
+    map-side-combinable doc-keyed aggregates — (doc, n, gram) count,
+    then conditional max per doc.  Work is O(words) per doc; at
+    100 TB the shuffle key is (doc_id, gram), the best-distributed
+    key the corpus has.  Docs shorter than 2 words drop (no grams) —
+    mirrored in the oracle.  flagged uses the published thresholds:
+    top-2gram frac > 0.20 or top-3gram frac > 0.18.
+    Returns (doc_id, n_words, top2_frac, top3_frac, flagged)."""
+    words = tokenize(F.col(text_col))
+    tag = lambda arr, n: F.transform(  # noqa: E731
+        arr,
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+    )
+    tagged = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.explode(
+            F.concat(
+                tag(raw_word_ngrams(words, 2), 2),
+                tag(raw_word_ngrams(words, 3), 3),
+            )
+        ).alias("t"),
+    ).select(id_col, "n_words", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    counts = tagged.groupBy(id_col, "n_words", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = counts.groupBy(id_col, "n_words").agg(
+        F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("m2"),
+        F.max(F.when(F.col("n") == 3, F.col("cnt"))).alias("m3"),
+    )
+    f2 = F.round(
+        F.coalesce(F.col("m2"), F.lit(0)).cast("double")
+        * 2.0
+        / F.col("n_words"),
+        6,
+    )
+    f3 = F.round(
+        F.coalesce(F.col("m3"), F.lit(0)).cast("double")
+        * 3.0
+        / F.col("n_words"),
+        6,
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_words"),
+        f2.alias("top2_frac"),
+        f3.alias("top3_frac"),
+        (
+            (f2 > F.lit(frac2_max)) | (f3 > F.lit(frac3_max))
+        ).cast("long").alias("flagged"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus NOVELTY curve: documents split into ``n_buckets``
+    id-ordered slices (a proxy for crawl/ingest increments), and per
+    slice the fraction of its distinct 3-gram shingles never seen in
+    any earlier slice.  A flattening curve says new data is mostly
+    re-crawl — the go/no-go a data-acquisition budget reads, and the
+    longitudinal counterpart of the pairwise dedup family.
+
+    The bucket index is integer-exact: ``(doc_id * n) // (max_id+1)``
+    with the one-row max broadcast — no float percentile, so slice
+    membership can never disagree between engines.  Text collapses
+    to distinct (bucket, shingle) pairs before any join; first-seen
+    is a min-aggregate per shingle; the join back is shingle-keyed
+    (the same key class the crossdoc-mass report shuffles on).  The
+    exploded pair list is read twice but is a cheap narrow explode —
+    deliberately NOT checkpointed (the measured two-consumer rule).
+    Returns (bucket, n_grams, n_novel, novelty_rate)."""
+    mx = df.agg(F.max(F.col(id_col)).alias("mx"))
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(tokenize(F.col(text_col)))).alias(
+                "gram"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"(({id_col} * {n_buckets}) DIV (mx + 1))")
+            .cast("long")
+            .alias("bucket"),
+            "gram",
+        )
+        .distinct()
+    )
+    first = sh.groupBy("gram").agg(F.min("bucket").alias("fb"))
+    return (
+        sh.join(first, "gram")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("bucket") == F.col("fb")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ),
+        )
+    )

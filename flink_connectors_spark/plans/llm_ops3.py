@@ -2393,3 +2393,220 @@ def similarity_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFr
     from ..operators.dedup import _track_caches
 
     return _track_caches(out, [pairs])
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation wave 3: lexical retrieval (BM25), hybrid RRF
+# fusion, and the within-doc / longitudinal repetition reports
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "spark", "merge")
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS dl,
+             CAST(len(list_filter(w, x -> x = 'dup')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS tf2
+      FROM (SELECT doc_id, {_WORDS} AS w FROM documents) t),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM base),
+    scored AS (
+      SELECT doc_id, dl,
+             CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             round(
+               ((ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0) * 2.2)
+                 / (tf0 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                          / (sum_dl / n_docs)))
+               + ((ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1) * 2.2)
+                 / (tf1 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                          / (sum_dl / n_docs)))
+               + ((ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2) * 2.2)
+                 / (tf2 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                          / (sum_dl / n_docs))),
+               6) AS bm25
+      FROM base CROSS JOIN stats)
+    SELECT doc_id, dl, n_hit, bm25
+    FROM scored WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 25
+    """,
+    tags=("llm", "text", "retrieval", "bm25"),
+    since=7,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 for the fixed query bag (dup, spark, merge) — the
+    lexical retrieval rung next to the embedding ANN ladder, with a
+    plan worth staring at: literal query terms turn per-term tf into
+    a codegen'd array fold inside the ONE corpus scan (no explode,
+    no token shuffle); N/avgdl/df collapse to a broadcast one-row
+    aggregate; the only ordered movement is the k-row
+    TakeOrderedAndProject merge. `dup` is the corpus's one
+    discriminative term (df ~5%), so the idf spread is real. The
+    rounded-score + doc_id sort is a total order — the top-25 SET is
+    engine-stable."""
+    d = _load(spark, sf_dir, "documents")
+    return T.bm25_topk(d, _BM25_TERMS, k=25)
+
+
+@register(
+    "text_top_ngram_fraction",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, 2 AS n,
+             unnest(list_transform(range(1, len(w)),
+                 i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+      FROM norm WHERE len(w) >= 2
+      UNION ALL
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, 3 AS n,
+             unnest(list_transform(range(1, len(w)-1),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS gram
+      FROM norm WHERE len(w) >= 3),
+    cnt AS (
+      SELECT doc_id, n_words, n, gram, COUNT(*) AS c
+      FROM g GROUP BY 1, 2, 3, 4),
+    pd AS (
+      SELECT doc_id, n_words,
+             MAX(CASE WHEN n = 2 THEN c END) AS m2,
+             MAX(CASE WHEN n = 3 THEN c END) AS m3
+      FROM cnt GROUP BY 1, 2)
+    SELECT doc_id, n_words,
+           round((CAST(COALESCE(m2, 0) AS DOUBLE) * 2.0) / n_words, 6)
+             AS top2_frac,
+           round((CAST(COALESCE(m3, 0) AS DOUBLE) * 3.0) / n_words, 6)
+             AS top3_frac,
+           CAST(CASE WHEN
+                  round((CAST(COALESCE(m2, 0) AS DOUBLE) * 2.0)
+                        / n_words, 6) > 0.20
+                  OR round((CAST(COALESCE(m3, 0) AS DOUBLE) * 3.0)
+                           / n_words, 6) > 0.18
+                THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM pd
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+    since=7,
+)
+def text_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filter (Rae et al. 2021):
+    per doc, the word-mass fraction covered by the most frequent
+    2-gram and 3-gram, flagged at the published thresholds
+    (0.20 / 0.18). Catches the one-phrase-repeated degenerate docs
+    that cross-doc dedup can NEVER flag (no other doc shares the
+    phrase). Multiplicity is the signal, hence raw (non-distinct)
+    grams; one tagged explode + two map-side-combinable doc-keyed
+    aggregates, shuffle key (doc_id, gram)."""
+    d = _load(spark, sf_dir, "documents")
+    return T.top_ngram_fraction(d)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+    bg AS (
+      SELECT DISTINCT bucket, gram FROM (
+        SELECT CAST((doc_id * 10) // (mx + 1) AS BIGINT) AS bucket,
+               unnest(shingles) AS gram
+        FROM sh CROSS JOIN mx) t),
+    fb AS (SELECT gram, MIN(bucket) AS fb FROM bg GROUP BY gram),
+    agg AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN bucket = fb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM bg JOIN fb USING (gram) GROUP BY bucket)
+    SELECT bucket, n_grams, n_novel,
+           round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty_rate
+    FROM agg
+    """,
+    tags=("llm", "text", "dedup", "longitudinal"),
+    since=7,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: 10 id-ordered slices (crawl-increment
+    proxy), per slice the fraction of its distinct 3-gram shingles
+    first seen there. A flattening tail says new acquisition is
+    mostly re-crawl — the data-budget go/no-go, and the longitudinal
+    counterpart of pairwise dedup. Slice membership is integer bit
+    math over a broadcast one-row max (no float percentile); text
+    collapses to distinct (bucket, shingle) pairs before the
+    shingle-keyed min-join."""
+    d = _load(spark, sf_dir, "documents")
+    return T.ngram_novelty(d, n_buckets=10)
+
+
+@register(
+    "similarity_hybrid_rrf",
+    oracle=f"""
+    {_SQL_ONEBIT_TOPK},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+          FROM embeddings),
+    bf_scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_sql_cos("q.qvec", "c.cvec")} AS score
+      FROM c CROSS JOIN q
+      WHERE c.neighbor_id <> q.query_id),
+    bf_ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM bf_scored),
+    bf AS (SELECT query_id, neighbor_id,
+                  CAST(rnk AS BIGINT) AS cos_rnk
+           FROM bf_ranked WHERE rnk <= 20),
+    ob AS (SELECT query_id, neighbor_id,
+                  CAST(rnk AS BIGINT) AS ham_rnk
+           FROM ob_ranked WHERE rnk <= 20),
+    fused AS (
+      SELECT COALESCE(bf.query_id, ob.query_id) AS query_id,
+             COALESCE(bf.neighbor_id, ob.neighbor_id) AS neighbor_id,
+             bf.cos_rnk, ob.ham_rnk
+      FROM bf FULL JOIN ob
+        ON bf.query_id = ob.query_id
+       AND bf.neighbor_id = ob.neighbor_id),
+    rrf_scored AS (
+      SELECT query_id, neighbor_id, cos_rnk, ham_rnk,
+             round(COALESCE(1.0 / (60.0 + CAST(cos_rnk AS DOUBLE)), 0.0)
+                   + COALESCE(1.0 / (60.0 + CAST(ham_rnk AS DOUBLE)), 0.0),
+                   6) AS rrf
+      FROM fused),
+    final AS (
+      SELECT query_id, neighbor_id, cos_rnk, ham_rnk, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, neighbor_id) AS rnk
+      FROM rrf_scored)
+    SELECT query_id, neighbor_id, cos_rnk, ham_rnk, rrf, rnk
+    FROM final WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "hybrid", "fusion"),
+    since=7,
+)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of two retrieval
+    rungs — exact float32 cosine and 1-bit Hamming — for queries
+    vec_id < 20: each rung contributes 1/(60+rank) over its top-20
+    candidates, the fused top-5 re-ranks the union. RRF consumes
+    only integer RANKS (no score calibration across incomparable
+    scales), which is both why production stacks fuse dense+binary/
+    lexical this way and why the value hash is engine-stable. Each
+    rung keeps its own broadcast-query single-scan plan; fusion
+    itself is a full-outer join of two |Q| x 20 row sets — driver-
+    scale regardless of corpus size."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.hybrid_rrf_topk(q, emb, k=5, k_cand=20)

@@ -781,3 +781,65 @@ def test_cusum_changepoint_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "anomaly_changepoint_cusum")
     assert plan.count("Exchange (") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_single_scan_no_token_shuffle(spark, sf_dir):
+    """BM25 with a literal query bag (r7): per-term tf must be an
+    array fold inside the scan projection — no explode, no token
+    shuffle; the corpus stats come back as a broadcast one-row
+    aggregate and the top-k is a TakeOrderedAndProject merge, never
+    a global sort."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "Generate" not in plan  # tf is a fold, not an explode
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row stats row
+    assert "SortMergeJoin" not in plan
+    df = SPECS["text_bm25_topk"].fn(spark, sf_dir)
+    # base projection + stats aggregate: two reads of one parquet
+    assert _count_file_scans(df) == 2
+
+
+def test_hybrid_rrf_rungs_stay_pruned(spark, sf_dir):
+    """RRF fusion (r7) must not degrade either rung's plan: both the
+    cosine and the Hamming top-20 keep WindowGroupLimit pruning
+    (partial + final per rung, plus the fused top-5), and the corpus
+    sides still enter via broadcast nested-loop — fusing ranks must
+    not introduce a corpus-sized shuffle."""
+    plan = _plan(spark, sf_dir, "similarity_hybrid_rrf")
+    assert plan.count("WindowGroupLimit") >= 4
+    assert "BroadcastNestedLoopJoin" in plan
+    df = SPECS["similarity_hybrid_rrf"].fn(spark, sf_dir)
+    assert _count_file_scans(df) == 4  # 2 rungs x (queries + corpus)
+
+
+def test_rrf_null_side_contributes_zero(spark):
+    """A candidate found by only ONE rung must still fuse (full-outer
+    semantics): its missing rank rides out as NULL and contributes
+    exactly 0 to the rrf sum — the honest 'one system found it'
+    signal rather than a dropped row."""
+    from flink_connectors_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # cosine-close to 0, same signs
+        (2, [1.0, -0.001, 0.0, 0.0]),  # cosine-close, sign differs
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # far in both
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = hybrid_rrf_topk(
+        df.filter("vec_id = 0"), df, k=3, k_cand=2, dims=4
+    ).collect()
+    by_n = {r["neighbor_id"]: r for r in got}
+    # neighbor 1 is in both top-2 lists; ranks present on both sides
+    assert by_n[1]["cos_rnk"] is not None
+    assert by_n[1]["ham_rnk"] is not None
+    # every rrf is the sum of the present-side contributions only
+    for r in got:
+        want = 0.0
+        if r["cos_rnk"] is not None:
+            want += 1.0 / (60.0 + r["cos_rnk"])
+        if r["ham_rnk"] is not None:
+            want += 1.0 / (60.0 + r["ham_rnk"])
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
