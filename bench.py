@@ -152,6 +152,11 @@ HEADLINE = [
     "pipeline_tokenizer_fertility",
     "stream_topk_heavy_hitters",
     "similarity_graph_link_prediction",
+    # r7 continuation wave 3
+    "text_bm25_topk",
+    "similarity_hybrid_rrf",
+    "text_top_ngram_fraction",
+    "text_ngram_novelty",
 ]
 
 
