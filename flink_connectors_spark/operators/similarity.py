@@ -1917,3 +1917,90 @@ def hybrid_rrf_topk(
             "rnk",
         )
     )
+
+
+def hamming_topk_ivf_onebit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    dims: int = 64,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-routed 1-bit retrieval: the coarse quantizer routes each
+    query to its ``n_probe`` most-cosine-similar cluster
+    representatives (float math, cluster-count-sized), and the fine
+    scan inside the probed inverted lists is XOR+POPCNT over
+    sign-packed int64 words — the binary rung of the quantization
+    ladder finally composed with list pruning, the way a production
+    binary index actually runs (FAISS's IVF + binary flavors): at
+    100 TB the sign-word store is ~3 TB and the probe restriction
+    means each query touches n_probe/n_lists of even that.
+
+    Plan shape inherits both parents' contracts: reps are one row
+    per cluster (broadcast), the probe table is |Q| x n_probe
+    (broadcast), bit packing is a codegen'd aggregate fold inside
+    the corpus scan projection (no explode), and only the probed
+    candidates reach the WindowGroupLimit-pruned rank — the corpus
+    never shuffles. Integer-exact scoring end to end; routing uses
+    the same round(cos,6)-desc/cluster-asc probe ranking as the
+    float IVF rung, so the two differ ONLY in the fine metric.
+    Returns (query_id, neighbor_id, hamming, rnk)."""
+    n_words = (dims + 31) // 32
+
+    def packed(prefix: str):
+        return [
+            F.aggregate(
+                F.slice(F.col(vec_col), w * 32 + 1, 32),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2
+                + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+            ).alias(f"{prefix}{w}")
+            for w in range(n_words)
+        ]
+
+    reps = cluster_representatives(corpus, cluster_col, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        *packed("qw"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_score"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn(
+            "rep_score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(
+            "query_id", "cluster", *[f"qw{w}" for w in range(n_words)]
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
+        *packed("cw"),
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"qw{w}").bitwiseXOR(F.col(f"cw{w}")))
+        ham = term if ham is None else ham + term
+    scored = (
+        c.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham.cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

@@ -1508,3 +1508,92 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def langid_logreg(
+    df: DataFrame,
+    n_steps: int = 3,
+    lr: float = 0.1,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    label_lang: str = "en",
+) -> DataFrame:
+    """Distributed LOGISTIC-REGRESSION training (full-batch gradient
+    descent) for a fasttext-style linear language probe: predict
+    ``lang == label_lang`` from two cheap text features (the
+    'the'-token ratio and scaled doc length).  This is the
+    train-a-tiny-classifier-on-the-cluster pattern every curation
+    stack uses for quality/langid filters — the model is 3 floats,
+    the DATA is the big thing, and each GD step is one map-side-
+    combinable aggregate over the corpus.
+
+    The engine-stability trick (the BPE/Lloyd discipline applied to
+    SGD): per-row gradient contributions are QUANTIZED to int64
+    micro-units (``round(g * 1e6)``) before summing, so the
+    accumulated gradient is an exact integer sum — immune to float
+    summation order, and the weight trajectory is therefore
+    bit-identical in any engine that replays the same steps (the
+    oracle unrolls all three).  Sigmoid ulp differences between
+    libm implementations die in the quantization (1 ulp of p is
+    ~1e-10 of a micro-unit).  Per step the driver collects exactly
+    4 scalars (n, g0, g1, g2) — k-means-style control plane.
+
+    Accuracy is computed WITHOUT the sigmoid (z >= 0 <=> p >= 0.5),
+    so the final report is integer counts plus one rounded division.
+    Returns one row: (n_docs, w_bias, w_the_ratio, w_len,
+    n_correct, accuracy)."""
+    words = tokenize(F.col(text_col))
+    dl = F.size(words).cast("double")
+    tf_the = F.size(
+        F.filter(words, lambda w: w == F.lit("the"))
+    ).cast("double")
+    base = df.select(
+        F.when(F.col(lang_col) == label_lang, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        (tf_the / dl).alias("x1"),
+        (dl / F.lit(100.0)).alias("x2"),
+    )
+    w = [0.0, 0.0, 0.0]
+    for _ in range(n_steps):
+        z = (F.lit(w[0]) + (F.lit(w[1]) * F.col("x1"))) + (
+            F.lit(w[2]) * F.col("x2")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = p - F.col("y")
+        row = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(r * F.lit(1000000.0), 0).cast("long")).alias(
+                "g0"
+            ),
+            F.sum(
+                F.round((r * F.col("x1")) * F.lit(1000000.0), 0).cast(
+                    "long"
+                )
+            ).alias("g1"),
+            F.sum(
+                F.round((r * F.col("x2")) * F.lit(1000000.0), 0).cast(
+                    "long"
+                )
+            ).alias("g2"),
+        ).first()
+        n = float(row["n"])
+        for j in range(3):
+            w[j] = w[j] - (lr * float(row[f"g{j}"])) / (n * 1000000.0)
+    z = (F.lit(w[0]) + (F.lit(w[1]) * F.col("x1"))) + (
+        F.lit(w[2]) * F.col("x2")
+    )
+    correct = (
+        ((z >= F.lit(0.0)) == (F.col("y") == F.lit(1.0)))
+        .cast("long")
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.lit(w[0]), 6).alias("w_bias"),
+        F.round(F.lit(w[1]), 6).alias("w_the_ratio"),
+        F.round(F.lit(w[2]), 6).alias("w_len"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(
+            F.sum(correct).cast("double") / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )

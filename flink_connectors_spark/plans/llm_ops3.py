@@ -2548,10 +2548,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.ngram_novelty(d, n_buckets=10)
 
 
-@register(
-    "similarity_hybrid_rrf",
-    oracle=f"""
-    {_SQL_ONEBIT_TOPK},
+# The RRF CTE chain, shared by the fusion query and its recall gate.
+# Appends to _SQL_ONEBIT_TOPK's chain (bits/obq/obc/ob_scored/
+# ob_ranked); `rrf_final` holds the fused ranking, `bf_ranked` the
+# exact cosine ranking (cutoff 20 feeds fusion, cutoff 5 is the
+# recall gate's exact side).
+_SQL_RRF_CTES = f"""
     q AS (SELECT vec_id AS query_id, embedding AS qvec
           FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cvec
@@ -2585,13 +2587,21 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + COALESCE(1.0 / (60.0 + CAST(ham_rnk AS DOUBLE)), 0.0),
                    6) AS rrf
       FROM fused),
-    final AS (
+    rrf_final AS (
       SELECT query_id, neighbor_id, cos_rnk, ham_rnk, rrf,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY rrf DESC, neighbor_id) AS rnk
       FROM rrf_scored)
+"""
+
+
+@register(
+    "similarity_hybrid_rrf",
+    oracle=f"""
+    {_SQL_ONEBIT_TOPK},
+    {_SQL_RRF_CTES}
     SELECT query_id, neighbor_id, cos_rnk, ham_rnk, rrf, rnk
-    FROM final WHERE rnk <= 5
+    FROM rrf_final WHERE rnk <= 5
     """,
     tags=("llm", "similarity", "topk", "hybrid", "fusion"),
     since=7,
@@ -2610,3 +2620,173 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     return S.hybrid_rrf_topk(q, emb, k=5, k_cand=20)
+
+
+@register(
+    "similarity_recall_rrf",
+    oracle=f"""
+    {_SQL_ONEBIT_TOPK},
+    {_SQL_RRF_CTES},
+    ex AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rnk <= 5),
+    ap AS (SELECT query_id, neighbor_id FROM rrf_final WHERE rnk <= 5),
+    hits AS (
+      SELECT ex.query_id, COUNT(*) AS n_hits
+      FROM ex JOIN ap ON ex.query_id = ap.query_id
+                     AND ex.neighbor_id = ap.neighbor_id
+      GROUP BY ex.query_id)
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM ex e LEFT JOIN hits h ON e.query_id = h.query_id
+    GROUP BY e.query_id
+    """,
+    tags=("llm", "similarity", "hybrid", "fusion", "qa"),
+    since=7,
+)
+def similarity_recall_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the RRF fusion against exact cosine, per query —
+    the QA gate for the fusion rung, mirroring the int8/PQ/onebit/
+    IVFADC recall meters: it measures how much the binary rung's
+    vote PERTURBS the exact ranking (fusion should mostly agree with
+    the dense side while promoting binary-confirmed candidates).
+    All audit joins are |Q| x k-sized — free at any corpus scale."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    approx = S.hybrid_rrf_topk(q, emb, k=5, k_cand=20)
+    return S.topk_recall_audit(exact, approx, k=5)
+
+
+@register(
+    "similarity_topk_ivf_onebit",
+    oracle=f"""
+    WITH {_SQL_ONEBIT_WORDS},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 20),
+    reps AS (
+      SELECT label AS cluster, embedding AS rvec FROM (
+        SELECT label, embedding,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY vec_id) AS rn
+        FROM embeddings) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.query_id, r.cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_sql_cos("q.qvec", "r.rvec")} DESC,
+                            r.cluster) AS pr
+        FROM q CROSS JOIN reps r) t WHERE pr <= 2),
+    qb AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+           FROM bits WHERE vec_id < 20),
+    cb AS (SELECT e.vec_id AS neighbor_id, e.label AS cluster,
+                  b.w0 AS cw0, b.w1 AS cw1
+           FROM embeddings e JOIN bits b ON b.vec_id = e.vec_id),
+    scored AS (
+      SELECT p.query_id, cb.neighbor_id,
+             CAST(bit_count(xor(qb.qw0, cb.cw0))
+                  + bit_count(xor(qb.qw1, cb.cw1)) AS BIGINT)
+               AS hamming
+      FROM cb JOIN probes p USING (cluster)
+      JOIN qb ON qb.query_id = p.query_id
+      WHERE cb.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, hamming, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "binary"),
+    since=7,
+)
+def similarity_topk_ivf_onebit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed 1-bit retrieval: float cosine routes each query to
+    its 2 nearest cluster representatives (same probe ranking as the
+    float IVF rung), the fine scan inside the probed lists is
+    XOR+POPCNT over sign-packed int64 words — the binary rung
+    composed with list pruning, how a production binary index runs:
+    at 100 TB the sign-word store is ~3 TB and a query touches
+    n_probe/n_lists of even that. Reps and the |Q| x n_probe probe
+    table broadcast; packing is a codegen'd fold in the scan
+    projection; the corpus never shuffles. Integer-exact scoring."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.hamming_topk_ivf_onebit(q, emb, k=5, n_probe=2, dims=64)
+
+
+def _logreg_step_ctes(n_steps: int) -> str:
+    """Unrolled gradient-descent CTE chain (the BPE-merge pattern
+    applied to model training): w{i} one-row weight CTEs, g{i}
+    quantized-int64 gradient aggregates. Expression structure
+    mirrors operators/text.langid_logreg token for token — the
+    engine-stability argument is the int64 gradient sum."""
+    parts = ["w0cte AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    prev = "w0cte"
+    for i in range(1, n_steps + 1):
+        z = "((w.w0 + (w.w1 * x1)) + (w.w2 * x2))"
+        r = f"(1.0 / (1.0 + exp(-{z})) - y)"
+        parts.append(f"""g{i} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round({r} * 1000000.0) AS BIGINT)) AS g0,
+             SUM(CAST(round(({r} * x1) * 1000000.0) AS BIGINT)) AS g1,
+             SUM(CAST(round(({r} * x2) * 1000000.0) AS BIGINT)) AS g2
+      FROM lr_base CROSS JOIN {prev} w)""")
+        parts.append(f"""w{i}cte AS (
+      SELECT w.w0 - (0.1 * CAST(g.g0 AS DOUBLE))
+               / (CAST(g.n AS DOUBLE) * 1000000.0) AS w0,
+             w.w1 - (0.1 * CAST(g.g1 AS DOUBLE))
+               / (CAST(g.n AS DOUBLE) * 1000000.0) AS w1,
+             w.w2 - (0.1 * CAST(g.g2 AS DOUBLE))
+               / (CAST(g.n AS DOUBLE) * 1000000.0) AS w2
+      FROM {prev} w CROSS JOIN g{i} g)""")
+        prev = f"w{i}cte"
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_langid_logreg",
+    oracle=f"""
+    WITH lr_base AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(len(list_filter(w, t -> t = 'the')) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS x1,
+             CAST(len(w) AS DOUBLE) / 100.0 AS x2
+      FROM (SELECT lang, {_WORDS} AS w FROM documents) t),
+    {_logreg_step_ctes(3)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(w.w0, 6) AS w_bias,
+           round(w.w1, 6) AS w_the_ratio,
+           round(w.w2, 6) AS w_len,
+           CAST(SUM(CASE WHEN
+                  (((w.w0 + (w.w1 * x1)) + (w.w2 * x2)) >= 0.0)
+                  = (y = 1.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN
+                  (((w.w0 + (w.w1 * x1)) + (w.w2 * x2)) >= 0.0)
+                  = (y = 1.0)
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS accuracy
+    FROM lr_base CROSS JOIN w3cte w
+    GROUP BY w.w0, w.w1, w.w2
+    """,
+    tags=("llm", "text", "langid", "classifier", "iterative"),
+    since=7,
+)
+def text_langid_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic-regression TRAINING on the cluster (3 GD
+    steps, lr 0.1): a fasttext-style linear probe predicting
+    lang = 'en' from the 'the'-token ratio and scaled length — the
+    train-a-tiny-filter-model pattern of every curation stack. The
+    engine-stability trick is quantizing per-row gradient
+    contributions to int64 micro-units before summing: the gradient
+    is an exact integer sum (float-order-immune, sigmoid libm ulps
+    die in the quantization), so the 3-step weight trajectory is
+    bit-identical across engines and the oracle can replay the
+    WHOLE training loop unrolled (the BPE-merge discipline applied
+    to SGD). Per step the driver collects 4 scalars; accuracy uses
+    z >= 0 (no sigmoid at predict)."""
+    d = _load(spark, sf_dir, "documents")
+    return T.langid_logreg(d, n_steps=3, lr=0.1)
