@@ -41,18 +41,43 @@ def _track_caches(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
     return result
 
 
+def _release_frame(df: DataFrame, blocking: bool = False) -> None:
+    """Release one tracked frame's executor blocks, whatever pinned it.
+
+    ``persist()`` frames release through the cache manager
+    (``DataFrame.unpersist``). ``localCheckpoint()`` frames do NOT —
+    their blocks belong to the checkpointed RDD held by the plan's
+    ``LogicalRDD`` node, which the cache manager never tracks, so
+    ``DataFrame.unpersist`` is a silent no-op for them. Reach the
+    backing RDD and unpersist it directly. After release the frame is
+    UNUSABLE (checkpoint truncated its lineage — there is nothing to
+    recompute from), which is the whole point of the caller-owns-
+    release contract: release only after the result is materialized.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+            return
+    except Exception:
+        pass  # Connect / non-JVM frame: fall through to the cache manager
+    df.unpersist(blocking)
+
+
 def unpersist_inputs(result: DataFrame, blocking: bool = False) -> None:
     """Release the shingle/band caches pinned by an LSH dedup plan.
 
-    The LSH builders persist their shingle and band tables because
-    several plan branches re-read them; Spark has no plan-scoped cache
-    lifetime, so the CALLER owns release. In a loop (the nightly-ingest
-    shape ``minhash_lsh_pairs_bipartite`` is built for), call this
-    after each batch's result is materialized or executor block
-    managers accumulate one corpus-sized cache per iteration until
-    eviction."""
+    The LSH builders materialize their shingle and band tables
+    (``persist()`` or eager ``localCheckpoint()`` — the builder picks
+    per the measured eager/lazy rule) because several plan branches
+    re-read them; Spark has no plan-scoped cache lifetime, so the
+    CALLER owns release. In a loop (the nightly-ingest shape
+    ``minhash_lsh_pairs_bipartite`` is built for), call this after
+    each batch's result is materialized or executor block managers
+    accumulate one corpus-sized cache/checkpoint per iteration until
+    driver GC."""
     for df in getattr(result, "_fcs_cached_inputs", ()):
-        df.unpersist(blocking)
+        _release_frame(df, blocking)
 
 
 def exact_dedup(
@@ -133,6 +158,16 @@ def minhash_lsh_pairs(
     # eager 1.39-1.59 s vs lazy 1.99-2.50 s). Eager localCheckpoint
     # is the standard signature-table materialization step of an LSH
     # pipeline anyway.
+    #
+    # Fault-tolerance tradeoff (measured local-bench choice):
+    # localCheckpoint truncates lineage, so losing an executor that
+    # holds checkpoint blocks fails the job where persist() would
+    # recompute from source; it also runs a Spark job eagerly at plan-
+    # build time. For multi-hour cluster runs where executor loss must
+    # be survivable, swap these two sites to reliable checkpoint() via
+    # a checkpoint_dir (the connected_components pattern) or
+    # persist()+count(). The result carries both frames via
+    # _track_caches; unpersist_inputs releases checkpoint blocks too.
     shingled = with_shingles(df, text_col, id_col, shingle_n).localCheckpoint(
         eager=True
     )

@@ -2255,7 +2255,12 @@ def pipeline_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        (F.col("doc_id") / 256).cast("bigint").alias("bucket"),
+        # arithmetic shift = exact int64 FLOOR division by 256 for the
+        # whole id range, matching the oracle's `doc_id // 256`
+        # (DuckDB floors). The old double-divide-then-cast truncated
+        # toward zero (wrong for negative ids) and lost exactness
+        # above 2^53; Spark's `DIV` would also truncate, not floor.
+        F.shiftright(F.col("doc_id"), 8).cast("bigint").alias("bucket"),
         F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     return pack_firstfit(

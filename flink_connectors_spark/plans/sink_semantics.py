@@ -278,12 +278,17 @@ def sink_map_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("all"), F.col("n_orders"), F.lit("open"), F.col("n_open")
         ).alias("counts"),
     )
-    # Session-scoped fixed directory, rewritten per build: repeated
-    # plan builds (registry sweeps, bench runs) must not accumulate
-    # parquet copies in /tmp, and the readback below stays valid for
-    # this invocation's lifetime. Cleaned at interpreter exit.
+    # PROCESS-scoped directory, rewritten per build: repeated plan
+    # builds (registry sweeps, bench runs) must not accumulate parquet
+    # copies in /tmp, and the readback below stays valid for this
+    # invocation's lifetime (cleaned at interpreter exit). The PID in
+    # the name keeps concurrent sessions (a bench at one SF plus a
+    # pytest run at another) from rmtree'ing each other's live
+    # directory mid-scan — a lazy readback can otherwise silently read
+    # the other process's data — and avoids the predictable-/tmp-name
+    # symlink hazard of a fixed path.
     out_dir = os.path.join(
-        tempfile.gettempdir(), "fcs_map_struct_roundtrip"
+        tempfile.gettempdir(), f"fcs_map_struct_roundtrip_{os.getpid()}"
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     _register_tmp_cleanup(out_dir)

@@ -555,6 +555,63 @@ def test_lsh_dedup_caches_released_by_unpersist_inputs(spark, sf_dir):
     assert all(not df.storageLevel.useMemory for df in cached)
 
 
+def _checkpoint_rdd_ids(frames):
+    """Backing RDD id of each localCheckpoint'ed frame (LogicalRDD)."""
+    ids = []
+    for df in frames:
+        plan = df._jdf.queryExecution().analyzed()
+        assert plan.getClass().getSimpleName() == "LogicalRDD", (
+            "expected a checkpointed frame, got " + plan.getClass().getName()
+        )
+        ids.append(plan.rdd().id())
+    return ids
+
+
+def test_lsh_checkpoint_blocks_released_by_unpersist_inputs(spark, sf_dir):
+    """minhash_lsh_pairs pins its shingle/band tables via eager
+    localCheckpoint — those blocks live OUTSIDE the cache manager, so
+    DataFrame.unpersist alone would be a silent no-op and nightly-loop
+    callers would accumulate one corpus-sized checkpoint per batch.
+    unpersist_inputs must release the backing checkpoint RDDs."""
+    from flink_connectors_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_inputs,
+    )
+    from flink_connectors_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = minhash_lsh_pairs(docs)
+    out.count()
+    cached = out._fcs_cached_inputs
+    rdd_ids = _checkpoint_rdd_ids(cached)
+    persistent = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i in persistent for i in rdd_ids), (
+        "eager localCheckpoint should have registered persistent RDDs"
+    )
+    unpersist_inputs(out, blocking=True)
+    persistent_after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i not in persistent_after for i in rdd_ids), (
+        "unpersist_inputs left checkpoint RDD blocks pinned"
+    )
+
+
+def test_link_prediction_pairs_released_by_unpersist_inputs(spark, sf_dir):
+    """similarity_graph_link_prediction checkpoints its LSH pair list;
+    the same caller-owns-release contract must actually free it."""
+    from flink_connectors_spark.operators.dedup import unpersist_inputs
+    from flink_connectors_spark.registry import all_specs
+
+    out = all_specs()["similarity_graph_link_prediction"].fn(spark, sf_dir)
+    out.count()
+    cached = out._fcs_cached_inputs
+    rdd_ids = _checkpoint_rdd_ids(cached)
+    persistent = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i in persistent for i in rdd_ids)
+    unpersist_inputs(out, blocking=True)
+    persistent_after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i not in persistent_after for i in rdd_ids)
+
+
 def test_bloom_guard_no_false_negatives(spark, sf_dir):
     """The soundness invariant that makes the Bloom pre-filter safe:
     every true member is bloom-positive (a false negative would drop
