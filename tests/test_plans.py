@@ -843,3 +843,54 @@ def test_rrf_null_side_contributes_zero(spark):
         if r["ham_rnk"] is not None:
             want += 1.0 / (60.0 + r["ham_rnk"])
         assert abs(r["rrf"] - round(want, 6)) < 1e-9
+
+
+def test_ivf_onebit_probes_broadcast_packed_corpus_unshuffled(
+    spark, sf_dir
+):
+    """IVF-routed 1-bit retrieval (r7 snapshot commit) must keep both
+    parents' plan contracts: the cluster reps and the |Q| x n_probe
+    probe table join the corpus as BROADCAST sides (list pruning is
+    map-side — the packed corpus never shuffles for routing), the
+    packed query words enter the fine scan via broadcast nested-loop,
+    sign packing is a codegen'd fold inside the scan projection (no
+    explode), and the rank limit prunes partial before the only
+    corpus-keyed exchange."""
+    plan = _plan(spark, sf_dir, "similarity_topk_ivf_onebit")
+    assert plan.count("BroadcastHashJoin") >= 2  # probe/membership route
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # packed queries
+    assert plan.count("WindowGroupLimit") >= 4  # probe + final, Partial+Final
+    assert "SortMergeJoin" not in plan  # corpus side never shuffles
+    assert "Generate" not in plan  # packing is a fold, not an explode
+    assert "CartesianProduct" not in plan
+
+
+def test_recall_rrf_audit_joins_candidate_sized(spark, sf_dir):
+    """The RRF recall gate (r7 snapshot commit) audits fusion against
+    exact cosine: each rung must keep its pruned rank-limit shape
+    (WindowGroupLimit partials), rung outputs enter the fusion/audit
+    joins as checkpoint-materialized |Q| x k_cand frames (ExistingRDD
+    — the rung pipelines run once, not per join branch), and no join
+    degenerates to a cartesian/BNLJ re-scan of the corpus. The
+    structural scan count stays at the registry ceiling: the corpus
+    is read once per rung, never per audit branch."""
+    plan = _plan(spark, sf_dir, "similarity_recall_rrf")
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 4
+    assert plan.count("ExistingRDD") >= 2  # checkpointed rung outputs
+    df = SPECS["similarity_recall_rrf"].fn(spark, sf_dir)
+    assert _count_file_scans(df) <= 4
+
+
+def test_langid_logreg_predict_plan_single_scan_no_python(spark, sf_dir):
+    """Logreg training (r7 snapshot commit) runs its 3 gradient steps
+    as separate control-plane jobs (4 scalars collected per step);
+    the RETURNED report plan must therefore be one corpus scan with
+    the learned weights folded in as literals — and the whole
+    gradient/sigmoid pipeline stays codegen'd (no Python eval
+    boundary anywhere in the plan)."""
+    df = SPECS["text_langid_logreg"].fn(spark, sf_dir)
+    assert _count_file_scans(df) == 1
+    plan = _plan(spark, sf_dir, "text_langid_logreg")
+    assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
+    assert "SortMergeJoin" not in plan
