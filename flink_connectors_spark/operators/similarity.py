@@ -1662,6 +1662,163 @@ def topk_ivfadc(
     )
 
 
+def opq_rotation_build(
+    corpus: DataFrame,
+    subspaces: int,
+    pca_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[int], int, list[int]]:
+    """OPQ rotation build (Ge et al. 2013, the parametric recipe made
+    deterministic): learn an ORTHOGONAL transform that (a) aligns the
+    corpus' dominant principal direction with coordinate 1 and (b)
+    balances per-dimension energy across the PQ subspaces — the two
+    ingredients of parametric OPQ (PCA decorrelation + eigenvalue
+    allocation), each realized by an exactly-representable orthogonal
+    map so the whole build value-hashes cross-engine.
+
+    (a) is a HOUSEHOLDER reflection: with v the quantized top
+    principal direction from :func:`power_iteration_projection` and
+    nv = floor(||v|| + 0.5), u = v - nv*e1 is an INTEGER vector and
+    R = I - 2uu^T/(u.u) is an exact reflection sending v (almost)
+    onto e1 — orthogonality is exact for any u; only the "lands
+    exactly on e1" part is rounded, which costs nothing (we want the
+    energy concentrated, not a specific image). (b) is a PERMUTATION
+    (also orthogonal): rank transformed dimensions by corpus energy
+    and deal them round-robin to the ``subspaces`` blocks, so no
+    block hoards the high-variance axes — plain PQ on contiguous
+    blocks loses recall exactly when energy is lopsided.
+
+    Control-plane only: pca_iters one-row aggregates (power
+    iteration) + one 64-column energy aggregate; the driver holds
+    two d-vectors. Returns (u, uu, perm) where perm[new_pos] =
+    old_dim."""
+    pj = power_iteration_projection(
+        corpus, iters=pca_iters, scale=scale, id_col=id_col,
+        vec_col=vec_col,
+    )
+    v: list[int] = pj._fcs_component  # type: ignore[attr-defined]
+    nv = math.floor(math.sqrt(float(sum(x * x for x in v))) + 0.5)
+    u = list(v)
+    u[0] = v[0] - nv
+    uu = sum(x * x for x in u)
+    if uu == 0:
+        raise ValueError(
+            "OPQ rotation degenerate: principal direction already on "
+            "e1 (u = 0) — run plain PQ instead"
+        )
+    d = len(v)
+    yc = _householder_frame(corpus, u, uu, scale, id_col, vec_col)
+
+    def _qy(j: int):
+        return F.round(F.element_at("y", j + 1) * scale).cast("long")
+
+    eng = yc.agg(
+        *[F.sum(_qy(j) * _qy(j)).alias(f"e{j}") for j in range(d)]
+    ).first()
+    e = [int(eng[f"e{j}"]) for j in range(d)]
+    ranked = sorted(range(d), key=lambda j: (-e[j], j))
+    order = sorted(range(d), key=lambda r: (r % subspaces, r))
+    perm = [ranked[r] for r in order]
+    return u, uu, perm
+
+
+def _householder_frame(
+    df: DataFrame,
+    u: list[int],
+    uu: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Apply the integer Householder reflection: quantize x to int64,
+    y_j = (uu*qx_j - 2*(u.qx)*u_j) / (uu*scale) — the numerator is
+    EXACT int64 (|uu*qx| ~ 6e11, |2*dot*u| ~ 1e12 at d=64,
+    scale=1024), one IEEE division back to original vector units, so
+    both engines produce bit-identical doubles. Codegen'd per-row
+    fold + d-wide projection; no shuffle."""
+    d = len(u)
+    qx = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    ul = F.array(*[F.lit(int(x)).cast("long") for x in u])
+    dot = F.aggregate(
+        F.zip_with(F.col("qx"), ul, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tmp = df.select(F.col(id_col), qx.alias("qx")).withColumn("dot", dot)
+    den = F.lit(float(uu * scale))
+    y = F.array(
+        *[
+            (
+                (
+                    F.lit(int(uu)) * F.element_at("qx", j + 1)
+                    - F.lit(2) * F.col("dot") * F.lit(int(u[j]))
+                ).cast("double")
+                / den
+            )
+            for j in range(d)
+        ]
+    )
+    return tmp.select(F.col(id_col), y.alias("y"))
+
+
+def topk_opq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    subspaces: int = 2,
+    codebook_k: int = 16,
+    iters: int = 2,
+    pca_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Optimized Product Quantization top-k: rotate-then-PQ — the
+    classical rung between plain PQ and IVFADC on the quantization
+    ladder. The learned orthogonal transform (Householder alignment
+    of the top principal direction + energy-balanced dimension
+    permutation, see :func:`opq_rotation_build`) is applied to corpus
+    and queries alike, then the UNCHANGED deterministic PQ lifecycle
+    (per-block Lloyd codebooks, code table, broadcast ADC LUTs,
+    partial-pruned rank) runs in the rotated space. Orthogonality
+    preserves L2, so approx_dist stays in original vector units and
+    is directly comparable to `topk_pq_adc`'s.
+
+    Scale shape inherited from PQ plus one build pass: pca_iters
+    one-row power-iteration aggregates, one energy aggregate, and
+    the rotated corpus materialized once (eager localCheckpoint —
+    the per-block Lloyd chains launch concurrently from the thread
+    pool and each re-reads it); the rotation itself is a codegen'd
+    integer fold + d-wide projection, the code table remains the
+    only corpus-sized relation the search touches, and every LUT
+    broadcasts. At 100 TB the rotation adds one linear pass over
+    the vectors and two d-vectors of driver state."""
+    u, uu, perm = opq_rotation_build(
+        corpus, subspaces, pca_iters, scale, id_col, vec_col
+    )
+
+    def rotate(df: DataFrame) -> DataFrame:
+        yf = _householder_frame(df, u, uu, scale, id_col, vec_col)
+        py = F.array(
+            *[F.element_at("y", int(p) + 1) for p in perm]
+        )
+        return yf.select(F.col(id_col), py.alias(vec_col))
+
+    # small (corpus-id + d doubles), >= 3 concurrent Lloyd consumers:
+    # eager checkpoint per the materialization rule
+    rc = rotate(corpus).localCheckpoint(eager=True)
+    rq = rotate(queries)
+    codes, luts = _pq_train_encode(
+        rq, rc, subspaces, codebook_k, iters, scale, id_col, vec_col
+    )
+    return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
+
+
 def topk_matryoshka_rerank(
     queries: DataFrame,
     corpus: DataFrame,

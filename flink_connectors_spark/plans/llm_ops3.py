@@ -811,14 +811,18 @@ def _pq_update(a: str, prev: str, nxt: str, d: int) -> str:
       FROM {prev} LEFT JOIN {nxt}u ON {prev}.cluster = {nxt}u.cluster)"""
 
 
-def _pq_block(tag: str, lo: int, width: int, k: int) -> str:
+def _pq_block(
+    tag: str, lo: int, width: int, k: int, src: str = "embeddings"
+) -> str:
     """Full per-block chain: quantized subvectors -> 2 Lloyd rounds ->
-    final assignment af{tag} + trained codebook c2{tag}."""
+    final assignment af{tag} + trained codebook c2{tag}. ``src`` lets
+    the OPQ oracle run the identical chain over its rotated-and-
+    permuted vector CTE instead of the raw table."""
     return f"""q{tag} AS (
       SELECT vec_id,
              list_transform(list_slice(embedding, {lo}, {lo + width - 1}),
                v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
-      FROM embeddings),
+      FROM {src}),
     c0{tag} AS (
       SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cluster,
              qv AS s, CAST(1 AS BIGINT) AS c
@@ -2795,3 +2799,117 @@ def text_langid_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     z >= 0 (no sigmoid at predict)."""
     d = _load(spark, sf_dir, "documents")
     return T.langid_logreg(d, n_steps=3, lr=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: OPQ — rotate-then-PQ, the rung between PQ and IVFADC
+# ---------------------------------------------------------------------------
+
+_SQL_OPQ_ROTATED = f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+      FROM embeddings),
+    v0 AS (SELECT list_transform(range(1, 65),
+                                 i -> CAST(1024 AS BIGINT)) AS v),
+    {_pi_iter(1, "v0")},
+    {_pi_iter(2, "v1")},
+    hh AS (
+      SELECT v,
+             CAST(floor(sqrt(CAST(list_sum(list_transform(v, x -> x * x))
+                                  AS DOUBLE)) + 0.5) AS BIGINT) AS nv
+      FROM v2),
+    hu AS (
+      SELECT list_transform(range(1, 65),
+               j -> CASE WHEN j = 1 THEN v[1] - nv ELSE v[j] END) AS u
+      FROM hh),
+    huu AS (
+      SELECT u, CAST(list_sum(list_transform(u, x -> x * x)) AS BIGINT)
+               AS uu
+      FROM hu),
+    yd AS (
+      SELECT q.vec_id, q.qv, huu.u, huu.uu,
+             CAST(list_sum(list_transform(list_zip(q.qv, huu.u),
+                                          p -> p[1] * p[2])) AS BIGINT)
+               AS dot
+      FROM q, huu),
+    yt AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), j ->
+               CAST(uu * qv[j] - 2 * dot * u[j] AS DOUBLE)
+                 / CAST(uu * 1024 AS DOUBLE)) AS y
+      FROM yd),
+    ep AS (
+      SELECT r.pos,
+             CAST(SUM(CAST(round(y[r.pos] * 1024) AS BIGINT)
+                      * CAST(round(y[r.pos] * 1024) AS BIGINT))
+                  AS BIGINT) AS e
+      FROM yt, UNNEST(range(1, 65)) AS r(pos)
+      GROUP BY r.pos),
+    erk AS (
+      SELECT pos AS dim,
+             row_number() OVER (ORDER BY e DESC, pos) AS rnk
+      FROM ep),
+    perm AS (
+      SELECT dim,
+             row_number() OVER (ORDER BY (rnk - 1) % 2, rnk) AS newpos
+      FROM erk),
+    ty AS (
+      SELECT vec_id, list(y[dim] ORDER BY newpos) AS embedding
+      FROM yt, perm GROUP BY vec_id)"""
+
+
+@register(
+    "similarity_topk_opq",
+    oracle=f"""
+    WITH {_SQL_OPQ_ROTATED},
+    {_pq_block("a", 1, 32, 16, src="ty")},
+    {_pq_block("b", 33, 32, 16, src="ty")},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    scored AS (
+      SELECT l0.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN luta l0 ON l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = l0.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> l0.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "opq", "quantization", "iterative"),
+    since=8,
+)
+def similarity_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized Product Quantization (Ge et al. 2013, parametric
+    recipe made deterministic), the full lifecycle driver-verified:
+    2 rounds of quantized power iteration learn the top principal
+    direction, an exact-integer Householder reflection aligns it
+    with coordinate 1, an energy-balancing permutation deals the
+    rotated dimensions round-robin to the 2 PQ blocks (eigenvalue
+    allocation), and the UNCHANGED deterministic PQ lifecycle
+    (per-block Lloyd codebooks -> code table -> broadcast ADC LUTs
+    -> partial-pruned rank) runs in the rotated space. Both
+    transform stages are exactly orthogonal, so approx_dist stays
+    in original L2 units, directly comparable to
+    `similarity_topk_pq`. The oracle replays EVERYTHING unrolled:
+    power iteration, the Householder integers, the energy ranking,
+    the permutation, both Lloyd chains, and the ADC tail — one
+    wrong integer anywhere in the rotation build fails the hash."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.topk_opq(q, emb, k=5, subspaces=2, codebook_k=16, iters=2)

@@ -894,3 +894,78 @@ def test_langid_logreg_predict_plan_single_scan_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_langid_logreg")
     assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
     assert "SortMergeJoin" not in plan
+
+
+def test_opq_rotation_checkpointed_luts_broadcast(spark, sf_dir):
+    """OPQ scale pins, mirroring the PQ/IVFADC family: the rotated
+    corpus is checkpoint-materialized once (Scan ExistingRDD — the
+    concurrent per-block Lloyd chains must not re-run the Householder
+    fold), the per-query ADC lookup tables broadcast, the rank limit
+    prunes partial before the final exchange, and the only
+    SortMergeJoin is the per-block code-id zip on vec_id (the
+    compressed corpus) — the full-width rotated vectors never
+    shuffle."""
+    plan = _plan(spark, sf_dir, "similarity_topk_opq")
+    assert "ExistingRDD" in plan  # checkpointed rotated corpus
+    assert plan.count("BroadcastHashJoin") >= 2  # 2 ADC LUTs
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert plan.count("SortMergeJoin") <= 2  # code-id zip only
+    assert "CartesianProduct" not in plan
+
+
+def test_opq_transform_is_orthogonal_and_balances_energy(spark):
+    """Functional floor for the rotation build: the Householder +
+    permutation transform must preserve pairwise L2 distances
+    (orthogonality — the property that keeps approx_dist in original
+    units) and must not hoard the high-energy dimensions in one PQ
+    block."""
+    import random
+
+    from flink_connectors_spark.operators.similarity import (
+        _householder_frame,
+        opq_rotation_build,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    # geometrically decaying per-dim energy: a contiguous block split
+    # hoards the top axes in block 0
+    scales = [4.0 * (0.7 ** j) for j in range(8)]
+    rows = [
+        (i, [rng.uniform(-s, s) for s in scales]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    u, uu, perm = opq_rotation_build(df, subspaces=2, scale=1024)
+    assert sorted(perm) == list(range(8))  # a true permutation
+
+    yf = _householder_frame(df, u, uu, 1024, "vec_id", "embedding")
+    got = {r["vec_id"]: r["y"] for r in yf.collect()}
+    raw = {i: v for i, v in rows}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    # orthogonality: pairwise distances preserved (up to the 1/1024
+    # input quantization the integer path applies)
+    for a, b in [(0, 1), (2, 3), (4, 5)]:
+        assert abs(d2(got[a], got[b]) - d2(raw[a], raw[b])) < 1e-2
+
+    # energy allocation: the permuted split must balance block
+    # energies strictly better than the contiguous split it replaces
+    # (a permutation cannot split a single dominant axis — the honest
+    # claim is improvement, not absolute parity)
+    e = [0.0] * 8
+    for v in got.values():
+        pv = [v[p] for p in perm]
+        for j, x in enumerate(pv):
+            e[j] += x * x
+
+    def ratio(energies):
+        b0, b1 = sum(energies[:4]), sum(energies[4:])
+        return max(b0, b1) / max(min(b0, b1), 1e-9)
+
+    e_contig = [0.0] * 8
+    for v in got.values():
+        for j, x in enumerate(v):
+            e_contig[j] += x * x
+    assert ratio(e) < ratio(e_contig)
