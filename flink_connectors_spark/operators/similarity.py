@@ -1662,6 +1662,41 @@ def topk_ivfadc(
     )
 
 
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_neg: int = 5,
+    k_cand: int = 20,
+    dup_threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the ``n_neg`` highest-cosine candidates that are NOT
+    near-duplicates — similar enough to be informative gradients,
+    below the dup threshold so the "negative" label is actually true
+    (mining a paraphrase as a negative teaches the encoder to split
+    duplicates — the classic false-negative poisoning failure).
+
+    Composition: the exact top-``k_cand`` scan (swap in any ANN rung
+    at scale — the mining set is |Q| x k_cand either way), then a
+    score-band cut and re-rank. Both windows share the query_id
+    partitioning, so the re-rank adds NO extra exchange. Returns
+    (query_id, neighbor_id, score, neg_rank)."""
+    cand = cosine_topk_bruteforce(
+        queries, corpus, k=k_cand, id_col=id_col, vec_col=vec_col
+    )
+    kept = cand.filter(F.col("score") < dup_threshold)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        kept.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select("query_id", "neighbor_id", "score", "neg_rank")
+    )
+
+
 def opq_rotation_build(
     corpus: DataFrame,
     subspaces: int,

@@ -2859,10 +2859,7 @@ _SQL_OPQ_ROTATED = f"""q AS (
       FROM yt, perm GROUP BY vec_id)"""
 
 
-@register(
-    "similarity_topk_opq",
-    oracle=f"""
-    WITH {_SQL_OPQ_ROTATED},
+_SQL_OPQ_CTES = f"""{_SQL_OPQ_ROTATED},
     {_pq_block("a", 1, 32, 16, src="ty")},
     {_pq_block("b", 33, 32, 16, src="ty")},
     codes AS (
@@ -2887,7 +2884,13 @@ _SQL_OPQ_ROTATED = f"""q AS (
       SELECT query_id, neighbor_id, approx_dist,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY approx_dist, neighbor_id) AS rnk
-      FROM scored)
+      FROM scored)"""
+
+
+@register(
+    "similarity_topk_opq",
+    oracle=f"""
+    WITH {_SQL_OPQ_CTES}
     SELECT query_id, neighbor_id, approx_dist, rnk
     FROM ranked WHERE rnk <= 5
     """,
@@ -2913,3 +2916,185 @@ def similarity_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     return S.topk_opq(q, emb, k=5, subspaces=2, codebook_k=16, iters=2)
+
+
+@register(
+    "similarity_recall_opq",
+    oracle=f"""
+    WITH {_SQL_OPQ_CTES},
+    ann AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+    bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    bf_scored AS (
+      SELECT bfq.query_id, bfc.neighbor_id,
+             {_sql_cos("bfq.qvec", "bfc.cvec")} AS score
+      FROM bfc CROSS JOIN bfq
+      WHERE bfc.neighbor_id <> bfq.query_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored) t WHERE rnk <= 5),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN ann ON bf.query_id = ann.query_id
+                      AND bf.neighbor_id = ann.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT b.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "opq", "qa", "iterative"),
+    since=8,
+)
+def similarity_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of OPQ against exact brute-force cosine, per query —
+    the QA gate every rung of the quantization ladder carries
+    (int8/PQ/onebit/IVFADC siblings); the number that justifies the
+    rotation: OPQ should recover recall plain PQ loses when energy
+    is lopsided across contiguous blocks. The oracle replays the
+    full rotate-then-PQ lifecycle AND the exact side; audit joins
+    are |Q| x k-sized, so at 100 TB the meter costs the sampled
+    exact scan, nothing more."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    approx = S.topk_opq(q, emb, k=5, subspaces=2, codebook_k=16, iters=2)
+    return S.topk_recall_audit(exact, approx, k=5)
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    scored AS (
+      SELECT bfq.query_id, bfc.neighbor_id,
+             round({_sql_cos("bfq.qvec", "bfc.cvec")}, 6) AS score
+      FROM bfc CROSS JOIN bfq
+      WHERE bfc.neighbor_id <> bfq.query_id),
+    cand AS (
+      SELECT query_id, neighbor_id, score FROM (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored) t WHERE rnk <= 20),
+    kept AS (SELECT * FROM cand WHERE score < 0.3)
+    SELECT query_id, neighbor_id, score, neg_rank FROM (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id)
+               AS neg_rank
+      FROM kept) t WHERE neg_rank <= 5
+    """,
+    tags=("llm", "similarity", "training", "mining"),
+    since=8,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    5 highest-cosine candidates from the top-20 scan that sit BELOW
+    the 0.3 near-dup threshold (the same threshold the semantic
+    dedup family treats as duplicate) — informative negatives that
+    are guaranteed not to be paraphrases, avoiding the
+    false-negative poisoning that inflates contrastive loss. The
+    candidate scan is the broadcast-query single-corpus-scan shape;
+    the band cut and re-rank share its query_id partitioning (no
+    extra exchange)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.hard_negative_mining(
+        q, emb, n_neg=5, k_cand=20, dup_threshold=0.3
+    )
+
+
+@register(
+    "pipeline_cluster_purity",
+    oracle=f"""
+    WITH {_km_chain_cte()},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    j AS (
+      SELECT af.cluster, lab.label
+      FROM af JOIN lab ON af.vec_id = lab.vec_id),
+    cl AS (
+      SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM j GROUP BY cluster, label),
+    tot AS (
+      SELECT cluster,
+             CAST(SUM(n) AS BIGINT) AS n_vectors,
+             CAST(COUNT(*) AS BIGINT) AS n_labels
+      FROM cl GROUP BY cluster),
+    top AS (
+      SELECT cluster, label AS top_label, n AS n_top FROM (
+        SELECT cluster, label, n,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n DESC, label) AS rn
+        FROM cl) t WHERE rn = 1)
+    SELECT CAST(tot.cluster AS INT) AS cluster,
+           tot.n_vectors, tot.n_labels,
+           CAST(top.top_label AS INT) AS top_label, top.n_top,
+           round(CAST(top.n_top AS DOUBLE) / tot.n_vectors, 6)
+             AS purity
+    FROM tot JOIN top ON tot.cluster = top.cluster
+    """,
+    tags=("llm", "embedding", "kmeans", "qa", "audit", "iterative"),
+    since=8,
+)
+def pipeline_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: run the deterministic k-means build
+    (k=8, 2 Lloyd rounds — the IVF coarse quantizer) and score each
+    learned cluster against the corpus' ground-truth labels: size,
+    distinct labels absorbed, majority label, and purity
+    (majority/size) — the topic-balance report a curation stack
+    reads before trusting cluster-based sampling or SemDeDup-style
+    per-cluster dedup (a low-purity cluster means the quantizer is
+    mixing topics and per-cluster decisions will cross topics).
+
+    Scale shape: the contingency table is (k x labels)-sized from
+    ONE keyed aggregate over the assignment (vector rows never
+    shuffle — inherited k-means pin); majority pick and totals are
+    windows over that tiny table. The oracle replays the full Lloyd
+    chain unrolled, then the same contingency arithmetic."""
+    emb = _load(spark, sf_dir, "embeddings")
+    assign = S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
+    j = assign.select("vec_id", "cluster").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cl = j.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cl.groupBy("cluster").agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    top = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("n_top"),
+        )
+    )
+    return tot.join(top, "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_vectors",
+        "n_labels",
+        F.col("top_label").cast("int").alias("top_label"),
+        "n_top",
+        F.round(
+            F.col("n_top").cast("double") / F.col("n_vectors"), 6
+        ).alias("purity"),
+    )

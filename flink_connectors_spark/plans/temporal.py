@@ -2118,3 +2118,78 @@ def anomaly_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("mean_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: SCD2 dimension build from the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    versioned AS (
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                  AS BIGINT) AS version
+      FROM changes)
+    SELECT user_id, attr, valid_from, valid_to, version,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM versioned
+    """,
+    tags=("temporal", "scd2", "dimension", "changelog"),
+    since=8,
+)
+def pipeline_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 build: fold each user's event
+    stream into versioned validity intervals of their tracked
+    attribute (event_type) — consecutive events with an unchanged
+    attribute collapse into one interval; a change closes the open
+    interval at the new row's timestamp and opens the next version.
+    This is the dimension-table construct every warehouse keeps for
+    point-in-time joins (the as-of join's natural build-side input —
+    `join_asof_last_view` probes exactly this shape).
+
+    Spark-first: change detection is one lag() over the (ts,
+    event_id) total order, interval close is one lead() over the
+    change rows, version is a row_number — three windows sharing ONE
+    user_id partitioning, so the whole build costs a single keyed
+    shuffle at any corpus size. Returns (user_id, attr, valid_from,
+    valid_to, version, is_current) with valid_to NULL on the open
+    version."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long"),
+    )
