@@ -539,3 +539,121 @@ def image_resize_nearest(mm: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return mm.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def _make_y4m(
+    width: int, height: int, n_frames: int, doc_id: int
+) -> bytes:
+    """A real, playable YUV4MPEG2 stream (the uncompressed video
+    interchange format every ffmpeg build reads): ASCII stream header,
+    then per-frame 'FRAME\\n' markers followed by 4:2:0 planar pixel
+    data (Y plane w*h + U,V planes (w/2)*(h/2) each). Byte i of frame
+    f follows (i*5 + f*11 + doc_id) % 256 so every frame checksum is
+    SQL-predictable."""
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    )
+    frame_len = width * height * 3 // 2
+    parts = [header]
+    idx = np.arange(frame_len, dtype=np.int64)
+    for f in range(n_frames):
+        parts.append(b"FRAME\n")
+        parts.append(
+            ((idx * 5 + f * 11 + doc_id) % 256).astype(np.uint8).tobytes()
+        )
+    return b"".join(parts)
+
+
+def synthesize_video(
+    df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Ingest-simulation stage for the video modality: build a real
+    Y4M clip per row — even dimensions (4:2:0 requires them) and
+    frame count derived from row attributes. Arrow-batched
+    mapInPandas, same plumbing contract as `synthesize_media`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, nch in zip(pdf[id_col], pdf[chars_col]):
+                did, nch = int(did), int(nch)
+                payloads.append(
+                    _make_y4m(
+                        2 * (did % 4 + 1),
+                        2 * (nch % 3 + 1),
+                        nch % 7 + 4,
+                        did,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.mapInPandas(run, "doc_id long, payload binary")
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, width long, height long, n_frames long, "
+    "frame_no long, frame_checksum long, mean_luma double"
+)
+
+
+def video_frame_sample(mm: DataFrame, every_n: int = 3) -> DataFrame:
+    """REAL video frame sampling: parse each Y4M payload's actual
+    bytes — stream-header W/H tokens, FRAME markers, planar 4:2:0
+    frame slices — keep every ``every_n``-th frame, and emit one row
+    per kept frame with its exact byte checksum and Y-plane mean luma
+    (the thumbnail/shot-detection statistic). One clip in, many
+    frame rows out: the fan-out runs inside Arrow-batched
+    mapInPandas, output is frame-metadata-sized, pixel data never
+    leaves the stage — the exact plumbing an H.264 keyframe sampler
+    (via PyAV/ffmpeg, absent in this container) drops into.
+
+    Deterministic: the synthesized pixel pattern makes every
+    statistic a pure integer function of (doc_id, frame_no, dims),
+    so the DuckDB oracle predicts all of them arithmetically; a
+    wrong plane size, frame offset, or marker stride fails the
+    hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "width", "height", "n_frames",
+            "frame_no", "frame_checksum", "mean_luma",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if not p.startswith(b"YUV4MPEG2"):
+                    continue
+                nl = p.index(b"\n")
+                toks = p[:nl].decode().split(" ")
+                w = int(next(t[1:] for t in toks if t.startswith("W")))
+                h = int(next(t[1:] for t in toks if t.startswith("H")))
+                frame_len = w * h * 3 // 2
+                body = p[nl + 1 :]
+                stride = 6 + frame_len  # b"FRAME\n" + planes
+                n_frames = len(body) // stride
+                for f in range(0, n_frames, every_n):
+                    fr = np.frombuffer(
+                        body,
+                        dtype=np.uint8,
+                        count=frame_len,
+                        offset=f * stride + 6,
+                    )
+                    rows.append(
+                        (
+                            int(did), w, h, n_frames, f,
+                            int(fr.sum(dtype=np.int64)),
+                            round(
+                                float(
+                                    fr[: w * h].sum(dtype=np.int64)
+                                )
+                                / (w * h),
+                                6,
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return mm.mapInPandas(run, VIDEO_FRAME_SCHEMA)

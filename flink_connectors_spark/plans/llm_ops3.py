@@ -3098,3 +3098,45 @@ def pipeline_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_top").cast("double") / F.col("n_vectors"), 6
         ).alias("purity"),
     )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 * ((doc_id % 4) + 1) AS width,
+             2 * ((n_chars % 3) + 1) AS height,
+             n_chars % 7 + 4 AS n_frames
+      FROM documents),
+    fr AS (
+      SELECT doc_id, width, height, n_frames, f.f AS frame_no
+      FROM p, UNNEST(range(0, n_frames, 3)) AS f(f)),
+    b AS (
+      SELECT doc_id, width, height, n_frames, frame_no, i.i AS i,
+             (i.i * 5 + frame_no * 11 + doc_id) % 256 AS byte
+      FROM fr, UNNEST(range(0, (3 * width * height) // 2)) AS i(i))
+    SELECT doc_id, width, height, n_frames, frame_no,
+           CAST(SUM(byte) AS BIGINT) AS frame_checksum,
+           round(CAST(SUM(CASE WHEN i < width * height
+                          THEN byte ELSE 0 END) AS DOUBLE)
+                 / (width * height), 6) AS mean_luma
+    FROM b
+    GROUP BY doc_id, width, height, n_frames, frame_no
+    """,
+    tags=("llm", "multimodal", "video", "pandas_udf"),
+    since=8,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + temporal frame sampling: synthesize a
+    playable YUV4MPEG2 clip per document (dims/length from row
+    attributes), parse the actual container bytes (header tokens,
+    FRAME markers, 4:2:0 plane math), keep every 3rd frame, and emit
+    per-frame checksum + Y-plane mean luma — the third modality
+    alongside the BMP image and WAV audio lanes, and the plumbing an
+    ffmpeg keyframe sampler drops into when codec libs exist. The
+    oracle predicts every statistic arithmetically from the synthesis
+    formula: a wrong plane size, marker stride, or frame origin in
+    the numpy walk fails the hash."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return M.video_frame_sample(M.synthesize_video(d), every_n=3)

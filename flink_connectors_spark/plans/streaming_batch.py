@@ -268,3 +268,100 @@ def stream_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "stream_left_interval_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, ts AS click_ts, user_id AS c_user
+      FROM events WHERE event_type = 'click'),
+    e AS (
+      SELECT event_id AS error_id, ts AS error_ts, user_id AS e_user
+      FROM events WHERE event_type = 'error'),
+    m AS (
+      SELECT c.click_id, c.click_ts, c.c_user, e.error_id, e.error_ts
+      FROM c JOIN e ON c.c_user = e.e_user
+        AND e.error_ts > c.click_ts
+        AND e.error_ts <= c.click_ts + INTERVAL 30 MINUTE),
+    wm AS (
+      SELECT least((SELECT MAX(click_ts) FROM c),
+                   (SELECT MAX(error_ts) FROM e))
+             - INTERVAL 1 HOUR AS w),
+    um AS (
+      SELECT c.click_id, c.click_ts, c.c_user,
+             CAST(NULL AS BIGINT) AS error_id,
+             CAST(NULL AS TIMESTAMP) AS error_ts
+      FROM c, wm
+      WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        AND c.click_ts + INTERVAL 30 MINUTE < wm.w)
+    SELECT * FROM m UNION ALL SELECT * FROM um
+    """,
+    tags=("streaming", "join", "interval", "outer", "watermark"),
+    since=8,
+)
+def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join
+    (`streaming.pipelines.clicks_left_outer_errors_stream`), horizon
+    and all: matched (click, error-within-30min) pairs plus null
+    rows for unmatched clicks — but a null row only exists when the
+    final watermark (min of both sides' max event time, minus the 1
+    hour delay) has passed the click's join window, exactly the
+    state-eviction rule the live join applies (verified empirically:
+    the no-data final batch flushes precisely this set). Clicks
+    newer than the horizon are withheld — the honest semantic
+    difference between a batch left join and its streaming twin.
+
+    Scale: the interval join shuffles each side once on user_id; the
+    horizon is a one-row broadcast; the unmatched check is a keyed
+    anti-join on click_id."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.col("user_id").alias("e_user"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    matched = clicks.join(errors, cond, "inner").select(
+        "click_id", "click_ts", "c_user", "error_id", "error_ts"
+    )
+    wm = (
+        clicks.agg(F.max("click_ts").alias("mc"))
+        .crossJoin(errors.agg(F.max("error_ts").alias("me")))
+        .select(
+            (
+                F.least(F.col("mc"), F.col("me"))
+                - F.expr("INTERVAL 1 HOUR")
+            ).alias("w")
+        )
+    )
+    unmatched = (
+        clicks.join(matched.select("click_id"), "click_id", "left_anti")
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            < F.col("w")
+        )
+        .select(
+            "click_id",
+            "click_ts",
+            "c_user",
+            F.lit(None).cast("long").alias("error_id"),
+            F.lit(None).cast(matched.schema["error_ts"].dataType).alias(
+                "error_ts"
+            ),
+        )
+    )
+    return matched.unionByName(unmatched)

@@ -362,3 +362,47 @@ def windowed_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def clicks_left_outer_errors_stream(stream: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, enriched
+    with same-user errors arriving within 30 minutes after it — and
+    emitted WITH NULLS if no such error exists. The outer semantics
+    are the subtle part: an unmatched click's null row can only be
+    emitted once the watermark proves no matching error can still
+    arrive (state eviction), so null rows trail the data by the join
+    window + watermark delay, and clicks newer than the final
+    watermark horizon are withheld entirely (verified live in
+    tests/test_streaming.py against the registered batch twin
+    `stream_left_interval_join`, which models the horizon
+    explicitly). Unbounded state without both watermarks + both-side
+    time bounds; Flink-SQL analogue: LEFT OUTER interval join."""
+    stream = ensure_event_time(stream, "ts")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+            F.col("user_id").alias("e_user"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    return clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select("click_id", "click_ts", "c_user", "error_id", "error_ts")

@@ -733,3 +733,46 @@ def test_streaming_heavy_hitters_match_batch_twin(
         for r in stream_topk_heavy_hitters(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_left_outer_interval_join_matches_twin(
+    spark, events_stream_dir, sf_dir
+):
+    """The LEFT OUTER stream-stream join's null-row emission is gated
+    by state eviction: a null row appears only once the watermark
+    passes the click's join window. The registered batch twin
+    (`stream_left_interval_join`) models that horizon explicitly —
+    live result and twin must agree ROW FOR ROW, including which
+    tail clicks are withheld."""
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(
+        events_stream_dir
+    )
+    res = _run_stream(
+        spark,
+        P.clicks_left_outer_errors_stream(stream),
+        "t_lo_join",
+        mode="append",
+    )
+    from flink_connectors_spark.registry import all_specs
+
+    twin = all_specs()["stream_left_interval_join"].fn(spark, sf_dir)
+
+    def key(rows):
+        return sorted(
+            (
+                r["click_id"],
+                r["error_id"],
+                str(r["click_ts"]),
+                str(r["error_ts"]),
+            )
+            for r in rows
+        )
+
+    live = key(res.collect())
+    want = key(twin.collect())
+    assert len(live) > 0
+    assert live == want
+    # both matched and withheld-null populations must be non-trivial
+    n_null = sum(1 for r in live if r[1] is None)
+    assert 0 < n_null < len(live)
