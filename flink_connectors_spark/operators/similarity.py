@@ -1662,6 +1662,78 @@ def topk_ivfadc(
     )
 
 
+def mutual_knn_edges(
+    corpus: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN graph construction: an edge (a, b) exists iff a is
+    in b's k nearest AND b is in a's k nearest (cosine, within
+    blocking groups) — the graph SemDeDup-style cluster pruning and
+    spectral/agglomerative corpus clustering build on, and a far
+    sparser, higher-precision structure than a plain threshold graph
+    (one-directional "nearest" relations to a hub node don't survive
+    the mutuality test).
+
+    Scale shape: the candidate stage is the blocked self-join
+    (`cosine_near_dup_pairs` economics — per-row norms precomputed,
+    block-keyed shuffle, never global O(n^2); swap an ANN rung in
+    for the directed kNN at unblocked corpus scale); the directed
+    top-k prunes per-partition BEFORE the mutuality join, which
+    intersects two |N| x k edge lists on the reversed key. The
+    directed kNN table is eager-checkpointed: both sides of the
+    mutuality self-join launch in one action (the eager/lazy rule).
+    Returns (id1, id2, score) with id1 < id2."""
+    v = corpus.select(
+        F.col(block_col),
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__nrm__"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    score = F.round(
+        F.try_divide(
+            dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+            F.col("a.__nrm__") * F.col("b.__nrm__"),
+        ),
+        6,
+    )
+    directed = (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"b.{id_col}").alias("dst"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    knn = (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "score")
+        .localCheckpoint(eager=True)
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        knn.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id1"),
+            F.col("dst").alias("id2"),
+            "score",
+        )
+    )
+
+
 def hard_negative_mining(
     queries: DataFrame,
     corpus: DataFrame,

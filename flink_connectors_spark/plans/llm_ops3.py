@@ -3140,3 +3140,162 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     the numpy walk fails the hash."""
     d = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return M.video_frame_sample(M.synthesize_video(d), every_n=3)
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    pr AS (
+      SELECT w[i.i] AS w1, w[i.i + d.d] AS w2
+      FROM base,
+           UNNEST(range(1, 3)) AS d(d),
+           UNNEST(range(1, len(w) + 1)) AS i(i)
+      WHERE i.i + d.d <= len(w)),
+    pc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM pr GROUP BY w1, w2),
+    ug AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(w) AS word FROM base) t GROUP BY word),
+    tot AS (
+      SELECT (SELECT CAST(SUM(n_w) AS BIGINT) FROM ug) AS nw,
+             (SELECT CAST(SUM(n_pair) AS BIGINT) FROM pc) AS np),
+    scored AS (
+      SELECT pc.w1, pc.w2, pc.n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+             round(ln(CAST(pc.n_pair * tot.nw * tot.nw AS DOUBLE)
+                      / CAST(a.n_w * b.n_w * tot.np AS DOUBLE)), 6)
+               AS pmi
+      FROM pc
+      JOIN ug a ON pc.w1 = a.word
+      JOIN ug b ON pc.w2 = b.word, tot
+      WHERE pc.n_pair >= 5)
+    SELECT w1, w2, n_pair, n_w1, n_w2, pmi, rnk FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2)
+                     AS BIGINT) AS rnk
+      FROM scored) t WHERE rnk <= 20
+    """,
+    tags=("llm", "text", "collocation", "pmi"),
+    since=8,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 directional word pairs by pointwise
+    mutual information over a +/-2-token co-occurrence window — the
+    phrase-detection statistic (word2vec's phrase pass, 'new york'
+    style) a corpus pipeline runs before tokenizer/vocab decisions.
+
+    The pair generation is the Spark-first part: NO position explode
+    and NO self-join — for each offset d in {{1, 2}}, zip the token
+    array with its own d-shifted slice (codegen'd zip_with over
+    slices), flatten, and count. One corpus scan feeds one keyed
+    aggregate; the unigram pass is a second scan + vocab-sized
+    aggregate; PMI joins are vocab-sized (merge-pinned: both descend
+    from explodes, so Catalyst's size estimates are stale — the
+    standard hazard class). The PMI ratio is built from exact int64
+    products (n_pair*N_w^2 / (n_a*n_b*N_p), safe to ~SF1 corpus
+    sizes in one partition-free product; shard the products past
+    that), one division, one ln, round 6."""
+    from ..functions import tokenize
+
+    d = _load(spark, sf_dir, "documents")
+    base = d.select(tokenize(F.col("text")).alias("w"))
+    n = F.size("w")
+    pair_arrays = [
+        F.zip_with(
+            F.slice(F.col("w"), 1, F.greatest(n - off, F.lit(0))),
+            F.slice(F.col("w"), off + 1, F.greatest(n - off, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("|"), b),
+        )
+        for off in (1, 2)
+    ]
+    pc = (
+        base.select(
+            F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .select(
+            F.split(F.col("p"), r"\|")[0].alias("w1"),
+            F.split(F.col("p"), r"\|")[1].alias("w2"),
+            "n_pair",
+        )
+    )
+    ug = (
+        base.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    tot = (
+        ug.agg(F.sum("n_w").cast("long").alias("nw"))
+        .crossJoin(
+            pc.agg(F.sum("n_pair").cast("long").alias("np"))
+        )
+    )
+    a = ug.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"))
+    b = ug.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        pc.filter(F.col("n_pair") >= 5)
+        .hint("merge")
+        .join(a.hint("merge"), "w1")
+        .join(b.hint("merge"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_pair") * F.col("nw") * F.col("nw")
+                    ).cast("double")
+                    / (
+                        F.col("n_w1") * F.col("n_w2") * F.col("np")
+                    ).cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    # TakeOrderedAndProject cut BEFORE the global rank window (the
+    # pipeline_vocab_build discipline): the row_number orders 20
+    # rows, never the vocab^2-bounded scored table
+    top = scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(20)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2", "pmi", "rnk")
+    )
+
+
+@register(
+    "similarity_mutual_knn",
+    oracle=f"""
+    WITH s AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_sql_cos("a.embedding", "b.embedding")} AS score
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id),
+    knn AS (
+      SELECT src, dst, score FROM (
+        SELECT src, dst, score,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY score DESC, dst) AS rnk
+        FROM s) t WHERE rnk <= 3)
+    SELECT k1.src AS id1, k1.dst AS id2, k1.score
+    FROM knn k1 JOIN knn k2
+      ON k1.src = k2.dst AND k1.dst = k2.src
+    WHERE k1.src < k1.dst
+    """,
+    tags=("llm", "similarity", "graph", "knn"),
+    since=8,
+)
+def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the embedding corpus (k=3, label-
+    blocked): edges that survive the mutuality test — a is in b's
+    top-3 AND b in a's — the sparse high-precision neighborhood
+    graph cluster-pruning and corpus-clustering stages consume,
+    immune to hub nodes that a threshold graph would over-connect.
+    Directed kNN prunes per-partition before the mutuality
+    intersection of two |N| x k edge lists."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.mutual_knn_edges(emb, k=3)

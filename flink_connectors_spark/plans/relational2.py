@@ -589,3 +589,78 @@ def sort_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts", "event_id")
     )
+
+
+@register(
+    "agg_robust_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(v_c, 0.5) AS med_c
+      FROM v GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, v.v_c, med.med_c,
+             abs(v.v_c - med.med_c) AS d
+      FROM v JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad_c
+      FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(dev.med_c) / 100.0 AS median_val,
+           ANY_VALUE(mad.mad_c) / 100.0 AS mad_val,
+           CAST(SUM(CASE WHEN
+                  abs((0.6745 * (dev.v_c - dev.med_c)) / mad.mad_c)
+                    > 3.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+    tags=("agg", "robust", "outlier", "percentile"),
+    since=8,
+)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics per event type: median, MAD (median
+    absolute deviation), and the count of modified-z outliers
+    (Iglewicz-Hoaglin: |0.6745*(x-med)/MAD| > 3.5) — the
+    quality-filter statistic that survives the heavy-tailed value
+    distributions where mean/stddev z-scores (`anomaly_value_zscore`)
+    drown: one extreme row shifts a mean arbitrarily but moves a
+    median by at most one rank.
+
+    Exactness: values quantize to int64 cents, medians are exact
+    interpolated order statistics (Spark `percentile` == DuckDB
+    `quantile_cont`, the verified idiom), deviations stay exact
+    doubles (< 2^53), and the z expression mirrors token-for-token.
+    Shape: three scans chained through 5-row broadcast joins — the
+    group cardinality (event types) bounds every intermediate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", cents("value").alias("v_c")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5)").alias("med_c")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("v_c") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad_c")
+    )
+    z = F.abs(
+        (F.lit(0.6745) * (F.col("v_c") - F.col("med_c")))
+        / F.col("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.any_value("med_c") / F.lit(100.0)).alias("median_val"),
+            (F.any_value("mad_c") / F.lit(100.0)).alias("mad_val"),
+            F.sum(F.when(z > 3.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
