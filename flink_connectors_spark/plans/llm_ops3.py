@@ -3299,3 +3299,89 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection of two |N| x k edge lists."""
     emb = _load(spark, sf_dir, "embeddings")
     return S.mutual_knn_edges(emb, k=3)
+
+
+@register(
+    "embedding_anisotropy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+      FROM embeddings),
+    v0 AS (SELECT list_transform(range(1, 65),
+                                 i -> CAST(1024 AS BIGINT)) AS v),
+    {_pi_iter(1, "v0")},
+    {_pi_iter(2, "v1")},
+    vv AS (
+      SELECT v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+               AS vv
+      FROM v2),
+    rowstats AS (
+      SELECT e.label,
+             CAST(list_sum(list_transform(list_zip(q.qv, vv.v),
+                                          p -> p[1] * p[2])) AS BIGINT)
+               AS dot,
+             CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT)
+               AS en
+      FROM q JOIN embeddings e ON q.vec_id = e.vec_id, vv)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(en) AS BIGINT) AS energy_total,
+           round(CAST(SUM(CAST(dot AS HUGEINT) * dot) AS DOUBLE)
+                 / ((SELECT CAST(vv AS DOUBLE) FROM vv)
+                    * CAST(SUM(en) AS DOUBLE)), 6)
+             AS variance_explained
+    FROM rowstats GROUP BY label
+    """,
+    tags=("llm", "embedding", "pca", "whitening", "iterative"),
+    since=8,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy report — the all-but-the-top (Mu & Viswanath 2018)
+    go/no-go diagnostic: per label, the fraction of total embedding
+    energy lying along the corpus' top principal direction
+    (Pythagoras over exact integers: ratio = sum(dot^2) / (|v|^2 *
+    sum(|x|^2))). A high ratio says cosine similarities are dominated
+    by one shared direction and the whitening step (project it out)
+    will sharpen neighbors; near-uniform ratios say don't bother.
+    One extra corpus pass after the power-iteration build; per-label
+    sums are exact (dot^2 sums ride a decimal(38) escape hatch past
+    int64, the k-means precedent)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pj = S.power_iteration_projection(emb, iters=2, scale=1024)
+    v = pj._fcs_component
+    vv = sum(int(x) * int(x) for x in v)
+    vl = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    qx = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1024).cast("long"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qx"), vl, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    en = F.aggregate(
+        F.transform(F.col("qx"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rows = emb.select(F.col("label"), qx.alias("qx")).select(
+        "label", dot.alias("dot"), en.alias("en")
+    )
+    sd2 = F.sum(
+        F.col("dot").cast("decimal(38,0)") * F.col("dot")
+    ).cast("double")
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("en").cast("long").alias("energy_total"),
+        F.round(
+            sd2
+            / (
+                F.lit(float(vv))
+                * F.sum("en").cast("long").cast("double")
+            ),
+            6,
+        ).alias("variance_explained"),
+    )

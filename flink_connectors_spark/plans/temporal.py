@@ -2193,3 +2193,103 @@ def pipeline_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long"),
     )
+
+
+@register(
+    "anomaly_distribution_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN event_type = 'signup'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM events GROUP BY 1),
+    l AS (
+      SELECT day, c0, c1, c2, c3, c4, total,
+             lag(c0) OVER (ORDER BY day) AS p0,
+             lag(c1) OVER (ORDER BY day) AS p1,
+             lag(c2) OVER (ORDER BY day) AS p2,
+             lag(c3) OVER (ORDER BY day) AS p3,
+             lag(c4) OVER (ORDER BY day) AS p4,
+             lag(total) OVER (ORDER BY day) AS pt
+      FROM d),
+    tv AS (
+      SELECT day, total, pt AS prev_total,
+             round(CAST(abs(c0 * pt - p0 * total)
+                        + abs(c1 * pt - p1 * total)
+                        + abs(c2 * pt - p2 * total)
+                        + abs(c3 * pt - p3 * total)
+                        + abs(c4 * pt - p4 * total) AS DOUBLE)
+                   / CAST(2 * total * pt AS DOUBLE), 6) AS tv_distance
+      FROM l WHERE pt IS NOT NULL)
+    SELECT day, total, prev_total, tv_distance,
+           CAST(CASE WHEN tv_distance > 0.05 THEN 1 ELSE 0 END
+                AS BIGINT) AS drift_flag
+    FROM tv
+    """,
+    tags=("temporal", "anomaly", "drift", "monitoring"),
+    since=8,
+)
+def anomaly_distribution_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Day-over-day distribution-shift monitor: total-variation
+    distance between consecutive days' event-type mixes, with a
+    drift flag at TV > 0.05 — the data-quality tripwire a pipeline
+    puts in front of retraining (an upstream logging change shows up
+    as a mix shift long before any metric moves). TV is chosen over
+    KL/JS deliberately: with integer counts it is an EXACT rational
+    (sum of |c_i*T_prev - p_i*T_cur| over one cross-multiplied
+    denominator — no libm, no epsilon for empty cells; int64-safe to
+    ~1e9 events/day, decimal(38) escape hatch past that).
+
+    One shuffle (the day/type count); the pivot is a fixed-type-list
+    conditional aggregate (no discovery pass), and the lag window
+    orders the days-sized frame, never events."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long"))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, t in enumerate(_EVENT_TYPES)
+        ],
+        F.count(F.lit(1)).cast("long").alias("total"),
+    )
+    w = Window.orderBy("day")
+    cols = [f"c{i}" for i in range(len(_EVENT_TYPES))]
+    lagged = d.select(
+        "day",
+        *cols,
+        "total",
+        *[F.lag(c).over(w).alias(f"p{i}") for i, c in enumerate(cols)],
+        F.lag("total").over(w).alias("pt"),
+    ).filter(F.col("pt").isNotNull())
+    num = None
+    for i in range(len(_EVENT_TYPES)):
+        term = F.abs(
+            F.col(f"c{i}") * F.col("pt") - F.col(f"p{i}") * F.col("total")
+        )
+        num = term if num is None else num + term
+    tv = lagged.select(
+        "day",
+        "total",
+        F.col("pt").alias("prev_total"),
+        F.round(
+            num.cast("double")
+            / (F.lit(2) * F.col("total") * F.col("pt")).cast("double"),
+            6,
+        ).alias("tv_distance"),
+    )
+    return tv.withColumn(
+        "drift_flag",
+        F.when(F.col("tv_distance") > 0.05, 1).otherwise(0).cast("long"),
+    )
