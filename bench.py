@@ -157,6 +157,19 @@ HEADLINE = [
     "similarity_hybrid_rrf",
     "text_top_ngram_fraction",
     "text_ngram_novelty",
+    # r8 additions
+    "similarity_topk_opq",
+    "similarity_recall_opq",
+    "similarity_hard_negatives",
+    "pipeline_scd2_dimension",
+    "pipeline_cluster_purity",
+    "multimodal_video_frames",
+    "stream_left_interval_join",
+    "text_pmi_cooccurrence",
+    "agg_robust_mad",
+    "similarity_mutual_knn",
+    "embedding_anisotropy",
+    "anomaly_distribution_drift",
 ]
 
 

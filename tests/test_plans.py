@@ -969,3 +969,51 @@ def test_opq_transform_is_orthogonal_and_balances_energy(spark):
         for j, x in enumerate(v):
             e_contig[j] += x * x
     assert ratio(e) < ratio(e_contig)
+
+
+def test_scd2_build_single_shuffle(spark, sf_dir):
+    """The SCD2 dimension build's three windows (lag change
+    detection, lead interval close, version row_number) all share the
+    user_id partitioning — the whole build must cost exactly ONE
+    exchange over one events scan."""
+    df = SPECS["pipeline_scd2_dimension"].fn(spark, sf_dir)
+    assert _count_file_scans(df) == 1
+    plan = _plan(spark, sf_dir, "pipeline_scd2_dimension")
+    assert plan.count("Exchange (") <= 2  # tree + detail print of one
+    assert "SortMergeJoin" not in plan
+
+
+def test_mutual_knn_checkpointed_no_cartesian(spark, sf_dir):
+    """Mutual-kNN: the directed top-k table is checkpoint-materialized
+    (ExistingRDD — the blocked self-join + window run ONCE, not per
+    mutuality side) and the mutuality intersection is a keyed join,
+    never a cartesian."""
+    plan = _plan(spark, sf_dir, "similarity_mutual_knn")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_inherits_single_scan_shape(spark, sf_dir):
+    """Hard-negative mining must keep the brute-force rung's plan:
+    broadcast queries into one corpus scan (BNLJ), rank limits pruned
+    partial, and the band-cut re-rank must NOT re-scan or shuffle the
+    corpus — two scans total (queries + corpus)."""
+    df = SPECS["similarity_hard_negatives"].fn(spark, sf_dir)
+    assert _count_file_scans(df) == 2
+    plan = _plan(spark, sf_dir, "similarity_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_video_frames_no_shuffle_one_scan(spark, sf_dir):
+    """The video lane is two chained Arrow stages (synthesize ->
+    frame-sample) over one documents scan; the only exchange allowed
+    is the corpus spread() repartition — pixel data must never
+    shuffle between the stages."""
+    df = SPECS["multimodal_video_frames"].fn(spark, sf_dir)
+    assert _count_file_scans(df) == 1
+    plan = _plan(spark, sf_dir, "multimodal_video_frames")
+    assert plan.count("MapInPandas") == 4  # 2 nodes x tree+detail
+    assert plan.count("Exchange (") <= 2  # the spread() only
