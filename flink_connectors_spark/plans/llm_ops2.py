@@ -908,3 +908,86 @@ def similarity_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 20), emb,
         k=5, n_candidates=20, trunc_dim=32,
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "layout", "scale"),
+    since=8,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-fact join via BUCKETED table layout: write
+    orders and lineitem as Spark bucketed tables (8 buckets on the
+    order key each), then join the bucketed reads — the planner
+    proves both sides already share the same hash distribution and
+    plans the sort-merge join with ZERO join-input Exchange (pinned
+    in tests/test_plans.py; the only exchange in the whole plan is
+    the final group-by's). This is the shuffle eliminator the
+    z-order layout is the skipping counterpart of: at 100 TB you pay
+    the bucketing once at ingest and every recurring join of the day
+    reads co-located buckets. The per-side Sort remains — OSS Spark
+    never trusts written bucket sort order on read (SPARK-19256) —
+    but it is a local per-bucket sort, not a shuffle. Values match
+    the plain keyed join (the oracle), proving the layout is a pure
+    plan optimization.
+
+    Tables/paths are PID-scoped (concurrent sessions must not rmtree
+    each other's live buckets) and cleaned at interpreter exit."""
+    import os
+    import tempfile
+
+    from ..sources.readers import write_bucketed_table
+    from .sink_semantics import _register_tmp_cleanup
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fcs_bucketed_{os.getpid()}"
+    )
+    _register_tmp_cleanup(base)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    to, tl = f"fcs_bkt_orders_{os.getpid()}", f"fcs_bkt_li_{os.getpid()}"
+    write_bucketed_table(o, to, f"{base}/orders", "o_orderkey", 8)
+    write_bucketed_table(l, tl, f"{base}/lineitem", "l_orderkey", 8)
+    # merge-hint both sides: at test SFs Catalyst would BROADCAST the
+    # small orders side, which silently skips the co-located path this
+    # query exists to exercise (and at real fact-fact scale broadcast
+    # is not on the table anyway). With the hint the planner must pick
+    # sort-merge — and the bucketed+sorted layout makes it exchange-
+    # AND sort-free.
+    ob = spark.table(to).hint("merge")
+    lb = spark.table(tl).hint("merge")
+    rev4 = F.col("l_extendedprice_c") * (
+        F.lit(100).cast("long") - F.col("l_discount_c")
+    )
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("l_extendedprice_c"),
+            F.round(F.col("l_discount") * 100)
+            .cast("long")
+            .alias("l_discount_c"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum(rev4).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+        )
+    )

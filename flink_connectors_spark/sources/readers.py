@@ -150,3 +150,44 @@ def read_date_partitioned(
         ]
     )
     return spark.read.schema(schema).parquet(path)
+
+
+def write_bucketed_table(
+    df: "DataFrame",
+    table_name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Write ``df`` as a Spark BUCKETED AND SORTED parquet table —
+    the co-located-join layout: rows are hash-distributed into
+    ``n_buckets`` files by ``key`` and sorted within each bucket, so
+    a join between two tables bucketed the same way needs NO exchange
+    (and with sortBy, no sort) at read time — the single biggest
+    shuffle eliminator for a fact-fact join that repeats every run
+    (at 100 TB you pay the layout once at ingest, then every
+    downstream join of the day is exchange-free).
+
+    ``saveAsTable`` is required (bucket metadata lives in the
+    catalog, not the files); ``path`` makes it an external table so
+    the caller owns the location and its cleanup.
+
+    The pre-write ``repartition(n_buckets, key)`` aligns write tasks
+    with buckets so each bucket lands in ONE file (many small files
+    per bucket otherwise — task_count x bucket_count). Honest scope
+    note: the EXCHANGE is what the layout eliminates; open-source
+    Spark re-sorts bucket files under a merge join regardless of
+    ``sortBy`` (SPARK-19256 — the reader never trusts written sort
+    order), so the within-bucket sort buys locality/compression, not
+    a plan change."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )

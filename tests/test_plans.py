@@ -1017,3 +1017,20 @@ def test_video_frames_no_shuffle_one_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_video_frames")
     assert plan.count("MapInPandas") == 4  # 2 nodes x tree+detail
     assert plan.count("Exchange (") <= 2  # the spread() only
+
+
+def test_bucketed_join_has_no_join_input_exchange(spark, sf_dir):
+    """The bucketed-layout join's entire point: both scans read
+    co-located buckets (Bucketed: true), the sort-merge join gets NO
+    exchange on either input, and the only exchange in the plan is
+    the final aggregation's. A regression here means the catalog
+    lost the bucket spec and the 'pre-shuffled at ingest' contract
+    silently turned into a real shuffle per run."""
+    df = SPECS["join_bucketed_colocated"].fn(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "BroadcastHashJoin" not in plan  # broadcast would skip the path
+    # tree + detail each print the one agg exchange once
+    assert plan.count("Exchange (") <= 2
+    del df
