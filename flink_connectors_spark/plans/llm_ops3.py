@@ -3208,6 +3208,11 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for off in (1, 2)
     ]
+    # vocab-sized aggregates, each read by multiple downstream
+    # branches (the PMI joins AND the corpus-total aggregates):
+    # checkpoint per the materialization rule or every consumer
+    # re-inlines its own corpus scan (the registry scan-ceiling test
+    # caught exactly that: 5 scans instead of 2)
     pc = (
         base.select(
             F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
@@ -3219,11 +3224,13 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("p"), r"\|")[1].alias("w2"),
             "n_pair",
         )
+        .localCheckpoint(eager=True)
     )
     ug = (
         base.select(F.explode("w").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+        .localCheckpoint(eager=True)
     )
     tot = (
         ug.agg(F.sum("n_w").cast("long").alias("nw"))

@@ -334,8 +334,13 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
         )
     )
-    matched = clicks.join(errors, cond, "inner").select(
-        "click_id", "click_ts", "c_user", "error_id", "error_ts"
+    # result-sized, read by BOTH the output union and the unmatched
+    # anti-join: checkpoint or the interval join recomputes per
+    # branch (scan-ceiling audit caught the re-inline)
+    matched = (
+        clicks.join(errors, cond, "inner")
+        .select("click_id", "click_ts", "c_user", "error_id", "error_ts")
+        .localCheckpoint(eager=True)
     )
     wm = (
         clicks.agg(F.max("click_ts").alias("mc"))
