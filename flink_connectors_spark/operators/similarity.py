@@ -1139,6 +1139,7 @@ def power_iteration_projection(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Top principal direction of the (uncentered) embedding Gram
     matrix by deterministic quantized POWER ITERATION, returning each
@@ -1176,7 +1177,12 @@ def power_iteration_projection(
         lambda v: F.round(v.cast("double") * scale).cast("long"),
     )
     q = df.select(F.col(id_col), qv.alias("qv"))
-    dim = q.select(F.size("qv").alias("d")).first()["d"]
+    # dims, when the caller knows it, skips a discovery job — the
+    # iterative builds that stack on this (OPQ) count driver
+    # round-trips
+    dim = dims if dims is not None else (
+        q.select(F.size("qv").alias("d")).first()["d"]
+    )
 
     def project(vec: list[int]) -> DataFrame:
         cent = spark.createDataFrame([(vec,)], "v array<long>")
@@ -1776,7 +1782,8 @@ def opq_rotation_build(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[list[int], int, list[int]]:
+    dims: int | None = None,
+) -> tuple[list[int], int, list[int], DataFrame]:
     """OPQ rotation build (Ge et al. 2013, the parametric recipe made
     deterministic): learn an ORTHOGONAL transform that (a) aligns the
     corpus' dominant principal direction with coordinate 1 and (b)
@@ -1799,11 +1806,15 @@ def opq_rotation_build(
 
     Control-plane only: pca_iters one-row aggregates (power
     iteration) + one 64-column energy aggregate; the driver holds
-    two d-vectors. Returns (u, uu, perm) where perm[new_pos] =
-    old_dim."""
+    two d-vectors. Returns (u, uu, perm, yc) where perm[new_pos] =
+    old_dim and ``yc`` is the reflected corpus (vec_id, y),
+    checkpoint-materialized — callers slice/permute it directly so
+    the Householder fold runs over the corpus exactly ONCE (building
+    it again from the source would double the rotation pass; caught
+    as ~1 extra job + scan in the r8 bench)."""
     pj = power_iteration_projection(
         corpus, iters=pca_iters, scale=scale, id_col=id_col,
-        vec_col=vec_col,
+        vec_col=vec_col, dims=dims,
     )
     v: list[int] = pj._fcs_component  # type: ignore[attr-defined]
     nv = math.floor(math.sqrt(float(sum(x * x for x in v))) + 0.5)
@@ -1816,7 +1827,11 @@ def opq_rotation_build(
             "e1 (u = 0) — run plain PQ instead"
         )
     d = len(v)
-    yc = _householder_frame(corpus, u, uu, scale, id_col, vec_col)
+    # materialize the reflected corpus once: the energy aggregate AND
+    # every downstream Lloyd-chain consumer read these blocks
+    yc = _householder_frame(
+        corpus, u, uu, scale, id_col, vec_col
+    ).localCheckpoint(eager=True)
 
     def _qy(j: int):
         return F.round(F.element_at("y", j + 1) * scale).cast("long")
@@ -1828,7 +1843,7 @@ def opq_rotation_build(
     ranked = sorted(range(d), key=lambda j: (-e[j], j))
     order = sorted(range(d), key=lambda r: (r % subspaces, r))
     perm = [ranked[r] for r in order]
-    return u, uu, perm
+    return u, uu, perm, yc
 
 
 def _householder_frame(
@@ -1884,6 +1899,7 @@ def topk_opq(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Optimized Product Quantization top-k: rotate-then-PQ — the
     classical rung between plain PQ and IVFADC on the quantization
@@ -1905,21 +1921,18 @@ def topk_opq(
     only corpus-sized relation the search touches, and every LUT
     broadcasts. At 100 TB the rotation adds one linear pass over
     the vectors and two d-vectors of driver state."""
-    u, uu, perm = opq_rotation_build(
-        corpus, subspaces, pca_iters, scale, id_col, vec_col
+    u, uu, perm, yc = opq_rotation_build(
+        corpus, subspaces, pca_iters, scale, id_col, vec_col, dims
     )
-
-    def rotate(df: DataFrame) -> DataFrame:
-        yf = _householder_frame(df, u, uu, scale, id_col, vec_col)
-        py = F.array(
-            *[F.element_at("y", int(p) + 1) for p in perm]
-        )
-        return yf.select(F.col(id_col), py.alias(vec_col))
-
-    # small (corpus-id + d doubles), >= 3 concurrent Lloyd consumers:
-    # eager checkpoint per the materialization rule
-    rc = rotate(corpus).localCheckpoint(eager=True)
-    rq = rotate(queries)
+    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    # the corpus reflection is already checkpoint-materialized inside
+    # the build; the permutation is a narrow projection over those
+    # blocks (>= 3 concurrent Lloyd consumers read it — the
+    # materialization rule is satisfied by the checkpoint underneath)
+    rc = yc.select(F.col(id_col), py.alias(vec_col))
+    rq = _householder_frame(
+        queries, u, uu, scale, id_col, vec_col
+    ).select(F.col(id_col), py.alias(vec_col))
     codes, luts = _pq_train_encode(
         rq, rc, subspaces, codebook_k, iters, scale, id_col, vec_col
     )

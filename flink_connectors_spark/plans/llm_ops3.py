@@ -2915,7 +2915,9 @@ def similarity_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong integer anywhere in the rotation build fails the hash."""
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    return S.topk_opq(q, emb, k=5, subspaces=2, codebook_k=16, iters=2)
+    return S.topk_opq(
+        q, emb, k=5, subspaces=2, codebook_k=16, iters=2, dims=64
+    )
 
 
 @register(
@@ -2967,7 +2969,9 @@ def similarity_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     exact = S.cosine_topk_bruteforce(q, emb, k=5)
-    approx = S.topk_opq(q, emb, k=5, subspaces=2, codebook_k=16, iters=2)
+    approx = S.topk_opq(
+        q, emb, k=5, subspaces=2, codebook_k=16, iters=2, dims=64
+    )
     return S.topk_recall_audit(exact, approx, k=5)
 
 
