@@ -1034,3 +1034,14 @@ def test_bucketed_join_has_no_join_input_exchange(spark, sf_dir):
     # tree + detail each print the one agg exchange once
     assert plan.count("Exchange (") <= 2
     del df
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
+    """The DPP query's fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the runtime
+    IN-subquery built from the filtered dim side. Without it the
+    'join against Mondays' reads every day directory and the layout
+    buys nothing."""
+    plan = _plan(spark, sf_dir, "join_dynamic_partition_pruning")
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
