@@ -190,3 +190,30 @@ def test_post_backlog_window_degenerates_to_stalest_first_recheck(monkeypatch):
     r1_block = [n for n in names if hist[n][0] == 1]
     assert 0 < len(r1_block) <= 50
     assert set(order[: len(r1_block)]) == set(r1_block)
+
+
+def test_census_counts_match_registry():
+    """Census-drift tripwire (the r6/r7 verdicts both caught stale
+    counts): the registered-query counts written in README.md and
+    COVERAGE.md must equal the live registry size, so any
+    registration without a doc refresh fails the suite instead of
+    shipping a drifted census."""
+    import re
+    from pathlib import Path
+
+    from flink_connectors_spark.registry import all_specs
+
+    n = len(all_specs())
+    root = Path(__file__).resolve().parent.parent
+    readme = (root / "README.md").read_text()
+    m = re.search(r"(\d+) named query plans", readme)
+    assert m, "README.md census line missing"
+    assert int(m.group(1)) == n, (
+        f"README.md says {m.group(1)} query plans; registry has {n}"
+    )
+    coverage = (root / "COVERAGE.md").read_text()
+    m = re.search(r"Census \(current, r\d+\): (\d+) registered", coverage)
+    assert m, "COVERAGE.md current-census line missing"
+    assert int(m.group(1)) == n, (
+        f"COVERAGE.md says {m.group(1)} registered; registry has {n}"
+    )
