@@ -170,6 +170,8 @@ HEADLINE = [
     "similarity_mutual_knn",
     "embedding_anisotropy",
     "anomaly_distribution_drift",
+    "join_bucketed_colocated",
+    "join_dynamic_partition_pruning",
 ]
 
 
