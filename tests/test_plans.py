@@ -922,10 +922,8 @@ def test_opq_transform_is_orthogonal_and_balances_energy(spark):
     import random
 
     from flink_connectors_spark.operators.similarity import (
-        _householder_frame,
         opq_rotation_build,
     )
-    from pyspark.sql import functions as F
 
     rng = random.Random(7)
     # geometrically decaying per-dim energy: a contiguous block split
@@ -935,11 +933,11 @@ def test_opq_transform_is_orthogonal_and_balances_energy(spark):
         (i, [rng.uniform(-s, s) for s in scales]) for i in range(40)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    u, uu, perm = opq_rotation_build(df, subspaces=2, scale=1024)
+    u, uu, perm, yc = opq_rotation_build(df, subspaces=2, scale=1024)
     assert sorted(perm) == list(range(8))  # a true permutation
 
-    yf = _householder_frame(df, u, uu, 1024, "vec_id", "embedding")
-    got = {r["vec_id"]: r["y"] for r in yf.collect()}
+    # the build returns the (checkpointed) reflected corpus directly
+    got = {r["vec_id"]: r["y"] for r in yc.collect()}
     raw = {i: v for i, v in rows}
 
     def d2(a, b):
