@@ -172,6 +172,8 @@ HEADLINE = [
     "anomaly_distribution_drift",
     "join_bucketed_colocated",
     "join_dynamic_partition_pruning",
+    "join_pointintime_scd2",
+    "similarity_topk_ivf_opq",
 ]
 
 

@@ -1783,6 +1783,7 @@ def opq_rotation_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> tuple[list[int], int, list[int], DataFrame]:
     """OPQ rotation build (Ge et al. 2013, the parametric recipe made
     deterministic): learn an ORTHOGONAL transform that (a) aligns the
@@ -1830,7 +1831,7 @@ def opq_rotation_build(
     # materialize the reflected corpus once: the energy aggregate AND
     # every downstream Lloyd-chain consumer read these blocks
     yc = _householder_frame(
-        corpus, u, uu, scale, id_col, vec_col
+        corpus, u, uu, scale, id_col, vec_col, extra_cols
     ).localCheckpoint(eager=True)
 
     def _qy(j: int):
@@ -1853,6 +1854,7 @@ def _householder_frame(
     scale: int,
     id_col: str,
     vec_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply the integer Householder reflection: quantize x to int64,
     y_j = (uu*qx_j - 2*(u.qx)*u_j) / (uu*scale) — the numerator is
@@ -1871,7 +1873,9 @@ def _householder_frame(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    tmp = df.select(F.col(id_col), qx.alias("qx")).withColumn("dot", dot)
+    tmp = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], qx.alias("qx")
+    ).withColumn("dot", dot)
     den = F.lit(float(uu * scale))
     y = F.array(
         *[
@@ -1885,7 +1889,9 @@ def _householder_frame(
             for j in range(d)
         ]
     )
-    return tmp.select(F.col(id_col), y.alias("y"))
+    return tmp.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], y.alias("y")
+    )
 
 
 def topk_opq(
@@ -2280,4 +2286,48 @@ def hamming_topk_ivf_onebit(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "hamming", "rnk")
+    )
+
+
+def topk_ivf_opq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    subspaces: int = 2,
+    codebook_k: int = 16,
+    iters: int = 2,
+    pca_iters: int = 2,
+    scale: int = 1024,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """IVF-OPQ: the rotated counterpart of `topk_ivfpq`, completing
+    the ladder's routed column (flat: PQ -> OPQ; routed: IVF-PQ ->
+    IVF-OPQ — FAISS's `OPQx,IVFy,PQz` shape). The OPQ orthogonal
+    transform is applied to corpus (labels ride along) and queries,
+    then the UNCHANGED IVF-PQ composition runs in rotated space:
+    cosine is orthogonal-invariant, so the coarse routing picks the
+    SAME inverted lists it would on raw vectors, while the fine ADC
+    scan gets the rotation's balanced-energy codebooks. Scale shape
+    is the sum of its parts: one rotation pass (checkpointed once) +
+    the IVF-PQ plan (reps/probes/LUTs broadcast, code table pruned
+    map-side, never shuffled)."""
+    u, uu, perm, yc = opq_rotation_build(
+        corpus, subspaces, pca_iters, scale, id_col, vec_col, dims,
+        extra_cols=(cluster_col,),
+    )
+    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    rc = yc.select(
+        F.col(id_col), F.col(cluster_col), py.alias(vec_col)
+    )
+    rq = _householder_frame(
+        queries, u, uu, scale, id_col, vec_col
+    ).select(F.col(id_col), py.alias(vec_col))
+    return topk_ivfpq(
+        rq, rc, k=k, n_probe=n_probe, subspaces=subspaces,
+        codebook_k=codebook_k, iters=iters, scale=scale,
+        cluster_col=cluster_col, id_col=id_col, vec_col=vec_col,
     )

@@ -3396,3 +3396,79 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance_explained"),
     )
+
+
+@register(
+    "similarity_topk_ivf_opq",
+    oracle=f"""
+    WITH {_SQL_OPQ_ROTATED},
+    tyl AS (
+      SELECT ty.vec_id, ty.embedding, e.label
+      FROM ty JOIN embeddings e ON ty.vec_id = e.vec_id),
+    {_pq_block("a", 1, 32, 16, src="tyl")},
+    {_pq_block("b", 33, 32, 16, src="tyl")},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    qr AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM tyl WHERE vec_id < 20),
+    reps AS (
+      SELECT label AS cluster, embedding AS rvec FROM (
+        SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                 AS rn
+        FROM tyl) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT qr.query_id, r.cluster,
+               row_number() OVER (PARTITION BY qr.query_id
+                   ORDER BY {_sql_cos("qr.qvec", "r.rvec")} DESC,
+                            r.cluster) AS pr
+        FROM qr CROSS JOIN reps r) t WHERE pr <= 2),
+    memb AS (SELECT vec_id, label AS cluster FROM tyl),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN memb m ON m.vec_id = c.vec_id
+      JOIN probes p ON p.cluster = m.cluster
+      JOIN luta l0 ON l0.query_id = p.query_id AND l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = p.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id)
+               AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "ivf", "opq", "ann", "iterative"),
+    since=8,
+)
+def similarity_topk_ivf_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ — FAISS's `OPQx,IVFy,PQz` production shape, completing
+    the quantization ladder's routed column (flat: PQ -> OPQ;
+    routed: IVF-PQ -> this). The OPQ rotation (Householder + energy
+    permutation) is applied to corpus and queries; coarse routing
+    runs in rotated space (cosine is orthogonal-invariant, so the
+    probes pick the same lists as raw routing) and ADC scores only
+    the probed lists' rotated-space code entries. The oracle unrolls
+    the ENTIRE stack: power iteration, rotation integers, energy
+    permutation, both Lloyd chains, encode, probe ranking,
+    membership restriction, LUTs, and the final rank."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.topk_ivf_opq(
+        q, emb, k=5, n_probe=2, subspaces=2, codebook_k=16, iters=2,
+        dims=64,
+    )

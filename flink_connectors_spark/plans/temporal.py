@@ -2293,3 +2293,105 @@ def anomaly_distribution_drift(
         "drift_flag",
         F.when(F.col("tv_distance") > 0.05, 1).otherwise(0).cast("long"),
     )
+
+
+@register(
+    "join_pointintime_scd2",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('signup', 'view', 'click')),
+    ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM src),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    dim AS (
+      SELECT user_id, event_type AS browse_state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes),
+    probe AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+             CAST(round(value * 100) AS BIGINT) AS value_c
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, p.purchase_ts, d.browse_state,
+           d.valid_from,
+           CAST(p.value_c AS DOUBLE) / 100.0 AS purchase_value
+    FROM probe p JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.purchase_ts
+     AND (d.valid_to IS NULL OR p.purchase_ts < d.valid_to)
+    """,
+    tags=("temporal", "join", "scd2", "pointintime"),
+    since=8,
+)
+def join_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal table) join — the Flink
+    `FOR SYSTEM_TIME AS OF` shape the reference's host engine
+    provides upstream of the sink, consumed here against a REAL
+    versioned dimension: the SCD2 build (`pipeline_scd2_dimension`'s
+    construction, restricted to browsing events) supplies validity
+    intervals, and each purchase probes the version valid AT its
+    timestamp — "what was the user's browsing state when they
+    bought". Because SCD2 intervals partition time per key, every
+    probe matches at most one version: no dedup pass, no tie-break
+    ambiguity, exactly the contract a warehouse's point-in-time
+    joins rely on.
+
+    Scale shape: dim build is the single-shuffle SCD2 window stack;
+    the probe join is one user-keyed equi-join with the interval as
+    a residual range predicate — both sides shuffle once on
+    user_id, and per-user match fan-out is bounded by the version
+    count a user has."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.filter(
+        F.col("event_type").isin("signup", "view", "click")
+    ).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        src.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("browse_state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        U.cents("value").alias("value_c"),
+    )
+    return (
+        probe.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("purchase_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("purchase_ts") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "browse_state",
+            "valid_from",
+            (F.col("value_c").cast("double") / F.lit(100.0)).alias(
+                "purchase_value"
+            ),
+        )
+    )

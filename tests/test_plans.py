@@ -1043,3 +1043,33 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_dynamic_partition_pruning")
     assert "dynamicpruningexpression" in plan
     assert "PartitionFilters" in plan
+
+
+def test_ivf_opq_inherits_ivfpq_plan_with_checkpointed_rotation(
+    spark, sf_dir
+):
+    """IVF-OPQ must inherit BOTH parents' contracts: the rotated
+    corpus is checkpoint-materialized (ExistingRDD feeds the Lloyd
+    chains, encode, reps, and membership branches), probes/membership
+    /LUTs broadcast, the rank limit prunes partial, and the only
+    SortMergeJoin is the per-block code-id zip — rotation must not
+    add a corpus-sized shuffle anywhere."""
+    plan = _plan(spark, sf_dir, "similarity_topk_ivf_opq")
+    assert "ExistingRDD" in plan
+    assert plan.count("BroadcastHashJoin") >= 6  # probes+memb+2 LUTs+
+    assert plan.count("WindowGroupLimit") >= 2
+    assert plan.count("SortMergeJoin") <= 2  # code-id zip only
+    assert "CartesianProduct" not in plan
+
+
+def test_pointintime_join_two_scans_one_dim_shuffle(spark, sf_dir):
+    """The point-in-time SCD2 join reads events twice (dim build +
+    probe side), the dim build's windows share one user_id exchange,
+    and the interval predicate rides the keyed join — no cartesian,
+    no per-probe re-execution."""
+    df = SPECS["join_pointintime_scd2"].fn(spark, sf_dir)
+    assert _count_file_scans(df) == 2
+    plan = _plan(spark, sf_dir, "join_pointintime_scd2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
