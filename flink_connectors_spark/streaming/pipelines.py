@@ -406,3 +406,23 @@ def clicks_left_outer_errors_stream(stream: DataFrame) -> DataFrame:
         ),
         "leftOuter",
     ).select("click_id", "click_ts", "c_user", "error_id", "error_ts")
+
+
+def dedup_events_within_watermark(
+    stream: DataFrame, delay: str = "30 minutes"
+) -> DataFrame:
+    """Watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): rows with the
+    same event_id are deduplicated only while they can still collide
+    inside the watermark window, and state for an id is DROPPED once
+    the watermark passes it — bounded state for unbounded streams,
+    where plain ``dropDuplicates`` keeps every key forever (the
+    state-size failure mode of long-running dedup). The semantics
+    tradeoff is explicit: a duplicate arriving later than ``delay``
+    after its first occurrence is NOT caught — acceptable exactly
+    when duplicates come from retries/at-least-once delivery, which
+    cluster in time."""
+    stream = ensure_event_time(stream, "ts")
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -776,3 +776,37 @@ def test_stream_left_outer_interval_join_matches_twin(
     # both matched and withheld-null populations must be non-trivial
     n_null = sum(1 for r in live if r[1] is None)
     assert 0 < n_null < len(live)
+
+
+def test_dedup_within_watermark_bounded_state(spark, events_stream_dir):
+    """dropDuplicatesWithinWatermark must (a) produce the same result
+    as full-history dedup when all duplicates arrive inside the
+    watermark window (true for the replay: each event_id appears
+    once), and (b) actually evict state — the final state rows must
+    be far below the total row count (plain dropDuplicates keeps one
+    state row per key forever)."""
+    static = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(
+        events_stream_dir
+    )
+    out = P.dedup_events_within_watermark(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = static.count()
+    got = spark.table("t_ddww").count()
+    assert got == static.select("event_id").distinct().count() == total
+    # state eviction: the last progress's state rows must be a small
+    # fraction of the stream (only ids newer than the final watermark)
+    prog = q.lastProgress
+    state_rows = sum(
+        op["numRowsTotal"] for op in prog["stateOperators"]
+    )
+    assert state_rows < total * 0.5, (
+        f"state holds {state_rows} of {total} rows — eviction broken"
+    )
