@@ -1690,8 +1690,13 @@ def mutual_knn_edges(
     top-k prunes per-partition BEFORE the mutuality join, which
     intersects two |N| x k edge lists on the reversed key. The
     directed kNN table is eager-checkpointed: both sides of the
-    mutuality self-join launch in one action (the eager/lazy rule).
+    mutuality self-join launch in one action (the eager/lazy rule);
+    it is tagged on the result via ``_track_caches`` so loop callers
+    release it with :func:`..operators.dedup.unpersist_inputs` after
+    materializing (same contract as the LSH family).
     Returns (id1, id2, score) with id1 < id2."""
+    from .dedup import _track_caches
+
     v = corpus.select(
         F.col(block_col),
         F.col(id_col),
@@ -1729,7 +1734,7 @@ def mutual_knn_edges(
     rev = knn.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
-    return (
+    out = (
         knn.join(rev, ["src", "dst"])
         .filter(F.col("src") < F.col("dst"))
         .select(
@@ -1738,6 +1743,7 @@ def mutual_knn_edges(
             "score",
         )
     )
+    return _track_caches(out, [knn])
 
 
 def hard_negative_mining(
@@ -1812,7 +1818,10 @@ def opq_rotation_build(
     checkpoint-materialized — callers slice/permute it directly so
     the Householder fold runs over the corpus exactly ONCE (building
     it again from the source would double the rotation pass; caught
-    as ~1 extra job + scan in the r8 bench)."""
+    as ~1 extra job + scan in the r8 bench). CALLER OWNS RELEASE of
+    ``yc``'s checkpoint blocks: the public entry points (topk_opq,
+    topk_ivf_opq) tag it on their result via ``_track_caches`` so
+    ``unpersist_inputs`` frees it after materialization."""
     pj = power_iteration_projection(
         corpus, iters=pca_iters, scale=scale, id_col=id_col,
         vec_col=vec_col, dims=dims,
@@ -1942,7 +1951,16 @@ def topk_opq(
     codes, luts = _pq_train_encode(
         rq, rc, subspaces, codebook_k, iters, scale, id_col, vec_col
     )
-    return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
+    out = _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
+    # release contract: the reflected-corpus checkpoint (yc) rides on
+    # the result so unpersist_inputs can free its executor blocks
+    # after materialization, alongside whatever the PQ lifecycle
+    # already tracked (the LSH-family contract).
+    from .dedup import _track_caches
+
+    return _track_caches(
+        out, list(getattr(out, "_fcs_cached_inputs", ())) + [yc]
+    )
 
 
 def topk_matryoshka_rerank(
@@ -2326,8 +2344,15 @@ def topk_ivf_opq(
     rq = _householder_frame(
         queries, u, uu, scale, id_col, vec_col
     ).select(F.col(id_col), py.alias(vec_col))
-    return topk_ivfpq(
+    out = topk_ivfpq(
         rq, rc, k=k, n_probe=n_probe, subspaces=subspaces,
         codebook_k=codebook_k, iters=iters, scale=scale,
         cluster_col=cluster_col, id_col=id_col, vec_col=vec_col,
+    )
+    # same release contract as topk_opq: yc's checkpoint blocks are
+    # freed by unpersist_inputs once the result is materialized.
+    from .dedup import _track_caches
+
+    return _track_caches(
+        out, list(getattr(out, "_fcs_cached_inputs", ())) + [yc]
     )

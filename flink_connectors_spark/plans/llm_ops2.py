@@ -940,16 +940,21 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain keyed join (the oracle), proving the layout is a pure
     plan optimization.
 
-    Tables/paths are PID-scoped (concurrent sessions must not rmtree
-    each other's live buckets) and cleaned at interpreter exit."""
+    Tables/paths are PID- AND sf_dir-scoped (concurrent sessions must
+    not rmtree each other's live buckets, and building the plan for a
+    second scale factor in one process must not overwrite the tables a
+    previously returned, not-yet-evaluated DataFrame still points at —
+    same hazard join_dynamic_partition_pruning guards) and cleaned at
+    interpreter exit."""
     import os
     import tempfile
 
     from ..sources.readers import write_bucketed_table
     from .sink_semantics import _register_tmp_cleanup
 
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     base = os.path.join(
-        tempfile.gettempdir(), f"fcs_bucketed_{os.getpid()}"
+        tempfile.gettempdir(), f"fcs_bucketed_{os.getpid()}_{tag}"
     )
     _register_tmp_cleanup(base)
     o = load_table(spark, sf_dir, "orders").select(
@@ -958,7 +963,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    to, tl = f"fcs_bkt_orders_{os.getpid()}", f"fcs_bkt_li_{os.getpid()}"
+    to = f"fcs_bkt_orders_{os.getpid()}_{tag}"
+    tl = f"fcs_bkt_li_{os.getpid()}_{tag}"
     write_bucketed_table(o, to, f"{base}/orders", "o_orderkey", 8)
     write_bucketed_table(l, tl, f"{base}/lineitem", "l_orderkey", 8)
     # merge-hint both sides: at test SFs Catalyst would BROADCAST the

@@ -3204,11 +3204,16 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     base = d.select(tokenize(F.col("text")).alias("w"))
     n = F.size("w")
+    # pairs are STRUCTS, not delimiter-joined strings: tokenize is
+    # whitespace-only with no charset restriction, so a token may
+    # contain any byte — a '|'-joined key would corrupt pair counts
+    # on the Spark side only (the oracle pairs array elements
+    # directly) and hash-mismatch on such corpora.
     pair_arrays = [
         F.zip_with(
             F.slice(F.col("w"), 1, F.greatest(n - off, F.lit(0))),
             F.slice(F.col("w"), off + 1, F.greatest(n - off, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit("|"), b),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
         for off in (1, 2)
     ]
@@ -3221,13 +3226,10 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
         )
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .select(
-            F.split(F.col("p"), r"\|")[0].alias("w1"),
-            F.split(F.col("p"), r"\|")[1].alias("w2"),
-            "n_pair",
+        .groupBy(
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
         )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .localCheckpoint(eager=True)
     )
     ug = (

@@ -605,15 +605,23 @@ def sort_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
              abs(v.v_c - med.med_c) AS d
       FROM v JOIN med USING (event_type)),
     mad AS (
-      SELECT event_type, quantile_cont(d, 0.5) AS mad_c
+      SELECT event_type, quantile_cont(d, 0.5) AS mad_c,
+             CAST(SUM(d) AS DOUBLE) / COUNT(*) AS meanad_c
       FROM dev GROUP BY event_type)
     SELECT dev.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            ANY_VALUE(dev.med_c) / 100.0 AS median_val,
            ANY_VALUE(mad.mad_c) / 100.0 AS mad_val,
            CAST(SUM(CASE WHEN
-                  abs((0.6745 * (dev.v_c - dev.med_c)) / mad.mad_c)
-                    > 3.5
+                  (CASE
+                     WHEN mad.mad_c > 0 THEN
+                       abs((0.6745 * (dev.v_c - dev.med_c))
+                           / mad.mad_c)
+                     WHEN mad.meanad_c > 0 THEN
+                       abs((dev.v_c - dev.med_c)
+                           / (1.253314 * mad.meanad_c))
+                     ELSE 0.0
+                   END) > 3.5
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev JOIN mad USING (event_type)
     GROUP BY dev.event_type
@@ -634,6 +642,12 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated order statistics (Spark `percentile` == DuckDB
     `quantile_cont`, the verified idiom), deviations stay exact
     doubles (< 2^53), and the z expression mirrors token-for-token.
+    Degenerate-MAD guard (Iglewicz-Hoaglin's own rule): when >= 50%
+    of a group's values are identical, MAD = 0 and the plain
+    modified-z is undefined — fall back to the meanAD form
+    |x - med| / (1.253314 * meanAD); if meanAD is also 0 the group
+    is constant and has no outliers. meanAD is an exact int64 sum
+    with ONE IEEE division, so both engines agree bit-for-bit.
     Shape: three scans chained through 5-row broadcast joins — the
     group cardinality (event types) bounds every intermediate."""
     e = load_table(spark, sf_dir, "events").select(
@@ -646,11 +660,28 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", F.abs(F.col("v_c") - F.col("med_c"))
     )
     mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(d, 0.5)").alias("mad_c")
+        F.expr("percentile(d, 0.5)").alias("mad_c"),
+        (
+            F.sum("d").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("meanad_c"),
     )
-    z = F.abs(
-        (F.lit(0.6745) * (F.col("v_c") - F.col("med_c")))
-        / F.col("mad_c")
+    z = (
+        F.when(
+            F.col("mad_c") > 0,
+            F.abs(
+                (F.lit(0.6745) * (F.col("v_c") - F.col("med_c")))
+                / F.col("mad_c")
+            ),
+        )
+        .when(
+            F.col("meanad_c") > 0,
+            F.abs(
+                (F.col("v_c") - F.col("med_c"))
+                / (F.lit(1.253314) * F.col("meanad_c"))
+            ),
+        )
+        .otherwise(F.lit(0.0))
     )
     return (
         dev.join(F.broadcast(mad), "event_type")

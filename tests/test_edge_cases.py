@@ -626,3 +626,113 @@ def test_link_prediction_path_and_square(spark):
         for r in link_prediction_jaccard(square).collect()
     }
     assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def _oracle_rows(sf_dir: str, sql: str):
+    import duckdb
+
+    from flink_connectors_spark import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        import os
+
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(r[i] for i in order) for r in rows
+    )
+    return [cols[i] for i in order], out
+
+
+def test_pmi_pipe_token_pairs_survive(spark, tmp_path):
+    """ADVICE r8: text_pmi_cooccurrence encoded pairs as 'w1|w2' and
+    split on '|'; a token CONTAINING '|' corrupted pair counts on the
+    Spark side only (the oracle pairs array elements directly). The
+    struct-keyed rewrite must agree with the oracle on such corpora
+    and keep the composite token intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_connectors_spark.registry import all_specs
+
+    docs = ["foo|bar baz qux"] * 6 + ["baz qux foo|bar"] * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(d) for d in docs], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    spec = all_specs()["text_pmi_cooccurrence"]
+    sdf = spec.fn(spark, str(tmp_path))
+    scols, srows = _norm(
+        list(sdf.columns), [tuple(r) for r in sdf.collect()]
+    )
+    ocols, orows = _norm(*_oracle_rows(str(tmp_path), spec.oracle))
+    assert scols == ocols
+    assert srows == orows
+    w1s = {r["w1"] for r in sdf.collect()} | {
+        r["w2"] for r in sdf.collect()
+    }
+    assert "foo|bar" in w1s, "composite token must survive intact"
+
+
+def test_robust_mad_zero_mad_fallback_counts_outliers(spark, tmp_path):
+    """ADVICE r8: with >= 50% identical values in a group MAD = 0 and
+    the plain modified-z is NULL — every outlier silently uncounted on
+    BOTH engines (so the oracle hash still passed). The meanAD
+    fallback (Iglewicz-Hoaglin) must now count the planted outlier,
+    and Spark must still match the (guarded) oracle bit-for-bit."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_connectors_spark.registry import all_specs
+
+    vals = [1.0] * 10 + [100.0]
+    n = len(vals)
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(minutes=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["const"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = all_specs()["agg_robust_mad"]
+    sdf = spec.fn(spark, str(tmp_path))
+    rows = sdf.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["mad_val"] == 0.0
+    assert r["n_outliers"] == 1, (
+        "meanAD fallback must catch the outlier a zero MAD hides"
+    )
+    scols, srows = _norm(
+        list(sdf.columns), [tuple(x) for x in rows]
+    )
+    ocols, orows = _norm(*_oracle_rows(str(tmp_path), spec.oracle))
+    assert scols == ocols
+    assert srows == orows

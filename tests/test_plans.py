@@ -1073,3 +1073,26 @@ def test_pointintime_join_two_scans_one_dim_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_bucketed_join_tables_are_sf_scoped(spark):
+    """ADVICE r8: the bucketed tables were PID- but not sf_dir-scoped,
+    so building the plan for a SECOND scale factor in one process
+    overwrote the buckets a previously returned, not-yet-evaluated
+    DataFrame still pointed at (silent wrong-SF reads). Build at
+    sf0.001, then at sf0.01, THEN evaluate the first frame — its line
+    count must still be sf0.001's."""
+    import duckdb
+
+    small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    df_small = SPECS["join_bucketed_colocated"].fn(spark, small)
+    SPECS["join_bucketed_colocated"].fn(spark, big)  # would clobber
+    got = sum(
+        r["n_lines"] for r in df_small.collect()
+    )
+    want = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{small}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert got == want, (
+        "stale plan read the other SF's buckets after a second build"
+    )

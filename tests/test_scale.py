@@ -954,3 +954,54 @@ def test_sharded_bloom_agrees_with_unsharded_semantics(spark, sf_dir):
         ).collect()
     }
     assert probe_flat == probe_fam
+
+
+def test_mutual_knn_checkpoint_released_by_unpersist_inputs(spark, sf_dir):
+    """ADVICE r8: mutual_knn_edges eager-checkpoints the directed kNN
+    table; without _track_caches repeated registry/bench sweeps pin one
+    edge-list-sized checkpoint per call until driver GC. The result
+    must carry the frame and unpersist_inputs must free its blocks."""
+    from flink_connectors_spark.operators.dedup import unpersist_inputs
+    from flink_connectors_spark.operators.similarity import (
+        mutual_knn_edges,
+    )
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    out = mutual_knn_edges(emb, k=2)
+    out.count()
+    cached = out._fcs_cached_inputs
+    rdd_ids = _checkpoint_rdd_ids(cached)
+    persistent = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i in persistent for i in rdd_ids)
+    unpersist_inputs(out, blocking=True)
+    persistent_after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i not in persistent_after for i in rdd_ids), (
+        "unpersist_inputs left the directed-kNN checkpoint pinned"
+    )
+
+
+def test_opq_reflected_corpus_released_by_unpersist_inputs(spark, sf_dir):
+    """ADVICE r8: opq_rotation_build eager-checkpoints the reflected
+    corpus (yc); topk_opq / topk_ivf_opq must tag it (plus whatever
+    the PQ lifecycle already tracked) on their result so
+    unpersist_inputs frees the corpus-scale blocks after
+    materialization."""
+    from flink_connectors_spark.operators.dedup import unpersist_inputs
+    from flink_connectors_spark.operators.similarity import topk_opq
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    q = emb.limit(5)
+    out = topk_opq(q, emb, k=3, subspaces=2, codebook_k=4, iters=1)
+    out.count()
+    cached = out._fcs_cached_inputs
+    assert cached, "topk_opq result must track its checkpointed inputs"
+    rdd_ids = _checkpoint_rdd_ids(cached)
+    persistent = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i in persistent for i in rdd_ids)
+    unpersist_inputs(out, blocking=True)
+    persistent_after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert all(i not in persistent_after for i in rdd_ids), (
+        "unpersist_inputs left the reflected-corpus checkpoint pinned"
+    )
