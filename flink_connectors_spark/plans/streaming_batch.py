@@ -370,3 +370,104 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return matched.unionByName(unmatched)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, ts, user_id, event_type FROM events),
+    mx AS (SELECT MAX(ts) AS m FROM base),
+    live AS (
+      SELECT event_id, ts, user_id, event_type,
+             'live' AS phase
+      FROM base),
+    tick AS (
+      SELECT CAST(-1 AS BIGINT) AS event_id,
+             m + INTERVAL 1 MINUTE AS ts,
+             CAST(-1 AS BIGINT) AS user_id,
+             'tick' AS event_type, 'tick' AS phase
+      FROM mx),
+    replay AS (
+      SELECT event_id,
+             m + (event_id % 7 + 2) * INTERVAL 1 MINUTE AS ts,
+             user_id, event_type, 'replay' AS phase
+      FROM base, mx
+      WHERE event_id % 5 = 0
+        AND ts <= m - INTERVAL 14 DAY)
+    SELECT * FROM live
+    UNION ALL SELECT * FROM tick
+    UNION ALL SELECT * FROM replay
+    """,
+    tags=("streaming", "dedup", "watermark", "state"),
+    since=9,
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the watermark-bounded streaming dedup
+    (`streaming.pipelines.dedup_events_within_watermark`,
+    `dropDuplicatesWithinWatermark` with a 7-day delay — the
+    weekly re-ingest dedup shape; the 30-day event span then
+    splits the replay set non-trivially at every SF), eviction
+    horizon and all, over a three-phase replay:
+
+    1. LIVE: the events table plus exact-copy retry redeliveries
+       (at-least-once duplicates are byte-identical) for
+       event_id % 3 == 0 — copies collapse to one value-identical
+       emission per key.
+    2. TICK: one synthetic heartbeat row 1 minute after the stream's
+       max event time (its only job in the live run is to exist as a
+       batch so the end-of-batch cleanup runs with the advanced
+       watermark).
+    3. REPLAY: the same event_id re-occurs with a fresh timestamp
+       (max + (id % 7 + 2) minutes) for event_id % 5 == 0.
+
+    Which replay rows re-emit is the empirically pinned eviction
+    rule (probed on Spark 4.1, three availableNow microbatches): a
+    key's state row is evicted at the END of batch N with the
+    watermark IN EFFECT during batch N (expiresAt <= wm), and the
+    duplicate check treats present-but-expired state as present — so
+    a replay in batch 3 re-emits iff first_ts + delay <= max_live -
+    delay, i.e. first_ts <= max_live - 2*delay (14 days). Keys
+    newer than that horizon still hold state and their replays are
+    silently dropped — the documented tradeoff of bounded-state
+    dedup. `tests/test_streaming.py` replays exactly this three-file
+    stream through the LIVE operator and matches this twin row for
+    row.
+
+    Scale: two events scans (live + replay candidates), the horizon
+    is a one-row broadcast — no shuffle anywhere; the live operator
+    keeps state bounded by the delay window instead of one row per
+    key forever (the plain dropDuplicates failure mode)."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mx = base.agg(F.max("ts").alias("m"))
+    live = base.withColumn("phase", F.lit("live"))
+    tick = mx.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("tick").alias("event_type"),
+        F.lit("tick").alias("phase"),
+    )
+    replay = (
+        base.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("event_id") % 5 == 0)
+            & (F.col("ts") <= F.col("m") - F.expr("INTERVAL 14 DAYS"))
+        )
+        .select(
+            "event_id",
+            (
+                F.col("m")
+                + (F.col("event_id") % 7 + 2)
+                * F.expr("INTERVAL 1 MINUTE")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit("replay").alias("phase"),
+        )
+    )
+    return live.unionByName(tick).unionByName(replay)

@@ -810,3 +810,95 @@ def test_dedup_within_watermark_bounded_state(spark, events_stream_dir):
     assert state_rows < total * 0.5, (
         f"state holds {state_rows} of {total} rows — eviction broken"
     )
+
+
+def test_dedup_within_watermark_matches_twin(spark, sf_dir, tmp_path):
+    """The registered batch twin (`stream_dedup_within_watermark`)
+    models the eviction horizon of dropDuplicatesWithinWatermark over
+    a three-phase replay: live traffic + exact-copy retries, a
+    watermark tick, then late re-occurrences. The LIVE operator over
+    the same three files (one availableNow microbatch each) must
+    agree ROW FOR ROW — including which replays are silently dropped
+    because their key's state is still within the horizon."""
+    import glob
+    import os
+    import shutil
+
+    from flink_connectors_spark.registry import all_specs
+
+    stream_dir = str(tmp_path / "ddww_stream")
+    os.makedirs(stream_dir)
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("phase", F.lit("live"))
+    )
+    m = base.agg(F.max("ts").alias("m"))
+    retries = base.filter(F.col("event_id") % 3 == 0)
+    tick = m.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("tick").alias("event_type"),
+        F.lit("tick").alias("phase"),
+    )
+    # ALL id%5 candidates go on the wire; the live operator decides
+    # which re-emit — the twin must predict that subset exactly.
+    replay = (
+        base.filter(F.col("event_id") % 5 == 0)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "event_id",
+            (
+                F.col("m")
+                + (F.col("event_id") % 7 + 2)
+                * F.expr("INTERVAL 1 MINUTE")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit("replay").alias("phase"),
+        )
+    )
+    for i, df in enumerate(
+        (base.unionByName(retries), tick, replay)
+    ):
+        d = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.parquet(d)
+        dst = f"{stream_dir}/{i:03d}.parquet"
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i * 100,) * 2)
+
+    static = spark.read.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    res = _run_stream(
+        spark,
+        P.dedup_events_within_watermark(stream, delay="7 days"),
+        "t_ddww_twin",
+        mode="append",
+    )
+
+    def key(rows):
+        return sorted(
+            (r["event_id"], str(r["ts"]), r["user_id"],
+             r["event_type"], r["phase"])
+            for r in rows
+        )
+
+    twin = all_specs()["stream_dedup_within_watermark"].fn(
+        spark, sf_dir
+    )
+    live = key(res.collect())
+    want = key(
+        twin.withColumn("ts", F.col("ts").cast("timestamp")).collect()
+    )
+    assert live == want
+    # the horizon must be non-trivial: some replays emitted, some
+    # withheld by still-live state
+    n_replay_emitted = sum(1 for r in live if r[4] == "replay")
+    n_candidates = replay.count()
+    assert 0 < n_replay_emitted < n_candidates
