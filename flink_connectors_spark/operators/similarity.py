@@ -1265,8 +1265,7 @@ def topk_pq_adc(
     return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
 
 
-def _pq_train_encode(
-    queries: DataFrame,
+def _pq_train_codes(
     corpus: DataFrame,
     subspaces: int,
     codebook_k: int,
@@ -1274,14 +1273,12 @@ def _pq_train_encode(
     scale: int,
     id_col: str,
     vec_col: str,
-) -> tuple[DataFrame, list[DataFrame]]:
-    """PQ train + encode + per-query lookup-table build, shared by the
-    flat scan (`topk_pq_adc`) and the cluster-routed scan
-    (`topk_ivfpq`). Returns (codes, luts): ``codes`` is the
-    (id, c0..c{m-1}) corpus code table — the only corpus-sized thing
-    the search reads — and ``luts`` one broadcastable per-block
-    (query_id, c{b}, dk{b}) distance table."""
-    spark = corpus.sparkSession
+) -> tuple[DataFrame, list[list[tuple]], int]:
+    """PQ train + encode (the build half of `_pq_train_encode`):
+    per-block deterministic Lloyd codebooks + the corpus code table.
+    Returns (codes, codebooks, width) where ``codebooks[b]`` is the
+    exact-integer (cluster, s, c) rows of block ``b`` — the
+    driver-side state a persisted-index artifact serializes."""
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by {subspaces} blocks")
@@ -1313,21 +1310,34 @@ def _pq_train_encode(
     with ThreadPoolExecutor(max_workers=subspaces) as pool:
         assigns = list(pool.map(_build, range(subspaces)))
 
-    code_cols = []
-    luts = []
+    codebooks = []
     codes = None
     for b, assign in enumerate(assigns):
-        cb = assign._fcs_centroids  # trained codebook, exact ints
+        codebooks.append(list(assign._fcs_centroids))  # exact ints
         part = assign.select(
             F.col(id_col), F.col("cluster").alias(f"c{b}")
         )
         codes = part if codes is None else codes.join(part, id_col)
-        code_cols.append(f"c{b}")
+    return codes, codebooks, width
 
-        cent = spark.createDataFrame(
-            [(cl, s, c) for cl, s, c in cb],
-            "cluster int, s array<long>, c long",
-        )
+
+def _pq_query_luts(
+    queries: DataFrame,
+    cents: list[DataFrame],
+    width: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> list[DataFrame]:
+    """Per-query ADC lookup tables (the search half of
+    `_pq_train_encode`): one broadcastable (query_id, c{b}, dk{b})
+    distance table per block. ``cents[b]`` is the block's codebook
+    as a DataFrame (cluster, s array<long>, c long) — from the
+    in-process Lloyd build OR read back from a persisted artifact;
+    the dk expression is identical either way (exact integers into
+    one IEEE division), so artifact round-trips stay bit-exact."""
+    luts = []
+    for b, cent in enumerate(cents):
         qsub = queries.select(
             F.col(id_col).alias("query_id"),
             F.transform(
@@ -1354,7 +1364,37 @@ def _pq_train_encode(
                 ).alias(f"dk{b}"),
             )
         )
+    return luts
 
+
+def _pq_train_encode(
+    queries: DataFrame,
+    corpus: DataFrame,
+    subspaces: int,
+    codebook_k: int,
+    iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """PQ train + encode + per-query lookup-table build, shared by the
+    flat scan (`topk_pq_adc`) and the cluster-routed scan
+    (`topk_ivfpq`). Returns (codes, luts): ``codes`` is the
+    (id, c0..c{m-1}) corpus code table — the only corpus-sized thing
+    the search reads — and ``luts`` one broadcastable per-block
+    (query_id, c{b}, dk{b}) distance table."""
+    spark = corpus.sparkSession
+    codes, codebooks, width = _pq_train_codes(
+        corpus, subspaces, codebook_k, iters, scale, id_col, vec_col
+    )
+    cents = [
+        spark.createDataFrame(
+            [(cl, s, c) for cl, s, c in cb],
+            "cluster int, s array<long>, c long",
+        )
+        for cb in codebooks
+    ]
+    luts = _pq_query_luts(queries, cents, width, scale, id_col, vec_col)
     return codes, luts
 
 
@@ -1466,6 +1506,123 @@ def topk_ivfpq(
         ),
         id_col,
     ).join(F.broadcast(probes), "cluster")
+    return _pq_adc_rank(routed, luts, k, subspaces, scale, id_col)
+
+
+def ivfpq_build_artifact(
+    corpus: DataFrame,
+    path: str,
+    subspaces: int = 2,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1024,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index as a parquet artifact — the production
+    build-once / probe-many lifecycle (FAISS `index.write` parity):
+    every registry ANN rung rebuilds its index per invocation by
+    design (the oracle replays the build), which prices the BUILD,
+    not the QUERY; at 100 TB nobody retrains codebooks per search.
+    This materializes the three index relations once:
+
+    - ``{path}/codes``   — (vec_id, c0..c{m-1}) corpus code table,
+      hive-partitioned BY CLUSTER: each inverted list is a partition
+      directory, so a probe's cluster restriction becomes partition
+      pruning on the scan (the physical form of "read only the
+      probed lists"), not a post-scan filter. The corpus-sized
+      relation, written once.
+    - ``{path}/codebooks`` — (block, cluster, s, c) exact-integer
+      Lloyd state, a few hundred rows. Read + broadcast per query
+      batch; the ADC dk expression over the round-tripped integers
+      is bit-identical to the in-process build's.
+    - ``{path}/reps``    — (cluster, rvec) coarse-routing medoids,
+      one row per inverted list.
+
+    Deterministic build (exact-int Lloyd, no RNG) => rebuilding the
+    artifact yields byte-identical relations, which is what lets a
+    SQL oracle replay build-then-probe and still value-hash the
+    probe's output."""
+    spark = corpus.sparkSession
+    codes, codebooks, width = _pq_train_codes(
+        corpus, subspaces, codebook_k, iters, scale, id_col, vec_col
+    )
+    memb = corpus.select(
+        F.col(id_col), F.col(cluster_col).alias("cluster")
+    )
+    (
+        codes.join(memb, id_col)
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [
+            (b, cl, s, c)
+            for b, cb in enumerate(codebooks)
+            for (cl, s, c) in cb
+        ],
+        "block int, cluster int, s array<long>, c long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        cluster_representatives(corpus, cluster_col, id_col, vec_col)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/reps")
+    )
+
+
+def topk_from_ivfpq_artifact(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 2,
+    subspaces: int = 2,
+    width: int = 32,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a persisted artifact
+    (:func:`ivfpq_build_artifact`) — the probe half of build-once /
+    probe-many. The returned plan touches NO Lloyd stage: it reads
+    the three artifact relations (codes / codebooks / reps), ranks
+    probes against the broadcast reps, restricts the code scan to
+    the probed cluster PARTITIONS (the broadcast probe join prunes
+    the hive layout), and ADC-ranks with lookup tables built from
+    the round-tripped codebooks. Results are bit-identical to
+    `topk_ivfpq` over the same corpus/params — the artifact
+    round-trip loses nothing (pinned in tests).
+
+    ``subspaces``/``width`` are passed, not discovered, so probing
+    costs zero control-plane jobs before the one search action."""
+    spark = queries.sparkSession
+    codes = spark.read.parquet(f"{path}/codes")
+    cbs = spark.read.parquet(f"{path}/codebooks")
+    reps = spark.read.parquet(f"{path}/reps")
+    cents = [
+        cbs.filter(F.col("block") == b).select("cluster", "s", "c")
+        for b in range(subspaces)
+    ]
+    luts = _pq_query_luts(queries, cents, width, scale, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_score"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn(
+            "rep_score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    routed = codes.join(F.broadcast(probes), "cluster")
     return _pq_adc_rank(routed, luts, k, subspaces, scale, id_col)
 
 

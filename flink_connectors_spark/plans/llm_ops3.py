@@ -969,6 +969,206 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persisted-index lifecycle: build the IVF-PQ artifact once, probe many
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted IVF-PQ artifact exists for this
+    (process, scale factor) and return its path. PID- AND
+    sf_dir-scoped (concurrent sessions; two SFs in one process must
+    not clobber each other's live index — the join_bucketed_colocated
+    lesson); built at most once per process so repeated probes price
+    the SEARCH, not the Lloyd build. ``reps`` is written last, so its
+    presence marks a complete artifact (a crashed half-build
+    rebuilds)."""
+    import os
+    import tempfile
+
+    from .sink_semantics import _register_tmp_cleanup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_ann_ivfpq_{os.getpid()}_{tag}"
+    )
+    if not os.path.isdir(os.path.join(path, "reps")):
+        _register_tmp_cleanup(path)
+        emb = _load(spark, sf_dir, "embeddings")
+        S.ivfpq_build_artifact(
+            emb, path, subspaces=2, codebook_k=16, iters=2
+        )
+    return path
+
+
+@register(
+    "similarity_ivfpq_build_artifact",
+    oracle=f"""
+    WITH {_pq_block("a", 1, 32, 16)},
+    {_pq_block("b", 33, 32, 16)},
+    cb AS (
+      SELECT CAST(0 AS BIGINT) AS block, cluster, s, c FROM c2a
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS block, cluster, s, c FROM c2b),
+    asg AS (
+      SELECT CAST(0 AS BIGINT) AS block, cluster FROM afa
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS block, cluster FROM afb),
+    cnt AS (
+      SELECT block, cluster, CAST(COUNT(*) AS BIGINT) AS n_codes
+      FROM asg GROUP BY block, cluster)
+    SELECT cb.block, CAST(cb.cluster AS BIGINT) AS codeword,
+           cb.c AS n_members,
+           array_to_string(cb.s, ',') AS s_str,
+           COALESCE(cnt.n_codes, 0) AS n_codes
+    FROM cb LEFT JOIN cnt
+      ON cnt.block = cb.block AND cnt.cluster = cb.cluster
+    """,
+    tags=("llm", "similarity", "ann", "index", "artifact", "iterative"),
+    since=9,
+)
+def similarity_ivfpq_build_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build half of the production build-once / probe-many ANN
+    lifecycle: train the IVF-PQ index (2 blocks x 16 exact-integer
+    Lloyd codewords + per-cluster inverted lists) and persist it as a
+    parquet artifact — codes hive-partitioned by cluster (each
+    inverted list a partition directory), codebooks, and routing
+    medoids (`operators/similarity.ivfpq_build_artifact`). The
+    returned manifest is read BACK from the written artifact — one
+    row per (block, codeword) with the exact integer centroid state
+    (s_str, n_members) and the number of corpus codes assigned to it
+    — so the value hash proves the round-tripped index, not just the
+    in-memory build. The oracle replays both Lloyd chains and the
+    encoding in SQL.
+
+    Scale: the corpus-sized relation (codes) is written ONCE; every
+    subsequent probe query reads only the probed partitions. The
+    build is priced here and nowhere else."""
+    path = _ivfpq_artifact_path(spark, sf_dir)
+    cbs = spark.read.parquet(f"{path}/codes")
+    asg = cbs.select(
+        F.lit(0).cast("long").alias("block"),
+        F.col("c0").alias("cluster"),
+    ).unionAll(
+        cbs.select(
+            F.lit(1).cast("long").alias("block"),
+            F.col("c1").alias("cluster"),
+        )
+    )
+    cnt = asg.groupBy("block", "cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_codes")
+    )
+    book = spark.read.parquet(f"{path}/codebooks").select(
+        F.col("block").cast("long").alias("block"),
+        F.col("cluster").alias("cluster"),
+        F.col("c").alias("n_members"),
+        F.concat_ws(",", F.col("s").cast("array<string>")).alias(
+            "s_str"
+        ),
+    )
+    return (
+        book.join(
+            F.broadcast(cnt),
+            ["block", "cluster"],
+            "left",
+        )
+        .select(
+            "block",
+            F.col("cluster").cast("long").alias("codeword"),
+            "n_members",
+            "s_str",
+            F.coalesce(F.col("n_codes"), F.lit(0).cast("long")).alias(
+                "n_codes"
+            ),
+        )
+    )
+
+
+@register(
+    "similarity_topk_from_artifact",
+    oracle=f"""
+    WITH {_pq_block("a", 1, 32, 16)},
+    {_pq_block("b", 33, 32, 16)},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa
+            WHERE vec_id >= 20 AND vec_id < 40),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb
+            WHERE vec_id >= 20 AND vec_id < 40),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 20 AND vec_id < 40),
+    reps AS (
+      SELECT label AS cluster, embedding AS rvec FROM (
+        SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.query_id, r.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_sql_cos("q.qvec", "r.rvec")} DESC,
+                            r.cluster) AS pr
+        FROM q CROSS JOIN reps r) t WHERE pr <= 2),
+    memb AS (SELECT vec_id, label AS cluster FROM embeddings),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN memb m ON m.vec_id = c.vec_id
+      JOIN probes p ON p.cluster = m.cluster
+      JOIN luta l0 ON l0.query_id = p.query_id AND l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = p.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "ann", "index", "artifact"),
+    since=9,
+)
+def similarity_topk_from_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probe half of build-once / probe-many: IVF-PQ top-5 for a
+    fresh query batch (vec_id 20..39) served from the PERSISTED
+    artifact — the returned plan reads the three index relations and
+    the query vectors only; no Lloyd stage, no corpus-vector scan
+    (pinned in tests/test_plans.py: the probe plan's scans are the
+    artifact + embeddings, and the code scan carries the probed-
+    cluster partition restriction). The oracle replays
+    build-then-probe from scratch, so a MATCH proves the artifact
+    round-trip is lossless — same codes, codebooks, routing, and ADC
+    arithmetic as the in-process `similarity_topk_ivfpq`, priced at
+    probe cost. At 100 TB the codes partitions ARE the inverted
+    lists: a 2-of-10-cluster probe reads 20% of the index bytes and
+    none of the raw vectors."""
+    path = _ivfpq_artifact_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_from_ivfpq_artifact(
+        emb.filter(
+            (F.col("vec_id") >= 20) & (F.col("vec_id") < 40)
+        ),
+        path,
+        k=5,
+        n_probe=2,
+        subspaces=2,
+        width=32,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tokenize-to-ids: apply the built vocabulary to the corpus
 # ---------------------------------------------------------------------------
 

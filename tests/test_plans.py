@@ -1096,3 +1096,31 @@ def test_bucketed_join_tables_are_sf_scoped(spark):
     assert got == want, (
         "stale plan read the other SF's buckets after a second build"
     )
+
+
+def test_ivfpq_probe_plan_reads_artifact_only_no_lloyd(spark, sf_dir):
+    """Build-once / probe-many contract: the probe plan must touch NO
+    Lloyd stage and no corpus-vector scan — its file scans are the
+    three artifact relations (codes / codebooks / reps) plus the
+    query slice of embeddings (once per LUT block + once for
+    routing), and the corpus-sized codes scan must carry the probed-
+    cluster restriction as a PARTITION filter (each inverted list is
+    a partition directory), not a post-scan predicate."""
+    # ensure the artifact exists (the build query is priced separately)
+    SPECS["similarity_ivfpq_build_artifact"].fn(spark, sf_dir).count()
+    df = SPECS["similarity_topk_from_artifact"].fn(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "similarity_topk_from_artifact")
+    # no Lloyd leftovers: the in-process builds leave ExistingRDD
+    # (checkpointed assignment tables) in the plan; the probe must not
+    assert "ExistingRDD" not in plan
+    # codes partition pruning: the broadcast probe join reaches the
+    # hive layout as a runtime partition filter
+    assert "dynamicpruningexpression" in plan
+    # scans: codes + codebooks x2 (one per block LUT) + reps +
+    # embeddings (2 LUT slices + 1 routing projection) = 7, plus the
+    # DPP subquery re-evaluating the tiny probes subtree (reps +
+    # query slice) = 9 — bounded, all but the pruned codes scan are
+    # index-metadata- or query-batch-sized, and crucially NOT the
+    # corpus embedding scan per Lloyd iteration
+    n = _count_file_scans(df)
+    assert n <= 9, f"probe plan re-inlined something: {n} file scans"
