@@ -1509,6 +1509,71 @@ def topk_ivfpq(
     return _pq_adc_rank(routed, luts, k, subspaces, scale, id_col)
 
 
+def topk_refine_exact(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-rerank refine stage (FAISS ``RFlat`` / refine-index
+    parity): take ANY compressed rung's candidate list (query_id,
+    neighbor_id) and re-rank it by exact quantized squared L2 from
+    the ORIGINAL vectors, keeping top-``k``. This is what closes the
+    recall gap the recall gates only measure — the compressed scan
+    buys the 1/128th-bytes candidate sweep, the refine pays full
+    vector cost ONLY on |Q| x k_cand rows.
+
+    Scale shape: candidates broadcast (|Q| x k_cand ids), ONE keyed
+    join against the corpus touches full vectors for candidates
+    alone, queries broadcast; no corpus shuffle, no window over
+    anything bigger than the candidate list. Distances are exact
+    int64 squared-difference sums over round(v*scale) quantization
+    into one IEEE division (bit-identical cross-engine). Returns
+    (query_id, neighbor_id, exact_dist, rnk) ascending."""
+
+    def qx(col):
+        return F.transform(
+            col, lambda v: F.round(v.cast("double") * scale).cast("long")
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qx(F.col(vec_col)).alias("qx")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        qx(F.col(vec_col)).alias("nx"),
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("qx"), F.col("nx"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        c.join(
+            F.broadcast(candidates.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "exact_dist",
+            F.round(sq.cast("double") / float(scale * scale), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_dist"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "exact_dist", "rnk")
+    )
+
+
 def ivfpq_build_artifact(
     corpus: DataFrame,
     path: str,

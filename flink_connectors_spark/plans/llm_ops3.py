@@ -1168,6 +1168,82 @@ def similarity_topk_from_artifact(
     )
 
 
+@register(
+    "similarity_topk_refine",
+    oracle=f"""
+    WITH {_pq_block("a", 1, 32, 16)},
+    {_pq_block("b", 33, 32, 16)},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    scored AS (
+      SELECT l0.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN luta l0 ON l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = l0.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> l0.query_id),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist, neighbor_id)
+                 AS rnk
+        FROM scored) t WHERE rnk <= 20),
+    xint AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT))
+               AS xv
+      FROM embeddings),
+    refined AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(CAST(list_sum(list_transform(
+                     list_zip(q.xv, n.xv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   AS DOUBLE) / 1048576.0, 6) AS exact_dist
+      FROM cand
+      JOIN xint q ON q.vec_id = cand.query_id
+      JOIN xint n ON n.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, exact_dist, rnk FROM (
+      SELECT query_id, neighbor_id, exact_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY exact_dist, neighbor_id)
+               AS rnk
+      FROM refined) t WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "ann", "refine", "iterative"),
+    since=9,
+)
+def similarity_topk_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rerank refine rung (FAISS `RFlat` parity) — the ladder's
+    recall CLOSER, not another recall gauge: the flat-PQ rung sweeps
+    the corpus at 2 bytes/vector for a 20-candidate shortlist per
+    query, then `operators/similarity.topk_refine_exact` re-ranks
+    ONLY the shortlist by exact quantized L2 from the original
+    vectors and keeps top-5. Within-candidate ordering becomes exact
+    (the PQ approximation decides membership, never final rank). The
+    oracle replays the whole composition — both Lloyd chains, the
+    encode, the ADC shortlist, and the exact re-rank — so a drift in
+    either stage fails the hash. Full vectors are touched for
+    |Q| x 20 rows only (one broadcast-candidate keyed join); the
+    corpus-wide scan stays at PQ-code width."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    cand = S.topk_pq_adc(
+        q, emb, k=20, subspaces=2, codebook_k=16, iters=2
+    )
+    return S.topk_refine_exact(cand, q, emb, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Tokenize-to-ids: apply the built vocabulary to the corpus
 # ---------------------------------------------------------------------------

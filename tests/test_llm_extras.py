@@ -1212,3 +1212,59 @@ def test_bpe_merges_hand_corpus_and_early_stop(spark):
     )
     got = [tuple(r) for r in bpe_merge_table(df, n_merges=3).collect()]
     assert got == [(1, "a", "b", 5), (2, "ab", "ab", 2)]
+
+
+def test_refine_recovers_recall_over_raw_pq(spark, sf_dir):
+    """The exact-rerank refine stage (FAISS RFlat parity) must CLOSE
+    recall, not just measure it: against exact-L2 ground truth
+    (all-pairs candidates through the same refine operator), the
+    refined top-5 must strictly beat the raw PQ rung's top-5 recall
+    (0.26 -> 0.45 at sf0.001), and within the candidate shortlist its
+    ordering must be exact — the PQ approximation decides membership
+    only, never final rank."""
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    allc = (
+        q.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.topk_refine_exact(allc, q, emb, k=5).collect()
+    }
+    cand = S.topk_pq_adc(
+        q, emb, k=20, subspaces=2, codebook_k=16, iters=2
+    )
+    pq5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cand.filter(F.col("rnk") <= 5).collect()
+    }
+    refined = S.topk_refine_exact(cand, q, emb, k=5).collect()
+    ref5 = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    assert len(ref5 & brute) > len(pq5 & brute), (
+        "refine did not improve recall over the raw PQ rung"
+    )
+    # exact within-candidate ordering: for every query, the refined
+    # list is the exact-L2 ascending prefix of its candidate set
+    cand_ids = {}
+    for r in cand.collect():
+        cand_ids.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["exact_dist"]
+        for r in S.topk_refine_exact(allc, q, emb, k=10**9).collect()
+    }
+    for r in refined:
+        qid = r["query_id"]
+        better = [
+            n for n in cand_ids[qid]
+            if (exact[(qid, n)], n)
+            < (r["exact_dist"], r["neighbor_id"])
+        ]
+        assert len(better) == r["rnk"] - 1, (
+            f"refined rank {r['rnk']} for query {qid} is not the "
+            "exact-L2 order within the candidate set"
+        )
