@@ -1638,6 +1638,94 @@ def ivfpq_build_artifact(
     )
 
 
+def ivfpq_encode_append(
+    new_vectors: DataFrame,
+    path: str,
+    subspaces: int = 2,
+    scale: int = 1024,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index ingest (FAISS ``index.add`` parity): encode a
+    NEW vector batch with the artifact's EXISTING codebooks — no
+    retrain, no Lloyd iteration — and append the codes to the
+    partitioned inverted lists. The nightly-ingest ANN shape: the
+    expensive train happened once at build time; each ingest batch
+    pays one broadcast-codebook argmin pass over the new rows plus a
+    partitioned append write.
+
+    The assignment expression is kmeans_assign_quantized's exactly
+    (packed one-row broadcast codebook, array_min over (sq(c*x-s)/c²,
+    cluster) structs — exact integers into one IEEE division), so
+    appended codes are bit-identical to what a from-scratch encode
+    with the same codebooks produces, and a SQL oracle can replay
+    build-then-append. Codebook quality drifts as the corpus grows —
+    the production policy (retrain when `embedding_centroid_drift`
+    alarms) composes from the registry's drift monitor."""
+    spark = new_vectors.sparkSession
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    width = len(cb_rows[0]["s"])
+    codes = None
+    for b in range(subspaces):
+        packed = [
+            {"cluster": r["cluster"], "s": list(r["s"]), "c": r["c"]}
+            for r in sorted(
+                (r for r in cb_rows if r["block"] == b),
+                key=lambda r: r["cluster"],
+            )
+        ]
+        cent = spark.createDataFrame(
+            [(packed,)],
+            "cents array<struct<cluster:int,s:array<long>,c:long>>",
+        )
+        qv = F.transform(
+            F.slice(F.col(vec_col), b * width + 1, width),
+            lambda v: F.round(v.cast("double") * scale).cast("long"),
+        )
+
+        def dist_key(ct):
+            sq = F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    ct["s"],
+                    lambda x, sv: (ct["c"] * x - sv)
+                    * (ct["c"] * x - sv),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            return sq.cast("double") / (ct["c"] * ct["c"]).cast(
+                "double"
+            )
+
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    dist_key(ct).alias("dist_key"),
+                    ct["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        part = (
+            new_vectors.select(F.col(id_col), qv.alias("qv"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("best", best)
+            .select(F.col(id_col), F.col("best.cluster").alias(f"c{b}"))
+        )
+        codes = part if codes is None else codes.join(part, id_col)
+    memb = new_vectors.select(
+        F.col(id_col), F.col(cluster_col).alias("cluster")
+    )
+    (
+        codes.join(memb, id_col)
+        .write.partitionBy("cluster")
+        .mode("append")
+        .parquet(f"{path}/codes")
+    )
+
+
 def topk_from_ivfpq_artifact(
     queries: DataFrame,
     path: str,

@@ -1168,6 +1168,142 @@ def similarity_topk_from_artifact(
     )
 
 
+def _ivfpq_inc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the INCREMENTAL-ingest demo artifact: index built on
+    yesterday's corpus (vec_id < 400), today's batch (vec_id >= 400)
+    appended with the existing codebooks — no retrain. Separate path
+    from the full-corpus artifact (appending into that one would
+    duplicate codes). PID- and sf-scoped; ``_done`` marker written
+    after the append so a crashed half-ingest rebuilds."""
+    import os
+    import tempfile
+
+    from .sink_semantics import _register_tmp_cleanup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_ann_ivfpq_inc_{os.getpid()}_{tag}"
+    )
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        _register_tmp_cleanup(path)
+        emb = _load(spark, sf_dir, "embeddings")
+        S.ivfpq_build_artifact(
+            emb.filter(F.col("vec_id") < 400),
+            path,
+            subspaces=2,
+            codebook_k=16,
+            iters=2,
+        )
+        S.ivfpq_encode_append(
+            emb.filter(F.col("vec_id") >= 400), path, subspaces=2
+        )
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "similarity_ivfpq_append_probe",
+    oracle=f"""
+    WITH old AS (SELECT * FROM embeddings WHERE vec_id < 400),
+    {_pq_block("a", 1, 32, 16, src="old")},
+    {_pq_block("b", 33, 32, 16, src="old")},
+    qna AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 1, 32),
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE vec_id >= 400),
+    qnb AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 33, 64),
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE vec_id >= 400),
+    {_pq_assign("ana", "c2a", "qna")},
+    {_pq_assign("anb", "c2b", "qnb")},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id
+      UNION ALL
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM ana x JOIN anb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 20),
+    reps AS (
+      SELECT label AS cluster, embedding AS rvec FROM (
+        SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM old) t WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.query_id, r.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {_sql_cos("q.qvec", "r.rvec")} DESC,
+                            r.cluster) AS pr
+        FROM q CROSS JOIN reps r) t WHERE pr <= 2),
+    memb AS (SELECT vec_id, label AS cluster FROM embeddings),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN memb m ON m.vec_id = c.vec_id
+      JOIN probes p ON p.cluster = m.cluster
+      JOIN luta l0 ON l0.query_id = p.query_id AND l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = p.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "ann", "index", "incremental",
+          "iterative"),
+    since=9,
+)
+def similarity_ivfpq_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental index ingest, end to end: the IVF-PQ artifact is
+    built on yesterday's corpus (vec_id < 400), today's batch
+    (vec_id >= 400) is ENCODED WITH THE EXISTING CODEBOOKS — a
+    broadcast-codebook argmin pass, zero Lloyd iterations — and
+    appended to the partitioned inverted lists
+    (`operators/similarity.ivfpq_encode_append`, FAISS `index.add`
+    parity); the probe then searches the MERGED index and must see
+    both generations. The oracle replays build-then-append-then-probe
+    (old-corpus Lloyd chains, new-batch assignment against the frozen
+    c2 codebooks, union of code tables), so a MATCH proves the
+    no-retrain encode is bit-identical to the from-scratch
+    assignment. At 100 TB this is the nightly shape: train once,
+    ingest batches at one linear pass each, retrain only when the
+    registry's centroid-drift monitor alarms."""
+    path = _ivfpq_inc_artifact_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_from_ivfpq_artifact(
+        emb.filter(F.col("vec_id") < 20),
+        path,
+        k=5,
+        n_probe=2,
+        subspaces=2,
+        width=32,
+    )
+
+
 @register(
     "similarity_topk_refine",
     oracle=f"""

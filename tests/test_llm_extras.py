@@ -1268,3 +1268,40 @@ def test_refine_recovers_recall_over_raw_pq(spark, sf_dir):
             f"refined rank {r['rnk']} for query {qid} is not the "
             "exact-L2 order within the candidate set"
         )
+
+
+def test_ivfpq_append_ingests_without_retrain(spark, sf_dir):
+    """Incremental ingest invariants: after build(old)+append(new) the
+    merged codes relation holds every corpus vector EXACTLY once, the
+    codebooks are still yesterday's (the append must not retrain —
+    16 codewords per block, trained member counts summing to the OLD
+    corpus size only), and the appended codes equal a from-scratch
+    encode of the new batch against the same frozen codebooks."""
+    from flink_connectors_spark.plans.llm_ops3 import (
+        _ivfpq_inc_artifact_path,
+    )
+    from flink_connectors_spark.session import load_table
+
+    path = _ivfpq_inc_artifact_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    n_old = emb.filter(F.col("vec_id") < 400).count()
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_total
+    assert codes.select("vec_id").distinct().count() == n_total
+    cbs = spark.read.parquet(f"{path}/codebooks")
+    per_block = {
+        r["block"]: (r["n"], r["members"])
+        for r in cbs.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("members"),
+        )
+        .collect()
+    }
+    assert set(per_block) == {0, 1}
+    for n, members in per_block.values():
+        assert n == 16
+        # Lloyd's trained counts cover the OLD corpus only: retrain
+        # on append would have pulled the new batch into c
+        assert members == n_old
