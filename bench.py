@@ -14,19 +14,30 @@ let accumulated JVM/GC pressure from 60+ prior executions pollute the
 warm numbers of late queries (observed r2: unchanged plans "regressed"
 3-4x warm purely by queue position). Headline value = warm total;
 cold times reported alongside under "queries_cold".
+
+r9 session-crowding fix: 133+ headliners in ONE JVM produced
+run-to-run swings on individual queries (similarity_topk_pq 4.5<->9.7s
+warm, rollup_merge_day 0.26<->1.13s) bigger than a round's
+optimization budget, plus warm>cold inversions from accumulated GC
+pressure (~7,000 stages in one session). The harness now runs THREE
+FRESH-JVM BLOCKS (relational / corpus / ANN — family-partitioned so
+each block's working set is homogeneous), each a subprocess with its
+own warm-up, table prescan, and worker prefork; the orchestrator sums
+them into the same one-line record. Per-query numbers stay
+round-over-round comparable (same per-query interleaving, same
+release discipline); only the JVM neighborhood shrank.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from flink_connectors_spark.registry import all_specs
-from flink_connectors_spark.session import build_session
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -174,13 +185,46 @@ HEADLINE = [
     "join_dynamic_partition_pruning",
     "join_pointintime_scd2",
     "similarity_topk_ivf_opq",
+    # r9 additions
+    "stream_dedup_within_watermark",
+    "similarity_ivfpq_build_artifact",
+    "similarity_topk_from_artifact",
+    "similarity_ivfpq_append_probe",
+    "similarity_topk_refine",
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = build_session(app_name="fcs-bench")
+def _block_of(name: str) -> str:
+    """Family partition: homogeneous working sets per JVM block.
+    ANN/embedding queries carry Lloyd builds and broadcast LUT
+    lifecycles; corpus queries carry shingle/token explodes; the
+    relational block is the TPC-H/window/streaming/sink surface."""
+    if name.startswith(("similarity_", "embedding_")):
+        return "ann"
+    if name.startswith(
+        ("dedup_", "text_", "pipeline_", "multimodal_", "grouped_")
+    ):
+        return "corpus"
+    return "relational"
+
+
+BLOCK_ORDER = ("relational", "corpus", "ann")
+
+
+def run_block(block: str, sf_dir: str, out_path: str) -> None:
+    """One fresh-JVM measurement block: warm-ups, (relational only)
+    sink throughput, then the block's headliners interleaved 3x each
+    with full state release between runs."""
+    from flink_connectors_spark.registry import all_specs
+    from flink_connectors_spark.session import (
+        TABLES,
+        build_session,
+        load_table,
+        spread,
+    )
+
+    names = [n for n in HEADLINE if _block_of(n) == block]
+    spark = build_session(app_name=f"fcs-bench-{block}")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
@@ -189,16 +233,13 @@ def main() -> None:
 
         Many plans persist()/localCheckpoint(eager=True) internal
         frames (LSH band tables, iterative-component pair lists,
-        shingle indexes). Inside ONE long-lived session running 89
-        queries x 3, those pins accumulate in the block manager:
-        r4's driver sweep showed unchanged plans "regressing" up to
-        16.9x warm and two queries timing warm > cold purely from
-        eviction churn. The structural fix is a harness-level
-        lifecycle: after every run, clear the catalog cache and
+        shingle indexes). Inside one long-lived session those pins
+        accumulate in the block manager: r4's driver sweep showed
+        unchanged plans "regressing" up to 16.9x warm purely from
+        eviction churn. After every run, clear the catalog cache and
         unpersist every persistent RDD (covers localCheckpoint'd
-        frames too — none are reused across invocations; each call
-        of a query fn builds its own). Release time is harness
-        bookkeeping and stays outside the measured window."""
+        frames too — none are reused across invocations). Release
+        time stays outside the measured window."""
         spark.catalog.clearCache()
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -224,8 +265,6 @@ def main() -> None:
     # query happens to touch a table first (r5: dedup_exact — the first
     # documents-scanning query — read 1.86 s warm vs its 0.5 s r1
     # class purely from absorbing the corpus' first scan).
-    from flink_connectors_spark.session import TABLES, load_table, spread
-
     for _t in TABLES:
         load_table(spark, sf_dir, _t).write.format("noop").mode(
             "overwrite"
@@ -237,50 +276,108 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Sink throughput FIRST (before the query loop crowds the JVM):
-    # the reference IS a sink connector, so rows/sec through the
-    # batched writer (production batch-size 100k, README.md:21) is the
-    # directly comparable number. Local parquet backend = no network;
-    # measures the connector machinery itself. Measured at session
-    # start so the number is a property of the writer, not of 90+
-    # prior query executions' GC state (r2 lesson).
-    import shutil
-    import tempfile
+    record: dict = {}
+    if block == "relational":
+        # Sink throughput FIRST (before the query loop crowds the JVM):
+        # the reference IS a sink connector, so rows/sec through the
+        # batched writer (production batch-size 100k, README.md:21) is
+        # the directly comparable number. Local parquet backend = no
+        # network; measures the connector machinery itself. Measured at
+        # session start so the number is a property of the writer, not
+        # of prior query executions' GC state (r2 lesson).
+        import shutil
 
-    from flink_connectors_spark.sink.options import SinkOptions
-    from flink_connectors_spark.sink.writer import write_batch
+        from flink_connectors_spark.sink.options import SinkOptions
+        from flink_connectors_spark.sink.writer import write_batch
 
-    sink_dir = tempfile.mkdtemp(prefix="fcs_bench_sink_")
-    try:
-        # spread + persist: the testdata lineitem is ONE parquet file
-        # (3 row groups -> 3 scan tasks on 32 cores), so an unspread
-        # write measures single-file scan parallelism, not the
-        # connector. Cache the spread input so each timed pass is the
-        # writer machinery alone — the number the reference's sink
-        # (fed by an already-running upstream job) is comparable to.
-        li = spread(load_table(spark, sf_dir, "lineitem")).persist()
-        n_rows = li.count()
-        opts = SinkOptions(
-            url=f"parquet://{sink_dir}",
-            table_name="lineitem_out",
-            batch_size=100_000,
-        )
-        write_batch(li, opts)  # untimed warm-up: plan/codegen compile
-        sink_secs = float("inf")
-        for _ in range(3):  # best-of-3 steady state (same cold/warm
-            t0 = time.perf_counter()  # split as the query loop)
-            write_batch(li, opts)
-            sink_secs = min(sink_secs, time.perf_counter() - t0)
-    finally:
-        li.unpersist()
-        shutil.rmtree(sink_dir, ignore_errors=True)
-    sink_rows_per_sec = round(n_rows / sink_secs)
+        sink_dir = tempfile.mkdtemp(prefix="fcs_bench_sink_")
+        try:
+            # spread + persist: the testdata lineitem is ONE parquet
+            # file (3 row groups -> 3 scan tasks on 32 cores), so an
+            # unspread write measures single-file scan parallelism,
+            # not the connector. Cache the spread input so each timed
+            # pass is the writer machinery alone.
+            li = spread(load_table(spark, sf_dir, "lineitem")).persist()
+            n_rows = li.count()
+            opts = SinkOptions(
+                url=f"parquet://{sink_dir}",
+                table_name="lineitem_out",
+                batch_size=100_000,
+            )
+            write_batch(li, opts)  # untimed warm-up: plan/codegen
+            sink_secs = float("inf")
+            for _ in range(3):  # best-of-3 steady state
+                t0 = time.perf_counter()
+                write_batch(li, opts)
+                sink_secs = min(sink_secs, time.perf_counter() - t0)
+        finally:
+            li.unpersist()
+            shutil.rmtree(sink_dir, ignore_errors=True)
+        record["sink_rows_per_sec"] = round(n_rows / sink_secs)
 
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         cold[name] = run(name)
         times[name] = min(run(name), run(name))
+    record["queries"] = times
+    record["queries_cold"] = cold
+    with open(out_path, "w") as fh:
+        json.dump(record, fh)
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--block" in sys.argv:
+        block = sys.argv[sys.argv.index("--block") + 1]
+        out = sys.argv[sys.argv.index("--out") + 1]
+        run_block(block, sf_dir, out)
+        return
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    block_secs: dict[str, float] = {}
+    sink_rows_per_sec = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for block in BLOCK_ORDER:
+        with tempfile.NamedTemporaryFile(
+            suffix=f"_{block}.json", delete=False
+        ) as tf:
+            out = tf.name
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--block",
+                    block,
+                    "--out",
+                    out,
+                ],
+                cwd=here,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.PIPE,
+            )
+            if proc.returncode != 0:
+                tail = proc.stderr.decode(errors="replace")[-2000:]
+                raise RuntimeError(
+                    f"bench block {block!r} failed "
+                    f"(rc={proc.returncode}):\n{tail}"
+                )
+            with open(out) as fh:
+                rec = json.load(fh)
+        finally:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
+        times.update(rec["queries"])
+        cold.update(rec["queries_cold"])
+        block_secs[block] = round(sum(rec["queries"].values()), 3)
+        if "sink_rows_per_sec" in rec:
+            sink_rows_per_sec = rec["sink_rows_per_sec"]
 
     total = round(sum(times.values()), 3)
     # The driver captures only a bounded TAIL of stdout. r3 AND r4
@@ -296,12 +393,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_cold": cold,
+        "blocks": block_secs,
         "sink_rows_per_sec": sink_rows_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    local_path = os.path.join(here, "BENCH_LOCAL.json")
     with open(local_path, "w") as fh:
         json.dump(record, fh, indent=1)
         fh.write("\n")
@@ -328,7 +424,6 @@ def main() -> None:
             if len(line) < 200:
                 break
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":
