@@ -239,7 +239,21 @@ def run_block(block: str, sf_dir: str, out_path: str) -> None:
         eviction churn. After every run, clear the catalog cache and
         unpersist every persistent RDD (covers localCheckpoint'd
         frames too — none are reused across invocations). Release
-        time stays outside the measured window."""
+        time stays outside the measured window.
+
+        The explicit System.gc() (BETWEEN QUERIES only, never
+        between one query's three runs) is the r9 variance fix for
+        the build-heavy ANN queries: their control-plane-dominated
+        Lloyd chains allocate broadcast/codegen garbage whose
+        DEFERRED collection landed inside later queries' timed
+        windows — isolated ivfadc ran a steady 5-6 s while the same
+        plan read 10.9 s late in the ANN block (both warm runs
+        inflated, a warm>cold inversion). Paying collection at query
+        boundaries keeps each timed window starting from a quiet
+        heap; NOT gc'ing between a query's own runs matters because
+        a full GC can unload the query's freshly generated codegen
+        classes, which the warm runs would then silently recompile
+        (measured: the OPQ trio read ~10%% higher with per-run GC)."""
         spark.catalog.clearCache()
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -248,6 +262,11 @@ def run_block(block: str, sf_dir: str, out_path: str) -> None:
                     jrdd.unpersist()
                 except Exception:
                     pass
+        except Exception:
+            pass
+    def gc() -> None:
+        try:
+            spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 
@@ -277,6 +296,19 @@ def run_block(block: str, sf_dir: str, out_path: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
     record: dict = {}
+    # Host-speed canary: a fixed, data-independent CPU-bound job
+    # timed at block start. The sandbox host's effective CPU speed
+    # drifts (r9: the sink number — pure CPU — read 1.63M rows/s at
+    # 09:30 and 1.24M at 11:10 the same day on an idle guest), which
+    # confounds round-over-round and even run-over-run comparisons.
+    # The canary gives every block a contamination indicator: compare
+    # query times ACROSS runs only after checking the canaries agree,
+    # and deflate totals by the canary ratio when they don't.
+    t0 = time.perf_counter()
+    spark.range(400_000_000).selectExpr(
+        "sum(id * 3 + (id % 7)) AS s"
+    ).collect()
+    record["canary_sec"] = round(time.perf_counter() - t0, 3)
     if block == "relational":
         # Sink throughput FIRST (before the query loop crowds the JVM):
         # the reference IS a sink connector, so rows/sec through the
@@ -318,6 +350,7 @@ def run_block(block: str, sf_dir: str, out_path: str) -> None:
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
     for name in names:
+        gc()  # quiet heap at the query boundary (see release())
         cold[name] = run(name)
         times[name] = min(run(name), run(name))
     record["queries"] = times
@@ -339,6 +372,7 @@ def main() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     block_secs: dict[str, float] = {}
+    canary: dict[str, float] = {}
     sink_rows_per_sec = None
     here = os.path.dirname(os.path.abspath(__file__))
     for block in BLOCK_ORDER:
@@ -376,6 +410,7 @@ def main() -> None:
         times.update(rec["queries"])
         cold.update(rec["queries_cold"])
         block_secs[block] = round(sum(rec["queries"].values()), 3)
+        canary[block] = rec.get("canary_sec")
         if "sink_rows_per_sec" in rec:
             sink_rows_per_sec = rec["sink_rows_per_sec"]
 
@@ -394,6 +429,7 @@ def main() -> None:
         "queries": times,
         "queries_cold": cold,
         "blocks": block_secs,
+        "blocks_canary_sec": canary,
         "sink_rows_per_sec": sink_rows_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
