@@ -694,6 +694,19 @@ _SCAN_ALLOWLIST = {
     # query probes) — each a column-pruned cheap read, none a
     # re-inlined expensive subtree (r7 audit).
     "similarity_topk_ivfpq": 7,
+    # r9 persisted-index probes: codes + codebooks x2 (one per block
+    # LUT) + reps + embeddings x3 (2 LUT slices + routing) = 7, plus
+    # the DPP subquery re-evaluating the TINY probes subtree (reps +
+    # query slice) = 9 — all but the partition-pruned codes scan are
+    # index-metadata- or query-batch-sized; crucially NO per-Lloyd-
+    # iteration corpus scan (audited in
+    # test_ivfpq_probe_plan_reads_artifact_only_no_lloyd).
+    "similarity_topk_from_artifact": 9,
+    "similarity_ivfpq_append_probe": 9,
+    # refine = the audited PQ shape (4) + the candidate re-rank's two
+    # keyed reads (corpus by neighbor_id, queries) = 6 — the re-rank
+    # reads are broadcast-candidate-bounded, never corpus-wide.
+    "similarity_topk_refine": 6,
 }
 _SCAN_DEFAULT = 4
 
