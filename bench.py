@@ -191,7 +191,23 @@ HEADLINE = [
     "similarity_topk_from_artifact",
     "similarity_ivfpq_append_probe",
     "similarity_topk_refine",
+    # r10 additions
+    "similarity_opq_build_artifact",
+    "similarity_topk_from_opq_artifact",
+    "similarity_ivfpq_delete_probe",
+    "similarity_ivfpq_compact_probe",
+    "similarity_opq_append_probe",
 ]
+
+# Build-once / probe-many queries: the *_build_artifact rows build
+# their persisted index at most once per process, so their COLD run
+# prices the build (Lloyd chains / rotation) and their warm runs
+# price reading the manifest back — and every probe row downstream of
+# the same artifact (topk_from_*, append/delete probes, and since r10
+# the OPQ trio) prices the SEARCH only, in warm AND cold. Read the
+# warm headline accordingly: the build cost appears exactly once, in
+# queries_cold of whichever artifact-family row ran first (ADVICE r9).
+BUILD_ONCE = [n for n in HEADLINE if n.endswith("_build_artifact")]
 
 
 def _block_of(name: str) -> str:
@@ -415,6 +431,21 @@ def main() -> None:
             sink_rows_per_sec = rec["sink_rows_per_sec"]
 
     total = round(sum(times.values()), 3)
+    # Canary-deflated total (r9 verdict: BENCH_r* totals are only
+    # comparable through the canary ratio — the sandbox host's
+    # effective CPU speed swings ±25% same-day). Each block's warm
+    # total is scaled by REF_CANARY / that block's measured canary
+    # (canary slower than reference => host slow => deflate), so the
+    # shipped number self-adjudicates host drift. REF_CANARY is the
+    # r9 canary-clean morning window (~0.48 s for the fixed
+    # 400M-row integer aggregate on local[32]); it is a UNIT choice,
+    # not a moving target — never re-pin it to a later round's host.
+    REF_CANARY = 0.48
+    adj = 0.0
+    for b in BLOCK_ORDER:
+        cny = canary.get(b)
+        adj += block_secs[b] * (REF_CANARY / cny if cny else 1.0)
+    canary_adj = round(adj, 3)
     # The driver captures only a bounded TAIL of stdout. r3 AND r4
     # both ended "parsed": null because the printed line still
     # carried the full per-query dict (~2.5 KB) and got
@@ -426,10 +457,15 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "value_canary_adj": canary_adj,
+        "canary_ref_sec": REF_CANARY,
         "queries": times,
         "queries_cold": cold,
         "blocks": block_secs,
         "blocks_canary_sec": canary,
+        # build-once rows: warm prices the manifest read-back, the
+        # index build appears once in queries_cold (see BUILD_ONCE)
+        "build_once_queries": BUILD_ONCE,
         "sink_rows_per_sec": sink_rows_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -441,6 +477,7 @@ def main() -> None:
         "metric": record["metric"],
         "value": total,
         "unit": "sec",
+        "canary_adj": canary_adj,
         "cold_total": round(sum(cold.values()), 3),
         "sink_rows_per_sec": sink_rows_per_sec,
         "n_queries": len(times),

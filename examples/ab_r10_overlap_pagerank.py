@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""r10 adjudication harness for the two r9 perf findings:
+
+1. ``pipeline_source_overlap`` — perf-WEAK (r9 verdict #1): 3.61 s in
+   the driver's r9 bench vs 1.49 s in the builder's closing run hours
+   earlier, 1.32 s r8, 0.99 s r1 — a one-run >2x elevation with a
+   near-identical block canary, the same signature
+   ``text_crossdoc_ngram_mass`` showed in r8 (resolved then by
+   isolating under the v3 block discipline).
+2. ``dedup_canonical_pagerank`` — +35% in BOTH r9 runs (5.14 -> ~6.9 s,
+   code untouched since r8). Hypothesis (r9 verdict #2): the v3
+   harness's boundary GC un-subsidizes it — its unrolled power
+   iterations used to dump garbage into neighbors' windows — the same
+   "honesty tax" SCALING documents for the OPQ trio.
+
+Method (the v3 discipline, memory rules 7/17): ONE fresh JVM per
+variant arm, bench-identical setup (warm-up query, full table
+prescan, worker prefork), then INTERLEAVED rounds of
+[canary, overlap, pagerank] with the bench's release-then-gc at query
+boundaries. A second arm repeats pagerank WITHOUT the boundary GC to
+price the honesty-tax hypothesis directly. Run with nothing else on
+the host; compare only within-arm and across arms via the canary.
+
+Usage: python examples/ab_r10_overlap_pagerank.py [--rounds N] [--no-gc]
+Prints one line per measurement; final summary is JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_connectors_spark.registry import all_specs
+from flink_connectors_spark.session import TABLES, build_session, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NAMES = ("pipeline_source_overlap", "dedup_canonical_pagerank")
+
+
+def main() -> None:
+    rounds = 6
+    if "--rounds" in sys.argv:
+        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
+    boundary_gc = "--no-gc" not in sys.argv
+
+    spark = build_session(app_name="fcs-ab-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    def release() -> None:
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                try:
+                    jrdd.unpersist()
+                except Exception:
+                    pass
+        except Exception:
+            pass
+
+    def gc() -> None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr(
+            "sum(id * 3 + (id % 7)) AS s"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        release()
+        return dt
+
+    # bench-identical session prep
+    run("q3_shipping_priority")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    release()
+    spark.range(256).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    out: dict = {
+        "sf_dir": SF_DIR,
+        "boundary_gc": boundary_gc,
+        "canary": [],
+        **{n: [] for n in NAMES},
+    }
+    for r in range(rounds):
+        if boundary_gc:
+            gc()
+        c = canary()
+        out["canary"].append(c)
+        print(f"round {r}: canary {c}", flush=True)
+        for name in NAMES:
+            if boundary_gc:
+                gc()
+            dt = run(name)
+            out[name].append(dt)
+            print(f"round {r}: {name} {dt}", flush=True)
+    for name in NAMES:
+        ts = sorted(out[name])
+        out[f"{name}_min"] = ts[0]
+        out[f"{name}_median"] = ts[len(ts) // 2]
+    out["canary_median"] = sorted(out["canary"])[len(out["canary"]) // 2]
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

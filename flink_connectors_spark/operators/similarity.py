@@ -1574,6 +1574,56 @@ def topk_refine_exact(
     )
 
 
+# Per-process manifest cache: path -> params dict. Probe calls are
+# many per build (build-once / probe-many); the first probe pays one
+# single-row parquet read, later probes validate from memory.
+_MANIFEST_CACHE: dict[str, dict] = {}
+
+
+def _write_artifact_manifest(
+    spark: SparkSession, path: str, params: dict
+) -> None:
+    """Persist the index params sidecar (one row) and prime the
+    process cache. Written FIRST in every artifact build so even a
+    crashed half-build's directory carries its intended params."""
+    spark.createDataFrame(
+        [tuple(int(params[k]) for k in sorted(params))],
+        ", ".join(f"{k} int" for k in sorted(params)),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    _MANIFEST_CACHE[path] = dict(params)
+
+
+def read_artifact_manifest(spark: SparkSession, path: str) -> dict:
+    """Read (cached) the params sidecar of a persisted index."""
+    if path not in _MANIFEST_CACHE:
+        row = spark.read.parquet(f"{path}/manifest").first().asDict()
+        _MANIFEST_CACHE[path] = {k: int(v) for k, v in row.items()}
+    return dict(_MANIFEST_CACHE[path])
+
+
+def _validate_artifact_params(
+    spark: SparkSession, path: str, given: dict
+) -> dict:
+    """Check caller-passed index params against the artifact's
+    manifest (ADVICE r9: a mismatching ``width`` misaligns query
+    slices against the codebooks and silently returns wrong
+    neighbors). ``None`` values are discovered from the manifest;
+    non-None values must match. Returns the effective params."""
+    manifest = read_artifact_manifest(spark, path)
+    bad = {
+        k: (v, manifest[k])
+        for k, v in given.items()
+        if v is not None and k in manifest and int(v) != manifest[k]
+    }
+    if bad:
+        raise ValueError(
+            f"index params mismatch vs manifest at {path!r} "
+            f"(given, built): {bad}"
+        )
+    return {k: manifest.get(k) if v is None else int(v)
+            for k, v in given.items()}
+
+
 def ivfpq_build_artifact(
     corpus: DataFrame,
     path: str,
@@ -1608,10 +1658,21 @@ def ivfpq_build_artifact(
     Deterministic build (exact-int Lloyd, no RNG) => rebuilding the
     artifact yields byte-identical relations, which is what lets a
     SQL oracle replay build-then-probe and still value-hash the
-    probe's output."""
+    probe's output.
+
+    A ``{path}/manifest`` sidecar records the build params
+    (subspaces, width, scale, codebook_k — FAISS index-header
+    parity): probe/append callers validate against it instead of
+    trusting their own args, so a width that would silently misalign
+    query slices against the codebooks errors instead."""
     spark = corpus.sparkSession
     codes, codebooks, width = _pq_train_codes(
         corpus, subspaces, codebook_k, iters, scale, id_col, vec_col
+    )
+    _write_artifact_manifest(
+        spark, path,
+        {"subspaces": subspaces, "width": width, "scale": scale,
+         "codebook_k": codebook_k},
     )
     memb = corpus.select(
         F.col(id_col), F.col(cluster_col).alias("cluster")
@@ -1662,8 +1723,16 @@ def ivfpq_encode_append(
     with the same codebooks produces, and a SQL oracle can replay
     build-then-append. Codebook quality drifts as the corpus grows —
     the production policy (retrain when `embedding_centroid_drift`
-    alarms) composes from the registry's drift monitor."""
+    alarms) composes from the registry's drift monitor.
+
+    ``subspaces``/``scale`` are validated against the artifact's
+    manifest (pass None to discover) — encoding a batch with params
+    that differ from the build's would append garbage codes."""
     spark = new_vectors.sparkSession
+    eff = _validate_artifact_params(
+        spark, path, {"subspaces": subspaces, "scale": scale}
+    )
+    subspaces, scale = eff["subspaces"], eff["scale"]
     cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     width = len(cb_rows[0]["s"])
     codes = None
@@ -1726,16 +1795,129 @@ def ivfpq_encode_append(
     )
 
 
+def ivfpq_delete_ids(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Logical index deletion (FAISS ``remove_ids`` parity): append
+    the given ids to the artifact's ``{path}/tombstones`` relation.
+    The inverted lists stay immutable — a tombstoned vector's codes
+    remain on disk but a probe run with ``apply_tombstones=True``
+    anti-joins them away before scoring, so deleted vectors never
+    surface as neighbors. Deletes accumulate across calls (FAISS
+    semantics); physical reclamation is a compaction concern —
+    rewrite the affected cluster partitions minus tombstones and
+    truncate the tombstone set — which at 100 TB runs as a periodic
+    partition-local maintenance job, never on the query path. The
+    tombstone relation is index-metadata-sized (ids only) and
+    broadcasts in the probe."""
+    (
+        ids.select(F.col(id_col))
+        .distinct()
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+
+
+def ivfpq_compact(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Physical reclamation of tombstoned vectors (the maintenance
+    half of :func:`ivfpq_delete_ids`): rewrite the inverted-list
+    partitions MINUS the tombstone set, swap the rewritten codes in,
+    and truncate the tombstone relation to empty. After compaction a
+    plain probe (no tombstone anti-join) returns exactly what the
+    tombstone-filtered probe returned before — deletion moved from
+    query-time predicate to storage, which is the point: the
+    anti-join's cost (and the dead bytes) stop riding every probe.
+
+    Scale shape: one linear pass over the codes relation (broadcast
+    tombstone anti-join, partition-preserving write — no shuffle),
+    then two directory renames. At 100 TB this runs per-partition
+    (only lists containing tombstones rewrite) as a periodic
+    maintenance job; the swap stays O(1) metadata either way. The
+    rewrite lands in a sibling directory first and the swap happens
+    AFTER the write commits, so a crash mid-compaction leaves the
+    original codes + tombstones intact (probes stay correct via the
+    anti-join)."""
+    import os
+    import shutil
+
+    tomb_dir = f"{path}/tombstones"
+    if not os.path.isdir(tomb_dir):
+        return  # nothing logically deleted — no-op
+    codes = spark.read.parquet(f"{path}/codes")
+    tombs = spark.read.parquet(tomb_dir).select(id_col)
+    kept = codes.join(F.broadcast(tombs), id_col, "left_anti")
+    tmp = f"{path}/codes_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.partitionBy("cluster").mode("overwrite").parquet(tmp)
+    old = f"{path}/codes_precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(f"{path}/codes", old)
+    os.rename(tmp, f"{path}/codes")
+    shutil.rmtree(old, ignore_errors=True)
+    # truncate the consumed tombstones to an EMPTY relation (not a
+    # missing one) so probes still running apply_tombstones=True
+    # keep working and now filter nothing. Built from the schema, not
+    # from a limit(0) of the live relation — overwriting a path the
+    # plan still reads from is rejected by Spark.
+    (
+        spark.createDataFrame([], tombs.schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tomb_dir)
+    )
+
+
+def opq_encode_append(
+    new_vectors: DataFrame,
+    path: str,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest for a persisted OPQ index (FAISS
+    ``index.add`` on an ``OPQx,...`` index): rotate the NEW batch
+    with the artifact's FROZEN rotation (collected one-row relation
+    — no power iteration), then encode it with the frozen
+    rotated-space codebooks and append to the partitioned inverted
+    lists (delegates to :func:`ivfpq_encode_append`, which validates
+    params against the manifest). Zero training anywhere: one
+    codegen'd rotation fold + one broadcast-codebook argmin pass per
+    batch. Rotation quality drifts as the corpus distribution moves —
+    same retrain policy as the codebooks (the registry's
+    centroid-drift monitor)."""
+    spark = new_vectors.sparkSession
+    man = read_artifact_manifest(spark, path)
+    scale = man["scale"]
+    u, uu, perm = read_opq_rotation(spark, path)
+    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    rq = _householder_frame(
+        new_vectors, u, uu, scale, id_col, vec_col,
+        extra_cols=(cluster_col,),
+    ).select(F.col(id_col), F.col(cluster_col), py.alias(vec_col))
+    ivfpq_encode_append(
+        rq, path, subspaces=man["subspaces"], scale=scale,
+        cluster_col=cluster_col, id_col=id_col, vec_col=vec_col,
+    )
+
+
 def topk_from_ivfpq_artifact(
     queries: DataFrame,
     path: str,
     k: int = 5,
     n_probe: int = 2,
-    subspaces: int = 2,
-    width: int = 32,
-    scale: int = 1024,
+    subspaces: int | None = 2,
+    width: int | None = 32,
+    scale: int | None = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    apply_tombstones: bool = False,
 ) -> DataFrame:
     """IVF-PQ search against a persisted artifact
     (:func:`ivfpq_build_artifact`) — the probe half of build-once /
@@ -1748,10 +1930,34 @@ def topk_from_ivfpq_artifact(
     `topk_ivfpq` over the same corpus/params — the artifact
     round-trip loses nothing (pinned in tests).
 
-    ``subspaces``/``width`` are passed, not discovered, so probing
-    costs zero control-plane jobs before the one search action."""
+    ``subspaces``/``width`` are validated against the artifact's
+    manifest (pass None to discover; ADVICE r9 — a wrong width
+    misaligns query slices silently). The manifest is a one-row
+    parquet cached per process, so probes after the first cost zero
+    control-plane jobs before the one search action.
+
+    ``apply_tombstones=True`` anti-joins the codes against the
+    ``{path}/tombstones`` relation (:func:`ivfpq_delete_ids` — FAISS
+    ``remove_ids`` parity): logically deleted vectors never surface
+    as neighbors while the inverted lists stay immutable; the
+    tombstone set is index-metadata-sized and broadcasts."""
     spark = queries.sparkSession
+    eff = _validate_artifact_params(
+        spark, path,
+        {"subspaces": subspaces, "width": width, "scale": scale},
+    )
+    subspaces, width, scale = (
+        eff["subspaces"], eff["width"], eff["scale"]
+    )
     codes = spark.read.parquet(f"{path}/codes")
+    if apply_tombstones:
+        codes = codes.join(
+            F.broadcast(
+                spark.read.parquet(f"{path}/tombstones")
+            ).select(id_col),
+            id_col,
+            "left_anti",
+        )
     cbs = spark.read.parquet(f"{path}/codebooks")
     reps = spark.read.parquet(f"{path}/reps")
     cents = [
@@ -2666,3 +2872,190 @@ def topk_ivf_opq(
     return _track_caches(
         out, list(getattr(out, "_fcs_cached_inputs", ())) + [yc]
     )
+
+
+def opq_build_artifact(
+    corpus: DataFrame,
+    path: str,
+    subspaces: int = 2,
+    codebook_k: int = 16,
+    iters: int = 2,
+    pca_iters: int = 2,
+    scale: int = 1024,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> None:
+    """Persist an OPQ index (rotation + PQ-in-rotated-space + coarse
+    reps) as a parquet artifact — `ivfpq_build_artifact`'s lifecycle
+    extended one rung up the ladder (FAISS ``index.write`` of an
+    ``OPQx[,IVFy],PQz`` index). The rotation is the whole reason this
+    family was the bench's most expensive: every in-process OPQ query
+    re-learned the Householder direction (power iteration) and both
+    Lloyd chains per invocation. Persisted relations:
+
+    - ``{path}/rotation``  — ONE row (u array<long>, uu long,
+      perm array<int>): the exact-integer Householder vector and the
+      energy-balancing permutation. Index-header-sized; a probe
+      collects it once per process and rotates its query batch
+      driver-side-parameterized (codegen'd fold — no corpus pass).
+    - ``{path}/codes``     — (vec_id, c0..c{m-1}) rotated-space PQ
+      codes, hive-partitioned BY CLUSTER so the routed probe
+      (IVF-OPQ) prunes partitions; the flat probe (OPQ) reads all
+      lists — same relation serves both rungs.
+    - ``{path}/codebooks`` — per-block exact-integer Lloyd state
+      trained on the ROTATED corpus.
+    - ``{path}/reps``      — coarse routing medoids in ROTATED space
+      (cosine is orthogonal-invariant, so routing picks the same
+      lists as raw-space routing; persisting the rotated rvec lets
+      the probe score reps without re-rotating them).
+    - ``{path}/manifest``  — params sidecar (written first).
+
+    Deterministic build (quantized power iteration, integer
+    Householder, exact-int Lloyd — no RNG) => rebuilds are
+    byte-identical, so SQL oracles can replay build-then-probe and
+    value-hash the probe output. Scale: one rotation pass + the PQ
+    build, all corpus-sized relations written once; the driver holds
+    two d-vectors."""
+    spark = corpus.sparkSession
+    u, uu, perm, yc = opq_rotation_build(
+        corpus, subspaces, pca_iters, scale, id_col, vec_col, dims,
+        extra_cols=(cluster_col,),
+    )
+    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    rc = yc.select(
+        F.col(id_col), F.col(cluster_col), py.alias(vec_col)
+    )
+    codes, codebooks, width = _pq_train_codes(
+        rc, subspaces, codebook_k, iters, scale, id_col, vec_col
+    )
+    _write_artifact_manifest(
+        spark, path,
+        {"subspaces": subspaces, "width": width, "scale": scale,
+         "codebook_k": codebook_k},
+    )
+    spark.createDataFrame(
+        [([int(x) for x in u], int(uu), [int(p) for p in perm])],
+        "u array<long>, uu long, perm array<int>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+    memb = rc.select(F.col(id_col), F.col(cluster_col).alias("cluster"))
+    (
+        codes.join(memb, id_col)
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [
+            (b, cl, s, c)
+            for b, cb in enumerate(codebooks)
+            for (cl, s, c) in cb
+        ],
+        "block int, cluster int, s array<long>, c long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        cluster_representatives(rc, cluster_col, id_col, vec_col)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/reps")
+    )
+    # every consumer of the reflected corpus has materialized; free
+    # its checkpoint blocks now (the build returns no frame to ride
+    # the usual _track_caches release contract on)
+    from .dedup import _release_frame
+
+    _release_frame(yc)
+
+
+# Per-process rotation cache: path -> (u, uu, perm). One single-row
+# parquet read per process; probes after the first pay nothing.
+_ROTATION_CACHE: dict[str, tuple[list[int], int, list[int]]] = {}
+
+
+def read_opq_rotation(
+    spark: SparkSession, path: str
+) -> tuple[list[int], int, list[int]]:
+    """Read (cached) the persisted OPQ rotation parameters."""
+    if path not in _ROTATION_CACHE:
+        row = spark.read.parquet(f"{path}/rotation").first()
+        _ROTATION_CACHE[path] = (
+            [int(x) for x in row["u"]],
+            int(row["uu"]),
+            [int(p) for p in row["perm"]],
+        )
+    u, uu, perm = _ROTATION_CACHE[path]
+    return list(u), uu, list(perm)
+
+
+def topk_from_opq_artifact(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int | None = None,
+    subspaces: int | None = 2,
+    width: int | None = 32,
+    scale: int | None = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ search against a persisted artifact
+    (:func:`opq_build_artifact`) — the probe half of build-once /
+    probe-many for the rotated rungs. ``n_probe=None`` is the FLAT
+    scan (FAISS ``OPQx,PQz``: ADC over every list); an integer
+    ``n_probe`` is the ROUTED scan (``OPQx,IVFy,PQz``: coarse-rank
+    the rotated reps, prune the codes scan to the probed cluster
+    partitions). Either way the plan touches NO Lloyd stage and NO
+    power-iteration/rotation build: the query batch is rotated by a
+    codegen'd integer fold parameterized from the collected one-row
+    rotation relation (driver-side constants, like a broadcast hash
+    join's build side), LUTs come from the round-tripped codebooks,
+    and the only corpus-sized scan is the PQ code table. Results are
+    bit-identical to `topk_opq` / `topk_ivf_opq` over the same
+    corpus/params (exact-integer rotation and codebooks round-trip
+    losslessly; pinned in tests).
+
+    ``subspaces``/``width`` validate against the manifest (pass None
+    to discover); both the manifest and the rotation row are cached
+    per process so repeated probes cost zero control-plane jobs."""
+    spark = queries.sparkSession
+    eff = _validate_artifact_params(
+        spark, path,
+        {"subspaces": subspaces, "width": width, "scale": scale},
+    )
+    subspaces, width, scale = (
+        eff["subspaces"], eff["width"], eff["scale"]
+    )
+    u, uu, perm = read_opq_rotation(spark, path)
+    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    rq = _householder_frame(
+        queries, u, uu, scale, id_col, vec_col
+    ).select(F.col(id_col), py.alias(vec_col))
+    codes = spark.read.parquet(f"{path}/codes")
+    cbs = spark.read.parquet(f"{path}/codebooks")
+    cents = [
+        cbs.filter(F.col("block") == b).select("cluster", "s", "c")
+        for b in range(subspaces)
+    ]
+    luts = _pq_query_luts(rq, cents, width, scale, id_col, vec_col)
+    if n_probe is None:
+        return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
+    reps = spark.read.parquet(f"{path}/reps")
+    q = rq.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rep_score"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn(
+            "rep_score",
+            F.round(cosine_similarity(F.col("qvec"), F.col("rvec")), 6),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    routed = codes.join(F.broadcast(probes), "cluster")
+    return _pq_adc_rank(routed, luts, k, subspaces, scale, id_col)

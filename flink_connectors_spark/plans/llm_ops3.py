@@ -979,10 +979,13 @@ def _ivfpq_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     sf_dir-scoped (concurrent sessions; two SFs in one process must
     not clobber each other's live index — the join_bucketed_colocated
     lesson); built at most once per process so repeated probes price
-    the SEARCH, not the Lloyd build. ``reps`` is written last, so its
-    presence marks a complete artifact (a crashed half-build
-    rebuilds)."""
+    the SEARCH, not the Lloyd build. An explicit ``_done`` marker is
+    written LAST (ADVICE r9: Spark creates output directories before
+    the job commits, so keying completeness on a relation directory's
+    existence lets a crashed half-build pass); anything without the
+    marker is torn down and rebuilt."""
     import os
+    import shutil
     import tempfile
 
     from .sink_semantics import _register_tmp_cleanup
@@ -991,12 +994,15 @@ def _ivfpq_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), f"fcs_ann_ivfpq_{os.getpid()}_{tag}"
     )
-    if not os.path.isdir(os.path.join(path, "reps")):
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
         _register_tmp_cleanup(path)
         emb = _load(spark, sf_dir, "embeddings")
         S.ivfpq_build_artifact(
             emb, path, subspaces=2, codebook_k=16, iters=2
         )
+        open(marker, "w").close()
     return path
 
 
@@ -1046,12 +1052,12 @@ def similarity_ivfpq_build_artifact(
     subsequent probe query reads only the probed partitions. The
     build is priced here and nowhere else."""
     path = _ivfpq_artifact_path(spark, sf_dir)
-    cbs = spark.read.parquet(f"{path}/codes")
-    asg = cbs.select(
+    codes = spark.read.parquet(f"{path}/codes")
+    asg = codes.select(
         F.lit(0).cast("long").alias("block"),
         F.col("c0").alias("cluster"),
     ).unionAll(
-        cbs.select(
+        codes.select(
             F.lit(1).cast("long").alias("block"),
             F.col("c1").alias("cluster"),
         )
@@ -1085,18 +1091,23 @@ def similarity_ivfpq_build_artifact(
     )
 
 
-@register(
-    "similarity_topk_from_artifact",
-    oracle=f"""
+def _sql_ivfpq_probe_oracle(
+    qfilter: str, tombstone_pred: str = ""
+) -> str:
+    """Full IVF-PQ build-then-probe replay with a parametrizable
+    query-batch filter and an optional tombstone exclusion predicate
+    (AND'ed into the scored CTE) — shared by the artifact probe and
+    the delete probe."""
+    return f"""
     WITH {_pq_block("a", 1, 32, 16)},
     {_pq_block("b", 33, 32, 16)},
     codes AS (
       SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
       FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
     qqa AS (SELECT vec_id AS query_id, qv FROM qa
-            WHERE vec_id >= 20 AND vec_id < 40),
+            WHERE {qfilter}),
     qqb AS (SELECT vec_id AS query_id, qv FROM qb
-            WHERE vec_id >= 20 AND vec_id < 40),
+            WHERE {qfilter}),
     luta AS (
       SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
       FROM qqa CROSS JOIN c2a),
@@ -1104,7 +1115,7 @@ def similarity_ivfpq_build_artifact(
       SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
       FROM qqb CROSS JOIN c2b),
     q AS (SELECT vec_id AS query_id, embedding AS qvec
-          FROM embeddings WHERE vec_id >= 20 AND vec_id < 40),
+          FROM embeddings WHERE {qfilter}),
     reps AS (
       SELECT label AS cluster, embedding AS rvec FROM (
         SELECT label, embedding,
@@ -1126,7 +1137,7 @@ def similarity_ivfpq_build_artifact(
       JOIN probes p ON p.cluster = m.cluster
       JOIN luta l0 ON l0.query_id = p.query_id AND l0.cluster = c.c0
       JOIN lutb l1 ON l1.query_id = p.query_id AND l1.cluster = c.c1
-      WHERE c.vec_id <> p.query_id),
+      WHERE c.vec_id <> p.query_id{tombstone_pred}),
     ranked AS (
       SELECT query_id, neighbor_id, approx_dist,
              row_number() OVER (PARTITION BY query_id
@@ -1134,7 +1145,12 @@ def similarity_ivfpq_build_artifact(
       FROM scored)
     SELECT query_id, neighbor_id, approx_dist, rnk
     FROM ranked WHERE rnk <= 5
-    """,
+    """
+
+
+@register(
+    "similarity_topk_from_artifact",
+    oracle=_sql_ivfpq_probe_oracle("vec_id >= 20 AND vec_id < 40"),
     tags=("llm", "similarity", "topk", "ann", "index", "artifact"),
     since=9,
 )
@@ -1378,6 +1394,70 @@ def similarity_topk_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, emb, k=20, subspaces=2, codebook_k=16, iters=2
     )
     return S.topk_refine_exact(cand, q, emb, k=5)
+
+
+def _ivfpq_tombstones_ready(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """Ensure the demo tombstone set exists on the full-corpus
+    artifact: logically delete every 5th corpus vector outside the
+    query batch (vec_id % 5 == 2, vec_id >= 20). Marker-guarded so
+    repeated probes in one process don't re-append the same ids
+    (FAISS `remove_ids` is a one-shot mutation; the probe prices the
+    SEARCH). Tombstones are a sibling relation — probes that don't
+    opt in (`apply_tombstones=False`) are unaffected, so the delete
+    demo shares the artifact with the plain probe queries."""
+    import os
+
+    marker = os.path.join(path, "_tomb_done")
+    if not os.path.exists(marker):
+        emb = _load(spark, sf_dir, "embeddings")
+        S.ivfpq_delete_ids(
+            emb.filter(
+                (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 20)
+            ),
+            path,
+        )
+        open(marker, "w").close()
+
+
+@register(
+    "similarity_ivfpq_delete_probe",
+    oracle=_sql_ivfpq_probe_oracle(
+        "vec_id < 20",
+        "\n        AND NOT (c.vec_id % 5 = 2 AND c.vec_id >= 20)",
+    ),
+    tags=("llm", "similarity", "ann", "index", "delete"),
+    since=10,
+)
+def similarity_ivfpq_delete_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index deletion (FAISS `remove_ids` parity) — the verb that
+    completes the persisted-index lifecycle (build / append / delete
+    / drift-triggered retrain): every 5th corpus vector is
+    tombstoned (`operators/similarity.ivfpq_delete_ids` appends ids
+    to the artifact's tombstone relation; the inverted lists stay
+    immutable), and the probe anti-joins the broadcast tombstone set
+    away BEFORE ADC scoring, so deleted vectors never surface as
+    neighbors. The oracle replays build-then-probe with the deletion
+    predicate applied to the scored candidates — a MATCH proves the
+    tombstone semantics equal a filtered rebuild. At 100 TB deletes
+    stay index-metadata-sized on the query path; physical
+    reclamation is a periodic partition-local compaction, never a
+    probe-time cost."""
+    path = _ivfpq_artifact_path(spark, sf_dir)
+    _ivfpq_tombstones_ready(spark, sf_dir, path)
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_from_ivfpq_artifact(
+        emb.filter(F.col("vec_id") < 20),
+        path,
+        k=5,
+        n_probe=2,
+        subspaces=2,
+        width=32,
+        apply_tombstones=True,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3217,11 +3297,19 @@ def text_langid_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-8: OPQ — rotate-then-PQ, the rung between PQ and IVFADC
 # ---------------------------------------------------------------------------
 
-_SQL_OPQ_ROTATED = f"""q AS (
+def _sql_opq_rotated(train_pred: str = "TRUE") -> str:
+    """Rotation-build CTE chain: the Householder direction (power
+    iteration) and the energy permutation are LEARNED on the
+    ``train_pred`` subset of the corpus, then applied to EVERY vector
+    (``ty``). With the default TRUE this is the plain in-batch OPQ
+    replay; the incremental-ingest oracle trains on yesterday's
+    corpus and rotates today's batch with the frozen transform."""
+    return f"""qv_all AS (
       SELECT vec_id,
              list_transform(embedding,
                v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
       FROM embeddings),
+    q AS (SELECT vec_id, qv FROM qv_all WHERE {train_pred}),
     v0 AS (SELECT list_transform(range(1, 65),
                                  i -> CAST(1024 AS BIGINT)) AS v),
     {_pi_iter(1, "v0")},
@@ -3240,11 +3328,11 @@ _SQL_OPQ_ROTATED = f"""q AS (
                AS uu
       FROM hu),
     yd AS (
-      SELECT q.vec_id, q.qv, huu.u, huu.uu,
-             CAST(list_sum(list_transform(list_zip(q.qv, huu.u),
+      SELECT qv_all.vec_id, qv_all.qv, huu.u, huu.uu,
+             CAST(list_sum(list_transform(list_zip(qv_all.qv, huu.u),
                                           p -> p[1] * p[2])) AS BIGINT)
                AS dot
-      FROM q, huu),
+      FROM qv_all, huu),
     yt AS (
       SELECT vec_id,
              list_transform(range(1, 65), j ->
@@ -3257,6 +3345,7 @@ _SQL_OPQ_ROTATED = f"""q AS (
                       * CAST(round(y[r.pos] * 1024) AS BIGINT))
                   AS BIGINT) AS e
       FROM yt, UNNEST(range(1, 65)) AS r(pos)
+      WHERE {train_pred}
       GROUP BY r.pos),
     erk AS (
       SELECT pos AS dim,
@@ -3271,14 +3360,22 @@ _SQL_OPQ_ROTATED = f"""q AS (
       FROM yt, perm GROUP BY vec_id)"""
 
 
-_SQL_OPQ_CTES = f"""{_SQL_OPQ_ROTATED},
+_SQL_OPQ_ROTATED = _sql_opq_rotated()
+
+
+def _sql_opq_ctes(qfilter: str = "vec_id < 20") -> str:
+    """Full rotate-then-PQ replay (rotation build + both Lloyd chains
+    + encode + ADC rank) with a parametrizable query-batch filter —
+    shared by the in-batch OPQ queries (vec_id < 20) and the
+    artifact-probe query (a fresh batch)."""
+    return f"""{_SQL_OPQ_ROTATED},
     {_pq_block("a", 1, 32, 16, src="ty")},
     {_pq_block("b", 33, 32, 16, src="ty")},
     codes AS (
       SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
       FROM afa x JOIN afb y ON x.vec_id = y.vec_id),
-    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
-    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE {qfilter}),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE {qfilter}),
     luta AS (
       SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
       FROM qqa CROSS JOIN c2a),
@@ -3297,6 +3394,9 @@ _SQL_OPQ_CTES = f"""{_SQL_OPQ_ROTATED},
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY approx_dist, neighbor_id) AS rnk
       FROM scored)"""
+
+
+_SQL_OPQ_CTES = _sql_opq_ctes()
 
 
 @register(
@@ -3324,11 +3424,21 @@ def similarity_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     `similarity_topk_pq`. The oracle replays EVERYTHING unrolled:
     power iteration, the Householder integers, the energy ranking,
     the permutation, both Lloyd chains, and the ADC tail — one
-    wrong integer anywhere in the rotation build fails the hash."""
+    wrong integer anywhere in the rotation build fails the hash.
+
+    r10: served from the PERSISTED OPQ artifact
+    (`_opq_artifact_path` — build-once / probe-many): the rotation +
+    Lloyd build is priced once per process in
+    `similarity_opq_build_artifact`; this query prices the SEARCH.
+    Results are bit-identical to the in-process `S.topk_opq` (the
+    artifact round-trip is lossless — pinned in tests), and the
+    oracle still replays the full lifecycle, so the MATCH continues
+    to verify build + probe end-to-end."""
+    path = _opq_artifact_path(spark, sf_dir)
     emb = _load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20)
-    return S.topk_opq(
-        q, emb, k=5, subspaces=2, codebook_k=16, iters=2, dims=64
+    return S.topk_from_opq_artifact(
+        emb.filter(F.col("vec_id") < 20), path, k=5, n_probe=None,
+        subspaces=2, width=32,
     )
 
 
@@ -3377,14 +3487,386 @@ def similarity_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lopsided across contiguous blocks. The oracle replays the
     full rotate-then-PQ lifecycle AND the exact side; audit joins
     are |Q| x k-sized, so at 100 TB the meter costs the sampled
-    exact scan, nothing more."""
+    exact scan, nothing more.
+
+    r10: the approx side probes the persisted OPQ artifact (build
+    priced once per process in `similarity_opq_build_artifact`), so
+    this meter costs the exact scan + one probe — the production
+    shape of a recall monitor sampling a LIVE index."""
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
+    path = _opq_artifact_path(spark, sf_dir)
     exact = S.cosine_topk_bruteforce(q, emb, k=5)
-    approx = S.topk_opq(
-        q, emb, k=5, subspaces=2, codebook_k=16, iters=2, dims=64
+    approx = S.topk_from_opq_artifact(
+        q, path, k=5, n_probe=None, subspaces=2, width=32
     )
     return S.topk_recall_audit(exact, approx, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: persisted OPQ artifact — the build-once / probe-many
+# lifecycle extended to the rotated rungs (FAISS `OPQx[,IVFy],PQz`)
+# ---------------------------------------------------------------------------
+
+
+def _opq_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted OPQ artifact (rotation + rotated-space
+    codebooks/codes/reps) exists for this (process, scale factor) and
+    return its path. Same contract as `_ivfpq_artifact_path`: PID-
+    and sf-scoped, built at most once per process, explicit ``_done``
+    marker written LAST with rmtree-before-rebuild so a crashed
+    half-build can never serve. ONE artifact feeds the whole OPQ
+    family — the flat probe (`similarity_topk_opq`), the recall gate
+    (`similarity_recall_opq`), and the routed probe
+    (`similarity_topk_ivf_opq`) — which is what retired the bench's
+    three most expensive rows: each used to re-learn the rotation and
+    both Lloyd chains per invocation."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sink_semantics import _register_tmp_cleanup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_ann_opq_{os.getpid()}_{tag}"
+    )
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        _register_tmp_cleanup(path)
+        emb = _load(spark, sf_dir, "embeddings")
+        S.opq_build_artifact(
+            emb, path, subspaces=2, codebook_k=16, iters=2,
+            pca_iters=2, dims=64,
+        )
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "similarity_opq_build_artifact",
+    oracle=f"""
+    WITH {_SQL_OPQ_ROTATED},
+    {_pq_block("a", 1, 32, 16, src="ty")},
+    {_pq_block("b", 33, 32, 16, src="ty")},
+    cb AS (
+      SELECT CAST(0 AS BIGINT) AS block, cluster, s, c FROM c2a
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS block, cluster, s, c FROM c2b),
+    asg AS (
+      SELECT CAST(0 AS BIGINT) AS block, cluster FROM afa
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS block, cluster FROM afb),
+    cnt AS (
+      SELECT block, cluster, CAST(COUNT(*) AS BIGINT) AS n_codes
+      FROM asg GROUP BY block, cluster),
+    rot AS (
+      SELECT huu.uu AS rot_uu,
+             (SELECT string_agg(CAST(dim AS VARCHAR), ','
+                                ORDER BY newpos)
+              FROM perm) AS perm_str
+      FROM huu)
+    SELECT cb.block, CAST(cb.cluster AS BIGINT) AS codeword,
+           cb.c AS n_members,
+           array_to_string(cb.s, ',') AS s_str,
+           COALESCE(cnt.n_codes, 0) AS n_codes,
+           rot.rot_uu, rot.perm_str
+    FROM cb
+    LEFT JOIN cnt ON cnt.block = cb.block AND cnt.cluster = cb.cluster
+    CROSS JOIN rot
+    """,
+    tags=("llm", "similarity", "ann", "index", "artifact", "opq",
+          "iterative"),
+    since=10,
+)
+def similarity_opq_build_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build half of build-once / probe-many for the OPQ family:
+    learn the orthogonal rotation (quantized power iteration +
+    exact-integer Householder + energy-balancing permutation), train
+    both rotated-space Lloyd codebooks, and persist rotation /
+    codes (hive-partitioned by cluster) / codebooks / reps as a
+    parquet artifact (`operators/similarity.opq_build_artifact`,
+    FAISS `index.write` of an `OPQ2,IVF,PQ2` index). The returned
+    manifest is read BACK from the written artifact — per
+    (block, codeword) the exact integer centroid state and assigned-
+    code count, CROSS JOINed with the round-tripped rotation
+    signature (uu and the permutation, as rot_uu / perm_str) — so
+    the value hash proves the persisted rotation AND codebooks, not
+    just the in-memory build. The oracle replays power iteration,
+    the Householder integers, the energy permutation, and both
+    Lloyd chains in SQL.
+
+    Scale: the rotation pass and the Lloyd build are priced HERE and
+    nowhere else; every probe query reads the index relations only."""
+    path = _opq_artifact_path(spark, sf_dir)
+    codes = spark.read.parquet(f"{path}/codes")
+    asg = codes.select(
+        F.lit(0).cast("long").alias("block"),
+        F.col("c0").alias("cluster"),
+    ).unionAll(
+        codes.select(
+            F.lit(1).cast("long").alias("block"),
+            F.col("c1").alias("cluster"),
+        )
+    )
+    cnt = asg.groupBy("block", "cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_codes")
+    )
+    book = spark.read.parquet(f"{path}/codebooks").select(
+        F.col("block").cast("long").alias("block"),
+        F.col("cluster").alias("cluster"),
+        F.col("c").alias("n_members"),
+        F.concat_ws(",", F.col("s").cast("array<string>")).alias(
+            "s_str"
+        ),
+    )
+    rot = spark.read.parquet(f"{path}/rotation").select(
+        F.col("uu").alias("rot_uu"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("perm"), lambda p: (p + 1).cast("string")
+            ),
+        ).alias("perm_str"),
+    )
+    return (
+        book.join(F.broadcast(cnt), ["block", "cluster"], "left")
+        .crossJoin(F.broadcast(rot))
+        .select(
+            "block",
+            F.col("cluster").cast("long").alias("codeword"),
+            "n_members",
+            "s_str",
+            F.coalesce(F.col("n_codes"), F.lit(0).cast("long")).alias(
+                "n_codes"
+            ),
+            "rot_uu",
+            "perm_str",
+        )
+    )
+
+
+@register(
+    "similarity_topk_from_opq_artifact",
+    oracle=f"""
+    WITH {_sql_opq_ctes("vec_id >= 20 AND vec_id < 40")}
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "ann", "index", "artifact",
+          "opq"),
+    since=10,
+)
+def similarity_topk_from_opq_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probe half of build-once / probe-many for OPQ: flat
+    rotated-space ADC top-5 for a FRESH query batch (vec_id 20..39)
+    served from the persisted artifact. The plan rotates the query
+    batch with a codegen'd integer fold parameterized from the
+    collected one-row rotation relation — NO power iteration, NO
+    Lloyd stage, no corpus-vector scan (pinned in
+    tests/test_plans.py); the only corpus-sized read is the PQ code
+    table. The oracle replays the ENTIRE rotate-then-PQ lifecycle
+    from scratch, so a MATCH proves the rotation + codebook
+    round-trip is lossless at probe cost. At 100 TB this is the FAISS
+    `OPQ` index on a lake: the rotation is index-header metadata, the
+    codes are the only big relation, and a query batch pays one
+    linear pass over codes at 2 bytes/vector."""
+    path = _opq_artifact_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_from_opq_artifact(
+        emb.filter(
+            (F.col("vec_id") >= 20) & (F.col("vec_id") < 40)
+        ),
+        path,
+        k=5,
+        n_probe=None,
+        subspaces=2,
+        width=32,
+    )
+
+
+def _opq_inc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the OPQ INCREMENTAL-ingest demo artifact: rotation +
+    codebooks learned on yesterday's corpus (vec_id < 400), today's
+    batch (vec_id >= 400) rotated with the FROZEN transform and
+    encoded with the FROZEN codebooks — zero training on ingest.
+    Separate path from the full OPQ artifact (appending there would
+    duplicate codes); `_done` marker + rmtree contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sink_semantics import _register_tmp_cleanup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_ann_opq_inc_{os.getpid()}_{tag}"
+    )
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        _register_tmp_cleanup(path)
+        emb = _load(spark, sf_dir, "embeddings")
+        S.opq_build_artifact(
+            emb.filter(F.col("vec_id") < 400), path,
+            subspaces=2, codebook_k=16, iters=2, pca_iters=2, dims=64,
+        )
+        S.opq_encode_append(emb.filter(F.col("vec_id") >= 400), path)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "similarity_opq_append_probe",
+    oracle=f"""
+    WITH {_sql_opq_rotated("vec_id < 400")},
+    tyold AS (SELECT vec_id, embedding FROM ty WHERE vec_id < 400),
+    {_pq_block("a", 1, 32, 16, src="tyold")},
+    {_pq_block("b", 33, 32, 16, src="tyold")},
+    qna AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 1, 32),
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT))
+               AS qv
+      FROM ty WHERE vec_id >= 400),
+    qnb AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 33, 64),
+               v -> CAST(round(CAST(v AS DOUBLE) * 1024) AS BIGINT))
+               AS qv
+      FROM ty WHERE vec_id >= 400),
+    {_pq_assign("ana", "c2a", "qna")},
+    {_pq_assign("anb", "c2b", "qnb")},
+    codes AS (
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM afa x JOIN afb y ON x.vec_id = y.vec_id
+      UNION ALL
+      SELECT x.vec_id, x.cluster AS c0, y.cluster AS c1
+      FROM ana x JOIN anb y ON x.vec_id = y.vec_id),
+    qqa AS (SELECT vec_id AS query_id, qv FROM qa WHERE vec_id < 20),
+    qqb AS (SELECT vec_id AS query_id, qv FROM qb WHERE vec_id < 20),
+    luta AS (
+      SELECT query_id, c2a.cluster, {_pq_sq("c2a", "qqa")} AS dk
+      FROM qqa CROSS JOIN c2a),
+    lutb AS (
+      SELECT query_id, c2b.cluster, {_pq_sq("c2b", "qqb")} AS dk
+      FROM qqb CROSS JOIN c2b),
+    scored AS (
+      SELECT l0.query_id, c.vec_id AS neighbor_id,
+             round((l0.dk + l1.dk) / 1048576.0, 6) AS approx_dist
+      FROM codes c
+      JOIN luta l0 ON l0.cluster = c.c0
+      JOIN lutb l1 ON l1.query_id = l0.query_id AND l1.cluster = c.c1
+      WHERE c.vec_id <> l0.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, approx_dist, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "ann", "index", "incremental", "opq",
+          "iterative"),
+    since=10,
+)
+def similarity_opq_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ingest for the OPQ index, end to end: rotation AND
+    codebooks are learned on yesterday's corpus (vec_id < 400);
+    today's batch (vec_id >= 400) is rotated with the FROZEN
+    orthogonal transform (one codegen'd fold parameterized from the
+    persisted one-row rotation relation — no power iteration) and
+    encoded with the FROZEN rotated-space codebooks
+    (`operators/similarity.opq_encode_append` — FAISS `index.add` on
+    an `OPQ2,PQ2` index); the flat probe then searches the MERGED
+    index and must see both generations. The oracle replays
+    train-on-old / rotate-all / assign-new-against-frozen-codebooks,
+    so a MATCH proves the no-retrain ingest is bit-identical to a
+    from-scratch encode. The nightly OPQ shape at 100 TB: the
+    rotation is frozen index-header state, each ingest batch costs
+    one rotation fold + one broadcast-codebook argmin pass."""
+    path = _opq_inc_artifact_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_from_opq_artifact(
+        emb.filter(F.col("vec_id") < 20), path, k=5, n_probe=None,
+        subspaces=2, width=32,
+    )
+
+
+def _ivfpq_cpt_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the COMPACTION demo artifact: full IVF-PQ build, the
+    same tombstone set as the delete probe (vec_id % 5 == 2, >= 20),
+    then `ivfpq_compact` — the codes partitions are physically
+    rewritten minus tombstones and the tombstone relation truncated.
+    Separate path from the live probe artifact (compaction mutates
+    codes; the delete probe must keep exercising the anti-join
+    path). `_done` marker + rmtree contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sink_semantics import _register_tmp_cleanup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_ann_ivfpq_cpt_{os.getpid()}_{tag}"
+    )
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        _register_tmp_cleanup(path)
+        emb = _load(spark, sf_dir, "embeddings")
+        S.ivfpq_build_artifact(
+            emb, path, subspaces=2, codebook_k=16, iters=2
+        )
+        S.ivfpq_delete_ids(
+            emb.filter(
+                (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 20)
+            ),
+            path,
+        )
+        S.ivfpq_compact(spark, path)
+        open(marker, "w").close()
+    return path
+
+
+@register(
+    "similarity_ivfpq_compact_probe",
+    oracle=_sql_ivfpq_probe_oracle(
+        "vec_id < 20",
+        "\n        AND NOT (c.vec_id % 5 = 2 AND c.vec_id >= 20)",
+    ),
+    tags=("llm", "similarity", "ann", "index", "delete", "compact"),
+    since=10,
+)
+def similarity_ivfpq_compact_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction — the maintenance verb that finishes the deletion
+    story: after `operators/similarity.ivfpq_compact` physically
+    rewrites the inverted-list partitions minus the tombstones (one
+    broadcast anti-join pass, partition-preserving, crash-safe swap)
+    and truncates the tombstone relation, a PLAIN probe — no
+    tombstone anti-join anywhere in the plan — must return exactly
+    what the tombstone-filtered probe returned before. The oracle is
+    the delete probe's (build-then-probe-with-deletes), so a MATCH
+    proves storage-level reclamation equals the query-time predicate.
+    At 100 TB compaction runs periodically over only the lists that
+    contain tombstones; probes stop paying the anti-join and stop
+    reading dead bytes."""
+    path = _ivfpq_cpt_artifact_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.topk_from_ivfpq_artifact(
+        emb.filter(F.col("vec_id") < 20), path, k=5, n_probe=2,
+        subspaces=2, width=32,
+    )
 
 
 @register(
@@ -3879,10 +4361,16 @@ def similarity_topk_ivf_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed lists' rotated-space code entries. The oracle unrolls
     the ENTIRE stack: power iteration, rotation integers, energy
     permutation, both Lloyd chains, encode, probe ranking,
-    membership restriction, LUTs, and the final rank."""
+    membership restriction, LUTs, and the final rank.
+
+    r10: served as the ROUTED probe of the persisted OPQ artifact
+    (`n_probe=2` prunes the cluster-partitioned codes scan to the
+    probed inverted lists — the same DPP shape as
+    `similarity_topk_from_artifact`); the rotation + Lloyd build is
+    priced once per process in `similarity_opq_build_artifact`."""
+    path = _opq_artifact_path(spark, sf_dir)
     emb = _load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20)
-    return S.topk_ivf_opq(
-        q, emb, k=5, n_probe=2, subspaces=2, codebook_k=16, iters=2,
-        dims=64,
+    return S.topk_from_opq_artifact(
+        emb.filter(F.col("vec_id") < 20), path, k=5, n_probe=2,
+        subspaces=2, width=32,
     )

@@ -707,6 +707,30 @@ _SCAN_ALLOWLIST = {
     # keyed reads (corpus by neighbor_id, queries) = 6 — the re-rank
     # reads are broadcast-candidate-bounded, never corpus-wide.
     "similarity_topk_refine": 6,
+    # r10 persisted-OPQ probes (flat): codes + codebooks x2 (one per
+    # block LUT) + embeddings x2 (2 LUT slices of the rotated query
+    # batch) = 5 — the rotation is driver-side constants (collected
+    # one-row relation), so there is NO rotation scan and NO Lloyd /
+    # power-iteration stage (audited in
+    # test_opq_probe_plan_reads_artifact_only_no_build).
+    "similarity_topk_opq": 5,
+    "similarity_topk_from_opq_artifact": 5,
+    # recall gate = flat OPQ probe (5) + the brute-force exact side
+    # (its corpus/query reads fold into checkpointed audit inputs).
+    "similarity_recall_opq": 5,
+    # routed OPQ probe: flat shape (5) + reps + embeddings routing
+    # projection + DPP subquery re-evaluating the tiny probes
+    # subtree = 9 (the similarity_topk_from_artifact shape).
+    "similarity_topk_ivf_opq": 9,
+    # delete probe = the IVF-PQ artifact probe (9) + the broadcast
+    # tombstone anti-join's index-metadata-sized read = 10.
+    "similarity_ivfpq_delete_probe": 10,
+    # compact probe = the PLAIN artifact probe shape (9): after
+    # physical reclamation there is no tombstone read at all.
+    "similarity_ivfpq_compact_probe": 9,
+    # OPQ incremental ingest probe = the flat OPQ probe shape (5):
+    # the merged codes relation is still ONE scan.
+    "similarity_opq_append_probe": 5,
 }
 _SCAN_DEFAULT = 4
 
@@ -909,21 +933,40 @@ def test_langid_logreg_predict_plan_single_scan_no_python(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def test_opq_rotation_checkpointed_luts_broadcast(spark, sf_dir):
-    """OPQ scale pins, mirroring the PQ/IVFADC family: the rotated
-    corpus is checkpoint-materialized once (Scan ExistingRDD — the
-    concurrent per-block Lloyd chains must not re-run the Householder
-    fold), the per-query ADC lookup tables broadcast, the rank limit
-    prunes partial before the final exchange, and the only
-    SortMergeJoin is the per-block code-id zip on vec_id (the
-    compressed corpus) — the full-width rotated vectors never
-    shuffle."""
-    plan = _plan(spark, sf_dir, "similarity_topk_opq")
+    """OPQ scale pins for the IN-PROCESS operator (the registry query
+    serves from the persisted artifact since r10 — its probe contract
+    is pinned separately): the rotated corpus is checkpoint-
+    materialized once (Scan ExistingRDD — the concurrent per-block
+    Lloyd chains must not re-run the Householder fold), the per-query
+    ADC lookup tables broadcast, the rank limit prunes partial before
+    the final exchange, and the only SortMergeJoin is the per-block
+    code-id zip on vec_id (the compressed corpus) — the full-width
+    rotated vectors never shuffle."""
+    from pyspark.sql import functions as F
+
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    df = S.topk_opq(
+        q, emb, k=5, subspaces=2, codebook_k=16, iters=2, dims=64
+    )
+    plan = _explain(df)
     assert "ExistingRDD" in plan  # checkpointed rotated corpus
     assert plan.count("BroadcastHashJoin") >= 2  # 2 ADC LUTs
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
     assert plan.count("SortMergeJoin") <= 2  # code-id zip only
     assert "CartesianProduct" not in plan
+    _release(spark)
 
 
 def test_opq_transform_is_orthogonal_and_balances_energy(spark):
@@ -1061,18 +1104,32 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
 def test_ivf_opq_inherits_ivfpq_plan_with_checkpointed_rotation(
     spark, sf_dir
 ):
-    """IVF-OPQ must inherit BOTH parents' contracts: the rotated
-    corpus is checkpoint-materialized (ExistingRDD feeds the Lloyd
-    chains, encode, reps, and membership branches), probes/membership
-    /LUTs broadcast, the rank limit prunes partial, and the only
-    SortMergeJoin is the per-block code-id zip — rotation must not
-    add a corpus-sized shuffle anywhere."""
-    plan = _plan(spark, sf_dir, "similarity_topk_ivf_opq")
+    """IVF-OPQ (in-process operator) must inherit BOTH parents'
+    contracts: the rotated corpus is checkpoint-materialized
+    (ExistingRDD feeds the Lloyd chains, encode, reps, and membership
+    branches), probes/membership/LUTs broadcast, the rank limit
+    prunes partial, and the only SortMergeJoin is the per-block
+    code-id zip — rotation must not add a corpus-sized shuffle
+    anywhere. (The registry query serves from the persisted artifact
+    since r10; its probe contract is pinned separately.)"""
+    from pyspark.sql import functions as F
+
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    df = S.topk_ivf_opq(
+        q, emb, k=5, n_probe=2, subspaces=2, codebook_k=16, iters=2,
+        dims=64,
+    )
+    plan = _explain(df)
     assert "ExistingRDD" in plan
     assert plan.count("BroadcastHashJoin") >= 6  # probes+memb+2 LUTs+
     assert plan.count("WindowGroupLimit") >= 2
     assert plan.count("SortMergeJoin") <= 2  # code-id zip only
     assert "CartesianProduct" not in plan
+    _release(spark)
 
 
 def test_pointintime_join_two_scans_one_dim_shuffle(spark, sf_dir):
@@ -1137,3 +1194,104 @@ def test_ivfpq_probe_plan_reads_artifact_only_no_lloyd(spark, sf_dir):
     # corpus embedding scan per Lloyd iteration
     n = _count_file_scans(df)
     assert n <= 9, f"probe plan re-inlined something: {n} file scans"
+
+
+def test_opq_probe_plan_reads_artifact_only_no_build(spark, sf_dir):
+    """Build-once / probe-many for the OPQ family (r10): both the
+    FLAT probe (`similarity_topk_opq` / `_from_opq_artifact`) and the
+    ROUTED probe (`similarity_topk_ivf_opq`) must touch NO Lloyd
+    stage and NO power-iteration/rotation build — the query batch is
+    rotated by a codegen'd fold parameterized from the collected
+    one-row rotation relation, so the plans read the artifact
+    relations + the query slice of embeddings only. The routed
+    probe's codes scan must carry the probed-cluster restriction as
+    a runtime PARTITION filter (each inverted list is a partition
+    directory)."""
+    # ensure the artifact exists (the build query prices the build)
+    SPECS["similarity_opq_build_artifact"].fn(spark, sf_dir).count()
+    for name, scans, routed in (
+        ("similarity_topk_opq", 5, False),
+        ("similarity_topk_from_opq_artifact", 5, False),
+        ("similarity_topk_ivf_opq", 9, True),
+    ):
+        df = SPECS[name].fn(spark, sf_dir)
+        plan = _plan(spark, sf_dir, name)
+        # no Lloyd/power-iteration leftovers: in-process builds leave
+        # ExistingRDD (checkpointed rotated corpus / assignments)
+        assert "ExistingRDD" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name  # 2 ADC LUTs
+        assert plan.count("WindowGroupLimit") >= 2, name
+        assert "CartesianProduct" not in plan, name
+        if routed:
+            # probed-cluster restriction reaches the hive layout
+            assert "dynamicpruningexpression" in plan, name
+        n = _count_file_scans(df)
+        assert n <= scans, f"{name}: probe plan re-inlined: {n} scans"
+        _release(spark)
+
+
+def test_ivfpq_delete_probe_plan_and_tombstone_exclusion(
+    spark, sf_dir
+):
+    """Index deletion (r10): the delete probe keeps the artifact
+    probe's contract (no Lloyd, DPP on the codes partitions) and adds
+    ONE broadcast anti-join on the index-metadata-sized tombstone
+    relation; tombstoned ids must never surface as neighbors, and
+    every query must still get its full k after the exclusion."""
+    df = SPECS["similarity_ivfpq_delete_probe"].fn(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "similarity_ivfpq_delete_probe")
+    assert "ExistingRDD" not in plan
+    assert "dynamicpruningexpression" in plan
+    assert "CartesianProduct" not in plan
+    n = _count_file_scans(df)
+    assert n <= 10, f"delete probe re-inlined something: {n} scans"
+    rows = df.collect()
+    assert rows, "delete probe returned nothing"
+    for r in rows:
+        nid = r["neighbor_id"]
+        assert not (nid % 5 == 2 and nid >= 20), (
+            f"tombstoned vector {nid} surfaced as a neighbor"
+        )
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert set(per_q.values()) == {5}  # full k survives the deletes
+    _release(spark)
+
+
+def test_ivfpq_compaction_equals_tombstone_probe(spark, sf_dir):
+    """Compaction contract (r10): after the codes partitions are
+    physically rewritten minus tombstones, (a) the PLAIN probe — no
+    anti-join in the plan, no tombstone scan — returns exactly the
+    rows the tombstone-filtered probe returns on the live artifact,
+    (b) the compacted codes relation physically lost the tombstoned
+    ids, and (c) the tombstone relation is truncated to empty (so an
+    apply_tombstones probe still works and filters nothing)."""
+    from pyspark.sql import functions as F
+
+    from flink_connectors_spark.plans.llm_ops3 import (
+        _ivfpq_cpt_artifact_path,
+    )
+
+    delete_rows = sorted(
+        map(
+            tuple,
+            SPECS["similarity_ivfpq_delete_probe"]
+            .fn(spark, sf_dir)
+            .collect(),
+        )
+    )
+    df = SPECS["similarity_ivfpq_compact_probe"].fn(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "similarity_ivfpq_compact_probe")
+    assert "tombstones" not in plan  # physically gone from the plan
+    assert "dynamicpruningexpression" in plan
+    assert sorted(map(tuple, df.collect())) == delete_rows
+    path = _ivfpq_cpt_artifact_path(spark, sf_dir)
+    codes = spark.read.parquet(f"{path}/codes")
+    n_tomb = codes.filter(
+        (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 20)
+    ).count()
+    assert n_tomb == 0, "compaction left tombstoned codes on disk"
+    tombs = spark.read.parquet(f"{path}/tombstones")
+    assert tombs.count() == 0  # consumed, relation still readable
+    _release(spark)
