@@ -95,11 +95,17 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # bench-protocol measurement: per round each query runs 3x
+    # back-to-back (cold = first, warm = min of the next two — the
+    # exact shape bench.py reports), rounds interleave the queries,
+    # GC only at query boundaries (the v3 rule: never between one
+    # query's own runs).
     out: dict = {
         "sf_dir": SF_DIR,
         "boundary_gc": boundary_gc,
         "canary": [],
-        **{n: [] for n in NAMES},
+        **{f"{n}_cold": [] for n in NAMES},
+        **{f"{n}_warm": [] for n in NAMES},
     }
     for r in range(rounds):
         if boundary_gc:
@@ -110,13 +116,16 @@ def main() -> None:
         for name in NAMES:
             if boundary_gc:
                 gc()
-            dt = run(name)
-            out[name].append(dt)
-            print(f"round {r}: {name} {dt}", flush=True)
+            cold = run(name)
+            warm = min(run(name), run(name))
+            out[f"{name}_cold"].append(cold)
+            out[f"{name}_warm"].append(warm)
+            print(f"round {r}: {name} cold {cold} warm {warm}",
+                  flush=True)
     for name in NAMES:
-        ts = sorted(out[name])
-        out[f"{name}_min"] = ts[0]
-        out[f"{name}_median"] = ts[len(ts) // 2]
+        ts = sorted(out[f"{name}_warm"])
+        out[f"{name}_warm_min"] = ts[0]
+        out[f"{name}_warm_median"] = ts[len(ts) // 2]
     out["canary_median"] = sorted(out["canary"])[len(out["canary"]) // 2]
     print(json.dumps(out))
     spark.stop()
