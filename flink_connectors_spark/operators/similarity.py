@@ -2998,6 +2998,7 @@ def topk_from_opq_artifact(
     scale: int | None = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    apply_tombstones: bool = False,
 ) -> DataFrame:
     """OPQ search against a persisted artifact
     (:func:`opq_build_artifact`) — the probe half of build-once /
@@ -3017,7 +3018,13 @@ def topk_from_opq_artifact(
 
     ``subspaces``/``width`` validate against the manifest (pass None
     to discover); both the manifest and the rotation row are cached
-    per process so repeated probes cost zero control-plane jobs."""
+    per process so repeated probes cost zero control-plane jobs.
+
+    ``apply_tombstones=True`` anti-joins the codes against the
+    artifact's tombstone relation — :func:`ivfpq_delete_ids` and
+    :func:`ivfpq_compact` are layout-generic (any artifact whose
+    ``codes`` relation is cluster-partitioned with an id column), so
+    the OPQ family gets the same delete/compact lifecycle verbs."""
     spark = queries.sparkSession
     eff = _validate_artifact_params(
         spark, path,
@@ -3032,6 +3039,14 @@ def topk_from_opq_artifact(
         queries, u, uu, scale, id_col, vec_col
     ).select(F.col(id_col), py.alias(vec_col))
     codes = spark.read.parquet(f"{path}/codes")
+    if apply_tombstones:
+        codes = codes.join(
+            F.broadcast(
+                spark.read.parquet(f"{path}/tombstones")
+            ).select(id_col),
+            id_col,
+            "left_anti",
+        )
     cbs = spark.read.parquet(f"{path}/codebooks")
     cents = [
         cbs.filter(F.col("block") == b).select("cluster", "s", "c")

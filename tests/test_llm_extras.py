@@ -1451,3 +1451,40 @@ def test_opq_append_ingests_without_retrain(spark, sf_dir):
     rot = spark.read.parquet(f"{path}/rotation").collect()
     assert len(rot) == 1
     assert len(rot[0]["u"]) == 64 and len(rot[0]["perm"]) == 64
+
+
+def test_opq_delete_compact_lifecycle(spark, sf_dir, tmp_path):
+    """The delete/compact verbs are artifact-layout-generic: on an
+    OPQ artifact (same cluster-partitioned codes layout as IVF-PQ)
+    the tombstone-filtered probe must drop exactly the deleted
+    neighbors, and after `ivfpq_compact` the PLAIN probe must return
+    row-for-row what the tombstone probe returned — the full
+    build / probe / delete / compact lifecycle holds for BOTH index
+    families."""
+    from flink_connectors_spark.operators.similarity import (
+        ivfpq_compact,
+        ivfpq_delete_ids,
+        opq_build_artifact,
+        topk_from_opq_artifact,
+    )
+
+    path = str(tmp_path / "opq_del")
+    emb = load_table(spark, sf_dir, "embeddings")
+    opq_build_artifact(
+        emb, path, subspaces=2, codebook_k=16, iters=2,
+        pca_iters=2, dims=64,
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    before = topk_from_opq_artifact(q, path, k=5, n_probe=2).collect()
+    deleted = {r["neighbor_id"] for r in before[:3]}
+    ivfpq_delete_ids(
+        emb.filter(F.col("vec_id").isin(*deleted)), path
+    )
+    after = topk_from_opq_artifact(
+        q, path, k=5, n_probe=2, apply_tombstones=True
+    ).collect()
+    assert all(r["neighbor_id"] not in deleted for r in after)
+    ivfpq_compact(spark, path)
+    compacted = topk_from_opq_artifact(q, path, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, compacted)) == sorted(map(tuple, after))
+    assert spark.read.parquet(f"{path}/tombstones").count() == 0
