@@ -1488,3 +1488,56 @@ def test_opq_delete_compact_lifecycle(spark, sf_dir, tmp_path):
     compacted = topk_from_opq_artifact(q, path, k=5, n_probe=2).collect()
     assert sorted(map(tuple, compacted)) == sorted(map(tuple, after))
     assert spark.read.parquet(f"{path}/tombstones").count() == 0
+
+
+def test_artifact_roundtrip_lossless_across_configs(spark, tmp_path):
+    """The artifact round-trip must be lossless for ANY (dims,
+    subspaces, codebook_k, n_lists) — not just the registered 64/2/16
+    config: persisted-probe results equal the in-process operator's
+    bit-for-bit on synthetic corpora across shapes, including
+    manifest-discovered params (None) and a routed probe."""
+    import random
+
+    from flink_connectors_spark.operators.similarity import (
+        ivfpq_build_artifact,
+        topk_from_ivfpq_artifact,
+        topk_ivfpq,
+    )
+
+    for dims, subspaces, cbk, n_lists in (
+        (8, 2, 4, 3),
+        (8, 4, 4, 2),
+        (16, 2, 8, 4),
+    ):
+        rng = random.Random(dims * 100 + subspaces)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dims)], i % n_lists)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        q = df.filter(F.col("vec_id") < 5)
+        path = str(tmp_path / f"rt_{dims}_{subspaces}")
+        ivfpq_build_artifact(
+            df, path, subspaces=subspaces, codebook_k=cbk, iters=2
+        )
+        got = sorted(
+            map(
+                tuple,
+                topk_from_ivfpq_artifact(
+                    q, path, k=3, n_probe=2,
+                    subspaces=None, width=None, scale=None,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                topk_ivfpq(
+                    q, df, k=3, n_probe=2, subspaces=subspaces,
+                    codebook_k=cbk, iters=2,
+                ).collect(),
+            )
+        )
+        assert got == want, (dims, subspaces, cbk, n_lists)
