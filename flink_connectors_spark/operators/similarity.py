@@ -1911,7 +1911,7 @@ def topk_from_ivfpq_artifact(
     queries: DataFrame,
     path: str,
     k: int = 5,
-    n_probe: int = 2,
+    n_probe: int | None = 2,
     subspaces: int | None = 2,
     width: int | None = 32,
     scale: int | None = 1024,
@@ -1929,6 +1929,12 @@ def topk_from_ivfpq_artifact(
     the round-tripped codebooks. Results are bit-identical to
     `topk_ivfpq` over the same corpus/params — the artifact
     round-trip loses nothing (pinned in tests).
+
+    ``n_probe=None`` is the FLAT mode (FAISS ``PQy``): the global
+    codebooks + codes double as the flat-PQ index, so the unrouted
+    rungs (`topk_pq_adc` shape, refine candidate stage) serve from
+    the same persisted build with no routing subtree and no reps
+    read.
 
     ``subspaces``/``width`` are validated against the artifact's
     manifest (pass None to discover; ADVICE r9 — a wrong width
@@ -1959,12 +1965,17 @@ def topk_from_ivfpq_artifact(
             "left_anti",
         )
     cbs = spark.read.parquet(f"{path}/codebooks")
-    reps = spark.read.parquet(f"{path}/reps")
     cents = [
         cbs.filter(F.col("block") == b).select("cluster", "s", "c")
         for b in range(subspaces)
     ]
     luts = _pq_query_luts(queries, cents, width, scale, id_col, vec_col)
+    if n_probe is None:
+        # FLAT mode (FAISS `PQy`): ADC over every inverted list — the
+        # artifact's codes/codebooks ARE the flat-PQ index (global
+        # codebooks), so the flat rungs serve from the same build.
+        return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
+    reps = spark.read.parquet(f"{path}/reps")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

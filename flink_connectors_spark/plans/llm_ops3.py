@@ -879,15 +879,18 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains, the encoding, the lookup tables, and the ranking, so a
     drift anywhere in train/encode/search fails the value hash.
     approx_dist is exact-int arithmetic into one IEEE division per
-    block plus one add — bit-reproducible cross-engine."""
+    block plus one add — bit-reproducible cross-engine.
+
+    r10: served from the persisted IVF-PQ artifact in FLAT mode
+    (the global codebooks + codes ARE the flat-PQ index; n_probe=None
+    skips routing) — build priced once per process in
+    `similarity_ivfpq_build_artifact`; the oracle still replays both
+    Lloyd chains, so MATCH keeps verifying the full lifecycle."""
+    path = _ivfpq_artifact_path(spark, sf_dir)
     emb = _load(spark, sf_dir, "embeddings")
-    return S.topk_pq_adc(
-        emb.filter(F.col("vec_id") < 20),
-        emb,
-        k=5,
-        subspaces=2,
-        codebook_k=16,
-        iters=2,
+    return S.topk_from_ivfpq_artifact(
+        emb.filter(F.col("vec_id") < 20), path, k=5, n_probe=None,
+        subspaces=2, width=32,
     )
 
 
@@ -955,16 +958,17 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the value hash. Scan cost drops twice vs brute force:
     n_probe/n_lists of the corpus is touched, and each touched row
     costs two integer lookups + one add on a 2-byte code instead of
-    a 64-float dot product."""
+    a 64-float dot product.
+
+    r10: served from the persisted IVF-PQ artifact (build priced
+    once per process in `similarity_ivfpq_build_artifact`; results
+    bit-identical to the in-process `S.topk_ivfpq` — the round-trip
+    is pinned — and the oracle still replays the full lifecycle)."""
+    path = _ivfpq_artifact_path(spark, sf_dir)
     emb = _load(spark, sf_dir, "embeddings")
-    return S.topk_ivfpq(
-        emb.filter(F.col("vec_id") < 20),
-        emb,
-        k=5,
-        n_probe=2,
-        subspaces=2,
-        codebook_k=16,
-        iters=2,
+    return S.topk_from_ivfpq_artifact(
+        emb.filter(F.col("vec_id") < 20), path, k=5, n_probe=2,
+        subspaces=2, width=32,
     )
 
 
@@ -1387,11 +1391,17 @@ def similarity_topk_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode, the ADC shortlist, and the exact re-rank — so a drift in
     either stage fails the hash. Full vectors are touched for
     |Q| x 20 rows only (one broadcast-candidate keyed join); the
-    corpus-wide scan stays at PQ-code width."""
+    corpus-wide scan stays at PQ-code width.
+
+    r10: the candidate stage serves from the persisted IVF-PQ
+    artifact in FLAT mode (identical codes/codebooks; build priced
+    once per process) — the refine rung now costs its re-rank, which
+    is the production shape: FAISS `RFlat` wraps a LIVE index."""
+    path = _ivfpq_artifact_path(spark, sf_dir)
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    cand = S.topk_pq_adc(
-        q, emb, k=20, subspaces=2, codebook_k=16, iters=2
+    cand = S.topk_from_ivfpq_artifact(
+        q, path, k=20, n_probe=None, subspaces=2, width=32
     )
     return S.topk_refine_exact(cand, q, emb, k=5)
 

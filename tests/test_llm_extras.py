@@ -1541,3 +1541,29 @@ def test_artifact_roundtrip_lossless_across_configs(spark, tmp_path):
             )
         )
         assert got == want, (dims, subspaces, cbk, n_lists)
+        # FLAT mode (n_probe=None): the artifact's global codebooks
+        # + codes double as the flat-PQ index — must equal the
+        # in-process flat scan bit-for-bit
+        from flink_connectors_spark.operators.similarity import (
+            topk_pq_adc,
+        )
+
+        got_flat = sorted(
+            map(
+                tuple,
+                topk_from_ivfpq_artifact(
+                    q, path, k=3, n_probe=None,
+                    subspaces=None, width=None, scale=None,
+                ).collect(),
+            )
+        )
+        want_flat = sorted(
+            map(
+                tuple,
+                topk_pq_adc(
+                    q, df, k=3, subspaces=subspaces,
+                    codebook_k=cbk, iters=2,
+                ).collect(),
+            )
+        )
+        assert got_flat == want_flat, (dims, subspaces, cbk)

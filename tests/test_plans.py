@@ -423,14 +423,27 @@ def test_ivfpq_probes_broadcast_code_table_unshuffled(spark, sf_dir):
     routing or the LUT scoring. The only corpus-keyed exchange
     allowed is the per-block code-id zip (codes join on vec_id) and
     the final rank-limit exchange, which ships <= |Q| x k rows per
-    partition (WindowGroupLimit Partial before the Exchange)."""
-    plan = _plan(spark, sf_dir, "similarity_topk_ivfpq")
+    partition (WindowGroupLimit Partial before the Exchange).
+    Pins the IN-PROCESS operator; the registry query serves from the
+    persisted artifact since r10 with its own probe-contract pins."""
+    from pyspark.sql import functions as F
+
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.topk_ivfpq(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_probe=2,
+        subspaces=2, codebook_k=16, iters=2,
+    )
+    plan = _explain(df)
     # probes + membership + 2 LUTs + codebook broadcasts
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
     # the ONLY SortMergeJoin is the two per-block code tables zipping
     # on vec_id (id + small int each side — the compressed corpus)
     assert plan.count("SortMergeJoin") <= 2
+    _release(spark)
 
 
 def test_ivfadc_residual_build_checkpointed_luts_broadcast(spark, sf_dir):
@@ -689,11 +702,13 @@ _SCAN_ALLOWLIST = {
     "q8_market_share": 8,
     "q9_product_profit": 5,
     "similarity_graph_degree": 8,
-    # IVF-PQ composes the two audited halves: PQ train/encode (4, the
-    # similarity_topk_pq shape) + IVF routing (3: reps, membership,
-    # query probes) — each a column-pruned cheap read, none a
-    # re-inlined expensive subtree (r7 audit).
-    "similarity_topk_ivfpq": 7,
+    # r10: topk_ivfpq serves from the persisted artifact — the
+    # similarity_topk_from_artifact probe shape (9, incl. the DPP
+    # subquery duplicates); topk_pq and refine's candidate stage are
+    # the FLAT artifact probe (codes + codebooks x2 + embeddings x2
+    # LUT slices = 5, no routing subtree, no reps read).
+    "similarity_topk_ivfpq": 9,
+    "similarity_topk_pq": 5,
     # r9 persisted-index probes: codes + codebooks x2 (one per block
     # LUT) + reps + embeddings x3 (2 LUT slices + routing) = 7, plus
     # the DPP subquery re-evaluating the TINY probes subtree (reps +
@@ -703,10 +718,10 @@ _SCAN_ALLOWLIST = {
     # test_ivfpq_probe_plan_reads_artifact_only_no_lloyd).
     "similarity_topk_from_artifact": 9,
     "similarity_ivfpq_append_probe": 9,
-    # refine = the audited PQ shape (4) + the candidate re-rank's two
-    # keyed reads (corpus by neighbor_id, queries) = 6 — the re-rank
-    # reads are broadcast-candidate-bounded, never corpus-wide.
-    "similarity_topk_refine": 6,
+    # refine = the flat artifact probe (5) + the candidate re-rank's
+    # two keyed reads (corpus by neighbor_id, queries) = 7 — the
+    # re-rank reads are broadcast-candidate-bounded, never corpus-wide.
+    "similarity_topk_refine": 7,
     # r10 persisted-OPQ probes (flat): codes + codebooks x2 (one per
     # block LUT) + embeddings x2 (2 LUT slices of the rotated query
     # batch) = 5 — the rotation is driver-side constants (collected
