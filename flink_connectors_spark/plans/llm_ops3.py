@@ -2351,6 +2351,35 @@ _IVFADC_CTES = f"""reps AS (
       FROM scored)"""
 
 
+def _ivfadc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted residual-IVFADC artifact for this
+    (process, scale factor): same contract as `_ivfpq_artifact_path`
+    (PID- and sf-scoped, `_done` marker written LAST with
+    rmtree-before-rebuild). Shared by the routed probe and its recall
+    meter — the residual build (reps + residual transform + both
+    Lloyd chains) is priced once per process."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sink_semantics import _register_tmp_cleanup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_ann_ivfadc_{os.getpid()}_{tag}"
+    )
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        _register_tmp_cleanup(path)
+        emb = _load(spark, sf_dir, "embeddings")
+        S.ivfadc_build_artifact(
+            emb, path, subspaces=2, codebook_k=16, iters=2
+        )
+        open(marker, "w").close()
+    return path
+
+
 @register(
     "similarity_topk_ivfadc",
     oracle=f"""
@@ -2374,16 +2403,19 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, the probe ranking, the per-probe lookup tables, and the
     rank — a drift anywhere in the five-stage lifecycle fails the
     value hash. Completes the ANN ladder: bruteforce → IVF → PQ →
-    IVF-PQ (global codebooks) → IVFADC (residual codebooks)."""
+    IVF-PQ (global codebooks) → IVFADC (residual codebooks).
+
+    r10: served from the persisted IVFADC artifact
+    (`_ivfadc_artifact_path`; the residual build is priced once per
+    process, in this query's cold run — the bench's BUILD_ONCE note —
+    and the probe plan is Lloyd- and residual-transform-free). The
+    oracle still replays the whole five-stage lifecycle, so MATCH
+    proves the residual-codebook round-trip is lossless."""
+    path = _ivfadc_artifact_path(spark, sf_dir)
     emb = _load(spark, sf_dir, "embeddings")
-    return S.topk_ivfadc(
-        emb.filter(F.col("vec_id") < 20),
-        emb,
-        k=5,
-        n_probe=2,
-        subspaces=2,
-        codebook_k=16,
-        iters=2,
+    return S.topk_from_ivfadc_artifact(
+        emb.filter(F.col("vec_id") < 20), path, k=5, n_probe=2,
+        subspaces=2, width=32,
     )
 
 
@@ -2437,12 +2469,17 @@ def similarity_recall_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size. Note the metric is honest about
     compression: ADC distance ties within a PQ cell rank by
     neighbor id, so recall < 1.0 is expected and the number to WATCH
-    is round-over-round drift, not the absolute."""
+    is round-over-round drift, not the absolute.
+
+    r10: the approx side probes the persisted IVFADC artifact — the
+    meter now costs the exact scan + one probe, the shape of a recall
+    monitor sampling a LIVE index."""
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
+    path = _ivfadc_artifact_path(spark, sf_dir)
     exact = S.cosine_topk_bruteforce(q, emb, k=5)
-    approx = S.topk_ivfadc(
-        q, emb, k=5, n_probe=2, subspaces=2, codebook_k=16, iters=2
+    approx = S.topk_from_ivfadc_artifact(
+        q, path, k=5, n_probe=2, subspaces=2, width=32
     )
     return S.topk_recall_audit(exact, approx, k=5)
 

@@ -1567,3 +1567,34 @@ def test_artifact_roundtrip_lossless_across_configs(spark, tmp_path):
             )
         )
         assert got_flat == want_flat, (dims, subspaces, cbk)
+
+
+def test_ivfadc_artifact_probe_equals_inprocess(spark, sf_dir):
+    """The residual-IVFADC artifact round-trip must be lossless:
+    probing the persisted index returns bit-identical rows to the
+    in-process `topk_ivfadc` (exact-integer residual codebooks and
+    the double-exact reps survive parquet)."""
+    from flink_connectors_spark.operators.similarity import (
+        topk_from_ivfadc_artifact,
+        topk_ivfadc,
+    )
+    from flink_connectors_spark.plans.llm_ops3 import (
+        _ivfadc_artifact_path,
+    )
+
+    path = _ivfadc_artifact_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    got = sorted(
+        map(tuple, topk_from_ivfadc_artifact(
+            q, path, k=5, n_probe=2, subspaces=None, width=None,
+            scale=None,
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, topk_ivfadc(
+            q, emb, k=5, n_probe=2, subspaces=2, codebook_k=16,
+            iters=2,
+        ).collect())
+    )
+    assert got == want

@@ -447,16 +447,50 @@ def test_ivfpq_probes_broadcast_code_table_unshuffled(spark, sf_dir):
 
 
 def test_ivfadc_residual_build_checkpointed_luts_broadcast(spark, sf_dir):
-    """Residual IVFADC scale pins: the reps and residual frames are
-    checkpoint-materialized (Scan ExistingRDD — the residual build
-    runs once, not per block), the per-(query, probed list) ADC
-    lookup tables and membership join broadcast, and the rank limits
-    before the final exchange."""
-    plan = _plan(spark, sf_dir, "similarity_topk_ivfadc")
+    """Residual IVFADC scale pins for the IN-PROCESS operator: the
+    reps and residual frames are checkpoint-materialized (Scan
+    ExistingRDD — the residual build runs once, not per block), the
+    per-(query, probed list) ADC lookup tables and membership join
+    broadcast, and the rank limits before the final exchange. (The
+    registry query serves from the persisted artifact since r10; its
+    probe contract is pinned in test_ivfadc_probe_plan below.)"""
+    from pyspark.sql import functions as F
+
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.topk_ivfadc(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_probe=2,
+        subspaces=2, codebook_k=16, iters=2,
+    )
+    plan = _explain(df)
     assert "ExistingRDD" in plan
     assert plan.count("BroadcastHashJoin") >= 3  # memb + 2 LUTs
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
     assert plan.count("SortMergeJoin") <= 2  # per-block code-id zip only
+    _release(spark)
+
+
+def test_ivfadc_probe_plan_reads_artifact_only_no_build(spark, sf_dir):
+    """The IVFADC registry queries' probe contract (r10): no Lloyd
+    stage, no residual transform over the corpus (both persisted),
+    and the probed-list restriction reaches the cluster-partitioned
+    codes scan as runtime partition pruning via the per-block LUT
+    join keys."""
+    df = SPECS["similarity_topk_ivfadc"].fn(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "similarity_topk_ivfadc")
+    assert "ExistingRDD" not in plan
+    assert "dynamicpruningexpression" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+    # 13 bounded reads: codes (DPP-pruned) + codebooks x2 + the
+    # UNcheckpointed probes subtree re-evaluated per LUT branch
+    # (reps + query slice, each query-batch/index-metadata-sized)
+    # + DPP subquery duplicates — no corpus-vector scan anywhere
+    n = _count_file_scans(df)
+    assert n <= 13, f"ivfadc probe re-inlined something: {n} scans"
+    _release(spark)
 
 
 def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
@@ -740,6 +774,12 @@ _SCAN_ALLOWLIST = {
     # delete probe = the IVF-PQ artifact probe (9) + the broadcast
     # tombstone anti-join's index-metadata-sized read = 10.
     "similarity_ivfpq_delete_probe": 10,
+    # r10 IVFADC artifact probes: codes + codebooks x2 + the
+    # uncheckpointed probes subtree (reps + query slice) re-evaluated
+    # per LUT branch + DPP subquery duplicates = 13; the recall meter
+    # adds the brute-force side into checkpointed audit inputs.
+    "similarity_topk_ivfadc": 13,
+    "similarity_recall_ivfadc": 13,
     # compact probe = the PLAIN artifact probe shape (9): after
     # physical reclamation there is no tombstone read at all.
     "similarity_ivfpq_compact_probe": 9,
