@@ -873,6 +873,7 @@ def _kmeans_artifact_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "embedding_kmeans_assign",
+    changed=10,
     oracle=f"""
     WITH {_km_chain_cte()}
     SELECT vec_id, CAST(cluster AS INT) AS cluster,
@@ -1860,6 +1861,7 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_ivf_unlabeled",
+    changed=10,
     oracle=f"""
     WITH {_km_chain_cte()},
     corpus AS (

@@ -374,6 +374,7 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic_cluster",
+    changed=10,
     oracle=f"""
     WITH {_km_chain_cte()},
     cl AS (SELECT vec_id, cluster FROM af),
@@ -850,6 +851,7 @@ def _pq_block(
 
 @register(
     "similarity_topk_pq",
+    changed=10,
     oracle=f"""
     WITH {_pq_block("a", 1, 32, 16)},
     {_pq_block("b", 33, 32, 16)},
@@ -910,6 +912,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_ivfpq",
+    changed=10,
     oracle=f"""
     WITH {_pq_block("a", 1, 32, 16)},
     {_pq_block("b", 33, 32, 16)},
@@ -1340,6 +1343,7 @@ def similarity_ivfpq_append_probe(
 
 @register(
     "similarity_topk_refine",
+    changed=10,
     oracle=f"""
     WITH {_pq_block("a", 1, 32, 16)},
     {_pq_block("b", 33, 32, 16)},
@@ -2197,6 +2201,7 @@ _DRIFT_MEAN_N = "list_transform(n.s, v -> CAST(v AS DOUBLE) / CAST(n.c AS DOUBLE
 
 @register(
     "embedding_centroid_drift",
+    changed=10,
     oracle=f"""
     WITH {_km_chain_ns("o_", "vec_id < 300")},
     {_km_chain_ns("n_", "TRUE")}
@@ -2398,6 +2403,7 @@ def _ivfadc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "similarity_topk_ivfadc",
+    changed=10,
     oracle=f"""
     WITH {_IVFADC_CTES}
     SELECT query_id, neighbor_id, approx_dist, rnk
@@ -2437,6 +2443,7 @@ def similarity_topk_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_recall_ivfadc",
+    changed=10,
     oracle=f"""
     WITH {_IVFADC_CTES},
     ann AS (
@@ -3464,6 +3471,7 @@ _SQL_OPQ_CTES = _sql_opq_ctes()
 
 @register(
     "similarity_topk_opq",
+    changed=10,
     oracle=f"""
     WITH {_SQL_OPQ_CTES}
     SELECT query_id, neighbor_id, approx_dist, rnk
@@ -3507,6 +3515,7 @@ def similarity_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_recall_opq",
+    changed=10,
     oracle=f"""
     WITH {_SQL_OPQ_CTES},
     ann AS (
@@ -3980,6 +3989,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_cluster_purity",
+    changed=10,
     oracle=f"""
     WITH {_km_chain_cte()},
     lab AS (SELECT vec_id, label FROM embeddings),
@@ -4365,6 +4375,7 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_ivf_opq",
+    changed=10,
     oracle=f"""
     WITH {_SQL_OPQ_ROTATED},
     tyl AS (

@@ -31,6 +31,15 @@ class QuerySpec:
     # landed), used ONLY to order the never-checked queue fairly:
     # queries that have waited longer for a driver row go first.
     since: int = 0
+    # Round this query's IMPLEMENTATION last materially changed
+    # (refactor, new serving path, semantics-preserving rewrite).
+    # The r10 verdict's rotation blind spot: the window rule
+    # (red > never-checked > stalest-green) cannot see code churn, so
+    # a query refactored AFTER its last driver green would wait its
+    # staleness turn while running new code. A green row OLDER than
+    # ``changed`` is treated as provisional: the query fronts the
+    # verified tier until the driver re-greens it post-change.
+    changed: int = 0
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -42,6 +51,7 @@ def register(
     tags: tuple[str, ...] = (),
     doc: str = "",
     since: int = 0,
+    changed: int = 0,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query plan under ``name``."""
 
@@ -51,6 +61,7 @@ def register(
         _REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, tags=tags,
             doc=doc or (fn.__doc__ or ""), since=since,
+            changed=changed,
         )
         return fn
 
@@ -73,7 +84,11 @@ def register(
 #
 #   1. RED rows (latest driver verdict not fully green) — re-check first.
 #   2. Never-checked queries, in registration order.
-#   3. Verified queries, stalest first (ascending round of their latest
+#   3. Verified queries whose implementation changed AFTER their last
+#      green row (``QuerySpec.changed`` > green round) — the green is
+#      provisional; front them ahead of plain staleness (r10 verdict:
+#      the rotation cannot see code churn).
+#   4. Verified queries, stalest first (ascending round of their latest
 #      green row, then registration order). Once all queries have rows,
 #      this degenerates to a round-robin: each round the driver re-checks
 #      the 50 least-recently-verified queries.
@@ -137,7 +152,12 @@ def _driver_order(names: list[str]) -> list[str]:
         rnd, green = hist[n]
         if not green:
             return (0, rnd, reg_index[n])  # red: front of the line
-        return (2, rnd, reg_index[n])  # verified: stalest first
+        if _REGISTRY[n].changed > rnd:
+            # green predates a code change: provisional — re-check
+            # before plain stale greens (stalest green first among
+            # the refactored set too)
+            return (2, rnd, reg_index[n])
+        return (3, rnd, reg_index[n])  # verified: stalest first
 
     return sorted(names, key=key)
 

@@ -38,22 +38,57 @@ def test_history_names_all_exist_in_registry():
 
 
 def test_front_is_red_then_unchecked_then_stalest_verified():
-    names = list(registry.all_specs())
+    specs = registry.all_specs()
+    names = list(specs)
     hist = _history()
 
     def phase(n):
         if n not in hist:
             return 1
         rnd, green = hist[n]
-        return 0 if not green else 2
+        if not green:
+            return 0
+        # green row older than the implementation's last material
+        # change: provisional — re-check before plain stale greens
+        return 2 if specs[n].changed > rnd else 3
 
     phases = [phase(n) for n in names]
-    assert phases == sorted(phases), "order must be red < unchecked < verified"
+    assert phases == sorted(phases), (
+        "order must be red < unchecked < refactored-provisional < verified"
+    )
 
-    # verified block is sorted by the round of its latest green row
-    verified = [n for n in names if phase(n) == 2]
-    rounds = [hist[n][0] for n in verified]
-    assert rounds == sorted(rounds), "verified queries must be stalest-first"
+    # each verified block is sorted by the round of its latest green row
+    for ph in (2, 3):
+        block = [n for n in names if phase(n) == ph]
+        rounds = [hist[n][0] for n in block]
+        assert rounds == sorted(rounds), "verified queries must be stalest-first"
+
+
+def test_refactored_after_green_fronts_verified_tier():
+    """A green query whose ``changed`` round post-dates its latest
+    driver row is provisional (r10 verdict: the rotation cannot see
+    code churn) and must precede every plain stale green."""
+    specs = registry.all_specs()
+    names = list(specs)
+    hist = _history()
+    provisional = [
+        n for n in names
+        if n in hist and hist[n][1] and specs[n].changed > hist[n][0]
+    ]
+    plain = [
+        n for n in names
+        if n in hist and hist[n][1] and specs[n].changed <= hist[n][0]
+    ]
+    if provisional and plain:
+        last_prov = max(names.index(n) for n in provisional)
+        first_plain = min(names.index(n) for n in plain)
+        assert last_prov < first_plain
+    # r11 state: the r10 artifact waves refactored 12 queries whose
+    # driver green predates the refactor — they must sit in the window
+    for n in ("similarity_topk_pq", "dedup_semantic_cluster",
+              "embedding_centroid_drift"):
+        if specs[n].changed > hist.get(n, (99, True))[0]:
+            assert names.index(n) < 50
 
 
 def test_front_50_maximizes_unchecked_coverage():
@@ -71,9 +106,16 @@ def test_front_50_maximizes_unchecked_coverage():
     front = names[:50]
     if len(unchecked) <= 50:
         assert set(unchecked) <= set(front)
-        # spare slots go to stalest verified queries (regression re-checks)
-        spare = [n for n in front if n in hist and hist[n][1]]
-        outside = [n for n in names[50:] if n in hist and hist[n][1]]
+        # spare slots go to stalest verified queries (regression
+        # re-checks) — refactored-provisional rows jump the staleness
+        # queue by design, so compare within the plain-green tier only
+        specs = registry.all_specs()
+
+        def plain_green(n):
+            return n in hist and hist[n][1] and specs[n].changed <= hist[n][0]
+
+        spare = [n for n in front if plain_green(n)]
+        outside = [n for n in names[50:] if plain_green(n)]
         if spare and outside:
             assert max(hist[n][0] for n in spare) <= min(
                 hist[n][0] for n in outside
