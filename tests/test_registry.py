@@ -203,16 +203,19 @@ def test_post_backlog_window_degenerates_to_stalest_first_recheck(monkeypatch):
     appeared)."""
     names = sorted(registry.all_specs())  # registration set, order-independent
     assert len(names) > 50
-    # fabricate: 48 stalest rows at round 1, 2 at round 2, the remainder
-    # spread over rounds 3..5 — all green, no never-checked, no red.
+    # fabricate: 48 stalest rows, 2 next, the remainder spread over
+    # three later rounds — all green, no never-checked, no red. Rounds
+    # start at 101 so every green post-dates every ``changed`` mark
+    # (a refactored-provisional row would legitimately jump the
+    # staleness queue and is tested separately).
     hist = {}
     for i, n in enumerate(names):
         if i < 48:
-            rnd = 1
+            rnd = 101
         elif i < 50:
-            rnd = 2
+            rnd = 102
         else:
-            rnd = 3 + (i % 3)
+            rnd = 103 + (i % 3)
         hist[n] = (rnd, True)
 
     monkeypatch.setattr(registry, "_driver_history", lambda: hist)
@@ -229,7 +232,7 @@ def test_post_backlog_window_degenerates_to_stalest_first_recheck(monkeypatch):
     assert worst_in <= best_out
 
     # the synthetic stalest block fits in and fronts the window
-    r1_block = [n for n in names if hist[n][0] == 1]
+    r1_block = [n for n in names if hist[n][0] == 101]
     assert 0 < len(r1_block) <= 50
     assert set(order[: len(r1_block)]) == set(r1_block)
 
