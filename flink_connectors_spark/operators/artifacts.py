@@ -1,0 +1,140 @@
+"""Shared persisted-artifact lifecycle — the ensure-once helper behind
+every build-once / probe-many index family (IVF-PQ, OPQ, residual
+IVFADC, the shared k-means quantizer, and their incremental-ingest /
+compaction demos).
+
+One function owns the contract that previously lived in seven
+near-identical ``_*_artifact_path`` helpers, so an eighth family can't
+forget a step (r10 verdict Next #6). The contract, evolved over
+r9–r11 ADVICE:
+
+- **Completeness is an explicit ``_done`` marker written LAST** —
+  never a relation directory's existence (Spark creates output dirs
+  before the job commits, so a crashed half-build would otherwise
+  pass as complete).
+- **rmtree-before-rebuild**: anything without the marker is torn down
+  wholesale before the build runs — no half-old/half-new artifacts.
+- **Per-path process lock** (r10 ADVICE): two sessions or threads in
+  one process observing the missing marker at the same time would
+  otherwise run interleaved rmtree+overwrite builds while the other
+  probes the half-built artifact. Builds serialize; the second waiter
+  sees the marker and returns immediately.
+- **Cache invalidation on rebuild** (r10 ADVICE): the process-level
+  manifest and OPQ-rotation caches are popped before the build, so a
+  rebuild at the same path can never serve a stale manifest or rotate
+  query batches with yesterday's Householder vector against today's
+  codebooks.
+- **Scoping**: by default artifacts live in the system tempdir, keyed
+  by PID and scale-factor tag (concurrent processes / two SFs in one
+  process can't clobber each other's live index) and are removed at
+  interpreter exit. Opt-in **stable mode** (see below) drops the PID
+  and the cleanup for cluster-durable cross-process reuse.
+
+Stable-path mode (r10 verdict Next #3): production wants indexes that
+outlive the building process — build nightly, probe from every later
+session. Set the session conf ``spark.flink_connectors_spark.artifactRoot``
+or the environment variable ``FCS_ARTIFACT_ROOT`` to a durable
+directory and every artifact helper resolves to
+``{root}/fcs_{kind}_{sf_tag}``: a second process finds the ``_done``
+marker and serves probes with zero build work, while the manifest
+sidecar still validates params on every probe/append — reusing an
+artifact built with different index params errors instead of silently
+returning wrong neighbors. All relations are plain parquet + one
+marker file, so a shared filesystem (NFS/EFS-style) is the local-mode
+analogue of the object-store layout a real cluster would use.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+ARTIFACT_ROOT_CONF = "spark.flink_connectors_spark.artifactRoot"
+ARTIFACT_ROOT_ENV = "FCS_ARTIFACT_ROOT"
+
+# Per-path build locks. The guard serializes lock creation; the
+# per-path lock serializes the check-then-build critical section.
+_PATH_LOCKS: dict[str, threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+def artifact_root(spark: SparkSession) -> str | None:
+    """The opt-in stable artifact root, or None for tempdir+PID mode.
+
+    Session conf wins over the environment variable so tests (and
+    per-session overrides) can redirect without mutating the process
+    environment."""
+    root = None
+    try:
+        root = spark.conf.get(ARTIFACT_ROOT_CONF, None)
+    except Exception:
+        root = None
+    return root or os.environ.get(ARTIFACT_ROOT_ENV) or None
+
+
+def artifact_path(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    """Resolve the artifact directory for (kind, scale factor).
+
+    Tempdir mode keys on PID so concurrent processes never share a
+    live index; stable mode deliberately drops the PID — durability
+    across processes is the point — and keeps the sf tag (two SFs
+    must never serve each other's index)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = artifact_root(spark)
+    if root:
+        return os.path.join(root, f"fcs_{kind}_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"fcs_{kind}_{os.getpid()}_{tag}"
+    )
+
+
+def _lock_for(path: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _PATH_LOCKS.setdefault(path, threading.Lock())
+
+
+def invalidate_artifact_caches(path: str) -> None:
+    """Pop the process-level caches keyed by artifact path (manifest
+    params, OPQ rotation) so a rebuild at the same path can never be
+    probed with stale index-header state (r10 ADVICE: the rotation
+    cache was primed on first read but never invalidated — a rebuild
+    would silently rotate queries with the old Householder vector
+    against the new codebooks)."""
+    from .similarity import _MANIFEST_CACHE, _ROTATION_CACHE
+
+    _MANIFEST_CACHE.pop(path, None)
+    _ROTATION_CACHE.pop(path, None)
+
+
+def ensure_artifact(
+    spark: SparkSession,
+    kind: str,
+    sf_dir: str,
+    build: Callable[[str], None],
+) -> str:
+    """Ensure the ``kind`` artifact exists for this scope and return
+    its path. ``build(path)`` runs under the per-path lock only when
+    the ``_done`` marker is absent; a crashed half-build (marker
+    missing, relations present) is torn down and rebuilt. In stable
+    mode a marker left by ANOTHER process is trusted — that is the
+    feature — and param drift is caught by the manifest validation
+    every probe/append performs."""
+    path = artifact_path(spark, kind, sf_dir)
+    with _lock_for(path):
+        marker = os.path.join(path, "_done")
+        if not os.path.exists(marker):
+            shutil.rmtree(path, ignore_errors=True)
+            invalidate_artifact_caches(path)
+            if artifact_root(spark) is None:
+                # tempdir mode: artifacts die with the process
+                from ..plans.sink_semantics import _register_tmp_cleanup
+
+                _register_tmp_cleanup(path)
+            build(path)
+            open(marker, "w").close()
+    return path

@@ -1693,6 +1693,45 @@ def _validate_artifact_params(
             for k, v in given.items()}
 
 
+def _artifact_codes(spark: SparkSession, path: str) -> DataFrame:
+    """Read the artifact's PQ code relation. If a crash between
+    :func:`ivfpq_compact`'s two directory renames left no live
+    ``codes`` dir, fall back to the preserved pre-compaction codes —
+    tombstones are only truncated AFTER a successful swap, so a
+    tombstone-filtered probe over the fallback stays correct (and the
+    artifact helpers rebuild on the missing ``_done`` marker for the
+    demo artifacts)."""
+    import os
+
+    codes_dir = f"{path}/codes"
+    pre = f"{path}/codes_precompact"
+    if not os.path.isdir(codes_dir) and os.path.isdir(pre):
+        return spark.read.parquet(pre)
+    return spark.read.parquet(codes_dir)
+
+
+def _with_tombstones_removed(
+    spark: SparkSession, codes: DataFrame, path: str, id_col: str
+) -> DataFrame:
+    """Anti-join the code relation against ``{path}/tombstones`` when
+    that relation exists; an artifact where :func:`ivfpq_delete_ids`
+    was never called has NO tombstone relation and filters nothing
+    (instead of raising AnalysisException — r10 ADVICE). Tombstones
+    are deduplicated on read: delete_ids dedupes within a call only,
+    so overlapping delete calls may repeat ids across files. The set
+    stays index-metadata-sized and broadcasts either way."""
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return codes
+    tombs = (
+        spark.read.parquet(f"{path}/tombstones")
+        .select(id_col)
+        .distinct()
+    )
+    return codes.join(F.broadcast(tombs), id_col, "left_anti")
+
+
 def ivfpq_build_artifact(
     corpus: DataFrame,
     path: str,
@@ -1880,7 +1919,14 @@ def ivfpq_delete_ids(
     truncate the tombstone set — which at 100 TB runs as a periodic
     partition-local maintenance job, never on the query path. The
     tombstone relation is index-metadata-sized (ids only) and
-    broadcasts in the probe."""
+    broadcasts in the probe.
+
+    Each call appends ONE small parquet file and dedupes only within
+    the call, so repeated deletes of overlapping id sets grow the
+    relation's file count and row count until the next
+    :func:`ivfpq_compact`; readers dedupe on read
+    (``_with_tombstones_removed``) so correctness never depends on
+    it, and compaction resets the relation to empty."""
     (
         ids.select(F.col(id_col))
         .distinct()
@@ -1912,7 +1958,17 @@ def ivfpq_compact(
     rewrite lands in a sibling directory first and the swap happens
     AFTER the write commits, so a crash mid-compaction leaves the
     original codes + tombstones intact (probes stay correct via the
-    anti-join)."""
+    anti-join).
+
+    The swap itself is two ``os.rename`` calls, which assumes the
+    artifact lives on a LOCAL (POSIX-rename) filesystem — true for
+    every tempdir-scoped artifact and for an NFS-style stable root;
+    an object store would swap via its own atomic-commit primitive
+    instead. A crash BETWEEN the two renames leaves no live ``codes``
+    dir; probes then fall back to the preserved
+    ``codes_precompact`` relation (``_artifact_codes``) whose
+    tombstones are still intact, so even that window serves correct
+    results."""
     import os
     import shutil
 
@@ -1920,7 +1976,9 @@ def ivfpq_compact(
     if not os.path.isdir(tomb_dir):
         return  # nothing logically deleted — no-op
     codes = spark.read.parquet(f"{path}/codes")
-    tombs = spark.read.parquet(tomb_dir).select(id_col)
+    # distinct: delete_ids dedupes within a call only — overlapping
+    # delete calls may repeat ids across the appended files
+    tombs = spark.read.parquet(tomb_dir).select(id_col).distinct()
     kept = codes.join(F.broadcast(tombs), id_col, "left_anti")
     tmp = f"{path}/codes_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -2024,15 +2082,9 @@ def topk_from_ivfpq_artifact(
     subspaces, width, scale = (
         eff["subspaces"], eff["width"], eff["scale"]
     )
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _artifact_codes(spark, path)
     if apply_tombstones:
-        codes = codes.join(
-            F.broadcast(
-                spark.read.parquet(f"{path}/tombstones")
-            ).select(id_col),
-            id_col,
-            "left_anti",
-        )
+        codes = _with_tombstones_removed(spark, codes, path, id_col)
     cbs = spark.read.parquet(f"{path}/codebooks")
     cents = [
         cbs.filter(F.col("block") == b).select("cluster", "s", "c")
@@ -3247,6 +3299,13 @@ def opq_build_artifact(
         [([int(x) for x in u], int(uu), [int(p) for p in perm])],
         "u array<long>, uu long, perm array<int>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+    # re-prime the process rotation cache (mirror of
+    # _write_artifact_manifest): a rebuild at the same path must never
+    # serve probes yesterday's Householder vector against today's
+    # codebooks — that returns wrong neighbors with no error
+    _ROTATION_CACHE[path] = (
+        [int(x) for x in u], int(uu), [int(p) for p in perm]
+    )
     memb = rc.select(F.col(id_col), F.col(cluster_col).alias("cluster"))
     (
         codes.join(memb, id_col)
@@ -3346,15 +3405,9 @@ def topk_from_opq_artifact(
     rq = _householder_frame(
         queries, u, uu, scale, id_col, vec_col
     ).select(F.col(id_col), py.alias(vec_col))
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _artifact_codes(spark, path)
     if apply_tombstones:
-        codes = codes.join(
-            F.broadcast(
-                spark.read.parquet(f"{path}/tombstones")
-            ).select(id_col),
-            id_col,
-            "left_anti",
-        )
+        codes = _with_tombstones_removed(spark, codes, path, id_col)
     cbs = spark.read.parquet(f"{path}/codebooks")
     cents = [
         cbs.filter(F.col("block") == b).select("cluster", "s", "c")

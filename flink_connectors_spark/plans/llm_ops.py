@@ -846,29 +846,17 @@ def _kmeans_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     rounds, scale 1024 — the registry's shared coarse quantizer) for
     this (process, scale factor): assignment hive-partitioned by
     learned cluster + exact-integer centroids + manifest. Same
-    contract as the ANN artifact helpers (PID- and sf-scoped,
-    ``_done`` marker written LAST, rmtree-before-rebuild). One build
-    serves every consumer of the same quantizer: the unlabeled IVF
-    search, SemDeDup pair generation, the cluster-purity audit, and
-    the "today" side of the centroid-drift monitor."""
-    import os
-    import shutil
-    import tempfile
+    contract as the ANN artifact helpers (`ensure_artifact`). One
+    build serves every consumer of the same quantizer: the unlabeled
+    IVF search, SemDeDup pair generation, the cluster-purity audit,
+    and the "today" side of the centroid-drift monitor."""
+    from ..operators.artifacts import ensure_artifact
 
-    from .sink_semantics import _register_tmp_cleanup
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"fcs_kmeans8_{os.getpid()}_{tag}"
-    )
-    marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        _register_tmp_cleanup(path)
+    def build(path: str) -> None:
         emb = _load(spark, sf_dir, "embeddings")
         S.kmeans_build_artifact(emb, path, k=8, iters=2, scale=1024)
-        open(marker, "w").close()
-    return path
+
+    return ensure_artifact(spark, "kmeans8", sf_dir, build)
 
 
 @register(

@@ -21,6 +21,7 @@ from ..operators import multimodal as M
 from ..operators import scale as SC
 from ..operators import similarity as S
 from ..operators import text as T
+from ..operators.artifacts import ensure_artifact
 from ..registry import register
 from ..session import load_table
 from ._util import dec, dsum
@@ -995,36 +996,20 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_artifact_path(spark: SparkSession, sf_dir: str) -> str:
-    """Ensure the persisted IVF-PQ artifact exists for this
-    (process, scale factor) and return its path. PID- AND
-    sf_dir-scoped (concurrent sessions; two SFs in one process must
-    not clobber each other's live index — the join_bucketed_colocated
-    lesson); built at most once per process so repeated probes price
-    the SEARCH, not the Lloyd build. An explicit ``_done`` marker is
-    written LAST (ADVICE r9: Spark creates output directories before
-    the job commits, so keying completeness on a relation directory's
-    existence lets a crashed half-build pass); anything without the
-    marker is torn down and rebuilt."""
-    import os
-    import shutil
-    import tempfile
+    """Ensure the persisted IVF-PQ artifact for this scope and return
+    its path — built at most once per scope so repeated probes price
+    the SEARCH, not the Lloyd build. Scoping, the ``_done`` marker,
+    rmtree-before-rebuild, the per-path build lock, cache
+    invalidation, and the opt-in stable artifact root all live in
+    :func:`operators.artifacts.ensure_artifact`."""
 
-    from .sink_semantics import _register_tmp_cleanup
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"fcs_ann_ivfpq_{os.getpid()}_{tag}"
-    )
-    marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        _register_tmp_cleanup(path)
+    def build(path: str) -> None:
         emb = _load(spark, sf_dir, "embeddings")
         S.ivfpq_build_artifact(
             emb, path, subspaces=2, codebook_k=16, iters=2
         )
-        open(marker, "w").close()
-    return path
+
+    return ensure_artifact(spark, "ann_ivfpq", sf_dir, build)
 
 
 @register(
@@ -1210,23 +1195,10 @@ def _ivfpq_inc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     yesterday's corpus (vec_id < 400), today's batch (vec_id >= 400)
     appended with the existing codebooks — no retrain. Separate path
     from the full-corpus artifact (appending into that one would
-    duplicate codes). PID- and sf-scoped; ``_done`` marker written
-    after the append so a crashed half-ingest rebuilds."""
-    import os
-    import tempfile
+    duplicate codes); ``_done`` marker written after the append so a
+    crashed half-ingest rebuilds (contract in `ensure_artifact`)."""
 
-    from .sink_semantics import _register_tmp_cleanup
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"fcs_ann_ivfpq_inc_{os.getpid()}_{tag}"
-    )
-    marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
-        _register_tmp_cleanup(path)
+    def build(path: str) -> None:
         emb = _load(spark, sf_dir, "embeddings")
         S.ivfpq_build_artifact(
             emb.filter(F.col("vec_id") < 400),
@@ -1238,8 +1210,8 @@ def _ivfpq_inc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
         S.ivfpq_encode_append(
             emb.filter(F.col("vec_id") >= 400), path, subspaces=2
         )
-        open(marker, "w").close()
-    return path
+
+    return ensure_artifact(spark, "ann_ivfpq_inc", sf_dir, build)
 
 
 @register(
@@ -2373,32 +2345,18 @@ _IVFADC_CTES = f"""reps AS (
 
 
 def _ivfadc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
-    """Ensure the persisted residual-IVFADC artifact for this
-    (process, scale factor): same contract as `_ivfpq_artifact_path`
-    (PID- and sf-scoped, `_done` marker written LAST with
-    rmtree-before-rebuild). Shared by the routed probe and its recall
-    meter — the residual build (reps + residual transform + both
-    Lloyd chains) is priced once per process."""
-    import os
-    import shutil
-    import tempfile
+    """Ensure the persisted residual-IVFADC artifact for this scope
+    (contract in `ensure_artifact`). Shared by the routed probe and
+    its recall meter — the residual build (reps + residual transform
+    + both Lloyd chains) is priced once per scope."""
 
-    from .sink_semantics import _register_tmp_cleanup
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"fcs_ann_ivfadc_{os.getpid()}_{tag}"
-    )
-    marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        _register_tmp_cleanup(path)
+    def build(path: str) -> None:
         emb = _load(spark, sf_dir, "embeddings")
         S.ivfadc_build_artifact(
             emb, path, subspaces=2, codebook_k=16, iters=2
         )
-        open(marker, "w").close()
-    return path
+
+    return ensure_artifact(spark, "ann_ivfadc", sf_dir, build)
 
 
 @register(
@@ -3592,28 +3550,16 @@ def _opq_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     (`similarity_recall_opq`), and the routed probe
     (`similarity_topk_ivf_opq`) — which is what retired the bench's
     three most expensive rows: each used to re-learn the rotation and
-    both Lloyd chains per invocation."""
-    import os
-    import shutil
-    import tempfile
+    both Lloyd chains per invocation. Contract in `ensure_artifact`."""
 
-    from .sink_semantics import _register_tmp_cleanup
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"fcs_ann_opq_{os.getpid()}_{tag}"
-    )
-    marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        _register_tmp_cleanup(path)
+    def build(path: str) -> None:
         emb = _load(spark, sf_dir, "embeddings")
         S.opq_build_artifact(
             emb, path, subspaces=2, codebook_k=16, iters=2,
             pca_iters=2, dims=64,
         )
-        open(marker, "w").close()
-    return path
+
+    return ensure_artifact(spark, "ann_opq", sf_dir, build)
 
 
 @register(
@@ -3768,29 +3714,17 @@ def _opq_inc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     batch (vec_id >= 400) rotated with the FROZEN transform and
     encoded with the FROZEN codebooks — zero training on ingest.
     Separate path from the full OPQ artifact (appending there would
-    duplicate codes); `_done` marker + rmtree contract."""
-    import os
-    import shutil
-    import tempfile
+    duplicate codes); contract in `ensure_artifact`."""
 
-    from .sink_semantics import _register_tmp_cleanup
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"fcs_ann_opq_inc_{os.getpid()}_{tag}"
-    )
-    marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        _register_tmp_cleanup(path)
+    def build(path: str) -> None:
         emb = _load(spark, sf_dir, "embeddings")
         S.opq_build_artifact(
             emb.filter(F.col("vec_id") < 400), path,
             subspaces=2, codebook_k=16, iters=2, pca_iters=2, dims=64,
         )
         S.opq_encode_append(emb.filter(F.col("vec_id") >= 400), path)
-        open(marker, "w").close()
-    return path
+
+    return ensure_artifact(spark, "ann_opq_inc", sf_dir, build)
 
 
 @register(
@@ -3879,21 +3813,9 @@ def _ivfpq_cpt_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     rewritten minus tombstones and the tombstone relation truncated.
     Separate path from the live probe artifact (compaction mutates
     codes; the delete probe must keep exercising the anti-join
-    path). `_done` marker + rmtree contract."""
-    import os
-    import shutil
-    import tempfile
+    path). Contract in `ensure_artifact`."""
 
-    from .sink_semantics import _register_tmp_cleanup
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(
-        tempfile.gettempdir(), f"fcs_ann_ivfpq_cpt_{os.getpid()}_{tag}"
-    )
-    marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        _register_tmp_cleanup(path)
+    def build(path: str) -> None:
         emb = _load(spark, sf_dir, "embeddings")
         S.ivfpq_build_artifact(
             emb, path, subspaces=2, codebook_k=16, iters=2
@@ -3905,8 +3827,8 @@ def _ivfpq_cpt_artifact_path(spark: SparkSession, sf_dir: str) -> str:
             path,
         )
         S.ivfpq_compact(spark, path)
-        open(marker, "w").close()
-    return path
+
+    return ensure_artifact(spark, "ann_ivfpq_cpt", sf_dir, build)
 
 
 @register(

@@ -1,0 +1,228 @@
+"""Shared persisted-artifact lifecycle tests (r10 verdict Next #3/#6 +
+r10 ADVICE): ONE ensure-helper now owns the _done-marker / rmtree /
+lock / cache-invalidation contract for every artifact family, so the
+contract is tested ONCE, parametrized over every family — an eighth
+family added through `ensure_artifact` is covered automatically.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_connectors_spark.operators import artifacts as A
+from flink_connectors_spark.operators import similarity as S
+from flink_connectors_spark.plans import llm_ops, llm_ops3
+from flink_connectors_spark.session import load_table
+
+# every artifact family: (kind tag, ensure-helper). Parametrizing over
+# the full population is the r10 verdict's ask — a helper that forgot
+# the rmtree or the marker order fails here for its own family.
+ALL_FAMILIES = [
+    ("ann_ivfpq", llm_ops3._ivfpq_artifact_path),
+    ("ann_ivfpq_inc", llm_ops3._ivfpq_inc_artifact_path),
+    ("ann_ivfpq_cpt", llm_ops3._ivfpq_cpt_artifact_path),
+    ("ann_ivfadc", llm_ops3._ivfadc_artifact_path),
+    ("ann_opq", llm_ops3._opq_artifact_path),
+    ("ann_opq_inc", llm_ops3._opq_inc_artifact_path),
+    ("kmeans8", llm_ops._kmeans_artifact_path),
+]
+
+
+@pytest.mark.parametrize(
+    "kind,helper", ALL_FAMILIES, ids=[k for k, _ in ALL_FAMILIES]
+)
+def test_crashed_half_build_rebuilds(spark, sf_dir, kind, helper):
+    """Completeness is the explicit ``_done`` marker written LAST —
+    a directory with relations present but no marker (crash shape:
+    Spark creates output dirs before the job commits) must be torn
+    down wholesale and rebuilt, for EVERY family."""
+    path = helper(spark, sf_dir)
+    assert path == A.artifact_path(spark, kind, sf_dir)
+    marker = os.path.join(path, "_done")
+    assert os.path.exists(marker)
+    os.unlink(marker)
+    # plant a canary inside an existing relation dir: a rebuild that
+    # forgot rmtree-before-rebuild would leave it behind
+    rel = next(
+        d for d in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, d))
+    )
+    canary = os.path.join(path, rel, "_half_built_canary")
+    open(canary, "w").close()
+    path2 = helper(spark, sf_dir)
+    assert path2 == path
+    assert os.path.exists(marker), "rebuild did not complete"
+    assert not os.path.exists(canary), (
+        "half-built artifact served instead of rebuilt"
+    )
+
+
+def test_rebuild_invalidates_manifest_and_rotation_caches(spark, sf_dir):
+    """r10 ADVICE (medium): the rotation cache was primed on first
+    read but never invalidated — a rebuild at the same path would
+    silently rotate queries with the stale Householder vector against
+    the new codebooks. ensure_artifact must pop BOTH process caches
+    before building and the build must re-prime them."""
+    path = llm_ops3._opq_artifact_path(spark, sf_dir)
+    S.read_artifact_manifest(spark, path)
+    S.read_opq_rotation(spark, path)
+    # poison the process caches; a rebuild must replace the poison
+    # with freshly-built values (never serve it)
+    S._MANIFEST_CACHE[path] = {"subspaces": -99}
+    S._ROTATION_CACHE[path] = ([0], 1, [0])
+    os.unlink(os.path.join(path, "_done"))
+    llm_ops3._opq_artifact_path(spark, sf_dir)
+    assert S._MANIFEST_CACHE[path]["subspaces"] == 2
+    u, uu, perm = S.read_opq_rotation(spark, path)
+    assert len(u) > 1 and len(perm) > 1
+
+
+def test_concurrent_ensure_builds_once(spark, sf_dir):
+    """r10 ADVICE: two threads observing the missing marker must not
+    run interleaved rmtree+overwrite builds — the per-path lock
+    serializes; the second waiter sees the marker and skips."""
+    calls: list[int] = []
+
+    def build(path: str) -> None:
+        calls.append(1)
+        time.sleep(0.3)  # widen the race window
+        os.makedirs(os.path.join(path, "rel"), exist_ok=True)
+
+    errs: list[BaseException] = []
+
+    def run() -> None:
+        try:
+            A.ensure_artifact(spark, "testrace", sf_dir, build)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(calls) == 1, f"build ran {len(calls)} times"
+
+
+def test_stable_root_reuses_across_processes(spark, sf_dir, tmp_path):
+    """Stable-path mode (r10 verdict Next #3): with an artifact root
+    configured, the path drops the PID, a 'second process' (process
+    caches + locks cleared) finds the marker and serves probes with
+    ZERO rebuild, and param drift still errors via the manifest."""
+    spark.conf.set(A.ARTIFACT_ROOT_CONF, str(tmp_path))
+    try:
+        path = llm_ops3._ivfpq_artifact_path(spark, sf_dir)
+        assert path.startswith(str(tmp_path))
+        assert str(os.getpid()) not in os.path.basename(path)
+        q = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 5
+        )
+        first = S.topk_from_ivfpq_artifact(
+            q, path, k=3, subspaces=None, width=None, scale=None
+        ).collect()
+        assert first
+        # snapshot relation mtimes, then simulate a fresh process:
+        # clear every process-level cache and the build locks
+        mtimes = {
+            f: os.path.getmtime(os.path.join(path, "codes", f))
+            for f in os.listdir(os.path.join(path, "codes"))
+        }
+        A._PATH_LOCKS.clear()
+        S._MANIFEST_CACHE.clear()
+        S._ROTATION_CACHE.clear()
+        path2 = llm_ops3._ivfpq_artifact_path(spark, sf_dir)
+        assert path2 == path
+        for f, m in mtimes.items():
+            assert os.path.getmtime(os.path.join(path, "codes", f)) == m, (
+                "stable artifact was rebuilt instead of reused"
+            )
+        again = S.topk_from_ivfpq_artifact(
+            q, path2, k=3, subspaces=None, width=None, scale=None
+        ).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+        # params mismatch still errors (manifest validation)
+        with pytest.raises(ValueError, match="mismatch"):
+            S.topk_from_ivfpq_artifact(q, path2, k=3, subspaces=4)
+    finally:
+        spark.conf.unset(A.ARTIFACT_ROOT_CONF)
+
+
+def test_probe_without_tombstone_relation_filters_nothing(
+    spark, sf_dir, tmp_path
+):
+    """r10 ADVICE: apply_tombstones=True on an artifact where
+    delete_ids was never called must filter nothing, not raise
+    AnalysisException on the missing relation."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 80
+    )
+    path = str(tmp_path / "idx")
+    S.ivfpq_build_artifact(emb, path, subspaces=2, codebook_k=16, iters=1)
+    q = emb.filter(F.col("vec_id") < 3)
+    plain = S.topk_from_ivfpq_artifact(
+        q, path, k=3, n_probe=2, subspaces=2, width=None
+    ).collect()
+    tomb = S.topk_from_ivfpq_artifact(
+        q, path, k=3, n_probe=2, subspaces=2, width=None,
+        apply_tombstones=True,
+    ).collect()
+    assert sorted(map(tuple, tomb)) == sorted(map(tuple, plain))
+
+
+def test_overlapping_deletes_dedupe_on_read(spark, sf_dir, tmp_path):
+    """r10 ADVICE: delete_ids dedupes within a call only; overlapping
+    calls grow the tombstone relation. Readers dedupe on read, so the
+    probe result is identical however many times an id was deleted."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 80
+    )
+    path = str(tmp_path / "idx")
+    S.ivfpq_build_artifact(emb, path, subspaces=2, codebook_k=16, iters=1)
+    dead = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 10))
+    S.ivfpq_delete_ids(dead, path)
+    q = emb.filter(F.col("vec_id") < 3)
+    once = S.topk_from_ivfpq_artifact(
+        q, path, k=5, n_probe=2, subspaces=2, width=None,
+        apply_tombstones=True,
+    ).collect()
+    S.ivfpq_delete_ids(dead, path)  # overlapping second delete
+    S.ivfpq_delete_ids(dead.limit(2), path)  # and a partial third
+    twice = S.topk_from_ivfpq_artifact(
+        q, path, k=5, n_probe=2, subspaces=2, width=None,
+        apply_tombstones=True,
+    ).collect()
+    assert sorted(map(tuple, twice)) == sorted(map(tuple, once))
+    deleted = {r[0] for r in dead.select("vec_id").collect()}
+    assert not deleted & {r["neighbor_id"] for r in twice}
+
+
+def test_probe_falls_back_to_precompact_codes(spark, sf_dir, tmp_path):
+    """r10 ADVICE: a crash BETWEEN ivfpq_compact's two renames leaves
+    no live codes dir. Probes must fall back to the preserved
+    codes_precompact relation — whose tombstones are still intact —
+    and keep returning the tombstone-filtered result."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 80
+    )
+    path = str(tmp_path / "idx")
+    S.ivfpq_build_artifact(emb, path, subspaces=2, codebook_k=16, iters=1)
+    dead = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") >= 10))
+    S.ivfpq_delete_ids(dead, path)
+    q = emb.filter(F.col("vec_id") < 3)
+    want = S.topk_from_ivfpq_artifact(
+        q, path, k=5, n_probe=2, subspaces=2, width=None,
+        apply_tombstones=True,
+    ).collect()
+    # simulate the crash window: codes renamed away, swap not done
+    os.rename(f"{path}/codes", f"{path}/codes_precompact")
+    got = S.topk_from_ivfpq_artifact(
+        q, path, k=5, n_probe=2, subspaces=2, width=None,
+        apply_tombstones=True,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
