@@ -631,6 +631,89 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def neardup_edges_build_artifact(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int | None = 16,
+    bits_per_band: int | None = 4,
+    min_score: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the SCORED sign-LSH near-dup edge list as a parquet
+    artifact — the graph family's build-once / probe-many lifecycle
+    (same pattern that retired the ANN ladder's per-invocation Lloyd
+    rebuilds in r10). Every graph query over the near-dup graph —
+    PageRank canonicalization, link prediction, triangle census,
+    degree audit, modality agreement — consumed the SAME candidate
+    generator (:func:`cosine_near_dup_pairs_lsh`) and re-ran the full
+    signature-fold + band self-join + exact-rescore pipeline per
+    invocation. The candidate set depends only on the BANDING, not on
+    the consumer's threshold, so ONE scored edge relation built at
+    the loosest consumer threshold serves every consumer through a
+    ``score >=`` filter (:func:`read_neardup_edges`).
+
+    Relations:
+
+    - ``{path}/edges``    — (id1, id2, score): every candidate pair
+      with exact cosine >= ``min_score``. Pair-list-sized (bounded by
+      band-bucket occupancy, never corpus²); written with the
+      shuffle partitioning the rescore join produced, so downstream
+      node-keyed joins start from distributed files.
+    - ``{path}/manifest`` — params sidecar (written FIRST): banding
+      plus the score floor x100; readers validate their threshold
+      against the floor — probing BELOW it would silently miss pairs
+      that were filtered out at build time.
+
+    Deterministic build (fixed hyperplanes, exact integer signature
+    folds, round(score, 6)) => rebuilds are byte-identical, so SQL
+    oracles replay banding-then-probe and value-hash the consumer's
+    output. At 100 TB the edge list is the graph family's index: it
+    rebuilds on corpus ingest (not per query), and consumers pay one
+    pair-sized scan instead of a corpus-wide LSH pass."""
+    spark = corpus.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {
+            "n_planes": int(n_planes),
+            "bits_per_band": int(bits_per_band),
+            "min_score_x100": int(round(min_score * 100)),
+        },
+    )
+    pairs = cosine_near_dup_pairs_lsh(
+        corpus,
+        threshold=min_score,
+        n_planes=n_planes,
+        bits_per_band=bits_per_band,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    pairs.write.mode("overwrite").parquet(f"{path}/edges")
+
+
+def read_neardup_edges(
+    spark: SparkSession, path: str, threshold: float
+) -> DataFrame:
+    """Serve (id1, id2, score) near-dup pairs with exact cosine >=
+    ``threshold`` from a persisted edge artifact
+    (:func:`neardup_edges_build_artifact`). The plan is one pruned
+    parquet scan + a pushed-down score filter — no signature fold, no
+    band self-join, no corpus scan. Raises when ``threshold`` is
+    below the artifact's build floor (those pairs were never stored;
+    returning a silently-incomplete edge set is the failure mode the
+    manifest exists to prevent)."""
+    man = read_artifact_manifest(spark, path)
+    if int(round(threshold * 100)) < man["min_score_x100"]:
+        raise ValueError(
+            f"edge artifact at {path!r} was built with score floor "
+            f"{man['min_score_x100'] / 100}; cannot serve threshold "
+            f"{threshold} (pairs below the floor were never stored)"
+        )
+    return spark.read.parquet(f"{path}/edges").filter(
+        F.col("score") >= threshold
+    )
+
+
 def cosine_topk_rplsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -766,10 +766,33 @@ def _lsh_dedup_oracle() -> str:
     """
 
 
+def _neardup_edges_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted sign-LSH near-dup EDGE-LIST artifact
+    (scored pairs at the loosest consumer threshold, 0.3; 16x4
+    banding pinned for oracle parity — production builds omit the
+    pins for `auto_lsh_bands` sizing). ONE build serves every graph
+    consumer: the pair report, the degree audit, triangles, both
+    PageRank queries, link prediction, and the modality-agreement
+    report — each was re-running the full signature-fold + band
+    self-join + rescore pipeline per invocation (r10 verdict Next
+    #4: the iterative graph trio was the bench's most expensive
+    remaining block). Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        emb = _load(spark, sf_dir, "embeddings")
+        S.neardup_edges_build_artifact(
+            emb, path, n_planes=16, bits_per_band=4, min_score=0.3
+        )
+
+    return ensure_artifact(spark, "neardup_edges", sf_dir, build)
+
+
 @register(
     "dedup_embedding_lsh",
     oracle=_lsh_dedup_oracle(),
     tags=("llm", "dedup", "embedding", "lsh"),
+    changed=11,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free embedding near-dup pairs (cosine >= 0.4): sign-LSH
@@ -781,11 +804,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16x4 banding is pinned explicitly: the SQL oracle replicates this
     exact banding, and the operator's corpus-sized auto-sizing
     (`auto_lsh_bands`) would pick different planes for the tiny test
-    table and change which candidate pairs exist."""
-    emb = _load(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs_lsh(
-        emb, threshold=0.4, n_planes=16, bits_per_band=4
-    )
+    table and change which candidate pairs exist.
+
+    r11: this row PRICES the shared persisted edge-list build
+    (`_neardup_edges_artifact_path`, once per scope) and returns the
+    pairs read BACK from the artifact at threshold 0.4 — the value
+    hash proves the round-trip, and the graph consumers (degree,
+    triangles, PageRank x2, link prediction, modality agreement)
+    serve from the same build. The oracle still replays the full
+    banding + rescore in SQL, so a MATCH proves artifact == live
+    computation."""
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    return S.read_neardup_edges(spark, path, threshold=0.4)
 
 
 _KM_SQ = (
@@ -1807,6 +1837,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_graph_degree",
+    changed=11,
     oracle=f"""
     WITH {_lsh_pairs_cte()},
     base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
@@ -1826,16 +1857,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup graph degree histogram — the dedup-aggressiveness
     tuning report: how many vectors participate in 1, 2, ... near-dup
-    relations at the working threshold. Composed from the same
-    sign-LSH pair generator as `dedup_embedding_lsh` (16x4 banding
-    pinned for oracle parity); two further keyed aggregates over the
-    pair list, which is candidate-sized, never corpus-squared."""
+    relations at the working threshold. Two keyed aggregates over the
+    pair list, which is candidate-sized, never corpus-squared.
+
+    r11: the pair list serves from the persisted edge artifact
+    (`_neardup_edges_artifact_path`) — one pair-sized parquet scan
+    with a pushed-down score filter instead of a per-invocation LSH
+    pass; the oracle still replays the full banding + rescore."""
     from pyspark.sql import functions as F
 
-    emb = _load(spark, sf_dir, "embeddings")
-    pairs = S.cosine_near_dup_pairs_lsh(
-        emb, threshold=0.4, n_planes=16, bits_per_band=4
-    )
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    pairs = S.read_neardup_edges(spark, path, threshold=0.4)
     ends = pairs.select(F.col("id1").alias("vec_id")).unionAll(
         pairs.select(F.col("id2").alias("vec_id"))
     )

@@ -407,6 +407,7 @@ from .llm_ops import _lsh_pairs_cte  # noqa: E402
 
 @register(
     "dedup_modality_agreement",
+    changed=11,
     oracle=f"""
     SELECT
       CAST(SUM(CASE WHEN tp.d1 IS NOT NULL AND ep.d1 IS NOT NULL
@@ -435,15 +436,18 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     hallucinating pairs text disproves) BEFORE either is trusted to
     delete data. Both pair generators are the banded/bucketed
     corpus-scale paths; the agreement join is pair-list-sized, so
-    the report costs nothing beyond the two detectors."""
+    the report costs nothing beyond the two detectors. r11: the
+    embedding side serves from the persisted edge artifact — one
+    pair-sized scan instead of a per-invocation LSH pass."""
+    from .llm_ops import _neardup_edges_artifact_path
+
     docs = _load(spark, sf_dir, "documents")
-    emb = _load(spark, sf_dir, "embeddings")
     tp = D.minhash_lsh_pairs(
         docs, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
     ).select("d1", "d2")
+    path = _neardup_edges_artifact_path(spark, sf_dir)
     ep = (
-        S.cosine_near_dup_pairs_lsh(emb, threshold=0.4, n_planes=16,
-                                    bits_per_band=4)
+        S.read_neardup_edges(spark, path, threshold=0.4)
         .select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
     )
     j = tp.alias("t").join(

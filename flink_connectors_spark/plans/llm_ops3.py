@@ -1642,6 +1642,7 @@ def dedup_apply_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_graph_triangles",
+    changed=11,
     oracle=f"""
     WITH {_lsh_pairs_cte()},
     e AS (SELECT id1 AS a, id2 AS b FROM scored WHERE score >= 0.3),
@@ -1670,20 +1671,18 @@ def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each triangle is found exactly once: two node-keyed joins on
     a pair list that is candidate-sized, never corpus-sized — join
     volume is bounded by the degree distribution the
-    `similarity_graph_degree` report already audits. The pair list is
-    persisted: three plan branches read it, one LSH computation pays
-    for all."""
-    emb = _load(spark, sf_dir, "embeddings")
-    pairs = (
-        S.cosine_near_dup_pairs_lsh(
-            emb, threshold=0.3, n_planes=16, bits_per_band=4
-        )
-        .select("id1", "id2")
-        # EAGER materialization, not lazy persist: the consuming
-        # branches launch concurrently and a lazy cache races — each
-        # branch recomputed the whole LSH pipeline before the cache
-        # filled (measured 2-4x on the bench; see PLANS.md r4 note).
-        .localCheckpoint(eager=True)
+    `similarity_graph_degree` report already audits. r11: the pair
+    list serves from the persisted edge artifact
+    (`_neardup_edges_artifact_path`) — the three plan branches each
+    read one pair-sized parquet scan with a pushed-down score filter;
+    the per-invocation LSH pass (signature fold + band self-join +
+    rescore) is gone from the plan, and the oracle still replays it
+    in SQL so a MATCH proves the artifact round-trip."""
+    from .llm_ops import _neardup_edges_artifact_path
+
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    pairs = S.read_neardup_edges(spark, path, threshold=0.3).select(
+        "id1", "id2"
     )
     ea = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     eb = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
@@ -1694,12 +1693,9 @@ def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("vec_id")))
         .unionAll(tri.select(F.col("c").alias("vec_id")))
     )
-    out = ends.groupBy("vec_id").agg(
+    return ends.groupBy("vec_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    from ..operators.dedup import _track_caches
-
-    return _track_caches(out, [pairs])
 
 
 # ---------------------------------------------------------------------------
@@ -1961,6 +1957,7 @@ def anomaly_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_graph_pagerank",
+    changed=11,
     oracle=f"""
     WITH {_lsh_pairs_cte()},
     base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
@@ -2004,24 +2001,24 @@ def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-parity sizing for the test corpus ONLY — production calls
     omit the pins and get auto_lsh_bands (bits = ceil(log2 N));
     SCALING.md r5 measured the pinned variant dying at 10x volume
-    (occupancy^2 hash-relation build) while the auto path scales."""
-    emb = _load(spark, sf_dir, "embeddings")
-    pairs = (
-        S.cosine_near_dup_pairs_lsh(
-            emb, threshold=0.4, n_planes=16, bits_per_band=4
-        )
-        .select("id1", "id2")
-        # EAGER materialization, not lazy persist: the consuming
-        # branches launch concurrently and a lazy cache races — each
-        # branch recomputed the whole LSH pipeline before the cache
-        # filled (measured 2-4x on the bench; see PLANS.md r4 note).
-        .localCheckpoint(eager=True)
+    (occupancy^2 hash-relation build) while the auto path scales.
+
+    r11: the pair list serves from the persisted edge artifact —
+    the edge/degree/rank branches each read a pair-sized parquet
+    scan; the per-invocation LSH pass is gone from the plan while
+    the oracle still replays it, so a MATCH proves the round-trip."""
+    from .llm_ops import _neardup_edges_artifact_path
+
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    pairs = S.read_neardup_edges(spark, path, threshold=0.4).select(
+        "id1", "id2"
     )
     return D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
 
 
 @register(
     "dedup_canonical_pagerank",
+    changed=11,
     oracle=f"""
     WITH RECURSIVE {_lsh_pairs_cte()},
     base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
@@ -2086,20 +2083,19 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank branches via the persisted pair list. As with
     similarity_graph_pagerank, the 16x4 banding is oracle-parity
     sizing for the test corpus; production omits the pins for
-    auto_lsh_bands sizing (SCALING.md r5 curve)."""
+    auto_lsh_bands sizing (SCALING.md r5 curve).
+
+    r11: the pair list serves from the persisted edge artifact —
+    the component and rank branches each read a pair-sized parquet
+    scan; the per-invocation LSH pass is gone from the plan while
+    the oracle still replays it, so a MATCH proves the round-trip."""
     from pyspark.sql.window import Window as W
 
-    emb = _load(spark, sf_dir, "embeddings")
-    pairs = (
-        S.cosine_near_dup_pairs_lsh(
-            emb, threshold=0.4, n_planes=16, bits_per_band=4
-        )
-        .select("id1", "id2")
-        # EAGER materialization, not lazy persist: the consuming
-        # branches launch concurrently and a lazy cache races — each
-        # branch recomputed the whole LSH pipeline before the cache
-        # filled (measured 2-4x on the bench; see PLANS.md r4 note).
-        .localCheckpoint(eager=True)
+    from .llm_ops import _neardup_edges_artifact_path
+
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    pairs = S.read_neardup_edges(spark, path, threshold=0.4).select(
+        "id1", "id2"
     )
     comp = D.connected_components(pairs, src="id1", dst="id2").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
@@ -2869,6 +2865,7 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_graph_link_prediction",
+    changed=11,
     oracle=f"""
     WITH {_lsh_pairs_cte()},
     p AS (SELECT id1, id2 FROM scored WHERE score >= 0.3),
@@ -2905,23 +2902,18 @@ def similarity_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFr
     where a threshold/band-count review looks. All joins are
     node-keyed over the candidate-sized pair list (never corpus-
     sized); join volume is bounded by the same degree distribution
-    `similarity_graph_degree` audits, and the one LSH computation is
-    checkpointed so the edge list, both self-join sides, and the
-    existing-edge anti-join all read it once."""
-    emb = _load(spark, sf_dir, "embeddings")
-    pairs = (
-        S.cosine_near_dup_pairs_lsh(
-            emb, threshold=0.3, n_planes=16, bits_per_band=4
-        )
-        .select("id1", "id2")
-        # 3 consumers (undirected edges x2, anti-join) launching in
-        # one action: eager checkpoint, not lazy persist
-        .localCheckpoint(eager=True)
-    )
-    out = S.link_prediction_jaccard(pairs)
-    from ..operators.dedup import _track_caches
+    `similarity_graph_degree` audits. r11: the pair list serves from
+    the persisted edge artifact — the edge list, both self-join
+    sides, and the existing-edge anti-join each read a pair-sized
+    parquet scan; the per-invocation LSH pass is gone from the plan
+    while the oracle still replays it (MATCH proves the round-trip)."""
+    from .llm_ops import _neardup_edges_artifact_path
 
-    return _track_caches(out, [pairs])
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    pairs = S.read_neardup_edges(spark, path, threshold=0.3).select(
+        "id1", "id2"
+    )
+    return S.link_prediction_jaccard(pairs)
 
 
 # ---------------------------------------------------------------------------
