@@ -3114,6 +3114,80 @@ def link_prediction_jaccard(pairs: DataFrame) -> DataFrame:
     )
 
 
+def link_prediction_adamic_adar(pairs: DataFrame) -> DataFrame:
+    """Adamic–Adar link prediction over an oriented pair list (id1 <
+    id2): the NON-edges (x, y) sharing at least one neighbor, scored
+    by sum over common neighbors z of 1/ln(deg(z)) — the classic
+    hub-discounting refinement of common-neighbor counting (a shared
+    neighbor that is connected to everything carries less evidence
+    than a shared niche neighbor). Every common neighbor of x and y
+    has degree >= 2 by construction, so ln(deg) > 0 and the division
+    is total.
+
+    Determinism discipline (same as :func:`pagerank_undirected`): the
+    per-pair contribution fold runs in NEIGHBOR-ID order — array_sort
+    over (z, contrib) structs + a sequential aggregate on the Spark
+    side, ``list_sum(list(contrib ORDER BY z))`` in the oracle —
+    never an unordered float SUM whose accumulation order depends on
+    partitioning; only the final score rounds (6).
+
+    Scale shape: identical to :func:`link_prediction_jaccard` — all
+    joins are node-keyed over the candidate-sized pair list, the
+    undirected edge list feeds three branches in one action (eagerly
+    checkpointed here), and the degree join is shuffle_hash-pinned
+    (explode-derived size estimates undersize broadcasts)."""
+    e = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionAll(
+            pairs.select(
+                F.col("id2").alias("a"), F.col("id1").alias("b")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("a").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    cn = (
+        e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        .join(
+            e.select(F.col("a").alias("y"), F.col("b").alias("z")), "z"
+        )
+        .filter(F.col("x") < F.col("y"))
+        .join(
+            deg.select(
+                F.col("a").alias("z"), F.col("d").alias("dz")
+            ).hint("shuffle_hash"),
+            "z",
+        )
+        .select(
+            "x",
+            "y",
+            "z",
+            (F.lit(1.0) / F.log(F.col("dz"))).alias("contrib"),
+        )
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("z", "contrib")))
+    fold = F.aggregate(
+        ordered, F.lit(0.0), lambda acc, s: acc + s["contrib"]
+    )
+    agg = cn.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        fold.alias("__aa__"),
+    )
+    new_p = agg.join(
+        pairs,
+        (agg.x == pairs.id1) & (agg.y == pairs.id2),
+        "left_anti",
+    )
+    return new_p.select(
+        F.col("x").alias("id1"),
+        F.col("y").alias("id2"),
+        "common_neighbors",
+        F.round(F.col("__aa__"), 6).alias("adamic_adar"),
+    )
+
+
 def hybrid_rrf_topk(
     queries: DataFrame,
     corpus: DataFrame,

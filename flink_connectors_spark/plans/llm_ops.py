@@ -1880,6 +1880,148 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_neardup_edges_artifact",
+    oracle=f"""
+    WITH {_lsh_pairs_cte()}
+    SELECT id1, id2, score,
+           16 AS n_planes, 4 AS bits_per_band, 30 AS min_score_x100
+    FROM scored WHERE score >= 0.3
+    """,
+    tags=("llm", "similarity", "graph", "artifact", "lsh"),
+    since=11,
+)
+def similarity_neardup_edges_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build half of build-once / probe-many for the GRAPH family:
+    run the sign-LSH candidate generator once (signature fold + band
+    self-join + exact rescore) and persist the scored edge list at
+    the loosest consumer threshold
+    (`operators/similarity.neardup_edges_build_artifact`). Returns
+    the FULL stored edge relation read BACK from the artifact,
+    joined with the params manifest read back from the sidecar — the
+    value hash proves the persisted pairs AND the manifest
+    round-trip, the same proof shape as
+    `similarity_opq_build_artifact`. The LSH pass is priced HERE and
+    nowhere else; every graph consumer (degree, triangles, both
+    PageRanks, link prediction, modality agreement) reads the index
+    relation only."""
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    man = S.read_artifact_manifest(spark, path)
+    return S.read_neardup_edges(spark, path, threshold=0.3).select(
+        "id1",
+        "id2",
+        "score",
+        F.lit(man["n_planes"]).cast("int").alias("n_planes"),
+        F.lit(man["bits_per_band"]).cast("int").alias("bits_per_band"),
+        F.lit(man["min_score_x100"]).cast("int").alias("min_score_x100"),
+    )
+
+
+@register(
+    "similarity_graph_components_census",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_cte()},
+    base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
+    uedges AS (SELECT id1 AS a, id2 AS b FROM base
+               UNION SELECT id2, id1 FROM base),
+    reach(a, b) AS (
+      SELECT a, b FROM uedges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN uedges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("llm", "similarity", "graph", "components", "iterative"),
+    since=11,
+)
+def similarity_graph_components_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup component SIZE histogram over the embedding graph —
+    the before-you-delete audit for embedding-level dedup (the twin
+    of the text-side `dedup_cluster_census`): a census dominated by
+    pairs and triples means tight duplicate groups; a giant
+    component means the threshold is transitively gluing unrelated
+    docs and canonicalization would destroy data. Min-label
+    connected components over the persisted edge artifact (score >=
+    0.4), then two node-sized aggregates; the oracle replays the
+    closure with a recursive CTE. Serves from the edge artifact —
+    no LSH stage in the plan; component iterations dominate, which
+    is the query's semantics."""
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    pairs = (
+        S.read_neardup_edges(spark, path, threshold=0.4)
+        .select("id1", "id2")
+        # the closure loop re-joins the edge list every round — scan
+        # the artifact once (pair-list-sized, >= 3 consumers)
+        .localCheckpoint(eager=True)
+    )
+    comp = D.connected_components(pairs, src="id1", dst="id2")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    out = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    return D._track_caches(out, [pairs])
+
+
+@register(
+    "similarity_graph_adamic_adar",
+    oracle=f"""
+    WITH {_lsh_pairs_cte()},
+    p AS (SELECT id1, id2 FROM scored WHERE score >= 0.3),
+    e AS (SELECT id1 AS a, id2 AS b FROM p
+          UNION ALL SELECT id2, id1 FROM p),
+    deg AS (SELECT a, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM e GROUP BY a),
+    cn AS (
+      SELECT e1.a AS x, e2.a AS y, e1.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.b AND e1.a < e2.a),
+    agg AS (
+      SELECT cn.x, cn.y,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             list_sum(list(1.0 / ln(dz.d) ORDER BY cn.z)) AS aa
+      FROM cn JOIN deg dz ON dz.a = cn.z
+      GROUP BY cn.x, cn.y),
+    new_p AS (
+      SELECT * FROM agg
+      WHERE NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.id1 = agg.x AND p.id2 = agg.y))
+    SELECT x AS id1, y AS id2, common_neighbors,
+           round(aa, 6) AS adamic_adar
+    FROM new_p
+    """,
+    tags=("llm", "similarity", "graph", "link-prediction"),
+    since=11,
+)
+def similarity_graph_adamic_adar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic–Adar link prediction over the near-dup graph — the
+    hub-discounting upgrade of `similarity_graph_link_prediction`:
+    a shared neighbor connected to half the corpus is weak evidence
+    that (x, y) are near-dups; a shared niche neighbor is strong.
+    Scores non-edges by sum over common neighbors z of 1/ln(deg(z)),
+    folding contributions in neighbor-id order on both engines (the
+    pagerank determinism discipline) so the float sum is
+    IEEE-identical to the oracle's ordered list_sum. Serves from the
+    persisted edge artifact; all joins node-keyed and
+    pair-list-sized."""
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    pairs = S.read_neardup_edges(spark, path, threshold=0.3).select(
+        "id1", "id2"
+    )
+    return S.link_prediction_adamic_adar(pairs)
+
+
+@register(
     "similarity_topk_ivf_unlabeled",
     changed=10,
     oracle=f"""

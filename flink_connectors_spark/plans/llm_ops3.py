@@ -1681,8 +1681,15 @@ def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _neardup_edges_artifact_path
 
     path = _neardup_edges_artifact_path(spark, sf_dir)
-    pairs = S.read_neardup_edges(spark, path, threshold=0.3).select(
-        "id1", "id2"
+    pairs = (
+        S.read_neardup_edges(spark, path, threshold=0.3)
+        .select("id1", "id2")
+        # 3 branches consume the pair list within one action — scan
+        # the artifact once and serve the branches from blocks
+        # (pair-list-sized, >= 3 consumers: the r5 materialization
+        # rule), instead of re-inlining the scan 9x into the unioned
+        # triangle subtrees
+        .localCheckpoint(eager=True)
     )
     ea = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     eb = pairs.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
@@ -1693,9 +1700,12 @@ def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("vec_id")))
         .unionAll(tri.select(F.col("c").alias("vec_id")))
     )
-    return ends.groupBy("vec_id").agg(
+    out = ends.groupBy("vec_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+    from ..operators.dedup import _track_caches
+
+    return _track_caches(out, [pairs])
 
 
 # ---------------------------------------------------------------------------
@@ -2010,10 +2020,19 @@ def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _neardup_edges_artifact_path
 
     path = _neardup_edges_artifact_path(spark, sf_dir)
-    pairs = S.read_neardup_edges(spark, path, threshold=0.4).select(
-        "id1", "id2"
+    pairs = (
+        S.read_neardup_edges(spark, path, threshold=0.4)
+        .select("id1", "id2")
+        # the unrolled power iterations reference the edge list many
+        # times (deg/nn/per-iteration contribution joins) — scan the
+        # artifact once and serve the branches from blocks instead of
+        # re-inlining the scan 14x
+        .localCheckpoint(eager=True)
     )
-    return D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
+    out = D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
+    from ..operators.dedup import _track_caches
+
+    return _track_caches(out, [pairs])
 
 
 @register(
@@ -2094,8 +2113,12 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _neardup_edges_artifact_path
 
     path = _neardup_edges_artifact_path(spark, sf_dir)
-    pairs = S.read_neardup_edges(spark, path, threshold=0.4).select(
-        "id1", "id2"
+    pairs = (
+        S.read_neardup_edges(spark, path, threshold=0.4)
+        .select("id1", "id2")
+        # component closure + the unrolled rank iterations reference
+        # the edge list many times — scan the artifact once
+        .localCheckpoint(eager=True)
     )
     comp = D.connected_components(pairs, src="id1", dst="id2").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
@@ -2104,12 +2127,15 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("pagerank"), F.asc("vec_id")
     )
-    return (
+    out = (
         comp.join(pr, "vec_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("vec_id").alias("keep_id"), "pagerank")
     )
+    from ..operators.dedup import _track_caches
+
+    return _track_caches(out, [pairs])
 
 
 def _km_chain_ns(p: str, where: str) -> str:

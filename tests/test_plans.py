@@ -757,7 +757,11 @@ _SCAN_ALLOWLIST = {
     "q7_nation_volume": 6,
     "q8_market_share": 8,
     "q9_product_profit": 5,
-    "similarity_graph_degree": 8,
+    # r11: graph family serves from the persisted edge artifact —
+    # degree reads the edges scan twice (both union ends); the
+    # iterative consumers checkpoint the (tiny) edge read and sit at
+    # 0 scans, under the default ceiling.
+    "similarity_graph_degree": 2,
     # r10: topk_ivfpq serves from the persisted artifact — the
     # similarity_topk_from_artifact probe shape (9, incl. the DPP
     # subquery duplicates); topk_pq and refine's candidate stage are
@@ -1380,4 +1384,40 @@ def test_ivfpq_compaction_equals_tombstone_probe(spark, sf_dir):
     assert n_tomb == 0, "compaction left tombstoned codes on disk"
     tombs = spark.read.parquet(f"{path}/tombstones")
     assert tombs.count() == 0  # consumed, relation still readable
+    _release(spark)
+
+
+def test_neardup_edge_probe_plan_is_lsh_free(spark, sf_dir):
+    """r11 graph-family artifact: `read_neardup_edges` must be ONE
+    parquet scan of the edge relation with the score filter PUSHED to
+    the scan — no signature fold, no band self-join, no corpus scan —
+    and a threshold below the artifact's build floor must error
+    instead of silently serving a truncated edge set. The iterative
+    consumers (triangles / both PageRanks) checkpoint this read, so
+    their final plans show 0 file scans; the LSH-free proof lives
+    here, at the primitive every consumer composes."""
+    import pytest
+
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.plans.llm_ops import (
+        _neardup_edges_artifact_path,
+    )
+
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    df = S.read_neardup_edges(spark, path, 0.4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _count_file_scans(df) == 1
+    assert "GreaterThanOrEqual(score" in plan  # pushed, not post-scan
+    assert "xxhash" not in plan.lower()  # no band/signature stage
+    assert "ExistingRDD" not in plan
+    with pytest.raises(ValueError, match="floor"):
+        S.read_neardup_edges(spark, path, 0.2)
+    # consumers: bounded scans (checkpointed edge read => 0)
+    for name in (
+        "similarity_graph_triangles",
+        "similarity_graph_pagerank",
+        "dedup_canonical_pagerank",
+    ):
+        cdf = SPECS[name].fn(spark, sf_dir)
+        assert _count_file_scans(cdf) == 0, name
     _release(spark)
