@@ -197,6 +197,14 @@ HEADLINE = [
     "similarity_ivfpq_delete_probe",
     "similarity_ivfpq_compact_probe",
     "similarity_opq_append_probe",
+    # r11 additions: the graph edge-list artifact family.
+    # similarity_neardup_edges_artifact prices the one LSH pass
+    # (build-once); the census/adamic rows and the refactored graph
+    # queries (pagerank x2, link prediction, triangles) price reads
+    # of the persisted edge relation only.
+    "similarity_neardup_edges_artifact",
+    "similarity_graph_components_census",
+    "similarity_graph_adamic_adar",
 ]
 
 # Build-once / probe-many queries: the *_build_artifact rows build
@@ -207,7 +215,10 @@ HEADLINE = [
 # the OPQ trio) prices the SEARCH only, in warm AND cold. Read the
 # warm headline accordingly: the build cost appears exactly once, in
 # queries_cold of whichever artifact-family row ran first (ADVICE r9).
-BUILD_ONCE = [n for n in HEADLINE if n.endswith("_build_artifact")]
+BUILD_ONCE = [
+    n for n in HEADLINE
+    if n.endswith("_build_artifact") or n.endswith("_edges_artifact")
+]
 
 
 def _block_of(name: str) -> str:
