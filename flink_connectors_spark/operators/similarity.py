@@ -3092,7 +3092,7 @@ def link_prediction_jaccard(pairs: DataFrame) -> DataFrame:
         (cn.x == pairs.id1) & (cn.y == pairs.id2),
         "left_anti",
     )
-    return (
+    out = (
         new_p.join(
             deg.select(F.col("a").alias("x"), F.col("d").alias("dx")),
             "x",
@@ -3112,6 +3112,11 @@ def link_prediction_jaccard(pairs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    # caller-owns-release: the internal undirected edge checkpoint is
+    # the operator's to declare, the caller's to free
+    from .dedup import _track_caches
+
+    return _track_caches(out, [e])
 
 
 def link_prediction_adamic_adar(pairs: DataFrame) -> DataFrame:
@@ -3180,12 +3185,15 @@ def link_prediction_adamic_adar(pairs: DataFrame) -> DataFrame:
         (agg.x == pairs.id1) & (agg.y == pairs.id2),
         "left_anti",
     )
-    return new_p.select(
+    out = new_p.select(
         F.col("x").alias("id1"),
         F.col("y").alias("id2"),
         "common_neighbors",
         F.round(F.col("__aa__"), 6).alias("adamic_adar"),
     )
+    from .dedup import _track_caches
+
+    return _track_caches(out, [e])
 
 
 def hybrid_rrf_topk(

@@ -203,9 +203,21 @@ def test_rplsh_signature_table_never_carries_vectors(spark, sf_dir):
 
 
 def test_lsh_dedup_joins_all_pinned_shuffle_hash(spark, sf_dir):
-    # every join side descends from exploded/derived tables with
-    # misestimated sizes — nothing may broadcast
-    plan = _plan(spark, sf_dir, "dedup_embedding_lsh")
+    """Every join side of the sign-LSH pair generator descends from
+    exploded/derived tables with misestimated sizes — nothing may
+    broadcast. r11: `dedup_embedding_lsh` itself now serves from the
+    persisted edge artifact (its plan is one pushed-filter scan,
+    pinned in test_neardup_edge_probe_plan_is_lsh_free), so this pin
+    moved to the BUILD's pair generator — the plan that actually
+    carries the joins."""
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.cosine_near_dup_pairs_lsh(
+        emb, threshold=0.4, n_planes=16, bits_per_band=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
     assert plan.count("ShuffledHashJoin") >= 3
 
