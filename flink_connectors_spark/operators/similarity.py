@@ -672,6 +672,12 @@ def neardup_edges_build_artifact(
     rebuilds on corpus ingest (not per query), and consumers pay one
     pair-sized scan instead of a corpus-wide LSH pass."""
     spark = corpus.sparkSession
+    # resolve AUTO banding (n_planes/bits None -> corpus-sized via
+    # auto_lsh_bands) BEFORE the manifest write: the sidecar must
+    # record the banding actually built, not the unresolved Nones
+    n_planes, bits_per_band = resolve_lsh_banding(
+        n_planes, bits_per_band, corpus.count, min_score
+    )
     _write_artifact_manifest(
         spark, path,
         {
