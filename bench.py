@@ -205,6 +205,7 @@ HEADLINE = [
     "similarity_neardup_edges_artifact",
     "similarity_graph_components_census",
     "similarity_graph_adamic_adar",
+    "dedup_embedding_keeplist",
 ]
 
 # Build-once / probe-many queries: the *_build_artifact rows build

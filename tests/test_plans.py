@@ -1424,12 +1424,26 @@ def test_neardup_edge_probe_plan_is_lsh_free(spark, sf_dir):
     assert "ExistingRDD" not in plan
     with pytest.raises(ValueError, match="floor"):
         S.read_neardup_edges(spark, path, 0.2)
-    # consumers: bounded scans (checkpointed edge read => 0)
-    for name in (
-        "similarity_graph_triangles",
-        "similarity_graph_pagerank",
-        "dedup_canonical_pagerank",
+    # consumers: bounded scans. Triangles checkpoints the edge read
+    # (unioned join subtrees would re-inline it 9x) => 0 scans; the
+    # rank/membership consumers serve from the GRAPH artifact's
+    # node-sized relations => 1-2 plain scans, no closure stages, no
+    # ExistingRDD (nothing left to checkpoint)
+    for name, max_scans in (
+        ("similarity_graph_triangles", 0),
+        ("similarity_graph_pagerank", 1),
+        ("dedup_canonical_pagerank", 2),
+        ("similarity_graph_components_census", 1),
+        ("dedup_embedding_keeplist", 2),
     ):
         cdf = SPECS[name].fn(spark, sf_dir)
-        assert _count_file_scans(cdf) == 0, name
+        assert _count_file_scans(cdf) <= max_scans, name
+    for name in (
+        "similarity_graph_pagerank",
+        "dedup_canonical_pagerank",
+        "similarity_graph_components_census",
+    ):
+        cplan = _plan(spark, sf_dir, name)
+        assert "ExistingRDD" not in cplan, name
+        assert "fcs_neardup" in cplan, name
     _release(spark)
