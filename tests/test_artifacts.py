@@ -30,6 +30,8 @@ ALL_FAMILIES = [
     ("ann_opq", llm_ops3._opq_artifact_path),
     ("ann_opq_inc", llm_ops3._opq_inc_artifact_path),
     ("kmeans8", llm_ops._kmeans_artifact_path),
+    ("neardup_edges", llm_ops._neardup_edges_artifact_path),
+    ("neardup_graph", llm_ops._neardup_graph_artifact_path),
 ]
 
 
