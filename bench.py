@@ -206,6 +206,11 @@ HEADLINE = [
     "similarity_graph_components_census",
     "similarity_graph_adamic_adar",
     "dedup_embedding_keeplist",
+    # r11 wave 2: the per-dimension scalar-quantizer rung (FAISS
+    # SQ8 parity — trained ranges + asymmetric distance); the recall
+    # row prices the exact brute-force A/B alongside the probe.
+    "similarity_topk_sq8",
+    "similarity_recall_sq8",
 ]
 
 # Build-once / probe-many queries: the *_build_artifact rows build

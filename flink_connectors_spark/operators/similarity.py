@@ -1153,6 +1153,145 @@ def cosine_topk_int8(
     )
 
 
+def sq8_train_stats(
+    corpus: DataFrame, scale: int = 1024, vec_col: str = "embedding"
+) -> DataFrame:
+    """Train the per-DIMENSION scalar-quantizer range (FAISS
+    ``ScalarQuantizer`` QT_8bit ``train``): min and max of every
+    coordinate over the corpus, on the repo's deterministic
+    ``round(x * scale)`` integer grid. Returns a ONE-ROW frame
+    (mins array<long>, maxs array<long>) — index-header-sized
+    metadata (2 x dims longs), the SQ analogue of a PQ codebook.
+
+    Scale shape: one posexplode + one dims-keyed aggregate (partial
+    map-side, dims groups), then a dims-sized collect into the
+    one-row arrays — the classic train-once pass; at 100 TB it runs
+    over a corpus sample exactly like k-means/PQ training."""
+    v = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    ex = corpus.select(F.posexplode(v).alias("pos", "val"))
+    stats = ex.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    by_pos = lambda f: F.transform(  # noqa: E731
+        F.array_sort(F.collect_list(F.struct("pos", f))),
+        lambda s: s[f],
+    )
+    return stats.agg(
+        by_pos("mn").alias("mins"), by_pos("mx").alias("maxs")
+    )
+
+
+# corpus-side SQ8 encode: code_i = round((w_i - min_i) * 255 / span_i)
+# in [0, 255]; constant dimensions (span 0) code as 0. The *255
+# numerator is an exact small integer, so the single float division +
+# round is IEEE-identical across engines.
+_SQ8_CODE = (
+    "transform(sequence(1, size(__w__)), i -> "
+    "CASE WHEN element_at(maxs, i) > element_at(mins, i) "
+    "THEN CAST(round(CAST((element_at(__w__, i) - element_at(mins, i)) "
+    "* 255 AS DOUBLE) / CAST(element_at(maxs, i) - element_at(mins, i) "
+    "AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+)
+# decode, kept INTEGER by reconstructing at 255x magnification:
+# rec255_i = 255 * (min_i + code_i * span_i / 255). The uniform 1/255
+# factor cancels out of cosine, so scoring against rec255 needs no
+# float dequantization anywhere.
+_SQ8_REC255 = (
+    "transform(sequence(1, size(__codes__)), i -> "
+    "element_at(mins, i) * CAST(255 AS BIGINT) "
+    "+ element_at(__codes__, i) "
+    "* (element_at(maxs, i) - element_at(mins, i)))"
+)
+
+
+def cosine_topk_sq8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over a per-DIMENSION 8-bit scalar-quantized store
+    (FAISS ``ScalarQuantizer`` QT_8bit / ``IndexScalarQuantizer``
+    parity) with ASYMMETRIC distance: queries stay full-precision
+    (the deterministic ``round(x*scale)`` grid), corpus coordinates
+    are coded to [0, 255] on per-dimension trained (min, max) ranges
+    — the rung between the per-VECTOR symmetric int8 scan
+    (:func:`cosine_topk_int8`, scales cancel, no training) and PQ
+    (:func:`cosine_topk_pq`, codebook training, dims/subspaces
+    bytes): same 4x byte shrink as int8 but per-dimension ranges
+    adapt to anisotropic embeddings, and the asymmetric score keeps
+    the query side lossless (Guo et al. / FAISS ADC convention).
+
+    Everything is exact integer math: the decode reconstructs at
+    255x magnification (``rec255 = 255*min + code*span``), and the
+    uniform 1/255 cancels out of cosine — so dots and norms are
+    int64-exact and the single float division + round(6) is
+    engine-stable. |dot| <= ~2^43 at 64 dims on the 1024 grid — exact
+    in int64 AND in the oracle's DOUBLE folds.
+
+    Plan shape: one train pass (posexplode + dims-keyed agg ->
+    one-row (mins, maxs), broadcast), one encode pass inside the
+    corpus scan projection (codes never shuffle), queries broadcast;
+    only |Q| x k ranked rows leave the scan stage. Zero-norm sides
+    are excluded rather than scored 0/0. Returns
+    (query_id, neighbor_id, score, rnk)."""
+    stats = sq8_train_stats(corpus, scale=scale, vec_col=vec_col)
+    w = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+
+    def idot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    n = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), w.alias("__w__"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__codes__", F.expr(_SQ8_CODE))
+        .withColumn("rv", F.expr(_SQ8_REC255))
+        .filter(idot("rv", "rv") > 0)
+        .select("neighbor_id", "rv")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), w.alias("qw"))
+        .filter(idot("qw", "qw") > 0)
+    )
+    scored = n.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "score",
+        F.round(
+            idot("qw", "rv").cast("double")
+            / (
+                F.sqrt(idot("qw", "qw").cast("double"))
+                * F.sqrt(idot("rv", "rv").cast("double"))
+            ),
+            6,
+        ),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     k: int = 8,

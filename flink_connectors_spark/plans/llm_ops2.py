@@ -1078,3 +1078,148 @@ def join_dynamic_partition_pruning(
             F.countDistinct("dt").cast("long").alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension 8-bit scalar quantization (FAISS ScalarQuantizer QT_8bit):
+# the rung between per-vector int8 (no training, scales cancel) and PQ
+# (codebook training). Asymmetric distance: queries stay full-precision,
+# the corpus is coded on per-dimension trained (min, max) ranges; the
+# decode reconstructs at 255x magnification so scoring is exact int64
+# math end to end (the uniform 1/255 cancels out of cosine).
+# ---------------------------------------------------------------------------
+
+_SQL_SQ8 = """
+    wq AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS w
+           FROM embeddings),
+    sq_ex AS (SELECT unnest(wq.w) AS val,
+                     unnest(range(1, len(wq.w) + 1)) AS pos
+              FROM wq),
+    sq_st AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx
+              FROM sq_ex GROUP BY pos),
+    sq_mm AS (SELECT list(mn ORDER BY pos) AS mins,
+                     list(mx ORDER BY pos) AS maxs FROM sq_st),
+    sq_rec AS (
+      SELECT wq.vec_id,
+             list_transform(range(1, len(wq.w) + 1), i ->
+               sq_mm.mins[i] * 255 +
+               (CASE WHEN sq_mm.maxs[i] > sq_mm.mins[i]
+                THEN CAST(round(CAST((wq.w[i] - sq_mm.mins[i]) * 255
+                               AS DOUBLE)
+                          / CAST(sq_mm.maxs[i] - sq_mm.mins[i] AS DOUBLE))
+                     AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END)
+               * (sq_mm.maxs[i] - sq_mm.mins[i])) AS rv
+      FROM wq, sq_mm),
+    sq_q AS (SELECT vec_id AS query_id, w AS qw FROM wq
+             WHERE vec_id < 20
+               AND list_sum(list_transform(w, x -> x * x)) > 0),
+    sq_n AS (SELECT vec_id AS neighbor_id, rv FROM sq_rec
+             WHERE list_sum(list_transform(rv, x -> x * x)) > 0)
+"""
+
+_SQL_SQ8_SCORED = f"""
+    sq_scored AS (
+      SELECT sq_q.query_id, sq_n.neighbor_id,
+             round({_sql_idot("sq_q.qw", "sq_n.rv")}
+                   / (sqrt({_sql_idot("sq_q.qw", "sq_q.qw")})
+                      * sqrt({_sql_idot("sq_n.rv", "sq_n.rv")})), 6)
+               AS score
+      FROM sq_n CROSS JOIN sq_q
+      WHERE sq_n.neighbor_id <> sq_q.query_id)
+"""
+
+
+@register(
+    "similarity_topk_sq8",
+    oracle=f"""
+    WITH {_SQL_SQ8},
+    {_SQL_SQ8_SCORED},
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rnk
+      FROM sq_scored)
+    SELECT query_id, neighbor_id, score, rnk FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk", "quantization"),
+    since=11,
+)
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine over the per-DIMENSION 8-bit scalar-quantized
+    store (FAISS ScalarQuantizer QT_8bit / IndexScalarQuantizer
+    parity) with ASYMMETRIC distance — same 4x byte shrink as the
+    per-vector int8 scan but per-dimension trained ranges adapt to
+    anisotropic embeddings (this corpus IS anisotropic:
+    embedding_anisotropy audits it), and the query side stays
+    lossless (ADC). Train = one posexplode + dims-keyed agg into a
+    one-row broadcast (2 x dims longs — SQ's whole "codebook");
+    encode rides the corpus scan projection; integer dots, one float
+    division per pair."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.cosine_topk_sq8(emb.filter(emb.vec_id < 20), emb, k=5)
+
+
+@register(
+    "similarity_recall_sq8",
+    oracle=f"""
+    WITH {_SQL_SQ8},
+    {_SQL_SQ8_SCORED},
+    sq8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM sq_scored) t WHERE rnk <= 5),
+    bfq AS (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 20),
+    bfc AS (SELECT vec_id AS neighbor_id, embedding AS cvec
+            FROM embeddings),
+    bf_scored AS (
+      SELECT bfq.query_id, bfc.neighbor_id,
+             {_sql_cos("bfq.qvec", "bfc.cvec")} AS score
+      FROM bfc CROSS JOIN bfq
+      WHERE bfc.neighbor_id <> bfq.query_id),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM bf_scored) t WHERE rnk <= 5),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN sq8 ON bf.query_id = sq8.query_id
+                      AND bf.neighbor_id = sq8.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT b.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS recall
+    FROM bf b LEFT JOIN hits h ON b.query_id = h.query_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "quantization", "qa"),
+    since=11,
+)
+def similarity_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the per-dimension SQ8 asymmetric scan against the
+    exact float32 brute force — the go/no-go audit before flipping a
+    store to scalar quantization, and the direct A/B against
+    similarity_recall_int8: same bytes, trained ranges + lossless
+    queries vs untrained symmetric codes. Both sides are
+    result-sized joins over |Q| x k rows; at 100 TB the exact side
+    runs over a query sample."""
+    from ..operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_sq8,
+        topk_recall_audit,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id < 20)
+    exact = cosine_topk_bruteforce(q, emb, k=5)
+    approx = cosine_topk_sq8(q, emb, k=5)
+    return topk_recall_audit(exact, approx, k=5)

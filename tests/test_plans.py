@@ -1447,3 +1447,48 @@ def test_neardup_edge_probe_plan_is_lsh_free(spark, sf_dir):
         assert "ExistingRDD" not in cplan, name
         assert "fcs_neardup" in cplan, name
     _release(spark)
+
+
+def test_sq8_topk_twin_and_train_stats(spark):
+    """Functional floor for the per-dimension scalar quantizer: the
+    trained (mins, maxs) must be the exact per-coordinate extremes on
+    the 1024 grid, and an exact duplicate vector must be its twin's
+    top-1 neighbor (identical codes -> identical reconstruction ->
+    the highest asymmetric score; NOT exactly 1.0 — ADC scores a
+    lossless query against a quantized reconstruction)."""
+    from flink_connectors_spark.operators.similarity import (
+        cosine_topk_sq8,
+        sq8_train_stats,
+    )
+
+    rows = [
+        (0, [0.5, -0.25, 0.125, 1.0]),
+        (1, [0.5, -0.25, 0.125, 1.0]),  # exact twin of 0
+        (2, [-1.0, 0.75, 0.5, -0.125]),
+        (3, [0.3, 0.9, -0.2, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    st = sq8_train_stats(df).first()
+    assert st["mins"] == [-1024, -256, -205, -128]
+    assert st["maxs"] == [512, 922, 512, 1024]
+    got = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["score"])
+        for r in cosine_topk_sq8(df.filter("vec_id < 2"), df, k=2).collect()
+    }
+    assert got[(0, 1)][0] == 1 and got[(0, 1)][1] > 0.999
+    assert got[(1, 1)][0] == 0 and got[(1, 1)][1] > 0.999
+
+
+def test_sq8_plan_broadcasts_train_stats(spark, sf_dir):
+    """The SQ8 probe must keep the corpus in its scan stage: the
+    one-row trained (mins, maxs) frame and the query set arrive as
+    broadcasts, the encode rides the corpus scan projection, and the
+    per-query top-k is a WindowGroupLimit (rank pushdown) — no
+    SortMergeJoin anywhere, and only |Q| x k ranked rows shuffle."""
+    plan = _plan(spark, sf_dir, "similarity_topk_sq8")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2  # stats + queries
+    assert "WindowGroupLimit" in plan
+    df = SPECS["similarity_topk_sq8"].fn(spark, sf_dir)
+    # corpus encode pass + train pass + query side
+    assert _count_file_scans(df) == 3
