@@ -224,6 +224,14 @@ HEADLINE = [
 BUILD_ONCE = [
     n for n in HEADLINE
     if n.endswith("_build_artifact") or n.endswith("_edges_artifact")
+] + [
+    # first-toucher build pricing without a dedicated *_build row:
+    # dedup_minhash_lsh ensures the TEXT-side MinHash pair artifact
+    # (its five sibling consumers then read it), and the drift
+    # monitor ensures the yesterday's-slice k-means artifact — each
+    # build lands once in that query's cold column (r11 wave 2)
+    "dedup_minhash_lsh",
+    "embedding_centroid_drift",
 ]
 
 

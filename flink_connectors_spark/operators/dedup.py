@@ -19,7 +19,7 @@ DuckDB oracles (no engine-private hash functions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -1059,4 +1059,88 @@ def simhash_lsh_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
+    )
+
+
+def minhash_pairs_build_artifact(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_jac: float = 0.5,
+) -> None:
+    """Persist the verified MinHash-LSH pair list as a parquet
+    artifact — the TEXT-side twin of the embedding edge artifact
+    (`similarity.neardup_edges_build_artifact`). Six registered
+    consumers ran the identical shingle -> MinHash(8) -> band(4x2)
+    -> candidate self-join -> exact-Jaccard-verify pipeline per
+    invocation (the pair report, clusters, cluster census, rate by
+    source, modality agreement, keeplist apply); the pipeline
+    depends only on (banding, verify floor), so ONE scored pair
+    relation serves all of them through a ``jac >=`` read filter.
+
+    Relations:
+
+    - ``{path}/pairs``    — (d1, d2, jac) with d1 < d2 and
+      round(jac, 6) >= ``min_jac``; pair-list-sized (band-bucket
+      occupancy bounded, never corpus²).
+    - ``{path}/manifest`` — params sidecar (written FIRST):
+      shingle/banding params + the verify floor x100; readers
+      validate their threshold against the floor — serving BELOW it
+      would silently miss pairs filtered out at build time.
+
+    jac is stored exactly as the live pipeline emits it
+    (round(|∩|/|∪|, 6)), so a stored-relation filter at a consumer's
+    threshold is bit-equal to the live filter, and the deterministic
+    build means SQL oracles keep replaying the full MinHash pipeline
+    and value-hashing output served from the artifact. At 100 TB the
+    pair list is the dedup family's index: rebuilt on ingest, read
+    by every report/cut as one pushed-filter scan."""
+    from .similarity import _write_artifact_manifest
+
+    spark = df.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {
+            "shingle_n": int(shingle_n),
+            "num_hashes": int(num_hashes),
+            "band_size": int(band_size),
+            "min_jac_x100": int(round(min_jac * 100)),
+        },
+    )
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, band_size=band_size, threshold=min_jac,
+    )
+    pairs.write.mode("overwrite").parquet(f"{path}/pairs")
+    # pair relation is on disk — free the build's checkpointed
+    # shingle/band tables
+    unpersist_inputs(pairs)
+
+
+def read_minhash_pairs(
+    spark: SparkSession, path: str, threshold: float = 0.5
+) -> DataFrame:
+    """Serve verified (d1, d2, jac) MinHash near-dup pairs with
+    jac >= ``threshold`` from a persisted pair artifact
+    (:func:`minhash_pairs_build_artifact`): one pruned parquet scan
+    + a pushed-down jac filter — no shingle explode, no signature
+    fold, no band self-join, no corpus scan. Raises when
+    ``threshold`` is below the artifact's verify floor (those pairs
+    were never stored)."""
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if int(round(threshold * 100)) < man["min_jac_x100"]:
+        raise ValueError(
+            f"minhash pair artifact at {path!r} was built with verify "
+            f"floor {man['min_jac_x100'] / 100}; cannot serve "
+            f"threshold {threshold} (pairs below the floor were never "
+            "stored)"
+        )
+    return spark.read.parquet(f"{path}/pairs").filter(
+        F.col("jac") >= threshold
     )

@@ -121,16 +121,17 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
                 / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) >= 0.5
     """,
     tags=("llm", "dedup", "minhash", "lsh"),
+    changed=11,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands of 2) near-dup pairs, Jaccard-verified
-    at >= 0.5. No O(n^2): candidates come from band-bucket self-join."""
-    return D.minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"),
-        num_hashes=_MINHASH_K,
-        band_size=_BAND,
-        threshold=0.5,
-    )
+    at >= 0.5. No O(n^2): candidates come from band-bucket self-join.
+    r11: served from the persisted TEXT-side pair artifact — this
+    query prices the one LSH pass (first toucher) and value-hashes
+    the read-back against an oracle that replays the full pipeline,
+    proving the stored relation equals the live computation."""
+    path = _minhash_pairs_artifact_path(spark, sf_dir)
+    return D.read_minhash_pairs(spark, path, threshold=0.5)
 
 
 @register(
@@ -927,6 +928,49 @@ def _kmeans_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     return ensure_artifact(spark, "kmeans8", sf_dir, build)
 
 
+def _kmeans_old_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Yesterday's-slice twin of the shared k-means artifact: the
+    SAME deterministic build over the frozen ``vec_id < 300`` slice
+    — what a nightly refresh would have persisted from yesterday's
+    corpus. The drift monitor compares this stored codebook against
+    the LIVE one (`_kmeans_artifact_path`); rebuilding yesterday's
+    chain per invocation priced ~2.5 s/run at sf0.1 for a k-sized
+    compare (r11 bench). Its only consumer is the drift query, so
+    that query's COLD run carries this build — the standard
+    first-toucher pricing."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        emb = _load(spark, sf_dir, "embeddings")
+        S.kmeans_build_artifact(
+            emb.filter(F.col("vec_id") < 300), path, k=8, iters=2,
+            scale=1024,
+        )
+
+    return ensure_artifact(spark, "kmeans8_old", sf_dir, build)
+
+
+def _minhash_pairs_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted TEXT-side MinHash-LSH pair artifact
+    (shingle_n=3, MinHash(8), bands 4x2, verify floor 0.5 — the
+    params every registered consumer uses) for this (process, scale
+    factor). Six consumers serve from it: the pair report
+    (`dedup_minhash_lsh`, which prices the build in its cold run as
+    the usual first toucher), clusters, the cluster census, the
+    per-source dup-rate report, modality agreement's text side, and
+    the keeplist cut. Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        D.minhash_pairs_build_artifact(
+            _load(spark, sf_dir, "documents"), path,
+            shingle_n=3, num_hashes=_MINHASH_K, band_size=_BAND,
+            min_jac=0.5,
+        )
+
+    return ensure_artifact(spark, "minhash_pairs", sf_dir, build)
+
+
 @register(
     "embedding_kmeans_assign",
     changed=10,
@@ -1263,18 +1307,18 @@ _PAIRS_CTES = f"""{_SHINGLES_CTE},
     FROM reach GROUP BY a
     """,
     tags=("llm", "dedup", "clustering", "iterative"),
+    changed=11,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clustering: MinHash-LSH pairs -> connected
     components via iterative min-label propagation (each doc labeled
     with the smallest doc_id in its component — the canonical doc a
     training pipeline keeps). The DuckDB oracle computes the same
-    components with a recursive transitive-closure CTE."""
-    pairs = D.minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"),
-        num_hashes=_MINHASH_K,
-        band_size=_BAND,
-        threshold=0.5,
+    components with a recursive transitive-closure CTE. r11: the
+    pair list is a pushed-filter scan of the persisted text pair
+    artifact — only the min-label iterations run per invocation."""
+    pairs = D.read_minhash_pairs(
+        spark, _minhash_pairs_artifact_path(spark, sf_dir), threshold=0.5
     )
     return D.connected_components(pairs)
 
@@ -3521,6 +3565,7 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "report", "stats"),
     since=4,
+    changed=11,
 )
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate rate per source — the which-crawl-is-dirtiest
@@ -3533,13 +3578,13 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = _load(spark, sf_dir, "documents")
-    # pair-list-sized; the d1/d2 member union reads it twice and
-    # would re-run the candidate+verify joins per side without
-    # materialization (the band table is persisted inside the
-    # generator, but the joins above it are not)
-    pairs = D.minhash_lsh_pairs(
-        d, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
-    ).localCheckpoint(eager=True)
+    # r11: the pair list is a pushed-filter scan of the persisted
+    # text pair artifact; the d1/d2 member union reads the parquet
+    # relation twice, which is cheaper than the checkpoint the live
+    # LSH pipeline needed here
+    pairs = D.read_minhash_pairs(
+        spark, _minhash_pairs_artifact_path(spark, sf_dir), threshold=0.5
+    )
     members = (
         pairs.select(F.col("d1").alias("doc_id"))
         .union(pairs.select(F.col("d2").alias("doc_id")))

@@ -116,6 +116,7 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "clustering", "census", "iterative"),
     since=4,
+    changed=11,
 )
 def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster SIZE census — the dedup-health histogram
@@ -125,12 +126,12 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     + min-label components as dedup_clusters; two summary-sized
     aggregates on top, so the census costs nothing beyond the
     clustering it audits. Oracle recomputes components via a
-    recursive transitive-closure CTE."""
-    pairs = D.minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"),
-        num_hashes=_MINHASH_K,
-        band_size=_BAND,
-        threshold=0.5,
+    recursive transitive-closure CTE. r11: pairs come from the
+    persisted text pair artifact (one pushed-filter scan)."""
+    from .llm_ops import _minhash_pairs_artifact_path
+
+    pairs = D.read_minhash_pairs(
+        spark, _minhash_pairs_artifact_path(spark, sf_dir), threshold=0.5
     )
     comp = D.connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(
@@ -436,14 +437,18 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     hallucinating pairs text disproves) BEFORE either is trusted to
     delete data. Both pair generators are the banded/bucketed
     corpus-scale paths; the agreement join is pair-list-sized, so
-    the report costs nothing beyond the two detectors. r11: the
-    embedding side serves from the persisted edge artifact — one
-    pair-sized scan instead of a per-invocation LSH pass."""
-    from .llm_ops import _neardup_edges_artifact_path
+    the report costs nothing beyond the two detectors. r11: BOTH
+    sides serve from persisted pair artifacts — the embedding side
+    from the sign-LSH edge artifact, the text side from the MinHash
+    pair artifact — two pair-sized scans instead of two
+    per-invocation LSH passes."""
+    from .llm_ops import (
+        _minhash_pairs_artifact_path,
+        _neardup_edges_artifact_path,
+    )
 
-    docs = _load(spark, sf_dir, "documents")
-    tp = D.minhash_lsh_pairs(
-        docs, num_hashes=_MINHASH_K, band_size=_BAND, threshold=0.5
+    tp = D.read_minhash_pairs(
+        spark, _minhash_pairs_artifact_path(spark, sf_dir), threshold=0.5
     ).select("d1", "d2")
     path = _neardup_edges_artifact_path(spark, sf_dir)
     ep = (

@@ -1611,6 +1611,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "apply", "iterative"),
     since=4,
+    changed=11,
 )
 def dedup_apply_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stage that actually SHRINKS the corpus: MinHash-LSH pairs
@@ -1621,10 +1622,14 @@ def dedup_apply_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Closes the dedup loop the pair/cluster/census queries analyze:
     pairs (detection) -> clusters (grouping) -> THIS (the cut). The
     oracle recomputes components with the recursive transitive-
-    closure CTE and anti-joins identically."""
+    closure CTE and anti-joins identically. r11: pairs come from the
+    persisted text pair artifact (one pushed-filter scan); only the
+    min-label iterations and the cut run per invocation."""
+    from .llm_ops import _minhash_pairs_artifact_path
+
     docs = _load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, band_size=2, threshold=0.5
+    pairs = D.read_minhash_pairs(
+        spark, _minhash_pairs_artifact_path(spark, sf_dir), threshold=0.5
     )
     comps = D.connected_components(pairs)
     drops = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
@@ -2179,7 +2184,7 @@ _DRIFT_MEAN_N = "list_transform(n.s, v -> CAST(v AS DOUBLE) / CAST(n.c AS DOUBLE
 
 @register(
     "embedding_centroid_drift",
-    changed=10,
+    changed=11,
     oracle=f"""
     WITH {_km_chain_ns("o_", "vec_id < 300")},
     {_km_chain_ns("n_", "TRUE")}
@@ -2210,24 +2215,28 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim-ordered diff fold, identical on both engines. Output is
     k-sized; each build costs the kmeans build (centroids broadcast,
     zero assignment Exchange)."""
-    from .llm_ops import _kmeans_artifact_path
+    from .llm_ops import _kmeans_artifact_path, _kmeans_old_artifact_path
 
-    emb = _load(spark, sf_dir, "embeddings")
     # r10: "today's" codebook is the LIVE persisted index's (the
     # shared k-means artifact — drift is measured against the index
-    # actually being served, which is the monitor's real semantics);
-    # only yesterday's slice still trains a fresh chain
-    path = _kmeans_artifact_path(spark, sf_dir)
-    new_cb = [
-        (r["cluster"], list(r["s"]), r["c"])
-        for r in sorted(
-            spark.read.parquet(f"{path}/centroids").collect(),
-            key=lambda r: r["cluster"],
-        )
-    ]
-    old_cb = S.kmeans_assign_quantized(
-        emb.filter(F.col("vec_id") < 300), k=8, iters=2
-    )._fcs_centroids
+    # actually being served, which is the monitor's real semantics).
+    # r11: yesterday's codebook is ALSO a stored artifact (what the
+    # previous nightly refresh persisted) — the monitor compares two
+    # k-sized stored relations instead of re-training yesterday's
+    # chain per invocation. Both builds are deterministic, so the
+    # oracle keeps replaying BOTH Lloyd chains and a MATCH proves
+    # the persisted codebooks equal the live computation.
+    def read_cb(path: str) -> list:
+        return [
+            (r["cluster"], list(r["s"]), r["c"])
+            for r in sorted(
+                spark.read.parquet(f"{path}/centroids").collect(),
+                key=lambda r: r["cluster"],
+            )
+        ]
+
+    new_cb = read_cb(_kmeans_artifact_path(spark, sf_dir))
+    old_cb = read_cb(_kmeans_old_artifact_path(spark, sf_dir))
     rows = [
         (cl, s, c, s2, c2)
         for (cl, s, c), (_, s2, c2) in zip(old_cb, new_cb)

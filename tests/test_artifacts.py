@@ -30,8 +30,10 @@ ALL_FAMILIES = [
     ("ann_opq", llm_ops3._opq_artifact_path),
     ("ann_opq_inc", llm_ops3._opq_inc_artifact_path),
     ("kmeans8", llm_ops._kmeans_artifact_path),
+    ("kmeans8_old", llm_ops._kmeans_old_artifact_path),
     ("neardup_edges", llm_ops._neardup_edges_artifact_path),
     ("neardup_graph", llm_ops._neardup_graph_artifact_path),
+    ("minhash_pairs", llm_ops._minhash_pairs_artifact_path),
 ]
 
 

@@ -163,8 +163,24 @@ def test_minhash_verify_joins_never_broadcast_shingles(spark, sf_dir):
     """The shingle-carrying verify joins must plan as sort-merge:
     Catalyst size-estimates the shingle table from its tiny source
     file and would broadcast it — an OOM at real corpus scale
-    (observed live at 50k docs before the merge hints)."""
-    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    (observed live at 50k docs before the merge hints). r11: the
+    registered query serves from the pair artifact, so the pin lives
+    at the pair GENERATOR the artifact build runs (same repoint as
+    the sign-LSH join pin)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from flink_connectors_spark.operators import dedup as D
+    from flink_connectors_spark.session import load_table
+
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    D.unpersist_inputs(pairs)
     assert plan.count("SortMergeJoin") >= 2, "verify joins must be SMJ"
     ngram = _plan(spark, sf_dir, "dedup_ngram_jaccard")
     assert "SortMergeJoin" in ngram
@@ -675,19 +691,23 @@ def test_ivm_delta_broadcasts_delta_sides(spark, sf_dir):
 
 
 def test_canonical_pagerank_one_lsh_feeds_both_branches(spark, sf_dir):
-    """The composed detect -> cluster -> rank -> choose loop must run
-    the sign-LSH pair generation exactly ONCE: the pair list is
-    eagerly checkpoint-materialized (Scan ExistingRDD) and both the
-    connected-components branch and the PageRank branch read it. An
-    un-checkpointed pair list inlines the whole LSH subtree into
-    every consumer — and a LAZY persist races when the branches
-    launch in the same action (the r4 2-4x bug). Pin: the final plan
-    reads only materialized RDDs, never the embeddings parquet."""
+    """The composed detect -> cluster -> rank -> choose loop must not
+    re-run pair generation per branch. Historically that meant an
+    eagerly checkpointed pair list (Scan ExistingRDD) feeding both
+    the components branch and the PageRank branch (an un-checkpointed
+    list inlined the whole LSH subtree into every consumer — the r4
+    2-4x bug). Since the r11 graph artifact, BOTH derived relations
+    (components + converged ranks) are persisted node-sized parquet:
+    the final plan reads those two scans, no checkpoint left to need,
+    and must never touch the embeddings parquet or any LSH stage."""
     plan = _plan(spark, sf_dir, "dedup_canonical_pagerank")
-    assert "ExistingRDD" in plan, "pair list must be checkpoint-materialized"
+    df = SPECS["dedup_canonical_pagerank"].fn(spark, sf_dir)
+    assert _count_file_scans(df) <= 2, "closure/rank stages re-inlined"
+    assert "fcs_neardup_graph" in plan, "must read the graph artifact"
     assert "embeddings.parquet" not in plan, (
-        "LSH subtree re-inlined — pair list no longer materialized once"
+        "LSH subtree re-inlined — pair generation no longer persisted"
     )
+    assert "xxhash" not in plan.lower()
 
 
 def test_centroid_drift_compare_is_control_plane_sized(spark, sf_dir):
@@ -733,7 +753,10 @@ def test_multiconsumer_materializations_hold(spark, sf_dir):
     tree, not explain-output substrings (r5 ADVICE: text pins break
     on plan-format changes with no real regression)."""
     ceilings = {
-        "dedup_rate_by_source": 3,
+        # r11: the pair list became a pushed-filter artifact scan —
+        # re-reading it beats the checkpoint it needed when the LSH
+        # pipeline ran live, so the plan reads pairs x2 + docs x2
+        "dedup_rate_by_source": 4,
         "rollup_sketch_user_overlap": 1,
         "text_unigram_logprob": 1,
         "pipeline_ccnet_buckets": 1,
@@ -1492,3 +1515,42 @@ def test_sq8_plan_broadcasts_train_stats(spark, sf_dir):
     df = SPECS["similarity_topk_sq8"].fn(spark, sf_dir)
     # corpus encode pass + train pass + query side
     assert _count_file_scans(df) == 3
+
+
+def test_minhash_pair_probe_plan_is_lsh_free(spark, sf_dir):
+    """r11 text-side pair artifact (the embedding edge artifact's
+    twin): `read_minhash_pairs` must be ONE parquet scan of the pair
+    relation with the jac filter PUSHED to the scan — no shingle
+    explode, no signature fold, no band self-join, no corpus scan —
+    and a threshold below the artifact's verify floor must error
+    instead of silently serving a truncated pair set. Consumers:
+    the pair report is exactly the primitive (1 scan); modality
+    agreement reads two pair artifacts (2 scans); rate-by-source
+    reads pairs twice + documents twice (4 cheap pruned scans — the
+    checkpoint the live LSH pipeline needed here would now cost more
+    than the re-read)."""
+    import pytest
+
+    from flink_connectors_spark.operators import dedup as D
+    from flink_connectors_spark.plans.llm_ops import (
+        _minhash_pairs_artifact_path,
+    )
+
+    path = _minhash_pairs_artifact_path(spark, sf_dir)
+    df = D.read_minhash_pairs(spark, path, 0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _count_file_scans(df) == 1
+    assert "GreaterThanOrEqual(jac" in plan  # pushed, not post-scan
+    assert "xxhash" not in plan.lower()  # no band/signature stage
+    assert "ExistingRDD" not in plan
+    with pytest.raises(ValueError, match="floor"):
+        D.read_minhash_pairs(spark, path, 0.3)
+    for name, max_scans in (
+        ("dedup_minhash_lsh", 1),
+        ("dedup_modality_agreement", 2),
+        ("dedup_rate_by_source", 4),
+    ):
+        cdf = SPECS[name].fn(spark, sf_dir)
+        assert _count_file_scans(cdf) <= max_scans, name
+        cplan = cdf._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash" not in cplan.lower(), name
