@@ -232,6 +232,9 @@ BUILD_ONCE = [
     # build lands once in that query's cold column (r11 wave 2)
     "dedup_minhash_lsh",
     "embedding_centroid_drift",
+    # ...and the containment-statistics artifact (directed report is
+    # its first toucher; min-side report + keeplist read it)
+    "dedup_ngram_containment",
 ]
 
 

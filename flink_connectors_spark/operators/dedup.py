@@ -375,43 +375,19 @@ def ngram_containment_pairs(
     merge join so the tiny-file size estimate can't broadcast an
     exploded O(corpus x tokens) relation. The intersection count is
     computed once per pair and feeds both directed divisions."""
-    sh = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col),
-        tokenize(F.col(text_col)).alias("__words__"),
-    ).filter(F.size("__words__") >= shingle_n).select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col),
-        word_shingles(F.col("__words__"), shingle_n).alias("shingles"),
-    )
-    a = sh.alias("a").hint("merge")
-    b = sh.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(
-        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
-    ).cast("double")
-    c12 = F.round(
-        F.try_divide(inter, F.size(F.col("a.shingles")).cast("double")), 6
-    )
-    c21 = F.round(
-        F.try_divide(inter, F.size(F.col("b.shingles")).cast("double")), 6
+    stats = _containment_stats_pairs(
+        df, block_cols, text_col, id_col, shingle_n
     )
     return (
-        a.join(b, cond)
-        .withColumn("c_d1_in_d2", c12)
-        .withColumn("c_d2_in_d1", c21)
+        stats.withColumn(
+            "c_d1_in_d2", _contain_dir(F.col("inter"), "n1")
+        )
+        .withColumn("c_d2_in_d1", _contain_dir(F.col("inter"), "n2"))
         .filter(
             F.greatest(F.col("c_d1_in_d2"), F.col("c_d2_in_d1"))
             >= threshold
         )
-        .select(
-            F.col(f"a.{id_col}").alias("d1"),
-            F.col(f"b.{id_col}").alias("d2"),
-            "c_d1_in_d2",
-            "c_d2_in_d1",
-        )
+        .select("d1", "d2", "c_d1_in_d2", "c_d2_in_d1")
     )
 
 
@@ -653,6 +629,59 @@ def containment_pairs(
     id of the contained (smaller-set) side, the natural drop
     candidate.
     """
+    stats = _containment_stats_pairs(
+        df, block_cols, text_col, id_col, shingle_n
+    )
+    return (
+        stats.withColumn(
+            "containment", _contain_min(F.col("inter"), "n1", "n2")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "d1",
+            "d2",
+            "containment",
+            F.when(F.col("n1") <= F.col("n2"), F.col("d1"))
+            .otherwise(F.col("d2"))
+            .cast("long")
+            .alias("smaller"),
+        )
+    )
+
+
+def _contain_dir(inter, n) -> Column:
+    """Directed containment round(|∩| / n, 6) from stored stats."""
+    return F.round(
+        F.try_divide(inter.cast("double"), F.col(n).cast("double")), 6
+    )
+
+
+def _contain_min(inter, n1: str, n2: str) -> Column:
+    """Min-side containment round(|∩| / min(n1, n2), 6). Equal to
+    greatest of the two directed scores (round is monotone), which is
+    why one stored relation serves both containment families."""
+    return F.round(
+        F.try_divide(
+            inter.cast("double"),
+            F.least(F.col(n1), F.col(n2)).cast("double"),
+        ),
+        6,
+    )
+
+
+def _containment_stats_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The shared blocked self-join both containment families run:
+    (d1, d2, inter, n1, n2) — the EXACT integer sufficient statistics
+    (intersection size + both shingle-set sizes) every containment
+    score is a one-division function of. One block-keyed shuffle,
+    pair volume bounded by the largest block, shingle-bearing sides
+    merge-pinned against the small-file broadcast hazard."""
     words = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
@@ -668,31 +697,83 @@ def containment_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    n1 = F.size("a.shingles")
-    n2 = F.size("b.shingles")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    return (
-        a.join(b, cond)
-        .withColumn(
-            "containment",
-            F.round(
-                F.try_divide(
-                    inter.cast("double"),
-                    F.least(n1, n2).cast("double"),
-                ),
-                6,
-            ),
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("d1"),
+        F.col(f"b.{id_col}").alias("d2"),
+        F.size(
+            F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
         )
-        .filter(F.col("containment") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("d1"),
-            F.col(f"b.{id_col}").alias("d2"),
-            "containment",
-            F.when(n1 <= n2, F.col(f"a.{id_col}"))
-            .otherwise(F.col(f"b.{id_col}"))
-            .cast("long")
-            .alias("smaller"),
+        .cast("long")
+        .alias("inter"),
+        F.size("a.shingles").cast("long").alias("n1"),
+        F.size("b.shingles").cast("long").alias("n2"),
+    )
+
+
+def containment_pairs_build_artifact(
+    df: DataFrame,
+    path: str,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_score: float = 0.5,
+) -> None:
+    """Persist the containment-pair SUFFICIENT STATISTICS as a
+    parquet artifact: (d1, d2, inter, n1, n2) for every blocked pair
+    whose min-side containment (== greatest directed score) clears
+    ``min_score``. Storing the integer statistics instead of any one
+    score lets ONE relation serve BOTH containment families
+    bit-exactly — the directed report derives round(inter/n1, 6) /
+    round(inter/n2, 6), the min-side report derives
+    round(inter/least(n1, n2), 6) and its drop candidate
+    (n1 <= n2 -> d1), each a codegen'd projection over the stored
+    ints. Same manifest/floor contract as the MinHash pair artifact;
+    the shared blocked self-join runs once per ingest instead of once
+    per query."""
+    from .similarity import _write_artifact_manifest
+
+    spark = df.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {
+            "shingle_n": int(shingle_n),
+            "n_block_cols": len(block_cols),
+            "min_score_x100": int(round(min_score * 100)),
+        },
+    )
+    stats = _containment_stats_pairs(
+        df, block_cols, text_col, id_col, shingle_n
+    )
+    (
+        stats.filter(
+            _contain_min(F.col("inter"), "n1", "n2") >= min_score
+        ).write.mode("overwrite").parquet(f"{path}/pairs")
+    )
+
+
+def read_containment_pairs(
+    spark: SparkSession, path: str, threshold: float = 0.5
+) -> DataFrame:
+    """Serve the stored containment sufficient statistics
+    (d1, d2, inter, n1, n2) with min-side containment >=
+    ``threshold`` from a persisted artifact
+    (:func:`containment_pairs_build_artifact`): one pruned parquet
+    scan — no tokenize, no shingle explode, no blocked self-join.
+    Raises below the artifact's build floor."""
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if int(round(threshold * 100)) < man["min_score_x100"]:
+        raise ValueError(
+            f"containment pair artifact at {path!r} was built with "
+            f"floor {man['min_score_x100'] / 100}; cannot serve "
+            f"threshold {threshold} (pairs below the floor were never "
+            "stored)"
         )
+    stats = spark.read.parquet(f"{path}/pairs")
+    return stats.filter(
+        _contain_min(F.col("inter"), "n1", "n2") >= threshold
     )
 
 

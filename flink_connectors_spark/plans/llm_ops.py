@@ -349,6 +349,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "ngram", "containment"),
     since=7,
+    changed=11,
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs (Broder 1997): a doc
@@ -356,11 +357,19 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard — the subset-duplicate detector symmetric dedup misses.
     Both directed scores per pair; either direction >= 0.5 keeps the
     pair. Same blocked self-join shape (and scale bound) as
-    `dedup_ngram_jaccard`."""
-    return D.ngram_containment_pairs(
-        _load(spark, sf_dir, "documents"),
-        block_cols=["lang", "source"],
+    `dedup_ngram_jaccard`. r11: the directed scores are one-division
+    projections over the persisted containment-statistics artifact
+    (this query prices the build as first toucher); the oracle
+    replays the full blocked pipeline."""
+    stats = D.read_containment_pairs(
+        spark, _containment_pairs_artifact_path(spark, sf_dir),
         threshold=0.5,
+    )
+    return stats.select(
+        "d1",
+        "d2",
+        D._contain_dir(F.col("inter"), "n1").alias("c_d1_in_d2"),
+        D._contain_dir(F.col("inter"), "n2").alias("c_d2_in_d1"),
     )
 
 
@@ -396,6 +405,7 @@ _CONTAIN_PAIRS_CTE = f"""{_SHINGLES_CTE},
     """,
     tags=("llm", "dedup", "containment", "apply"),
     since=7,
+    changed=11,
 )
 def dedup_containment_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment CUT: every doc that is contained (>= 0.5 of
@@ -406,13 +416,21 @@ def dedup_containment_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     when only it is contained, drop d2 whenever it is contained.
     Survivors = corpus ANTI JOIN drops — duplicate-sized, like
     `dedup_apply_keeplist`; the pair pass is the blocked LSH-class
-    self-join, never corpus²."""
+    self-join, never corpus². r11: pairs derive from the persisted
+    containment-statistics artifact — both drop branches re-read the
+    cheap pushed-filter scan, so the checkpoint the live pipeline
+    needed here is gone."""
     docs = _load(spark, sf_dir, "documents")
-    # pair-list-sized, two consumers launching together (both drop
-    # branches): eager-checkpoint per the materialization rule
-    pairs = D.ngram_containment_pairs(
-        docs, block_cols=["lang", "source"], threshold=0.5
-    ).localCheckpoint(eager=True)
+    stats = D.read_containment_pairs(
+        spark, _containment_pairs_artifact_path(spark, sf_dir),
+        threshold=0.5,
+    )
+    pairs = stats.select(
+        "d1",
+        "d2",
+        D._contain_dir(F.col("inter"), "n1").alias("c_d1_in_d2"),
+        D._contain_dir(F.col("inter"), "n2").alias("c_d2_in_d1"),
+    )
     thr = F.lit(0.5)
     drops = (
         pairs.filter(
@@ -969,6 +987,26 @@ def _minhash_pairs_artifact_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return ensure_artifact(spark, "minhash_pairs", sf_dir, build)
+
+
+def _containment_pairs_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted containment-pair sufficient-statistics
+    artifact ((lang, source)-blocked, shingle_n=3, floor 0.5 — the
+    params every registered containment consumer uses). Three
+    consumers derive their scores from the stored exact integers:
+    the directed report (`dedup_ngram_containment`, the first
+    toucher that prices the build), the min-side report
+    (`dedup_containment`), and the keeplist cut
+    (`dedup_containment_keeplist`). Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        D.containment_pairs_build_artifact(
+            _load(spark, sf_dir, "documents"), path,
+            block_cols=["lang", "source"], shingle_n=3, min_score=0.5,
+        )
+
+    return ensure_artifact(spark, "contain_pairs", sf_dir, build)
 
 
 @register(
@@ -2877,17 +2915,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "containment"),
     since=3,
+    changed=11,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup detection: flags pairs where
     the smaller doc's shingle set is >= 50% covered by the larger —
     the quote/repost/wrapper relation Jaccard structurally misses
     (full containment of a short doc in a long one scores jac ~ |A|/|B|
-    but containment 1.0). Blocked self-join, block-bounded pairs."""
-    return D.containment_pairs(
-        _load(spark, sf_dir, "documents"),
-        ["lang", "source"],
+    but containment 1.0). Blocked self-join, block-bounded pairs.
+    r11: min-side containment and the drop candidate are one-division
+    projections over the persisted containment-statistics artifact
+    (round(inter/min, 6) == greatest directed score, so the shared
+    floor loses nothing); the oracle replays the full pipeline."""
+    stats = D.read_containment_pairs(
+        spark, _containment_pairs_artifact_path(spark, sf_dir),
         threshold=0.5,
+    )
+    return stats.select(
+        "d1",
+        "d2",
+        D._contain_min(F.col("inter"), "n1", "n2").alias("containment"),
+        F.when(F.col("n1") <= F.col("n2"), F.col("d1"))
+        .otherwise(F.col("d2"))
+        .cast("long")
+        .alias("smaller"),
     )
 
 

@@ -1554,3 +1554,37 @@ def test_minhash_pair_probe_plan_is_lsh_free(spark, sf_dir):
         assert _count_file_scans(cdf) <= max_scans, name
         cplan = cdf._jdf.queryExecution().executedPlan().toString()
         assert "xxhash" not in cplan.lower(), name
+
+
+def test_containment_pair_probe_plan_is_join_free(spark, sf_dir):
+    """r11 containment-statistics artifact: `read_containment_pairs`
+    must be ONE parquet scan of the stored (d1, d2, inter, n1, n2)
+    relation — no tokenize, no shingle explode, no blocked self-join
+    — with a below-floor threshold erroring. All three consumers
+    (directed report, min-side report, keeplist cut) are one-division
+    projections over that scan; the keeplist's two drop branches
+    re-read it rather than checkpointing (cheap pushed-filter scan)."""
+    import pytest
+
+    from flink_connectors_spark.operators import dedup as D
+    from flink_connectors_spark.plans.llm_ops import (
+        _containment_pairs_artifact_path,
+    )
+
+    path = _containment_pairs_artifact_path(spark, sf_dir)
+    df = D.read_containment_pairs(spark, path, 0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _count_file_scans(df) == 1
+    assert "SortMergeJoin" not in plan  # no blocked self-join
+    assert "array_intersect" not in plan  # no shingle work at probe
+    with pytest.raises(ValueError, match="floor"):
+        D.read_containment_pairs(spark, path, 0.2)
+    for name, max_scans in (
+        ("dedup_ngram_containment", 1),
+        ("dedup_containment", 1),
+        ("dedup_containment_keeplist", 3),  # pairs x2 + documents
+    ):
+        cdf = SPECS[name].fn(spark, sf_dir)
+        assert _count_file_scans(cdf) <= max_scans, name
+        cplan = cdf._jdf.queryExecution().executedPlan().toString()
+        assert "array_intersect" not in cplan, name
