@@ -235,6 +235,9 @@ BUILD_ONCE = [
     # ...and the containment-statistics artifact (directed report is
     # its first toucher; min-side report + keeplist read it)
     "dedup_ngram_containment",
+    # ...and the corpus-side MinHash signature index the incremental
+    # probe reads (bands + shingles — the standing nightly index)
+    "dedup_incremental_batch",
 ]
 
 

@@ -1225,3 +1225,154 @@ def read_minhash_pairs(
     return spark.read.parquet(f"{path}/pairs").filter(
         F.col("jac") >= threshold
     )
+
+
+def _minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """One side's shingle + banded-signature tables — the unit both
+    the bipartite pair generator and the persisted signature index
+    build from. Returns (shingled [persisted], band table)."""
+    n_bands = num_hashes // band_size
+    shingled = with_shingles(df, text_col, id_col, shingle_n).persist()
+    sig = minhash_signatures(shingled, num_hashes)
+    bands = F.array(
+        *[
+            F.concat(
+                *[F.col(f"m{b * band_size + j}") for j in range(band_size)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bt = sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band_id", "band_key")
+    )
+    return shingled, bt
+
+
+def minhash_index_build_artifact(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Persist the CORPUS side of the incremental-dedup pipeline as
+    the signature index every nightly ingest keeps between batches —
+    the thing `minhash_lsh_pairs_bipartite`'s docstring has always
+    said the corpus band table IS at 100 TB. Relations:
+
+    - ``{path}/bands``    — (id, band_id, band_key): the LSH band
+      table new batches probe (corpus-linear, narrow).
+    - ``{path}/shingles`` — (id, shingles): the shingle sets the
+      exact-Jaccard verify join reads (the stored-document half a
+      verify-capable index carries).
+    - ``{path}/manifest`` — banding params (written FIRST); probes
+      validate — probing an index built with different banding would
+      silently produce different candidates.
+
+    Deterministic build (fixed hash family), so oracles replay the
+    full bipartite pipeline and a MATCH proves probing the stored
+    index equals computing the corpus side live. On ingest the new
+    batch's own bands/shingles APPEND here (same layout), which is
+    the nightly-loop composition `examples/nightly_ingest.py`
+    demonstrates live."""
+    from .similarity import _write_artifact_manifest
+
+    spark = corpus.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {
+            "shingle_n": int(shingle_n),
+            "num_hashes": int(num_hashes),
+            "band_size": int(band_size),
+        },
+    )
+    shingled, bt = _minhash_band_table(
+        corpus, text_col, id_col, shingle_n, num_hashes, band_size
+    )
+    bt.write.mode("overwrite").parquet(f"{path}/bands")
+    (
+        shingled.select(F.col(id_col), "shingles")
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles")
+    )
+    _release_frame(shingled)
+
+
+def minhash_lsh_pairs_vs_index(
+    new_batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """`minhash_lsh_pairs_bipartite` probing a PERSISTED corpus
+    index (:func:`minhash_index_build_artifact`) instead of
+    computing the corpus side live: only the batch's shingle ->
+    MinHash -> band tables are built fresh (O(batch)); candidates
+    come from joining batch band keys against the stored band
+    relation, verification joins batch shingles against the stored
+    shingle relation. Params validate against the index manifest.
+    Returns (new_id, corpus_id, jac) with jac >= threshold — same
+    rows as the live bipartite pipeline (pinned by the registered
+    query's oracle, which replays both sides)."""
+    from .similarity import read_artifact_manifest
+
+    spark = new_batch.sparkSession
+    man = read_artifact_manifest(spark, path)
+    want = {
+        "shingle_n": shingle_n, "num_hashes": num_hashes,
+        "band_size": band_size,
+    }
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path!r} params mismatch: index has "
+            f"{got}, probe wants {want}"
+        )
+    new_sh, new_bt = _minhash_band_table(
+        new_batch, text_col, id_col, shingle_n, num_hashes, band_size
+    )
+    cor_bt = spark.read.parquet(f"{path}/bands")
+    cor_sh = spark.read.parquet(f"{path}/shingles")
+    cand = (
+        new_bt.alias("n")
+        .hint("merge")
+        .join(
+            cor_bt.alias("c").hint("merge"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    x = new_sh.select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh1")
+    ).hint("merge")
+    y = cor_sh.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("sh2")
+    ).hint("merge")
+    out = (
+        cand.join(x, "new_id")
+        .join(y, "corpus_id")
+        .withColumn(
+            "jac", F.round(jaccard_distinct(F.col("sh1"), F.col("sh2")), 6)
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("new_id", "corpus_id", "jac")
+    )
+    return _track_caches(out, [new_sh])

@@ -280,19 +280,25 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) >= 0.5
     """,
     tags=("llm", "dedup", "minhash", "lsh", "incremental"),
+    changed=11,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: every 10th doc plays the NEW batch;
     bipartite MinHash-LSH finds which new docs are near-dups of the
     existing corpus without any corpus self-join — the nightly-batch
     shape where the corpus band table is a persistent index and only
-    the batch side is computed fresh."""
+    the batch side is computed fresh. r11: that sentence is now
+    literal — the corpus bands + shingles are a PERSISTED signature
+    index (built once, priced in this query's cold column) and the
+    probe computes only the O(batch) side; the oracle replays both
+    sides live, so a MATCH proves probing the stored index equals
+    the full bipartite computation."""
     from pyspark.sql import functions as F
 
     d = _load(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs_bipartite(
+    return D.minhash_lsh_pairs_vs_index(
         d.filter(F.col("doc_id") % 10 == 0),
-        d.filter(F.col("doc_id") % 10 != 0),
+        _minhash_index_artifact_path(spark, sf_dir),
         num_hashes=_MINHASH_K,
         band_size=_BAND,
         threshold=0.5,
@@ -1007,6 +1013,25 @@ def _containment_pairs_artifact_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return ensure_artifact(spark, "contain_pairs", sf_dir, build)
+
+
+def _minhash_index_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted CORPUS-side MinHash signature index
+    (bands + shingles, the standing relations a nightly ingest keeps
+    between batches) for the incremental-dedup demo's corpus slice
+    (doc_id % 10 != 0). `dedup_incremental_batch` probes it with a
+    live batch side and prices the build as first toucher. Contract
+    in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        d = _load(spark, sf_dir, "documents")
+        D.minhash_index_build_artifact(
+            d.filter(F.col("doc_id") % 10 != 0), path,
+            shingle_n=3, num_hashes=_MINHASH_K, band_size=_BAND,
+        )
+
+    return ensure_artifact(spark, "minhash_index", sf_dir, build)
 
 
 @register(

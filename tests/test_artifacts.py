@@ -35,6 +35,7 @@ ALL_FAMILIES = [
     ("neardup_graph", llm_ops._neardup_graph_artifact_path),
     ("minhash_pairs", llm_ops._minhash_pairs_artifact_path),
     ("contain_pairs", llm_ops._containment_pairs_artifact_path),
+    ("minhash_index", llm_ops._minhash_index_artifact_path),
 ]
 
 

@@ -1588,3 +1588,33 @@ def test_containment_pair_probe_plan_is_join_free(spark, sf_dir):
         assert _count_file_scans(cdf) <= max_scans, name
         cplan = cdf._jdf.queryExecution().executedPlan().toString()
         assert "array_intersect" not in cplan, name
+
+
+def test_incremental_dedup_probes_stored_index(spark, sf_dir):
+    """r11 signature-index artifact: the incremental-dedup probe must
+    compute only the BATCH side live — the corpus bands and shingles
+    arrive as two parquet scans of the persisted index (manifest-
+    validated), so the plan reads exactly batch-side documents (x2:
+    band table + verify branch) + the two index relations, and a
+    params mismatch errors instead of silently probing with different
+    banding."""
+    import pytest
+
+    from flink_connectors_spark.operators import dedup as D
+    from flink_connectors_spark.plans.llm_ops import (
+        _minhash_index_artifact_path,
+    )
+    from flink_connectors_spark.session import load_table
+
+    df = SPECS["dedup_incremental_batch"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "fcs_minhash_index" in plan, "corpus side must read the index"
+    assert _count_file_scans(df) <= 4
+    assert plan.count("documents.parquet") <= 2, (
+        "corpus side recomputed live — more than the batch's two "
+        "document scans appear"
+    )
+    path = _minhash_index_artifact_path(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError, match="params mismatch"):
+        D.minhash_lsh_pairs_vs_index(batch, path, num_hashes=4)
