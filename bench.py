@@ -238,6 +238,9 @@ BUILD_ONCE = [
     # ...and the corpus-side MinHash signature index the incremental
     # probe reads (bands + shingles — the standing nightly index)
     "dedup_incremental_batch",
+    # ...and the persisted BPE tokenizer artifact (merges table;
+    # encode/fertility compile the stored rows into replace chains)
+    "pipeline_bpe_merges",
 ]
 
 

@@ -1207,6 +1207,7 @@ def _bpe_encoded_words(
     id_col: str = "doc_id",
     n_merges: int = 3,
     extra_cols: tuple[str, ...] = (),
+    merges: list | None = None,
 ) -> DataFrame:
     """Shared encode pass under :func:`bpe_encode_stats` and
     :func:`bpe_fertility`: train the merge table, then encode every
@@ -1217,7 +1218,12 @@ def _bpe_encoded_words(
     callers add the one keyed aggregate they need."""
     from ..functions import tokenize
 
-    merges = bpe_merge_table(df, text_col, n_merges).collect()
+    # ``merges`` lets a caller inject the PERSISTED tokenizer
+    # artifact's collected merge rows (read_bpe_merges) instead of
+    # re-running the 3-round training loop per invocation; the build
+    # is deterministic, so results are identical either way
+    if merges is None:
+        merges = bpe_merge_table(df, text_col, n_merges).collect()
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
@@ -1251,6 +1257,7 @@ def bpe_encode_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 3,
+    merges: list | None = None,
 ) -> DataFrame:
     """The APPLY half of :func:`bpe_merge_table` (the vocab-build /
     tokenize-ids pairing, for BPE): train the merge table, then
@@ -1262,7 +1269,7 @@ def bpe_encode_stats(
     symbols), applied per word occurrence; n_symbols sums the
     per-word symbol counts. One narrow projection + one doc-keyed
     aggregate."""
-    words = _bpe_encoded_words(df, text_col, id_col, n_merges)
+    words = _bpe_encoded_words(df, text_col, id_col, n_merges, merges=merges)
     return words.groupBy(id_col).agg(
         F.sum("n_chars_w").cast("long").alias("n_chars"),
         F.sum("n_sym_w").cast("long").alias("n_symbols"),
@@ -1275,6 +1282,7 @@ def bpe_fertility(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 3,
+    merges: list | None = None,
 ) -> DataFrame:
     """Tokenizer FERTILITY by group (canonically language): symbols
     emitted per word under the learned BPE merges — the multilingual-
@@ -1287,7 +1295,8 @@ def bpe_fertility(
     stays one pipeline. Ratios are single divisions of exact int64
     sums, rounded once — engine-stable."""
     words = _bpe_encoded_words(
-        df, text_col, id_col, n_merges, extra_cols=(group_col,)
+        df, text_col, id_col, n_merges, extra_cols=(group_col,),
+        merges=merges,
     )
     return words.groupBy(group_col).agg(
         F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
@@ -1596,4 +1605,55 @@ def langid_logreg(
         F.round(
             F.sum(correct).cast("double") / F.count(F.lit(1)), 6
         ).alias("accuracy"),
+    )
+
+
+def bpe_merges_build_artifact(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> None:
+    """Persist the BPE merges table — literally the artifact a
+    tokenizer ships (tokenizer.json's ``merges`` section): the
+    3-round distributed training loop runs ONCE per ingest and every
+    encode-side consumer (per-doc compression stats, per-language
+    fertility) compiles the stored rows into its codegen'd replace
+    chain instead of re-training. Manifest (written FIRST) records
+    n_merges; probes validate — encoding with a different merge
+    count would silently tokenize differently. Deterministic
+    training (greedy count-desc, lexicographic tie-break), so SQL
+    oracles keep replaying the full train->apply chain and a MATCH
+    proves the stored table equals the live loop."""
+    from .similarity import _write_artifact_manifest
+
+    spark = df.sparkSession
+    _write_artifact_manifest(spark, path, {"n_merges": int(n_merges)})
+    (
+        bpe_merge_table(df, text_col, n_merges)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/merges")
+    )
+
+
+def read_bpe_merges(
+    spark, path: str, n_merges: int = 3
+) -> list:
+    """Collect the persisted BPE merge rows in rank order (rank
+    order is load-bearing: later merges consume earlier merges'
+    symbols). Control-plane sized — n_merges rows. Validates
+    n_merges against the artifact manifest."""
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("n_merges") != n_merges:
+        raise ValueError(
+            f"BPE artifact at {path!r} params mismatch: built with "
+            f"n_merges={man.get('n_merges')}, probe wants {n_merges}"
+        )
+    return (
+        spark.read.parquet(f"{path}/merges")
+        .orderBy("merge_rank")
+        .collect()
     )

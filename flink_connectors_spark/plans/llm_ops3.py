@@ -2506,6 +2506,23 @@ def _bpe_round(i: int) -> str:
       FROM {prev} CROSS JOIN m{i})"""
 
 
+def _bpe_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted BPE tokenizer artifact (3 merges — the
+    registry's training config) for this (process, scale factor).
+    `pipeline_bpe_merges` prices the build and value-hashes the
+    read-back; the encode/fertility consumers compile the stored
+    rows into their replace chains. Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+    from ..operators.text import bpe_merges_build_artifact
+
+    def build(path: str) -> None:
+        bpe_merges_build_artifact(
+            _load(spark, sf_dir, "documents"), path, n_merges=3
+        )
+
+    return ensure_artifact(spark, "bpe_merges", sf_dir, build)
+
+
 @register(
     "pipeline_bpe_merges",
     oracle=f"""
@@ -2532,6 +2549,7 @@ def _bpe_round(i: int) -> str:
     """,
     tags=("llm", "pipeline", "tokenizer", "bpe", "iterative"),
     since=7,
+    changed=11,
 )
 def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, driver-verified: 3 merge rounds over
@@ -2542,11 +2560,12 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled round CTEs, so a drift anywhere in the iterative
     training fails the value hash (the Lloyd-chain discipline,
     applied to the OTHER famous training loop in an LLM data
-    pipeline). Output is the merges table a tokenizer ships."""
-    from ..operators.text import bpe_merge_table
-
-    d = _load(spark, sf_dir, "documents")
-    return bpe_merge_table(d, n_merges=3)
+    pipeline). Output is the merges table a tokenizer ships.
+    r11: served from the persisted tokenizer artifact — this query
+    prices the one training loop (first toucher) and value-hashes
+    the read-back."""
+    path = _bpe_artifact_path(spark, sf_dir)
+    return spark.read.parquet(f"{path}/merges")
 
 
 @register(
@@ -2594,6 +2613,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "tokenizer", "bpe", "iterative"),
     since=7,
+    changed=11,
 )
 def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE — the apply half of `pipeline_bpe_merges`: every
@@ -2604,11 +2624,16 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pins train -> apply end to end. The merge table is 3
     driver-collected rows compiled into codegen'd replace literals;
     the encode pass is one token explode + one doc-keyed aggregate,
-    the corpus never shuffles by token."""
-    from ..operators.text import bpe_encode_stats
+    the corpus never shuffles by token. r11: the merge rows come
+    from the persisted tokenizer artifact (no per-invocation
+    training); the oracle still replays train AND apply."""
+    from ..operators.text import bpe_encode_stats, read_bpe_merges
 
     d = _load(spark, sf_dir, "documents")
-    return bpe_encode_stats(d, n_merges=3)
+    merges = read_bpe_merges(
+        spark, _bpe_artifact_path(spark, sf_dir), n_merges=3
+    )
+    return bpe_encode_stats(d, n_merges=3, merges=merges)
 
 
 # ---------------------------------------------------------------------------
@@ -2864,6 +2889,7 @@ def pipeline_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "tokenizer", "bpe", "qa"),
     since=7,
+    changed=11,
 )
 def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by LANGUAGE — symbols per word under the
@@ -2875,11 +2901,15 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact) -> encode (per-doc compression) -> THIS (per-language
     equity of that compression). The oracle replays training AND the
     per-language rollup, so the hash pins the whole chain; output is
-    |languages| rows."""
-    from ..operators.text import bpe_fertility
+    |languages| rows. r11: merges come from the persisted tokenizer
+    artifact, same as the encode query."""
+    from ..operators.text import bpe_fertility, read_bpe_merges
 
     d = _load(spark, sf_dir, "documents")
-    return bpe_fertility(d, group_col="lang", n_merges=3)
+    merges = read_bpe_merges(
+        spark, _bpe_artifact_path(spark, sf_dir), n_merges=3
+    )
+    return bpe_fertility(d, group_col="lang", n_merges=3, merges=merges)
 
 
 @register(

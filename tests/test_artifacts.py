@@ -36,6 +36,7 @@ ALL_FAMILIES = [
     ("minhash_pairs", llm_ops._minhash_pairs_artifact_path),
     ("contain_pairs", llm_ops._containment_pairs_artifact_path),
     ("minhash_index", llm_ops._minhash_index_artifact_path),
+    ("bpe_merges", llm_ops3._bpe_artifact_path),
 ]
 
 

@@ -1618,3 +1618,28 @@ def test_incremental_dedup_probes_stored_index(spark, sf_dir):
     batch = load_table(spark, sf_dir, "documents").limit(5)
     with pytest.raises(ValueError, match="params mismatch"):
         D.minhash_lsh_pairs_vs_index(batch, path, num_hashes=4)
+
+
+def test_bpe_consumers_read_stored_merges(spark, sf_dir):
+    """r11 tokenizer artifact: the encode and fertility queries must
+    compile the STORED merge rows into their replace chains — no
+    3-round training loop in their plans (training ran once in the
+    artifact build). Pin: each plan reads documents exactly once
+    (the token explode), and a params mismatch at read errors."""
+    import pytest
+
+    from flink_connectors_spark.operators.text import read_bpe_merges
+    from flink_connectors_spark.plans.llm_ops3 import _bpe_artifact_path
+
+    path = _bpe_artifact_path(spark, sf_dir)
+    merges = read_bpe_merges(spark, path, n_merges=3)
+    assert [m["merge_rank"] for m in merges] == sorted(
+        m["merge_rank"] for m in merges
+    ), "merge rows must collect in rank order (later consumes earlier)"
+    with pytest.raises(ValueError, match="params mismatch"):
+        read_bpe_merges(spark, path, n_merges=5)
+    for name in ("pipeline_bpe_encode", "pipeline_tokenizer_fertility"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert _count_file_scans(df) == 1, (
+            f"{name}: training loop leaked into the probe plan"
+        )
