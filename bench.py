@@ -241,6 +241,9 @@ BUILD_ONCE = [
     # ...and the persisted BPE tokenizer artifact (merges table;
     # encode/fertility compile the stored rows into replace chains)
     "pipeline_bpe_merges",
+    # ...and the vocab50 id table (tokenize_ids joins its top-30
+    # prefix; vocab_build hashes the read-back)
+    "pipeline_vocab_build",
 ]
 
 

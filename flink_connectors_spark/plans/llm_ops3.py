@@ -736,6 +736,50 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _vocab_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted tokenizer VOCABULARY artifact (top-50
+    ranked id table with frequencies — tokenizer.json's vocab
+    section, sibling of the BPE merges artifact): one token-count
+    pass per ingest; `pipeline_vocab_build` prices the build and
+    hashes the read-back, `pipeline_tokenize_ids` broadcast-joins
+    the stored table's top-30 prefix (the SAME deterministic
+    ranking, so the prefix IS its vocab). Contract in
+    `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+    from ..operators.similarity import _write_artifact_manifest
+
+    def build(path: str) -> None:
+        from ..functions import normalize_text
+
+        _write_artifact_manifest(spark, path, {"top_v": 50})
+        d = _load(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("token"),
+        )
+        c = toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        top = c.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
+        w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        (
+            top.select(
+                F.row_number().over(w).cast("long").alias("vocab_id"),
+                "token",
+                "n_occurrences",
+                "doc_freq",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/vocab")
+        )
+
+    return ensure_artifact(spark, "vocab50", sf_dir, build)
+
+
 @register(
     "pipeline_vocab_build",
     oracle=f"""
@@ -755,6 +799,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "vocab", "tokenizer"),
     since=4,
+    changed=11,
 )
 def pipeline_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary build: corpus token counts + document
@@ -765,28 +810,11 @@ def pipeline_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-V cut, so the global row_number window
     orders V rows, never the corpus vocabulary — at 100 TB the only
     full-vocab stage is the keyed count, the id-assignment cost is
-    bounded by the vocab size you asked for."""
-    from ..functions import normalize_text
-
-    d = _load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
-            "token"
-        ),
-    )
-    c = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("doc_freq"),
-    )
-    top = c.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    return top.select(
-        F.row_number().over(w).cast("long").alias("vocab_id"),
-        "token",
-        "n_occurrences",
-        "doc_freq",
-    )
+    bounded by the vocab size you asked for. r11: the ranked table
+    is a PERSISTED artifact — this query prices the one count pass
+    (first toucher) and value-hashes the read-back."""
+    path = _vocab_artifact_path(spark, sf_dir)
+    return spark.read.parquet(f"{path}/vocab")
 
 
 # ---------------------------------------------------------------------------
@@ -1495,6 +1523,7 @@ def similarity_ivfpq_delete_probe(
     """,
     tags=("llm", "pipeline", "tokenizer", "vocab"),
     since=4,
+    changed=11,
 )
 def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-to-ids — the apply half of the vocabulary pair
@@ -1507,7 +1536,10 @@ def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding fails the hash). One token explode, one broadcast map-
     side join, one doc-keyed aggregate: the corpus never shuffles by
     token — exactly how a 100 TB encode pass should look (the vocab
-    is the only thing that moves)."""
+    is the only thing that moves). r11: the vocab arrives as the
+    top-30 PREFIX of the persisted vocab50 artifact (identical
+    deterministic ranking — count desc, token asc — so the prefix
+    IS the top-30 table); no per-invocation count pass."""
     from ..functions import normalize_text
 
     d = _load(spark, sf_dir, "documents")
@@ -1517,11 +1549,11 @@ def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(normalize_text(F.col("text")), " ")
         ).alias("pos0", "token"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
-    top = c.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(30)
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    vocab = top.select(
-        F.row_number().over(w).cast("long").alias("vocab_id"), "token"
+    path = _vocab_artifact_path(spark, sf_dir)
+    vocab = (
+        spark.read.parquet(f"{path}/vocab")
+        .filter(F.col("vocab_id") <= 30)
+        .select("vocab_id", "token")
     )
     ids = toks.join(F.broadcast(vocab), "token", "left").select(
         "doc_id",

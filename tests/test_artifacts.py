@@ -37,6 +37,7 @@ ALL_FAMILIES = [
     ("contain_pairs", llm_ops._containment_pairs_artifact_path),
     ("minhash_index", llm_ops._minhash_index_artifact_path),
     ("bpe_merges", llm_ops3._bpe_artifact_path),
+    ("vocab50", llm_ops3._vocab_artifact_path),
 ]
 
 

@@ -1643,3 +1643,17 @@ def test_bpe_consumers_read_stored_merges(spark, sf_dir):
         assert _count_file_scans(df) == 1, (
             f"{name}: training loop leaked into the probe plan"
         )
+
+
+def test_tokenize_ids_joins_stored_vocab(spark, sf_dir):
+    """r11 vocab artifact: the encode pass must broadcast-join the
+    STORED id table's top-30 prefix — one documents scan (the token
+    explode) + one vocab parquet scan, no second corpus-wide token
+    count in the plan."""
+    df = SPECS["pipeline_tokenize_ids"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "fcs_vocab50" in plan, "vocab must come from the artifact"
+    assert _count_file_scans(df) == 2
+    assert plan.count("documents.parquet") == 1, (
+        "a second corpus pass appeared — vocab recomputed live"
+    )
