@@ -244,6 +244,9 @@ BUILD_ONCE = [
     # ...and the vocab50 id table (tokenize_ids joins its top-30
     # prefix; vocab_build hashes the read-back)
     "pipeline_vocab_build",
+    # ...and the persisted top-principal-direction (powdir); the
+    # projection query prices the 2-round power iteration
+    "embedding_power_projection",
 ]
 
 

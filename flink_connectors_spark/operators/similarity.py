@@ -1437,6 +1437,7 @@ def power_iteration_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    component: list[int] | None = None,
 ) -> DataFrame:
     """Top principal direction of the (uncentered) embedding Gram
     matrix by deterministic quantized POWER ITERATION, returning each
@@ -1474,13 +1475,6 @@ def power_iteration_projection(
         lambda v: F.round(v.cast("double") * scale).cast("long"),
     )
     q = df.select(F.col(id_col), qv.alias("qv"))
-    # dims, when the caller knows it, skips a discovery job — the
-    # iterative builds that stack on this (OPQ) count driver
-    # round-trips
-    dim = dims if dims is not None else (
-        q.select(F.size("qv").alias("d")).first()["d"]
-    )
-
     def project(vec: list[int]) -> DataFrame:
         cent = spark.createDataFrame([(vec,)], "v array<long>")
         dot = F.aggregate(
@@ -1492,6 +1486,23 @@ def power_iteration_projection(
             id_col, F.col("qv"), dot.alias("dot")
         )
 
+    # ``component`` injects a PERSISTED direction (powdir artifact):
+    # skip the iteration loop entirely and run only the final
+    # distributed projection pass — deterministic build, identical
+    # output either way
+    if component is not None:
+        out = project(list(component)).select(
+            id_col, F.col("dot").alias("proj")
+        )
+        out._fcs_component = list(component)  # type: ignore[attr-defined]
+        return out
+
+    # dims, when the caller knows it, skips a discovery job — the
+    # iterative builds that stack on this (OPQ) count driver
+    # round-trips
+    dim = dims if dims is not None else (
+        q.select(F.size("qv").alias("d")).first()["d"]
+    )
     v = [scale] * dim
     for _ in range(iters):
         projected = project(v)
@@ -3745,3 +3756,53 @@ def topk_from_opq_artifact(
     )
     routed = codes.join(F.broadcast(probes), "cluster")
     return _pq_adc_rank(routed, luts, k, subspaces, scale, id_col)
+
+
+def powdir_build_artifact(
+    corpus: DataFrame,
+    path: str,
+    iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus' quantized top principal direction — the
+    d-long integer vector the whitening/anisotropy family derives
+    everything from. The power iteration (2 driver-coordinated
+    rounds of exact-int X^T(Xv)) runs ONCE per ingest; consumers
+    (the projection build, the anisotropy report) read one d-sized
+    row. Manifest (FIRST) records (iters, scale); deterministic
+    build, so oracles keep replaying the full iteration and a MATCH
+    proves the stored axis equals the live computation."""
+    spark = corpus.sparkSession
+    _write_artifact_manifest(
+        spark, path, {"iters": int(iters), "scale": int(scale)}
+    )
+    pj = power_iteration_projection(
+        corpus, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    v: list[int] = pj._fcs_component  # type: ignore[attr-defined]
+    (
+        spark.createDataFrame([([int(x) for x in v],)], "v array<long>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/direction")
+    )
+
+
+def read_powdir(
+    spark: SparkSession, path: str, iters: int = 2, scale: int = 1024
+) -> list[int]:
+    """Collect the persisted top principal direction (one d-long
+    row — control plane). Validates (iters, scale) against the
+    artifact manifest."""
+    man = read_artifact_manifest(spark, path)
+    want = {"iters": iters, "scale": scale}
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"powdir artifact at {path!r} params mismatch: built with "
+            f"{got}, probe wants {want}"
+        )
+    row = spark.read.parquet(f"{path}/direction").first()
+    return [int(x) for x in row["v"]]

@@ -38,6 +38,7 @@ ALL_FAMILIES = [
     ("minhash_index", llm_ops._minhash_index_artifact_path),
     ("bpe_merges", llm_ops3._bpe_artifact_path),
     ("vocab50", llm_ops3._vocab_artifact_path),
+    ("powdir", llm_ops3._powdir_artifact_path),
 ]
 
 

@@ -1657,3 +1657,25 @@ def test_tokenize_ids_joins_stored_vocab(spark, sf_dir):
     assert plan.count("documents.parquet") == 1, (
         "a second corpus pass appeared — vocab recomputed live"
     )
+
+
+def test_anisotropy_reads_stored_direction(spark, sf_dir):
+    """r11 powdir artifact: the anisotropy report derives everything
+    from the stored d-long axis — its plan must read embeddings
+    exactly ONCE (the per-label energy pass) with no power-iteration
+    aggregates or projection job; the projection build reads
+    embeddings once + the direction row; params mismatch errors."""
+    import pytest
+
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.plans.llm_ops3 import _powdir_artifact_path
+
+    path = _powdir_artifact_path(spark, sf_dir)
+    v = S.read_powdir(spark, path, iters=2, scale=1024)
+    assert len(v) == 64 and any(x != 0 for x in v)
+    with pytest.raises(ValueError, match="params mismatch"):
+        S.read_powdir(spark, path, iters=3, scale=1024)
+    df = SPECS["embedding_anisotropy"].fn(spark, sf_dir)
+    assert _count_file_scans(df) == 1
+    dfp = SPECS["embedding_power_projection"].fn(spark, sf_dir)
+    assert _count_file_scans(dfp) == 1  # direction rides as literals
