@@ -896,6 +896,47 @@ def minhash_estimate_audit(
     side runs over a pair sample so monitoring cost is independent of
     the candidate count. Returns (d1, d2, est_jaccard, exact_jaccard,
     abs_err) for candidates sharing >= 1 LSH band."""
+    stats = _minhash_candidate_stats(
+        df, text_col, id_col, shingle_n, num_hashes, band_size
+    )
+    return _track_caches(
+        _audit_from_candidate_stats(stats, num_hashes),
+        getattr(stats, "_fcs_cached_inputs", []),
+    )
+
+
+def _audit_from_candidate_stats(
+    stats: DataFrame, num_hashes: int
+) -> DataFrame:
+    """Derive the audit columns from candidate sufficient statistics
+    (d1, d2, eq_count, jac): est = round(eq/k, 6), exact = the stored
+    round-6 Jaccard, abs_err their rounded gap — exact-integer inputs
+    into the identical float steps, so values are engine-stable and
+    identical whether stats are live or read from the pair artifact."""
+    est = F.round(F.col("eq_count").cast("double") / num_hashes, 6)
+    return stats.select(
+        "d1",
+        "d2",
+        est.alias("est_jaccard"),
+        F.col("jac").alias("exact_jaccard"),
+        F.round(F.abs(est - F.col("jac")), 6).alias("abs_err"),
+    )
+
+
+def _minhash_candidate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The audit-grade LSH candidate relation: for EVERY band-bucket
+    candidate pair, (d1, d2, eq_count, jac) — the signature-agreement
+    count and the exact round-6 Jaccard, the sufficient statistics
+    both the verified-pair consumers (filter jac >= floor) and the
+    sketch-accuracy audit (derive est/err) are projections of. One
+    LSH pass; same shape, joins, and pins as minhash_lsh_pairs."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     shingled = with_shingles(df, text_col, id_col, shingle_n).persist()
@@ -923,7 +964,7 @@ def minhash_estimate_audit(
         )
         .distinct()
     )
-    # both audit sides carry the full signature + shingle set; merge-
+    # both sides carry the full signature + shingle set; merge-
     # pin for the same explode-derived-estimate reason as the verify
     # joins in minhash_lsh_pairs
     x = sig.select(
@@ -943,19 +984,14 @@ def minhash_estimate_audit(
     out = (
         cand.join(x, "d1")
         .join(y, "d2")
-        .withColumn(
-            "est_jaccard",
-            F.round(eq_count.cast("double") / num_hashes, 6),
+        .select(
+            "d1",
+            "d2",
+            eq_count.cast("int").alias("eq_count"),
+            F.round(
+                jaccard_distinct(F.col("sh1"), F.col("sh2")), 6
+            ).alias("jac"),
         )
-        .withColumn(
-            "exact_jaccard",
-            F.round(jaccard_distinct(F.col("sh1"), F.col("sh2")), 6),
-        )
-        .withColumn(
-            "abs_err",
-            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
-        )
-        .select("d1", "d2", "est_jaccard", "exact_jaccard", "abs_err")
     )
     return _track_caches(out, [shingled, sig])
 
@@ -1151,7 +1187,7 @@ def minhash_pairs_build_artifact(
     shingle_n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
-    min_jac: float = 0.5,
+    min_jac: float = 0.0,
 ) -> None:
     """Persist the verified MinHash-LSH pair list as a parquet
     artifact — the TEXT-side twin of the embedding edge artifact
@@ -1179,7 +1215,15 @@ def minhash_pairs_build_artifact(
     build means SQL oracles keep replaying the full MinHash pipeline
     and value-hashing output served from the artifact. At 100 TB the
     pair list is the dedup family's index: rebuilt on ingest, read
-    by every report/cut as one pushed-filter scan."""
+    by every report/cut as one pushed-filter scan.
+
+    r11 wave 9: the stored relation carries the full AUDIT-GRADE
+    sufficient statistics (d1, d2, eq_count, jac) at default floor
+    0.0 — every band-bucket candidate with its signature-agreement
+    count — so the sketch-accuracy audit serves from the SAME
+    one-LSH-pass relation as the six verified-pair consumers (which
+    read the (d1, d2, jac) projection through their jac >= threshold
+    filter)."""
     from .similarity import _write_artifact_manifest
 
     spark = df.sparkSession
@@ -1192,14 +1236,18 @@ def minhash_pairs_build_artifact(
             "min_jac_x100": int(round(min_jac * 100)),
         },
     )
-    pairs = minhash_lsh_pairs(
+    stats = _minhash_candidate_stats(
         df, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
-        num_hashes=num_hashes, band_size=band_size, threshold=min_jac,
+        num_hashes=num_hashes, band_size=band_size,
     )
-    pairs.write.mode("overwrite").parquet(f"{path}/pairs")
-    # pair relation is on disk — free the build's checkpointed
-    # shingle/band tables
-    unpersist_inputs(pairs)
+    (
+        stats.filter(F.col("jac") >= min_jac)
+        .write.mode("overwrite")
+        .parquet(f"{path}/pairs")
+    )
+    # stats relation is on disk — free the build's checkpointed
+    # shingle/signature tables
+    unpersist_inputs(stats)
 
 
 def read_minhash_pairs(
@@ -1222,8 +1270,40 @@ def read_minhash_pairs(
             f"threshold {threshold} (pairs below the floor were never "
             "stored)"
         )
-    return spark.read.parquet(f"{path}/pairs").filter(
-        F.col("jac") >= threshold
+    return (
+        spark.read.parquet(f"{path}/pairs")
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", "jac")
+    )
+
+
+def read_minhash_candidate_stats(
+    spark: SparkSession, path: str, num_hashes: int = 8
+) -> DataFrame:
+    """Serve the FULL audit-grade candidate statistics
+    (d1, d2, eq_count, jac) from a persisted pair artifact. Requires
+    the artifact's floor to be 0 (the audit reads candidates below
+    any verify threshold — a floored build never stored them) and
+    validates the signature count the agreement fraction divides
+    by."""
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man["min_jac_x100"] != 0:
+        raise ValueError(
+            f"minhash pair artifact at {path!r} was built with verify "
+            f"floor {man['min_jac_x100'] / 100}; the candidate audit "
+            "needs a floor-0 build (unverified candidates were never "
+            "stored)"
+        )
+    if man.get("num_hashes") != num_hashes:
+        raise ValueError(
+            f"minhash pair artifact at {path!r} params mismatch: "
+            f"built with num_hashes={man.get('num_hashes')}, audit "
+            f"wants {num_hashes}"
+        )
+    return spark.read.parquet(f"{path}/pairs").select(
+        "d1", "d2", "eq_count", "jac"
     )
 
 

@@ -976,20 +976,23 @@ def _kmeans_old_artifact_path(spark: SparkSession, sf_dir: str) -> str:
 
 def _minhash_pairs_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     """Ensure the persisted TEXT-side MinHash-LSH pair artifact
-    (shingle_n=3, MinHash(8), bands 4x2, verify floor 0.5 — the
-    params every registered consumer uses) for this (process, scale
-    factor). Six consumers serve from it: the pair report
-    (`dedup_minhash_lsh`, which prices the build in its cold run as
-    the usual first toucher), clusters, the cluster census, the
-    per-source dup-rate report, modality agreement's text side, and
-    the keeplist cut. Contract in `ensure_artifact`."""
+    (shingle_n=3, MinHash(8), bands 4x2, floor 0.0 — audit-grade:
+    every band-bucket candidate with its signature-agreement count
+    and exact Jaccard) for this (process, scale factor). SEVEN
+    consumers serve from it: the pair report (`dedup_minhash_lsh`,
+    which prices the build in its cold run as the usual first
+    toucher), clusters, the cluster census, the per-source dup-rate
+    report, modality agreement's text side, the keeplist cut — each
+    a (d1, d2, jac) projection at its own jac >= threshold — and
+    the sketch-accuracy audit, which derives est/err from the
+    stored statistics. Contract in `ensure_artifact`."""
     from ..operators.artifacts import ensure_artifact
 
     def build(path: str) -> None:
         D.minhash_pairs_build_artifact(
             _load(spark, sf_dir, "documents"), path,
             shingle_n=3, num_hashes=_MINHASH_K, band_size=_BAND,
-            min_jac=0.5,
+            min_jac=0.0,
         )
 
     return ensure_artifact(spark, "minhash_pairs", sf_dir, build)

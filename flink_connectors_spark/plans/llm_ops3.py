@@ -461,6 +461,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "minhash", "audit", "sketch"),
     since=4,
+    changed=11,
 )
 def dedup_minhash_estimate_audit(
     spark: SparkSession, sf_dir: str
@@ -472,8 +473,20 @@ def dedup_minhash_estimate_audit(
     absolute error. The measured-on-this-corpus answer to "can we
     skip the exact verify join", sibling to `similarity_recall_audit`
     on the ANN side. Audit joins are candidate-sized; at corpus scale
-    the exact side runs over a pair sample."""
-    return D.minhash_estimate_audit(_load(spark, sf_dir, "documents"))
+    the exact side runs over a pair sample. r11: served from the
+    audit-grade pair artifact — est/exact/err are one-division
+    projections over the stored (eq_count, jac) statistics; the
+    oracle replays the full signature pipeline."""
+    from ..operators.dedup import (
+        _audit_from_candidate_stats,
+        read_minhash_candidate_stats,
+    )
+    from .llm_ops import _minhash_pairs_artifact_path
+
+    stats = read_minhash_candidate_stats(
+        spark, _minhash_pairs_artifact_path(spark, sf_dir), num_hashes=8
+    )
+    return _audit_from_candidate_stats(stats, num_hashes=8)
 
 
 # ---------------------------------------------------------------------------

@@ -1543,8 +1543,28 @@ def test_minhash_pair_probe_plan_is_lsh_free(spark, sf_dir):
     assert "GreaterThanOrEqual(jac" in plan  # pushed, not post-scan
     assert "xxhash" not in plan.lower()  # no band/signature stage
     assert "ExistingRDD" not in plan
+    # registered artifact is audit-grade (floor 0): any threshold
+    # serves, and the full candidate stats serve the audit. The
+    # floor contract still errors on a FLOORED build — prove it on
+    # a throwaway floored artifact.
+    assert D.read_minhash_candidate_stats(spark, path).columns == [
+        "d1", "d2", "eq_count", "jac"
+    ]
+    with pytest.raises(ValueError, match="params mismatch"):
+        D.read_minhash_candidate_stats(spark, path, num_hashes=4)
+    import tempfile
+
+    fpath = tempfile.mkdtemp(prefix="fcs_test_floored_pairs_")
+    from flink_connectors_spark.session import load_table
+
+    D.minhash_pairs_build_artifact(
+        load_table(spark, sf_dir, "documents").limit(40), fpath,
+        min_jac=0.5,
+    )
     with pytest.raises(ValueError, match="floor"):
-        D.read_minhash_pairs(spark, path, 0.3)
+        D.read_minhash_pairs(spark, fpath, 0.3)
+    with pytest.raises(ValueError, match="floor"):
+        D.read_minhash_candidate_stats(spark, fpath)
     for name, max_scans in (
         ("dedup_minhash_lsh", 1),
         ("dedup_modality_agreement", 2),
