@@ -97,6 +97,61 @@ def nightly_ingest(spark, sf_dir: str, n_nights: int = 3) -> dict:
     }
 
 
+def nightly_ingest_indexed(spark, sf_dir: str, n_nights: int = 3) -> dict:
+    """The r11 PRODUCTION variant of the loop: the standing corpus is
+    a PERSISTED signature index (bands + shingles on disk) instead of
+    a checkpointed DataFrame. Each night: probe the index with the
+    live batch side only (O(batch) compute), cut, then APPEND the
+    accepted batch's bands/shingles to the index — O(batch) storage,
+    no rewrite. Night-for-night results are identical to the live
+    loop (`nightly_ingest`), which the example asserts."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build_artifact,
+        minhash_lsh_pairs_vs_index,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    path = tempfile.mkdtemp(prefix="fcs_nightly_index_")
+    try:
+        minhash_index_build_artifact(
+            docs.filter(F.col("doc_id") % (n_nights + 1) == 0), path
+        )
+        kept_per_night: list[int] = []
+        for night in range(1, n_nights + 1):
+            batch = docs.filter(
+                F.col("doc_id") % (n_nights + 1) == night
+            )
+            pairs = minhash_lsh_pairs_vs_index(batch, path, threshold=0.5)
+            dup_ids = pairs.select(
+                F.col("new_id").alias("doc_id")
+            ).distinct()
+            survivors = (
+                batch.join(dup_ids, "doc_id", "left_anti")
+                .withColumn("__fp__", F.md5("text"))
+                .withColumn(
+                    "__rn__",
+                    F.row_number().over(
+                        Window.partitionBy("__fp__").orderBy("doc_id")
+                    ),
+                )
+                .filter("__rn__ = 1")
+                .drop("__fp__", "__rn__")
+            ).localCheckpoint(eager=True)
+            unpersist_inputs(pairs, blocking=True)
+            kept_per_night.append(survivors.count())
+            # index maintenance: O(batch) parquet appends
+            minhash_index_append(survivors, path)
+        return {"kept_per_night": kept_per_night}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = build_session(app_name="nightly-ingest")
@@ -104,6 +159,12 @@ def main() -> None:
     stats = nightly_ingest(spark, sf_dir)
     for k, v in stats.items():
         print(f"{k:16s} {v}")
+    indexed = nightly_ingest_indexed(spark, sf_dir)
+    print(f"{'indexed_kept':16s} {indexed['kept_per_night']}")
+    assert indexed["kept_per_night"] == stats["kept_per_night"], (
+        "indexed loop diverged from the live loop"
+    )
+    print("indexed == live: True")
     spark.stop()
 
 

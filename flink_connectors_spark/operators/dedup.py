@@ -1456,3 +1456,45 @@ def minhash_lsh_pairs_vs_index(
         .select("new_id", "corpus_id", "jac")
     )
     return _track_caches(out, [new_sh])
+
+
+def minhash_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Fold an ACCEPTED batch into the standing signature index
+    (:func:`minhash_index_build_artifact`): the batch's bands and
+    shingles append to the same two relations — plain parquet
+    appends, no rewrite of existing files, which is the whole point
+    of the layout (the nightly loop's index maintenance is O(batch)
+    storage and compute). Params validate against the manifest; the
+    batch-side tables are built once and released here."""
+    from .similarity import read_artifact_manifest
+
+    spark = new_docs.sparkSession
+    man = read_artifact_manifest(spark, path)
+    want = {
+        "shingle_n": shingle_n, "num_hashes": num_hashes,
+        "band_size": band_size,
+    }
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path!r} params mismatch: index has "
+            f"{got}, append wants {want}"
+        )
+    shingled, bt = _minhash_band_table(
+        new_docs, text_col, id_col, shingle_n, num_hashes, band_size
+    )
+    bt.write.mode("append").parquet(f"{path}/bands")
+    (
+        shingled.select(F.col(id_col), "shingles")
+        .write.mode("append")
+        .parquet(f"{path}/shingles")
+    )
+    _release_frame(shingled)

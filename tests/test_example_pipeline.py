@@ -40,6 +40,15 @@ def test_nightly_ingest_loop_releases_caches(spark, sf_dir):
     assert all(k >= 0 for k in stats["kept_per_night"])
     assert stats["caches_seen"] > 0, "check is vacuous — nothing was cached"
     assert stats["leaked_caches"] == 0, "LSH caches leaked past release"
+    # r11: the PRODUCTION variant — probe a persisted signature
+    # index, append accepted batches (O(batch) index maintenance) —
+    # must keep night-for-night results identical to the live loop
+    from nightly_ingest import nightly_ingest_indexed
+
+    indexed = nightly_ingest_indexed(spark, sf_dir, n_nights=3)
+    assert indexed["kept_per_night"] == stats["kept_per_night"], (
+        "indexed nightly loop diverged from the live loop"
+    )
 
 
 def test_index_embeddings_lifecycle(spark, sf_dir):
