@@ -247,6 +247,9 @@ BUILD_ONCE = [
     # ...and the persisted top-principal-direction (powdir); the
     # projection query prices the 2-round power iteration
     "embedding_power_projection",
+    # ...and the SQ8 trained-range artifact (one-row mins/maxs); the
+    # topk row prices the train pass, the recall meter injects it
+    "similarity_topk_sq8",
 ]
 
 

@@ -1216,6 +1216,7 @@ def cosine_topk_sq8(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine over a per-DIMENSION 8-bit scalar-quantized store
     (FAISS ``ScalarQuantizer`` QT_8bit / ``IndexScalarQuantizer``
@@ -1241,8 +1242,13 @@ def cosine_topk_sq8(
     corpus scan projection (codes never shuffle), queries broadcast;
     only |Q| x k ranked rows leave the scan stage. Zero-norm sides
     are excluded rather than scored 0/0. Returns
-    (query_id, neighbor_id, score, rnk)."""
-    stats = sq8_train_stats(corpus, scale=scale, vec_col=vec_col)
+    (query_id, neighbor_id, score, rnk).
+
+    ``stats`` injects a PERSISTED one-row (mins, maxs) frame (the
+    sq8_stats artifact) in place of the per-invocation train pass —
+    deterministic train, identical results either way."""
+    if stats is None:
+        stats = sq8_train_stats(corpus, scale=scale, vec_col=vec_col)
     w = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast(

@@ -1137,6 +1137,43 @@ _SQL_SQ8_SCORED = f"""
 """
 
 
+def _sq8_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted SQ8 range artifact (one-row per-dimension
+    (mins, maxs) on the 1024 grid — the scalar quantizer's whole
+    "codebook"). `similarity_topk_sq8` prices the one train pass
+    (first toucher); the recall meter injects the same stored row.
+    Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+    from ..operators.similarity import (
+        _write_artifact_manifest,
+        sq8_train_stats,
+    )
+
+    def build(path: str) -> None:
+        _write_artifact_manifest(spark, path, {"scale": 1024})
+        (
+            sq8_train_stats(_load(spark, sf_dir, "embeddings"), scale=1024)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats")
+        )
+
+    return ensure_artifact(spark, "sq8_stats", sf_dir, build)
+
+
+def _sq8_stored_stats(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import read_artifact_manifest
+
+    path = _sq8_artifact_path(spark, sf_dir)
+    man = read_artifact_manifest(spark, path)
+    if man.get("scale") != 1024:
+        raise ValueError(
+            f"sq8 artifact at {path!r} params mismatch: built with "
+            f"scale={man.get('scale')}, probe wants 1024"
+        )
+    return spark.read.parquet(f"{path}/stats")
+
+
 @register(
     "similarity_topk_sq8",
     oracle=f"""
@@ -1162,9 +1199,14 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless (ADC). Train = one posexplode + dims-keyed agg into a
     one-row broadcast (2 x dims longs — SQ's whole "codebook");
     encode rides the corpus scan projection; integer dots, one float
-    division per pair."""
+    division per pair. r11 wave 10: the trained ranges are a
+    PERSISTED one-row artifact (this query prices the train pass);
+    the oracle replays the train live."""
     emb = _load(spark, sf_dir, "embeddings")
-    return S.cosine_topk_sq8(emb.filter(emb.vec_id < 20), emb, k=5)
+    return S.cosine_topk_sq8(
+        emb.filter(emb.vec_id < 20), emb, k=5,
+        stats=_sq8_stored_stats(spark, sf_dir),
+    )
 
 
 @register(
@@ -1226,5 +1268,7 @@ def similarity_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(emb.vec_id < 20)
     exact = cosine_topk_bruteforce(q, emb, k=5)
-    approx = cosine_topk_sq8(q, emb, k=5)
+    approx = cosine_topk_sq8(
+        q, emb, k=5, stats=_sq8_stored_stats(spark, sf_dir)
+    )
     return topk_recall_audit(exact, approx, k=5)

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from flink_connectors_spark.operators import artifacts as A
 from flink_connectors_spark.operators import similarity as S
-from flink_connectors_spark.plans import llm_ops, llm_ops3
+from flink_connectors_spark.plans import llm_ops, llm_ops2, llm_ops3
 from flink_connectors_spark.session import load_table
 
 # every artifact family: (kind tag, ensure-helper). Parametrizing over
@@ -39,6 +39,7 @@ ALL_FAMILIES = [
     ("bpe_merges", llm_ops3._bpe_artifact_path),
     ("vocab50", llm_ops3._vocab_artifact_path),
     ("powdir", llm_ops3._powdir_artifact_path),
+    ("sq8_stats", llm_ops2._sq8_artifact_path),
 ]
 
 
