@@ -262,3 +262,24 @@ def test_census_counts_match_registry():
     assert int(m.group(1)) == n, (
         f"COVERAGE.md says {m.group(1)} registered; registry has {n}"
     )
+
+
+def test_bench_headliners_and_build_once_are_registered():
+    """Bench-list tripwires: every HEADLINE name must be a registered
+    query (a renamed query would silently vanish from the benchmark),
+    and every BUILD_ONCE annotation must point at a headliner (the
+    cold-column build-pricing documentation must describe rows that
+    actually run)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    from flink_connectors_spark.registry import all_specs
+
+    names = set(all_specs())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    stray = [n for n in bench.BUILD_ONCE if n not in bench.HEADLINE]
+    assert not stray, f"BUILD_ONCE names not in HEADLINE: {stray}"
