@@ -236,3 +236,41 @@ def test_probe_falls_back_to_precompact_codes(spark, sf_dir, tmp_path):
         apply_tombstones=True,
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stable_root_reuses_pair_artifact(spark, sf_dir, tmp_path):
+    """Stable-root reuse for the r11 corpus-side families (the
+    ivfpq test's text twin): the MinHash pair artifact built under a
+    durable root serves a 'second process' (caches + locks cleared)
+    with ZERO rebuild — identical pair rows, no relation rewrite —
+    and the audit-grade stats read works across the same boundary."""
+    from flink_connectors_spark.operators import dedup as D
+    from flink_connectors_spark.plans import llm_ops
+
+    spark.conf.set(A.ARTIFACT_ROOT_CONF, str(tmp_path))
+    try:
+        path = llm_ops._minhash_pairs_artifact_path(spark, sf_dir)
+        assert path.startswith(str(tmp_path))
+        first = sorted(
+            map(tuple, D.read_minhash_pairs(spark, path, 0.5).collect())
+        )
+        mtimes = {
+            f: os.path.getmtime(os.path.join(path, "pairs", f))
+            for f in os.listdir(os.path.join(path, "pairs"))
+        }
+        A._PATH_LOCKS.clear()
+        S._MANIFEST_CACHE.clear()
+        path2 = llm_ops._minhash_pairs_artifact_path(spark, sf_dir)
+        assert path2 == path
+        for f, m in mtimes.items():
+            assert (
+                os.path.getmtime(os.path.join(path, "pairs", f)) == m
+            ), "stable pair artifact was rebuilt instead of reused"
+        again = sorted(
+            map(tuple, D.read_minhash_pairs(spark, path2, 0.5).collect())
+        )
+        assert again == first
+        stats = D.read_minhash_candidate_stats(spark, path2)
+        assert stats.count() >= len(first)
+    finally:
+        spark.conf.unset(A.ARTIFACT_ROOT_CONF)
