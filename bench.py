@@ -75,6 +75,12 @@ HEADLINE = [
     "rollup_daily_from_hourly",
     # r3 additions
     "pipeline_mixture_sample",
+    # r12: the tokenized-corpus artifact row runs BEFORE every
+    # n-gram/token consumer in the corpus block so the one
+    # tokenize/shingle/pair build is priced in ITS cold column
+    # (BUILD_ONCE); the eight rewired reports below then price
+    # statistic-sized artifact scans only.
+    "text_corpus_grams_artifact",
     "text_crossdoc_ngram_mass",
     "pipeline_source_overlap",
     "similarity_topk_ivf_unlabeled",
@@ -250,6 +256,10 @@ BUILD_ONCE = [
     # ...and the SQ8 trained-range artifact (one-row mins/maxs); the
     # topk row prices the train pass, the recall meter injects it
     "similarity_topk_sq8",
+    # ...and the tokenized-corpus gram relations (docstats/shingles/
+    # tokens/grams/pairs/unigrams); eight n-gram/token reports read
+    # them (r12 wave 1)
+    "text_corpus_grams_artifact",
 ]
 
 

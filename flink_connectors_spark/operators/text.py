@@ -352,6 +352,7 @@ def crossdoc_shingle_mass(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate signal (the C4/RefinedWeb repeated-
     span heuristic lifted to corpus level): for each document, the
@@ -374,13 +375,24 @@ def crossdoc_shingle_mass(
     Docs with < 3 words carry no shingles and drop out — the same
     guard as the shingle-based dedup family.
 
+    ``shingles`` (r12): a pre-exploded doc-distinct (id, shingle)
+    relation — the ``corpus_grams`` artifact's ``shingles`` table —
+    replaces the live tokenize+explode, turning the probe into one
+    statistic-sized scan (build-once / probe-many).
+
     Returns (id, n_shingles, crossdoc_mass).
     """
     from pyspark.sql.window import Window
 
-    sh = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(tokenize(F.col(text_col)))).alias("shingle"),
+    sh = (
+        shingles.select(F.col(id_col), "shingle")
+        if shingles is not None
+        else df.select(
+            F.col(id_col),
+            F.explode(
+                word_shingles(tokenize(F.col(text_col)))
+            ).alias("shingle"),
+        )
     )
     dfq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     hit = (dfq >= min_df).cast("int")
@@ -404,6 +416,7 @@ def source_shingle_overlap(
     source_col: str = "source",
     pair_strategy: str = "auto",
     combinatoric_max_sources: int = 1024,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise source-overlap matrix: for every pair of sources, how
     many distinct 3-word shingles they share, plus the shingle-set
@@ -448,13 +461,21 @@ def source_shingle_overlap(
     # any branch pair can race (r6 interleaved A/B at sf0.1: lazy
     # 1.35 s vs eager 1.41 s — the eager variant pays an extra
     # materialization job for nothing).
-    grouped = (
-        df.select(
+    exploded_src = (
+        # r12: the corpus_grams artifact's pre-exploded (doc,
+        # shingle) relation replaces the live tokenize+explode;
+        # dedup-inside-aggregate below is unchanged.
+        shingles.select(F.col(source_col).alias("src"), "shingle")
+        if shingles is not None
+        else df.select(
             F.col(source_col).alias("src"),
             F.explode(
                 word_shingles(tokenize(F.col(text_col)))
             ).alias("shingle"),
         )
+    )
+    grouped = (
+        exploded_src
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
         .localCheckpoint(eager=False)
@@ -884,6 +905,7 @@ def dsir_logweights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): fit two
@@ -916,14 +938,22 @@ def dsir_logweights(
     """
     from .sampling import hash_bucket
 
-    toks = df.select(
-        F.col(id_col),
-        target_pred.alias("__t__"),
-        F.explode(tokenize(F.col(text_col))).alias("tok"),
-    )
-    docb = toks.groupBy(
-        id_col, "__t__", hash_bucket(F.col("tok"), n_buckets).alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    if bucket_counts is not None:
+        # r12: pre-computed (id, __t__, b, c) bucket counts — derived
+        # from the corpus_grams artifact's per-doc token counts in
+        # the plans layer — replace the live tokenize+explode+first
+        # aggregate. Everything downstream (the two LM fits, the LLR
+        # broadcast, the bucket-ordered fold) is unchanged.
+        docb = bucket_counts.select(id_col, "__t__", "b", "c")
+    else:
+        toks = df.select(
+            F.col(id_col),
+            target_pred.alias("__t__"),
+            F.explode(tokenize(F.col(text_col))).alias("tok"),
+        )
+        docb = toks.groupBy(
+            id_col, "__t__", hash_bucket(F.col("tok"), n_buckets).alias("b")
+        ).agg(F.count(F.lit(1)).alias("c"))
     counts = docb.groupBy("b").agg(
         F.sum("c").alias("cr"),
         F.sum(F.when(F.col("__t__"), F.col("c")).otherwise(F.lit(0))).alias(
@@ -1397,6 +1427,7 @@ def top_ngram_fraction(
     id_col: str = "doc_id",
     frac2_max: float = 0.20,
     frac3_max: float = 0.18,
+    gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Gopher-style repetition filter (Rae et al. 2021 §A1.1): per
     document, the fraction of word positions covered by the single
@@ -1416,24 +1447,33 @@ def top_ngram_fraction(
     mirrored in the oracle.  flagged uses the published thresholds:
     top-2gram frac > 0.20 or top-3gram frac > 0.18.
     Returns (doc_id, n_words, top2_frac, top3_frac, flagged)."""
-    words = tokenize(F.col(text_col))
-    tag = lambda arr, n: F.transform(  # noqa: E731
-        arr,
-        lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
-    )
-    tagged = df.select(
-        F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
-        F.explode(
-            F.concat(
-                tag(raw_word_ngrams(words, 2), 2),
-                tag(raw_word_ngrams(words, 3), 3),
-            )
-        ).alias("t"),
-    ).select(id_col, "n_words", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
-    counts = tagged.groupBy(id_col, "n_words", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    if gram_counts is not None:
+        # r12: the corpus_grams artifact's ``grams`` relation IS the
+        # (doc, n_words, n, gram, cnt) table the explode+first
+        # aggregate below produce — the probe starts at the stored
+        # counts and pays only the per-doc max fold.
+        counts = gram_counts.select(
+            F.col(id_col), "n_words", "n", "gram", "cnt"
+        )
+    else:
+        words = tokenize(F.col(text_col))
+        tag = lambda arr, n: F.transform(  # noqa: E731
+            arr,
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+        tagged = df.select(
+            F.col(id_col),
+            F.size(words).cast("long").alias("n_words"),
+            F.explode(
+                F.concat(
+                    tag(raw_word_ngrams(words, 2), 2),
+                    tag(raw_word_ngrams(words, 3), 3),
+                )
+            ).alias("t"),
+        ).select(id_col, "n_words", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+        counts = tagged.groupBy(id_col, "n_words", "n", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     per_doc = counts.groupBy(id_col, "n_words").agg(
         F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("m2"),
         F.max(F.when(F.col("n") == 3, F.col("cnt"))).alias("m3"),
@@ -1466,6 +1506,7 @@ def ngram_novelty(
     n_buckets: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus NOVELTY curve: documents split into ``n_buckets``
     id-ordered slices (a proxy for crawl/ingest increments), and per
@@ -1483,14 +1524,24 @@ def ngram_novelty(
     exploded pair list is read twice but is a cheap narrow explode —
     deliberately NOT checkpointed (the measured two-consumer rule).
     Returns (bucket, n_grams, n_novel, novelty_rate)."""
+    # mx always comes from the DOCUMENT table: the slice boundary
+    # depends on the max doc_id over ALL docs, including the
+    # shingle-less short ones the exploded relation never carries.
     mx = df.agg(F.max(F.col(id_col)).alias("mx"))
-    sh = (
-        df.select(
+    exploded = (
+        # r12: pre-exploded doc-distinct (id, shingle) from the
+        # corpus_grams artifact replaces the live tokenize+explode
+        shingles.select(F.col(id_col), F.col("shingle").alias("gram"))
+        if shingles is not None
+        else df.select(
             F.col(id_col),
             F.explode(word_shingles(tokenize(F.col(text_col)))).alias(
                 "gram"
             ),
         )
+    )
+    sh = (
+        exploded
         .crossJoin(F.broadcast(mx))
         .select(
             F.expr(f"(({id_col} * {n_buckets}) DIV (mx + 1))")
@@ -1657,3 +1708,173 @@ def read_bpe_merges(
         .orderBy("merge_rank")
         .collect()
     )
+
+
+def corpus_grams_build_artifact(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    pmi_window: int = 2,
+) -> None:
+    """Persist the TOKENIZED-CORPUS relations every n-gram/token
+    report re-derived per invocation until r12 — the "tokenize once,
+    serve every statistic" layout a 100 TB curation stack
+    materializes right after ingest (the r11 verdict's remaining
+    per-invocation recompute block). Six relations, all exact-integer
+    sufficient statistics or raw distinct grams — never derived
+    scores — so every consumer reconstructs its values bit-exactly:
+
+    - ``docstats``  — (doc_id, lang, source, n_words, fp): one row
+      per document; fp is the exact-dedup md5 fingerprint.
+    - ``shingles``  — (doc_id, lang, source, shingle): exploded
+      doc-DISTINCT ``shingle_n``-word shingles (same guard as
+      ``functions.word_shingles``: docs under n words carry none).
+    - ``tokens``    — (doc_id, lang, token, tf): per-doc token
+      counts (multiplicity preserved in tf).
+    - ``grams``     — (doc_id, n_words, n, gram, cnt): raw
+      (non-distinct) 2- and 3-gram counts per doc — the
+      within-doc-repetition signal needs multiplicity.
+    - ``pairs``     — (w1, w2, n_pair): corpus co-occurrence counts
+      over token offsets 1..``pmi_window`` (word2vec's phrase-pass
+      table; vocabulary²-bounded, tiny next to the corpus).
+    - ``unigrams``  — (word, n_w): corpus unigram counts.
+
+    Manifest (written FIRST) records shingle_n / gram range /
+    pmi_window; probes validate via :func:`read_corpus_grams` —
+    serving a statistic from grams built with different params would
+    silently change report values. Deterministic (pure string ops),
+    so every consumer's oracle keeps replaying the full live
+    tokenize pipeline and a MATCH proves the stored relation equals
+    the live computation.
+
+    Scale shape: one corpus scan per relation (the build is priced
+    once per ingest via ``ensure_artifact``); each write's shuffle is
+    keyed on (doc, gram) or (gram) — the best-distributed keys the
+    corpus has. Consumers then run corpus-free: pair-relation or
+    doc-relation scans whose cost tracks the STATISTIC size, not the
+    corpus."""
+    from .similarity import _write_artifact_manifest
+
+    spark = df.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {
+            "shingle_n": int(shingle_n),
+            "gram_n_min": 2,
+            "gram_n_max": 3,
+            "pmi_window": int(pmi_window),
+        },
+    )
+    words = tokenize(F.col(text_col))
+    (
+        df.select(
+            F.col(id_col), "lang", "source",
+            F.size(words).cast("long").alias("n_words"),
+            F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/docstats")
+    )
+    (
+        df.select(
+            F.col(id_col), "lang", "source",
+            F.explode(word_shingles(words, shingle_n)).alias("shingle"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles")
+    )
+    (
+        df.select(F.col(id_col), "lang", F.explode(words).alias("token"))
+        .groupBy(id_col, "lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/tokens")
+    )
+    tag = lambda arr, n: F.transform(  # noqa: E731
+        arr,
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+    )
+    (
+        df.select(
+            F.col(id_col),
+            F.size(words).cast("long").alias("n_words"),
+            F.explode(
+                F.concat(
+                    tag(raw_word_ngrams(words, 2), 2),
+                    tag(raw_word_ngrams(words, 3), 3),
+                )
+            ).alias("t"),
+        )
+        .select(
+            id_col, "n_words",
+            F.col("t.n").alias("n"), F.col("t.gram").alias("gram"),
+        )
+        .groupBy(id_col, "n_words", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/grams")
+    )
+    base = df.select(tokenize(F.col(text_col)).alias("w"))
+    nw = F.size("w")
+    pair_arrays = [
+        F.zip_with(
+            F.slice(F.col("w"), 1, F.greatest(nw - off, F.lit(0))),
+            F.slice(F.col("w"), off + 1, F.greatest(nw - off, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        for off in range(1, pmi_window + 1)
+    ]
+    (
+        base.select(
+            F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/pairs")
+    )
+    (
+        base.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/unigrams")
+    )
+
+
+_CORPUS_GRAMS_RELATIONS = (
+    "docstats", "shingles", "tokens", "grams", "pairs", "unigrams",
+)
+
+
+def read_corpus_grams(
+    spark,
+    path: str,
+    relation: str,
+    shingle_n: int = 3,
+    pmi_window: int = 2,
+) -> DataFrame:
+    """Read one relation of the persisted tokenized-corpus artifact,
+    validating the build params against the manifest first (the
+    params-mismatch contract every artifact reader in the repo
+    follows: a shingle statistic served from grams built with a
+    different shingle_n would be silently wrong, not obviously
+    broken)."""
+    from .similarity import read_artifact_manifest
+
+    if relation not in _CORPUS_GRAMS_RELATIONS:
+        raise ValueError(
+            f"unknown corpus_grams relation {relation!r}; "
+            f"expected one of {_CORPUS_GRAMS_RELATIONS}"
+        )
+    man = read_artifact_manifest(spark, path)
+    want = {"shingle_n": shingle_n, "pmi_window": pmi_window}
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"corpus_grams artifact at {path!r} params mismatch: "
+            f"built with {got}, probe wants {want}"
+        )
+    return spark.read.parquet(f"{path}/{relation}")

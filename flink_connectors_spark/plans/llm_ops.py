@@ -1037,6 +1037,113 @@ def _minhash_index_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     return ensure_artifact(spark, "minhash_index", sf_dir, build)
 
 
+def _corpus_grams_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted tokenized-corpus relations (docstats /
+    shingles / tokens / grams / pairs / unigrams — the tokenize-once
+    layout every n-gram and token report reads from r12 on).
+    `text_corpus_grams_artifact` prices the build as first toucher;
+    eight statistic consumers then run corpus-free. Contract in
+    `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        T.corpus_grams_build_artifact(
+            _load(spark, sf_dir, "documents"), path,
+            shingle_n=3, pmi_window=2,
+        )
+
+    return ensure_artifact(spark, "corpus_grams", sf_dir, build)
+
+
+@register(
+    "text_corpus_grams_artifact",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    shc AS (
+      SELECT CAST(COALESCE(SUM(
+               CASE WHEN len(w) >= 3 THEN
+                 len(list_distinct(list_transform(range(1, len(w)-1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))
+               ELSE 0 END), 0) AS BIGINT) AS n_shingle_rows
+      FROM norm),
+    tkc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_token_rows FROM (
+        SELECT DISTINCT doc_id, unnest(w) AS tok FROM norm) t),
+    ugc AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_unigram_rows
+      FROM (SELECT unnest(w) AS tok FROM norm) t),
+    gmc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_gram_rows FROM (
+        SELECT DISTINCT doc_id, n, gram FROM (
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(range(1, len(w)),
+                     i -> concat_ws(' ', w[i], w[i+1]))) AS gram
+          FROM norm WHERE len(w) >= 2
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+                 unnest(list_transform(range(1, len(w)-1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS gram
+          FROM norm WHERE len(w) >= 3) g) t),
+    prc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pair_rows FROM (
+        SELECT DISTINCT w[i.i] AS w1, w[i.i + d.d] AS w2
+        FROM norm,
+             UNNEST(range(1, 3)) AS d(d),
+             UNNEST(range(1, len(w) + 1)) AS i(i)
+        WHERE i.i + d.d <= len(w)) t),
+    dsc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT dsc.n_docs, shc.n_shingle_rows, tkc.n_token_rows,
+           gmc.n_gram_rows, prc.n_pair_rows, ugc.n_unigram_rows,
+           3 AS shingle_n, 2 AS pmi_window
+    FROM dsc CROSS JOIN shc CROSS JOIN tkc CROSS JOIN gmc
+    CROSS JOIN prc CROSS JOIN ugc
+    """,
+    tags=("llm", "text", "artifact", "ngram"),
+    since=12,
+)
+def text_corpus_grams_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build half of build-once / probe-many for the TOKENIZED-CORPUS
+    family: tokenize/shingle/pair-count the corpus once and persist
+    the six gram relations (`operators/text.py:
+    corpus_grams_build_artifact`). Returns a one-row census — row
+    count of every stored relation plus the manifest params read back
+    from the sidecar — whose oracle recomputes each count from the
+    LIVE tokenize pipeline, so a MATCH proves every relation
+    round-tripped complete (the contents themselves are pinned
+    value-for-value by the eight consumers' full-replay oracles).
+    The tokenize/shingle/pair passes are priced HERE and nowhere
+    else; every n-gram/token report (eval burn, crossdoc mass,
+    source overlap, novelty, repetition, TF-IDF, DSIR, PMI) reads
+    the stored relations only."""
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    man = S.read_artifact_manifest(spark, path)
+    rels = {
+        name: T.read_corpus_grams(spark, path, name)
+        for name in (
+            "docstats", "shingles", "tokens", "grams", "pairs",
+            "unigrams",
+        )
+    }
+    one = lambda df, alias: F.broadcast(  # noqa: E731
+        df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+    )
+    return (
+        one(rels["docstats"], "n_docs")
+        .crossJoin(one(rels["shingles"], "n_shingle_rows"))
+        .crossJoin(one(rels["tokens"], "n_token_rows"))
+        .crossJoin(one(rels["grams"], "n_gram_rows"))
+        .crossJoin(one(rels["pairs"], "n_pair_rows"))
+        .crossJoin(one(rels["unigrams"], "n_unigram_rows"))
+        .select(
+            "*",
+            F.lit(man["shingle_n"]).cast("int").alias("shingle_n"),
+            F.lit(man["pmi_window"]).cast("int").alias("pmi_window"),
+        )
+    )
+
+
 @register(
     "embedding_kmeans_assign",
     changed=10,
@@ -2292,16 +2399,22 @@ def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     tags=("llm", "text", "dedup", "boilerplate"),
     since=3,
+    changed=12,
 )
 def text_crossdoc_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate mass: per doc, the fraction of its
     distinct 3-gram shingles that occur in >= 2 documents corpus-wide
     — catches template text that pairwise near-dup never flags (no
-    single pair is similar, but the spans repeat everywhere). Two
-    shingle-keyed shuffles + one doc-keyed fold; the DF join is
-    merge-pinned (both sides expanded from a small scan — the
-    broadcast-estimate hazard class)."""
-    return T.crossdoc_shingle_mass(_load(spark, sf_dir, "documents"))
+    single pair is similar, but the spans repeat everywhere). One
+    shingle-keyed shuffle (the DF window) + one doc-keyed fold.
+
+    r12: the shingle table serves pre-exploded from the corpus_grams
+    artifact — no tokenize/explode in the probe; the oracle replays
+    the live shingle pipeline."""
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    return T.crossdoc_shingle_mass(
+        None, shingles=T.read_corpus_grams(spark, path, "shingles")
+    )
 
 
 @register(
@@ -2330,14 +2443,22 @@ def text_crossdoc_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "dedup", "stats", "mixture"),
     since=3,
+    changed=12,
 )
 def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap matrix (shared distinct shingles +
     shingle-set Jaccard): the which-crawls-mirror-each-other report a
     mixture designer reads before setting per-source weights. Work
     unit is the distinct (shingle, source) pair — corpus text
-    collapses to |shingles| x |sources| rows before any join."""
-    return T.source_shingle_overlap(_load(spark, sf_dir, "documents"))
+    collapses to |shingles| x |sources| rows before any join.
+
+    r12: the (source, shingle) stream serves pre-exploded from the
+    corpus_grams artifact; the oracle replays the live shingle
+    pipeline."""
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    return T.source_shingle_overlap(
+        None, shingles=T.read_corpus_grams(spark, path, "shingles")
+    )
 
 
 @register(
@@ -3361,6 +3482,7 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "sampling", "quality"),
     since=4,
+    changed=12,
 )
 def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023): score every doc
@@ -3371,11 +3493,32 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcasts back onto per-doc bucket counts; per-doc scores
     fold in bucket order in both engines. n_buckets=64 here so the
     ~31-token synthetic vocabulary actually collides into shared
-    buckets (production default 10k)."""
-    d = _load(spark, sf_dir, "documents")
+    buckets (production default 10k).
+
+    r12: the per-(doc, target-flag, bucket) counts derive from the
+    corpus_grams artifact's per-doc token counts (sum of stored tf
+    per hashed bucket == the live per-occurrence count) — no
+    tokenize/explode in the probe; the oracle replays the live token
+    pipeline."""
     from pyspark.sql import functions as F
 
-    return T.dsir_logweights(d, F.col("lang") == "en", n_buckets=64)
+    from ..operators.sampling import hash_bucket
+
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    toks = T.read_corpus_grams(spark, path, "tokens")
+    docb = (
+        toks.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__t__"),
+            hash_bucket(F.col("token"), 64).alias("b"),
+            "tf",
+        )
+        .groupBy("doc_id", "__t__", "b")
+        .agg(F.sum("tf").alias("c"))
+    )
+    return T.dsir_logweights(
+        None, None, n_buckets=64, bucket_counts=docb
+    )
 
 
 @register(
@@ -3731,45 +3874,42 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "decontamination", "report"),
     since=4,
+    changed=12,
 )
 def pipeline_eval_burn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flip side of decontamination: per EVAL doc, how burned is
     it — exact corpus copies and >= 2-shared-shingle paraphrase
     leaks. Decontaminate answers "which training docs to drop"; this
     answers "which benchmark items stopped measuring anything" (the
-    report an eval owner reads to retire items). Same corpus-linear
-    shingle machinery, grouped by the eval side; every eval doc
-    reports, zeros included."""
+    report an eval owner reads to retire items). Every eval doc
+    reports, zeros included.
+
+    r12: BOTH inputs serve from the corpus_grams artifact — the
+    fingerprints from ``docstats``, the doc-distinct shingles from
+    ``shingles`` (pre-exploded) — so the probe never touches corpus
+    text; the eval/corpus split is a pushed-down id filter on
+    statistic-sized relations. The oracle replays the full live
+    tokenize+shingle pipeline, so a MATCH proves the stored
+    relations equal the live computation."""
     from pyspark.sql import functions as F
 
-    from ..functions import normalize_text, tokenize, word_shingles
-
-    d = _load(spark, sf_dir, "documents")
-    eval_set = d.filter(F.col("doc_id") % 97 == 0)
-    corpus = d.filter(F.col("doc_id") % 97 != 0)
-    efp = eval_set.select(
-        F.col("doc_id").alias("eval_id"),
-        F.md5(normalize_text(F.col("text"))).alias("fp"),
-    )
-    cfp = corpus.select(
-        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
-    )
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    ds = T.read_corpus_grams(spark, path, "docstats")
+    sh = T.read_corpus_grams(spark, path, "shingles")
+    eval_set = ds.filter(F.col("doc_id") % 97 == 0)
+    efp = eval_set.select(F.col("doc_id").alias("eval_id"), "fp")
+    cfp = ds.filter(F.col("doc_id") % 97 != 0).select("doc_id", "fp")
     exact = (
         efp.join(cfp, "fp")
         .groupBy("eval_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
-
-    def shingled(df, out_id):
-        return df.select(
-            F.col("doc_id").alias(out_id),
-            F.explode(
-                word_shingles(tokenize(F.col("text")), 3)
-            ).alias("shingle"),
-        )
-
-    esh = shingled(eval_set, "eval_id")
-    csh = shingled(corpus, "doc_id")
+    esh = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    csh = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "shingle"
+    )
     pairhits = (
         csh.join(esh.hint("shuffle_hash"), "shingle")
         .groupBy("eval_id", "doc_id")

@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators import text as T
 from ..registry import register
 from ..session import load_table
 from .llm_ops import (
@@ -174,29 +175,29 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "tfidf", "keywords"),
     since=4,
+    changed=12,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords — the classic salient-term
-    extraction a corpus browser / topic sampler runs at scale. Scale
-    shape: one token explode, a doc-keyed tf aggregate and a
-    token-keyed df aggregate (both map-side-combining), the corpus
-    doc count as a one-row broadcast, the tf->df join keyed on token
-    (merge-pinned: both sides descend from the same explode with its
-    undersized size estimate), then a doc-keyed top-3 window over
-    rows already reduced to distinct (doc, token) pairs. The idf log
-    is one libm call on an exact small-integer ratio — IEEE-identical
-    across engines."""
-    from ..functions import tokenize
+    extraction a corpus browser / topic sampler runs at scale.
 
-    d = _load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
-    )
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    r12: tf IS the corpus_grams artifact's ``tokens`` relation (per-
+    doc token counts, stored); df and the doc count fold over those
+    already-distinct (doc, token) rows — count(*) per token equals
+    the live countDistinct(doc_id) because the stored relation holds
+    exactly one row per (doc, token). No tokenize/explode in the
+    probe; the tf->df join stays merge-pinned (both sides descend
+    from the same artifact scan), the doc count broadcasts, and the
+    idf log is one libm call on an exact small-integer ratio —
+    IEEE-identical across engines. The oracle replays the live
+    tokenize pipeline."""
+    from .llm_ops import _corpus_grams_artifact_path
+
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    toks = T.read_corpus_grams(spark, path, "tokens")
+    tf = toks.select("doc_id", "token", "tf")
     dfq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+        F.count(F.lit(1)).cast("long").alias("df")
     )
     nd = toks.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     scored = (

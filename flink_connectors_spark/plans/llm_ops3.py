@@ -3138,6 +3138,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "quality", "repetition"),
     since=7,
+    changed=12,
 )
 def text_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition filter (Rae et al. 2021):
@@ -3146,10 +3147,18 @@ def text_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.20 / 0.18). Catches the one-phrase-repeated degenerate docs
     that cross-doc dedup can NEVER flag (no other doc shares the
     phrase). Multiplicity is the signal, hence raw (non-distinct)
-    grams; one tagged explode + two map-side-combinable doc-keyed
-    aggregates, shuffle key (doc_id, gram)."""
-    d = _load(spark, sf_dir, "documents")
-    return T.top_ngram_fraction(d)
+    grams.
+
+    r12: the (doc, n_words, n, gram, cnt) counts ARE the
+    corpus_grams artifact's ``grams`` relation — the probe pays only
+    the per-doc max fold; the oracle replays the live gram
+    pipeline."""
+    from .llm_ops import _corpus_grams_artifact_path
+
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    return T.top_ngram_fraction(
+        None, gram_counts=T.read_corpus_grams(spark, path, "grams")
+    )
 
 
 @register(
@@ -3175,6 +3184,7 @@ def text_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "dedup", "longitudinal"),
     since=7,
+    changed=12,
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty curve: 10 id-ordered slices (crawl-increment
@@ -3184,9 +3194,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of pairwise dedup. Slice membership is integer bit
     math over a broadcast one-row max (no float percentile); text
     collapses to distinct (bucket, shingle) pairs before the
-    shingle-keyed min-join."""
+    shingle-keyed min-join.
+
+    r12: the exploded (doc, shingle) stream serves from the
+    corpus_grams artifact; the slice-boundary max still reads the
+    document table (shingle-less docs count toward max doc_id). The
+    oracle replays the live shingle pipeline."""
+    from .llm_ops import _corpus_grams_artifact_path
+
     d = _load(spark, sf_dir, "documents")
-    return T.ngram_novelty(d, n_buckets=10)
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    return T.ngram_novelty(
+        d, n_buckets=10,
+        shingles=T.read_corpus_grams(spark, path, "shingles"),
+    )
 
 
 # The RRF CTE chain, shared by the fusion query and its recall gate.
@@ -4188,6 +4209,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "collocation", "pmi"),
     since=8,
+    changed=12,
 )
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 directional word pairs by pointwise
@@ -4195,56 +4217,23 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase-detection statistic (word2vec's phrase pass, 'new york'
     style) a corpus pipeline runs before tokenizer/vocab decisions.
 
-    The pair generation is the Spark-first part: NO position explode
-    and NO self-join — for each offset d in {{1, 2}}, zip the token
-    array with its own d-shifted slice (codegen'd zip_with over
-    slices), flatten, and count. One corpus scan feeds one keyed
-    aggregate; the unigram pass is a second scan + vocab-sized
-    aggregate; PMI joins are vocab-sized (merge-pinned: both descend
-    from explodes, so Catalyst's size estimates are stale — the
-    standard hazard class). The PMI ratio is built from exact int64
-    products (n_pair*N_w^2 / (n_a*n_b*N_p), safe to ~SF1 corpus
-    sizes in one partition-free product; shard the products past
-    that), one division, one ln, round 6."""
-    from ..functions import tokenize
+    r12: the pair and unigram count tables ARE the corpus_grams
+    artifact's ``pairs`` / ``unigrams`` relations (the zip_with pair
+    generation moved into the build, priced once per ingest) — the
+    probe is vocab-sized end to end: two tiny parquet scans, the
+    merge-pinned PMI joins, one TakeOrdered cut. No checkpoints
+    needed — re-scanning a vocab-sized parquet beats pinning it.
+    The PMI ratio is built from exact int64 products
+    (n_pair*N_w^2 / (n_a*n_b*N_p), safe to ~SF1 corpus sizes in one
+    partition-free product; shard the products past that), one
+    division, one ln, round 6. The oracle replays the live
+    pair-generation pipeline, so a MATCH proves the stored counts
+    equal the live zip_with computation."""
+    from .llm_ops import _corpus_grams_artifact_path
 
-    d = _load(spark, sf_dir, "documents")
-    base = d.select(tokenize(F.col("text")).alias("w"))
-    n = F.size("w")
-    # pairs are STRUCTS, not delimiter-joined strings: tokenize is
-    # whitespace-only with no charset restriction, so a token may
-    # contain any byte — a '|'-joined key would corrupt pair counts
-    # on the Spark side only (the oracle pairs array elements
-    # directly) and hash-mismatch on such corpora.
-    pair_arrays = [
-        F.zip_with(
-            F.slice(F.col("w"), 1, F.greatest(n - off, F.lit(0))),
-            F.slice(F.col("w"), off + 1, F.greatest(n - off, F.lit(0))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
-        for off in (1, 2)
-    ]
-    # vocab-sized aggregates, each read by multiple downstream
-    # branches (the PMI joins AND the corpus-total aggregates):
-    # checkpoint per the materialization rule or every consumer
-    # re-inlines its own corpus scan (the registry scan-ceiling test
-    # caught exactly that: 5 scans instead of 2)
-    pc = (
-        base.select(
-            F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
-        )
-        .groupBy(
-            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .localCheckpoint(eager=True)
-    )
-    ug = (
-        base.select(F.explode("w").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-        .localCheckpoint(eager=True)
-    )
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    pc = T.read_corpus_grams(spark, path, "pairs")
+    ug = T.read_corpus_grams(spark, path, "unigrams")
     tot = (
         ug.agg(F.sum("n_w").cast("long").alias("nw"))
         .crossJoin(

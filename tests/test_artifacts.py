@@ -40,6 +40,7 @@ ALL_FAMILIES = [
     ("vocab50", llm_ops3._vocab_artifact_path),
     ("powdir", llm_ops3._powdir_artifact_path),
     ("sq8_stats", llm_ops2._sq8_artifact_path),
+    ("corpus_grams", llm_ops._corpus_grams_artifact_path),
 ]
 
 

@@ -1699,3 +1699,81 @@ def test_anisotropy_reads_stored_direction(spark, sf_dir):
     assert _count_file_scans(df) == 1
     dfp = SPECS["embedding_power_projection"].fn(spark, sf_dir)
     assert _count_file_scans(dfp) == 1  # direction rides as literals
+
+
+def test_corpus_grams_probes_are_tokenize_free(spark, sf_dir):
+    """r12 tokenized-corpus artifact: every rewired n-gram/token
+    report must serve from the stored gram relations — its plan may
+    scan fcs_corpus_grams relations (and, for the novelty slice
+    boundary, the documents table once, column-pruned to doc_id) but
+    must NEVER re-tokenize corpus text. Pinned per consumer as a
+    (documents-scans, total-file-scans) ceiling: a regression that
+    re-inlines the live tokenize pipeline shows up as an extra
+    documents scan or a blown scan count."""
+    expectations = {
+        # name -> (documents.parquet scans, total file scans)
+        "text_corpus_grams_artifact": (0, 6),
+        "pipeline_eval_burn_report": (0, 5),
+        "text_crossdoc_ngram_mass": (0, 1),
+        "pipeline_source_overlap": (0, 1),
+        # dsir's bucket-count table feeds three branches (LM fit,
+        # totals, per-doc terms); each now re-reads the stored
+        # tokens relation instead of re-running the live
+        # tokenize+explode it re-ran per branch before r12
+        "pipeline_dsir_weights": (0, 3),
+        "text_tfidf_topk": (0, 3),
+        "text_top_ngram_fraction": (0, 1),
+        # novelty's (bucket, gram) stream is deliberately un-
+        # checkpointed and feeds two branches; each carries the
+        # column-pruned one-row-max documents scan (doc_id only)
+        # plus an artifact scan
+        "text_ngram_novelty": (2, 4),
+        "text_pmi_cooccurrence": (0, 5),
+    }
+    for name, (n_docs, n_scans) in expectations.items():
+        df = SPECS[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == n_docs, (
+            f"{name}: live corpus pass appeared "
+            f"({plan.count('documents.parquet')} != {n_docs})"
+        )
+        assert _count_file_scans(df) <= n_scans, (
+            f"{name}: scan ceiling blown "
+            f"({_count_file_scans(df)} > {n_scans})"
+        )
+        if name not in (
+            "text_ngram_novelty",  # artifact scan + documents mx scan
+            # source_overlap checkpoints its vocab-sized grouped
+            # table during plan construction (the auto-strategy
+            # sizes.count()), so the executed plan shows ExistingRDD
+            # downstream of the artifact scan; its 0-documents pin
+            # above already proves no live tokenize.
+            "pipeline_source_overlap",
+        ):
+            assert "fcs_corpus_grams" in plan, (
+                f"{name}: not reading the corpus_grams artifact"
+            )
+
+
+def test_corpus_grams_reader_validates_manifest(spark, sf_dir):
+    """The corpus_grams reader follows the repo-wide params-mismatch
+    contract: probing with a different shingle_n/pmi_window errors
+    loudly, and an unknown relation name errors instead of reading
+    an arbitrary subdirectory."""
+    import pytest
+
+    from flink_connectors_spark.operators import text as T
+    from flink_connectors_spark.plans.llm_ops import (
+        _corpus_grams_artifact_path,
+    )
+
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    assert T.read_corpus_grams(spark, path, "unigrams").columns == [
+        "word", "n_w"
+    ]
+    with pytest.raises(ValueError, match="params mismatch"):
+        T.read_corpus_grams(spark, path, "shingles", shingle_n=4)
+    with pytest.raises(ValueError, match="params mismatch"):
+        T.read_corpus_grams(spark, path, "pairs", pmi_window=3)
+    with pytest.raises(ValueError, match="unknown corpus_grams"):
+        T.read_corpus_grams(spark, path, "manifest")
