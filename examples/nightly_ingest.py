@@ -145,8 +145,9 @@ def nightly_ingest_indexed(spark, sf_dir: str, n_nights: int = 3) -> dict:
             ).localCheckpoint(eager=True)
             unpersist_inputs(pairs, blocking=True)
             kept_per_night.append(survivors.count())
-            # index maintenance: O(batch) parquet appends
-            minhash_index_append(survivors, path)
+            # index maintenance: O(batch) transactional append —
+            # the night label is the idempotency key a retry reuses
+            minhash_index_append(survivors, path, f"night{night}")
         return {"kept_per_night": kept_per_night}
     finally:
         shutil.rmtree(path, ignore_errors=True)

@@ -764,7 +764,11 @@ def read_containment_pairs(
     from .similarity import read_artifact_manifest
 
     man = read_artifact_manifest(spark, path)
-    if int(round(threshold * 100)) < man["min_score_x100"]:
+    if threshold < man["min_score_x100"] / 100.0:
+        # direct float compare (r11 ADVICE): the old
+        # 1/100-rounded compare passed thresholds like 0.496
+        # against a 0.5 floor, silently missing stored-at-6-
+        # decimals pairs in [threshold, floor)
         raise ValueError(
             f"containment pair artifact at {path!r} was built with "
             f"floor {man['min_score_x100'] / 100}; cannot serve "
@@ -1263,7 +1267,11 @@ def read_minhash_pairs(
     from .similarity import read_artifact_manifest
 
     man = read_artifact_manifest(spark, path)
-    if int(round(threshold * 100)) < man["min_jac_x100"]:
+    if threshold < man["min_jac_x100"] / 100.0:
+        # direct float compare (r11 ADVICE): the old
+        # 1/100-rounded compare passed thresholds like 0.496
+        # against a 0.5 floor, silently missing stored-at-6-
+        # decimals pairs in [threshold, floor)
         raise ValueError(
             f"minhash pair artifact at {path!r} was built with verify "
             f"floor {man['min_jac_x100'] / 100}; cannot serve "
@@ -1358,12 +1366,24 @@ def minhash_index_build_artifact(
       validate — probing an index built with different banding would
       silently produce different candidates.
 
+    Both relations are laid out as ``part=<batch>`` partition
+    directories (the base build is ``part=base``) with a per-batch
+    commit marker under ``{path}/_batches/`` — readers see only
+    committed batches, which is what makes
+    :func:`minhash_index_append` transactional (r11 ADVICE: the old
+    two-plain-appends layout could crash between the band and
+    shingle writes, leaving band rows whose verify shingles were
+    missing — real near-dups silently accepted — and a retry then
+    duplicated band/shingle rows, yielding duplicate pairs).
+
     Deterministic build (fixed hash family), so oracles replay the
     full bipartite pipeline and a MATCH proves probing the stored
     index equals computing the corpus side live. On ingest the new
-    batch's own bands/shingles APPEND here (same layout), which is
-    the nightly-loop composition `examples/nightly_ingest.py`
-    demonstrates live."""
+    batch's own bands/shingles land as a new committed partition,
+    which is the nightly-loop composition
+    `examples/nightly_ingest.py` demonstrates live."""
+    import os
+
     from .similarity import _write_artifact_manifest
 
     spark = corpus.sparkSession
@@ -1378,13 +1398,44 @@ def minhash_index_build_artifact(
     shingled, bt = _minhash_band_table(
         corpus, text_col, id_col, shingle_n, num_hashes, band_size
     )
-    bt.write.mode("overwrite").parquet(f"{path}/bands")
+    bt.write.mode("overwrite").parquet(f"{path}/bands/part=base")
     (
         shingled.select(F.col(id_col), "shingles")
         .write.mode("overwrite")
-        .parquet(f"{path}/shingles")
+        .parquet(f"{path}/shingles/part=base")
     )
+    os.makedirs(f"{path}/_batches", exist_ok=True)
     _release_frame(shingled)
+
+
+def _committed_index_parts(path: str) -> list[str]:
+    """The committed partition set of a signature index: the base
+    build plus every appended batch whose commit marker exists. A
+    crashed append's partition directories are present on disk but
+    invisible to every reader until its marker lands (written LAST
+    by :func:`minhash_index_append`)."""
+    import os
+
+    parts = ["base"]
+    bdir = os.path.join(path, "_batches")
+    if os.path.isdir(bdir):
+        parts += sorted(os.listdir(bdir))
+    return parts
+
+
+def _read_index_relation(spark, path: str, rel: str) -> DataFrame:
+    """Read one signature-index relation restricted to COMMITTED
+    batches: the ``part`` filter is partition PRUNING (uncommitted /
+    crashed append directories never enter the scan), then the
+    partition column drops so consumers see the logical relation.
+    The column guard keeps pre-partition-layout artifacts readable
+    (they are all-committed by construction)."""
+    df = spark.read.parquet(f"{path}/{rel}")
+    if "part" in df.columns:
+        df = df.filter(
+            F.col("part").isin(_committed_index_parts(path))
+        ).drop("part")
+    return df
 
 
 def minhash_lsh_pairs_vs_index(
@@ -1424,8 +1475,8 @@ def minhash_lsh_pairs_vs_index(
     new_sh, new_bt = _minhash_band_table(
         new_batch, text_col, id_col, shingle_n, num_hashes, band_size
     )
-    cor_bt = spark.read.parquet(f"{path}/bands")
-    cor_sh = spark.read.parquet(f"{path}/shingles")
+    cor_bt = _read_index_relation(spark, path, "bands")
+    cor_sh = _read_index_relation(spark, path, "shingles")
     cand = (
         new_bt.alias("n")
         .hint("merge")
@@ -1461,6 +1512,7 @@ def minhash_lsh_pairs_vs_index(
 def minhash_index_append(
     new_docs: DataFrame,
     path: str,
+    batch_id: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
@@ -1468,14 +1520,42 @@ def minhash_index_append(
     band_size: int = 2,
 ) -> None:
     """Fold an ACCEPTED batch into the standing signature index
-    (:func:`minhash_index_build_artifact`): the batch's bands and
-    shingles append to the same two relations — plain parquet
-    appends, no rewrite of existing files, which is the whole point
-    of the layout (the nightly loop's index maintenance is O(batch)
-    storage and compute). Params validate against the manifest; the
-    batch-side tables are built once and released here."""
+    (:func:`minhash_index_build_artifact`) TRANSACTIONALLY — still
+    O(batch) storage and compute, no rewrite of existing files, but
+    a crash can no longer split the index (r11 ADVICE, medium: the
+    old two-plain-appends could die between the band and shingle
+    writes, so probes generated candidates whose verify rows were
+    missing — real near-dups silently accepted as unique — and a
+    blind retry duplicated rows, yielding duplicate pairs).
+
+    Protocol (the commit marker is the transaction):
+
+    1. If ``{path}/_batches/{batch_id}`` exists the batch is already
+       committed — return without writing (idempotent retries).
+    2. Write the batch's shingles, then bands, each as its own
+       ``part={batch_id}`` partition directory in OVERWRITE mode —
+       a retry after any crash replaces partial files instead of
+       doubling them.
+    3. Write the commit marker LAST. Readers
+       (:func:`_read_index_relation`) partition-prune to committed
+       batches, so an uncommitted append is invisible end to end.
+
+    ``batch_id`` names the ingest batch (e.g. the nightly date) and
+    must be stable across retries — it IS the idempotency key.
+    Params validate against the manifest; the batch-side tables are
+    built once and released here."""
+    import os
+    import re
+
     from .similarity import read_artifact_manifest
 
+    if not re.fullmatch(r"[A-Za-z0-9_.\-]+", batch_id) or (
+        batch_id == "base"
+    ):
+        raise ValueError(
+            f"invalid batch_id {batch_id!r}: must be a filesystem-"
+            "safe token and not the reserved 'base'"
+        )
     spark = new_docs.sparkSession
     man = read_artifact_manifest(spark, path)
     want = {
@@ -1488,13 +1568,21 @@ def minhash_index_append(
             f"minhash index at {path!r} params mismatch: index has "
             f"{got}, append wants {want}"
         )
+    marker = os.path.join(path, "_batches", batch_id)
+    if os.path.exists(marker):
+        return  # already committed — idempotent retry
     shingled, bt = _minhash_band_table(
         new_docs, text_col, id_col, shingle_n, num_hashes, band_size
     )
-    bt.write.mode("append").parquet(f"{path}/bands")
+    # shingles before bands: even mid-crash (pre-marker) state only
+    # ever OVER-provisions verify rows, never candidates — defense
+    # in depth under readers that ignore the commit set
     (
         shingled.select(F.col(id_col), "shingles")
-        .write.mode("append")
-        .parquet(f"{path}/shingles")
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles/part={batch_id}")
     )
+    bt.write.mode("overwrite").parquet(f"{path}/bands/part={batch_id}")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    open(marker, "w").close()
     _release_frame(shingled)

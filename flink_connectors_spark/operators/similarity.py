@@ -709,7 +709,11 @@ def read_neardup_edges(
     returning a silently-incomplete edge set is the failure mode the
     manifest exists to prevent)."""
     man = read_artifact_manifest(spark, path)
-    if int(round(threshold * 100)) < man["min_score_x100"]:
+    if threshold < man["min_score_x100"] / 100.0:
+        # direct float compare (r11 ADVICE): the old
+        # 1/100-rounded compare passed thresholds like 0.496
+        # against a 0.5 floor, silently missing stored-at-6-
+        # decimals pairs in [threshold, floor)
         raise ValueError(
             f"edge artifact at {path!r} was built with score floor "
             f"{man['min_score_x100'] / 100}; cannot serve threshold "
@@ -1187,15 +1191,21 @@ def sq8_train_stats(
 
 
 # corpus-side SQ8 encode: code_i = round((w_i - min_i) * 255 / span_i)
-# in [0, 255]; constant dimensions (span 0) code as 0. The *255
-# numerator is an exact small integer, so the single float division +
-# round is IEEE-identical across engines.
+# CLAMPED to [0, 255]; constant dimensions (span 0) code as 0. The
+# *255 numerator is an exact small integer, so the single float
+# division + round is IEEE-identical across engines. The clamp (r11
+# ADVICE) matches FAISS ScalarQuantizer QT_8bit, which saturates to
+# the trained range: with ranges injected from a persisted artifact
+# built on a sample or an older corpus snapshot (the documented
+# 100 TB mode), out-of-range coordinates would otherwise code below
+# 0 / above 255, breaking the 4x byte-shrink invariant.
 _SQ8_CODE = (
     "transform(sequence(1, size(__w__)), i -> "
     "CASE WHEN element_at(maxs, i) > element_at(mins, i) "
-    "THEN CAST(round(CAST((element_at(__w__, i) - element_at(mins, i)) "
+    "THEN greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT), "
+    "CAST(round(CAST((element_at(__w__, i) - element_at(mins, i)) "
     "* 255 AS DOUBLE) / CAST(element_at(maxs, i) - element_at(mins, i) "
-    "AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    "AS DOUBLE)) AS BIGINT))) ELSE CAST(0 AS BIGINT) END)"
 )
 # decode, kept INTEGER by reconstructing at 255x magnification:
 # rec255_i = 255 * (min_i + code_i * span_i / 255). The uniform 1/255

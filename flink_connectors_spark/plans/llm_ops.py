@@ -280,7 +280,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) >= 0.5
     """,
     tags=("llm", "dedup", "minhash", "lsh", "incremental"),
-    changed=11,
+    changed=12,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: every 10th doc plays the NEW batch;

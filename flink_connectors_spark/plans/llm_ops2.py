@@ -1112,10 +1112,11 @@ _SQL_SQ8 = """
              list_transform(range(1, len(wq.w) + 1), i ->
                sq_mm.mins[i] * 255 +
                (CASE WHEN sq_mm.maxs[i] > sq_mm.mins[i]
-                THEN CAST(round(CAST((wq.w[i] - sq_mm.mins[i]) * 255
+                THEN greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+                     CAST(round(CAST((wq.w[i] - sq_mm.mins[i]) * 255
                                AS DOUBLE)
                           / CAST(sq_mm.maxs[i] - sq_mm.mins[i] AS DOUBLE))
-                     AS BIGINT)
+                     AS BIGINT)))
                 ELSE CAST(0 AS BIGINT) END)
                * (sq_mm.maxs[i] - sq_mm.mins[i])) AS rv
       FROM wq, sq_mm),
@@ -1189,6 +1190,7 @@ def _sq8_stored_stats(spark: SparkSession, sf_dir: str):
     """,
     tags=("llm", "similarity", "topk", "quantization"),
     since=11,
+    changed=12,
 )
 def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine over the per-DIMENSION 8-bit scalar-quantized
@@ -1251,6 +1253,7 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "similarity", "quantization", "qa"),
     since=11,
+    changed=12,
 )
 def similarity_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the per-dimension SQ8 asymmetric scan against the

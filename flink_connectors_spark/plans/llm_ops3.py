@@ -819,6 +819,35 @@ def _vocab_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     return ensure_artifact(spark, "vocab50", sf_dir, build)
 
 
+def _read_vocab(
+    spark: SparkSession, path: str, *, exact_top_v: int | None = None,
+    min_top_v: int | None = None,
+) -> DataFrame:
+    """Read the persisted vocab table, validating its manifest first
+    (r11 ADVICE: both consumers read ``{path}/vocab`` with no params
+    check — an artifact rebuilt with a smaller or re-ranked top_v
+    would silently encode with a truncated vocabulary instead of
+    erroring like every other artifact reader). ``exact_top_v`` pins
+    the build query's full-table hash; ``min_top_v`` guards a prefix
+    join (a prefix of a LARGER same-ranking table is identical, so
+    >= is the right contract there)."""
+    from ..operators.similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    got = man.get("top_v")
+    if exact_top_v is not None and got != exact_top_v:
+        raise ValueError(
+            f"vocab artifact at {path!r} params mismatch: built with "
+            f"top_v={got}, consumer wants top_v={exact_top_v}"
+        )
+    if min_top_v is not None and (got is None or got < min_top_v):
+        raise ValueError(
+            f"vocab artifact at {path!r} params mismatch: built with "
+            f"top_v={got}, prefix consumer needs top_v>={min_top_v}"
+        )
+    return spark.read.parquet(f"{path}/vocab")
+
+
 @register(
     "pipeline_vocab_build",
     oracle=f"""
@@ -838,7 +867,7 @@ def _vocab_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     """,
     tags=("llm", "pipeline", "vocab", "tokenizer"),
     since=4,
-    changed=11,
+    changed=12,
 )
 def pipeline_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary build: corpus token counts + document
@@ -851,9 +880,10 @@ def pipeline_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-vocab stage is the keyed count, the id-assignment cost is
     bounded by the vocab size you asked for. r11: the ranked table
     is a PERSISTED artifact — this query prices the one count pass
-    (first toucher) and value-hashes the read-back."""
+    (first toucher) and value-hashes the read-back (manifest-
+    validated: a drifted top_v errors, r11 ADVICE)."""
     path = _vocab_artifact_path(spark, sf_dir)
-    return spark.read.parquet(f"{path}/vocab")
+    return _read_vocab(spark, path, exact_top_v=50)
 
 
 # ---------------------------------------------------------------------------
@@ -1562,7 +1592,7 @@ def similarity_ivfpq_delete_probe(
     """,
     tags=("llm", "pipeline", "tokenizer", "vocab"),
     since=4,
-    changed=11,
+    changed=12,
 )
 def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize-to-ids — the apply half of the vocabulary pair
@@ -1590,7 +1620,9 @@ def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
     path = _vocab_artifact_path(spark, sf_dir)
     vocab = (
-        spark.read.parquet(f"{path}/vocab")
+        # manifest-validated (r11 ADVICE): the top-30 prefix join is
+        # only sound when the stored ranking covers >= 30 rows
+        _read_vocab(spark, path, min_top_v=30)
         .filter(F.col("vocab_id") <= 30)
         .select("vocab_id", "token")
     )

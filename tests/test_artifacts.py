@@ -275,3 +275,77 @@ def test_stable_root_reuses_pair_artifact(spark, sf_dir, tmp_path):
         assert stats.count() >= len(first)
     finally:
         spark.conf.unset(A.ARTIFACT_ROOT_CONF)
+
+
+def test_minhash_index_append_is_transactional(spark, sf_dir):
+    """r11 ADVICE (medium): the signature-index append must be a
+    transaction — a crash mid-append leaves the index serving
+    exactly the pre-append pair set (never candidates without
+    verify rows), and a retry with the same batch_id is idempotent
+    (no duplicate pairs). Commit point = the per-batch marker,
+    written LAST; readers partition-prune to committed batches."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build_artifact,
+        minhash_lsh_pairs_vs_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    path = tempfile.mkdtemp(prefix="fcs_test_txn_index_")
+    try:
+        minhash_index_build_artifact(
+            docs.filter(F.col("doc_id") % 3 == 0), path
+        )
+        probe = docs.filter(F.col("doc_id") % 3 == 2)
+        # two append batches DISJOINT from the base corpus and from
+        # each other (re-ingesting ids already indexed would
+        # legitimately double their pairs — not the bug under test)
+        batch1 = docs.filter(F.col("doc_id") % 6 == 1)
+        batch2 = docs.filter(F.col("doc_id") % 6 == 4)
+
+        def pairs():
+            return sorted(
+                map(
+                    tuple,
+                    minhash_lsh_pairs_vs_index(
+                        probe, path, threshold=0.5
+                    ).collect(),
+                )
+            )
+
+        before = pairs()
+        minhash_index_append(batch1, path, "b1")
+        after = pairs()
+        assert len(after) > len(before), (
+            "appended batch contributed no pairs — the fixture "
+            "must exercise the committed-read path"
+        )
+        assert len(set(after)) == len(after), "duplicate pairs"
+        # idempotent retry: same batch_id, identical result
+        minhash_index_append(batch1, path, "b1")
+        assert pairs() == after
+        # crash simulation: commit b2, then strip ONLY its marker —
+        # the data directories stay on disk but every reader must
+        # treat the batch as never-happened
+        minhash_index_append(batch2, path, "b2")
+        with_b2 = pairs()
+        os.unlink(os.path.join(path, "_batches", "b2"))
+        assert pairs() == after, (
+            "uncommitted (crashed) append is visible to probes"
+        )
+        # retry re-commits: identical to the first committed read
+        minhash_index_append(batch2, path, "b2")
+        assert pairs() == with_b2
+        assert len(set(with_b2)) == len(with_b2), "duplicate pairs"
+        # batch_id is validated: path-unsafe or reserved ids error
+        with pytest.raises(ValueError, match="invalid batch_id"):
+            minhash_index_append(batch2, path, "base")
+        with pytest.raises(ValueError, match="invalid batch_id"):
+            minhash_index_append(batch2, path, "a/b")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1598,3 +1598,34 @@ def test_ivfadc_artifact_probe_equals_inprocess(spark, sf_dir):
         ).collect())
     )
     assert got == want
+
+
+def test_sq8_codes_clamp_to_byte_range(spark):
+    """r11 ADVICE: FAISS ScalarQuantizer QT_8bit SATURATES to the
+    trained range — with (mins, maxs) injected from an artifact
+    trained on a sample or an older snapshot (the documented 100 TB
+    mode), out-of-range coordinates must clamp to [0, 255], not code
+    below 0 / above 255 (which would break the 4x byte-shrink
+    invariant and the claimed FAISS parity)."""
+    from flink_connectors_spark.operators.similarity import _SQ8_CODE
+
+    # trained range [0, 255] on the 1024-grid for every dim; corpus
+    # row has one under-range and one over-range coordinate
+    stats = spark.createDataFrame(
+        [([0, 0], [255, 255])], "mins array<long>, maxs array<long>"
+    )
+    row = (
+        spark.createDataFrame([([-100, 900],)], "__w__ array<long>")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__codes__", F.expr(_SQ8_CODE))
+        .first()
+    )
+    assert row["__codes__"] == [0, 255], row["__codes__"]
+    # in-range coordinates are untouched by the clamp
+    row2 = (
+        spark.createDataFrame([([0, 128],)], "__w__ array<long>")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__codes__", F.expr(_SQ8_CODE))
+        .first()
+    )
+    assert row2["__codes__"] == [0, 128], row2["__codes__"]

@@ -1563,6 +1563,14 @@ def test_minhash_pair_probe_plan_is_lsh_free(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="floor"):
         D.read_minhash_pairs(spark, fpath, 0.3)
+    # r11 ADVICE: the old 1/100-rounded guard PASSED 0.496 against a
+    # 0.5 floor — jac is stored at 6 decimals, so pairs in
+    # [0.496, 0.5) genuinely exist and were silently missed; the
+    # float-exact guard must reject any threshold strictly below
+    # the floor while still serving threshold == floor
+    with pytest.raises(ValueError, match="floor"):
+        D.read_minhash_pairs(spark, fpath, 0.496)
+    D.read_minhash_pairs(spark, fpath, 0.5)  # at the floor: serves
     with pytest.raises(ValueError, match="floor"):
         D.read_minhash_candidate_stats(spark, fpath)
     for name, max_scans in (
@@ -1777,3 +1785,40 @@ def test_corpus_grams_reader_validates_manifest(spark, sf_dir):
         T.read_corpus_grams(spark, path, "pairs", pmi_window=3)
     with pytest.raises(ValueError, match="unknown corpus_grams"):
         T.read_corpus_grams(spark, path, "manifest")
+
+
+def test_vocab_consumers_validate_manifest(spark, sf_dir, tmp_path):
+    """r11 ADVICE: the vocab readers must validate top_v against the
+    artifact manifest — a rebuilt artifact with a smaller ranking
+    must error in BOTH consumers (exact match for the build query's
+    read-back, >= for the tokenize prefix join), never silently
+    encode with a truncated vocabulary."""
+    import pytest
+
+    from flink_connectors_spark.operators.similarity import (
+        _write_artifact_manifest,
+    )
+    from flink_connectors_spark.plans.llm_ops3 import (
+        _read_vocab,
+        _vocab_artifact_path,
+    )
+
+    path = _vocab_artifact_path(spark, sf_dir)
+    # manifest top_v is the RANKING CUT (50), not the stored row
+    # count — the synthetic vocabulary is ~31 tokens, so the table
+    # legitimately holds fewer rows than the cut
+    n = _read_vocab(spark, path, exact_top_v=50).count()
+    assert n > 0
+    assert _read_vocab(spark, path, min_top_v=30).count() == n
+    # a truncated rebuild: same table, manifest says top_v=20
+    small = str(tmp_path / "vocab_small")
+    _write_artifact_manifest(spark, small, {"top_v": 20})
+    spark.read.parquet(f"{path}/vocab").limit(20).write.parquet(
+        f"{small}/vocab"
+    )
+    with pytest.raises(ValueError, match="params mismatch"):
+        _read_vocab(spark, small, exact_top_v=50)
+    with pytest.raises(ValueError, match="params mismatch"):
+        _read_vocab(spark, small, min_top_v=30)
+    # a LARGER same-ranking build still serves the prefix join
+    assert _read_vocab(spark, path, min_top_v=50).count() == n
