@@ -349,3 +349,106 @@ def test_minhash_index_append_is_transactional(spark, sf_dir):
             minhash_index_append(batch2, path, "a/b")
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stable_claim_two_processes_build_once(tmp_path):
+    """r11 verdict What's-wrong #3: two COLD processes sharing a
+    durable FCS_ARTIFACT_ROOT must not interleave rmtree+overwrite
+    builds — the atomic .building claim serializes them, exactly one
+    build runs, and both processes end up serving the same completed
+    artifact. Real subprocesses (no shared interpreter state), a
+    deliberately slow build to widen the race window."""
+    import subprocess
+    import sys
+
+    root = tmp_path / "shared_root"
+    builds = tmp_path / "builds"
+    builds.mkdir()
+    script = f"""
+import os, sys, time, uuid
+sys.path.insert(0, {repr(os.getcwd())})
+os.environ["FCS_ARTIFACT_ROOT"] = {repr(str(root))}
+from flink_connectors_spark.operators.artifacts import ensure_artifact
+
+def build(path):
+    open(os.path.join({repr(str(builds))}, uuid.uuid4().hex), "w").close()
+    time.sleep(1.0)
+    os.makedirs(os.path.join(path, "rel"), exist_ok=True)
+
+# spark=None: artifact_root falls through to the env var
+p = ensure_artifact(None, "xprocrace", "/root/testdata/sf0.001", build)
+assert os.path.exists(os.path.join(p, "_done"))
+print("OK")
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for _ in range(3)
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+        assert b"OK" in out
+    assert len(list(builds.iterdir())) == 1, (
+        "concurrent cold processes ran more than one build"
+    )
+
+
+def test_stable_claim_stale_takeover(tmp_path):
+    """A claim left by a CRASHED builder (older than
+    STALE_CLAIM_SECONDS) must be taken over instead of blocking
+    every later session forever."""
+    root = str(tmp_path / "root2")
+    os.environ["FCS_ARTIFACT_ROOT"] = root
+    try:
+        path = A.artifact_path(None, "stalekind", "/root/testdata/sf0.001")
+        claim = path + ".building"
+        os.makedirs(claim)
+        old = time.time() - A.STALE_CLAIM_SECONDS - 60
+        os.utime(claim, (old, old))
+        calls = []
+
+        def build(p):
+            calls.append(1)
+            os.makedirs(os.path.join(p, "rel"), exist_ok=True)
+
+        got = A.ensure_artifact(None, "stalekind", "/root/testdata/sf0.001", build)
+        assert got == path and calls == [1]
+        assert os.path.exists(os.path.join(path, "_done"))
+        assert not os.path.exists(claim), "claim not released"
+    finally:
+        os.environ.pop("FCS_ARTIFACT_ROOT", None)
+
+
+def test_stable_claim_waits_for_live_builder(tmp_path):
+    """A FRESH claim means another process is mid-build: the waiter
+    must poll until that builder's marker lands, then serve the
+    completed artifact WITHOUT building (its own build fn never
+    runs)."""
+    root = str(tmp_path / "root3")
+    os.environ["FCS_ARTIFACT_ROOT"] = root
+    try:
+        path = A.artifact_path(None, "waitkind", "/root/testdata/sf0.001")
+        claim = path + ".building"
+        os.makedirs(claim)
+
+        def other_builder_finishes():
+            time.sleep(0.6)
+            os.makedirs(path, exist_ok=True)
+            open(os.path.join(path, "_done"), "w").close()
+            os.rmdir(claim)
+
+        t = threading.Thread(target=other_builder_finishes)
+        t.start()
+
+        def build(p):  # pragma: no cover - must not run
+            raise AssertionError("waiter ran a duplicate build")
+
+        got = A.ensure_artifact(None, "waitkind", "/root/testdata/sf0.001", build)
+        t.join()
+        assert got == path
+        assert os.path.exists(os.path.join(path, "_done"))
+    finally:
+        os.environ.pop("FCS_ARTIFACT_ROOT", None)
