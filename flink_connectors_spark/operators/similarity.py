@@ -660,6 +660,14 @@ def neardup_edges_build_artifact(
       band-bucket occupancy, never corpus²); written with the
       shuffle partitioning the rescore join produced, so downstream
       node-keyed joins start from distributed files.
+    - ``{path}/signatures`` — (id, band_id, band_key): the corpus
+      band-signature table itself (r12, verdict Next #6). The
+      SEARCH-side sign-LSH consumers (`cosine_topk_rplsh`, the
+      recall audit's approximate arm) need signatures, not edges —
+      until r12 they re-folded the corpus through the hyperplanes
+      per invocation. Same hyperplanes, so one build pass serves
+      both the self-join (edges) and the query-probe (signatures)
+      shapes.
     - ``{path}/manifest`` — params sidecar (written FIRST): banding
       plus the score floor x100; readers validate their threshold
       against the floor — probing BELOW it would silently miss pairs
@@ -695,6 +703,41 @@ def neardup_edges_build_artifact(
         vec_col=vec_col,
     )
     pairs.write.mode("overwrite").parquet(f"{path}/edges")
+    (
+        band_signatures(
+            corpus,
+            random_hyperplanes(n_planes, 64),
+            bits_per_band,
+            id_col,
+            vec_col,
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/signatures")
+    )
+
+
+def read_neardup_signatures(
+    spark: SparkSession,
+    path: str,
+    n_planes: int = 16,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Serve the persisted corpus band-signature table
+    (id, band_id, band_key) from an edge artifact
+    (:func:`neardup_edges_build_artifact`). Validates the banding
+    against the manifest — probing stored signatures with different
+    hyperplane/band params would silently produce different
+    candidate sets (the same failure mode every artifact reader in
+    the repo guards)."""
+    man = read_artifact_manifest(spark, path)
+    want = {"n_planes": n_planes, "bits_per_band": bits_per_band}
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"edge artifact at {path!r} params mismatch: signatures "
+            f"built with {got}, probe wants {want}"
+        )
+    return spark.read.parquet(f"{path}/signatures")
 
 
 def read_neardup_edges(
@@ -734,10 +777,19 @@ def cosine_topk_rplsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH approximate top-k cosine search —
     the bucketed alternative to the IVF path when no cluster labels
     exist.
+
+    ``corpus_signatures`` (r12) injects the PERSISTED corpus band
+    table (the edge artifact's ``signatures`` relation, same
+    hyperplanes) in place of the per-invocation corpus fold — only
+    the |Q|-sized query signatures compute live. Deterministic
+    hyperplanes, so results are identical either way (the registered
+    query's oracle replays the live fold and MATCHes the stored
+    path).
 
     Each vector gets ``n_planes`` sign bits, banded into
     ``n_planes/bits_per_band`` small integer keys; a query only scores
@@ -772,8 +824,13 @@ def cosine_topk_rplsh(
     bands = lambda df: band_signatures(  # noqa: E731
         df, planes, bits_per_band, id_col, vec_col
     )
+    corpus_sig = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else bands(corpus)
+    )
     pairs = (
-        bands(corpus)
+        corpus_sig
         .withColumnRenamed(id_col, "neighbor_id")
         .join(
             F.broadcast(bands(queries).withColumnRenamed(id_col, "query_id")),

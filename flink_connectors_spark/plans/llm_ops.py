@@ -688,14 +688,25 @@ def _rplsh_oracle() -> str:
     "similarity_topk_rplsh",
     oracle=_rplsh_oracle(),
     tags=("llm", "similarity", "ann", "lsh"),
+    changed=12,
 )
 def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH (random hyperplane) ANN: 16 deterministic hyperplanes
     banded 4x4; queries only score corpus rows sharing a band key —
-    the label-free bucketed scale path (IVF needs cluster labels)."""
+    the label-free bucketed scale path (IVF needs cluster labels).
+
+    r12 (verdict Next #6): the corpus band-signature table serves
+    from the edge artifact's persisted ``signatures`` relation (same
+    hyperplanes, manifest-validated) — only the |Q| query signatures
+    fold live; the oracle replays the full live fold."""
     emb = _load(spark, sf_dir, "embeddings")
+    path = _neardup_edges_artifact_path(spark, sf_dir)
     return S.cosine_topk_rplsh(
-        emb.filter(emb.vec_id < 20), emb, k=5, n_planes=16, bits_per_band=4
+        emb.filter(emb.vec_id < 20), emb, k=5, n_planes=16,
+        bits_per_band=4,
+        corpus_signatures=S.read_neardup_signatures(
+            spark, path, n_planes=16, bits_per_band=4
+        ),
     )
 
 
@@ -750,6 +761,7 @@ def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "similarity", "ann", "qa"),
     since=3,
+    changed=12,
 )
 def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the sign-LSH ANN against the exact brute-force
@@ -760,8 +772,15 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(emb.vec_id < 20)
     exact = S.cosine_topk_bruteforce(q, emb, k=5)
+    # r12: the approximate arm probes the persisted signature table
+    # (the meter's cost should be the exact side it audits, not a
+    # re-fold of the corpus through the hyperplanes)
+    path = _neardup_edges_artifact_path(spark, sf_dir)
     approx = S.cosine_topk_rplsh(
-        q, emb, k=5, n_planes=16, bits_per_band=4
+        q, emb, k=5, n_planes=16, bits_per_band=4,
+        corpus_signatures=S.read_neardup_signatures(
+            spark, path, n_planes=16, bits_per_band=4
+        ),
     )
     return S.topk_recall_audit(exact, approx, k=5)
 

@@ -1822,3 +1822,30 @@ def test_vocab_consumers_validate_manifest(spark, sf_dir, tmp_path):
         _read_vocab(spark, small, min_top_v=30)
     # a LARGER same-ranking build still serves the prefix join
     assert _read_vocab(spark, path, min_top_v=50).count() == n
+
+
+def test_rplsh_probes_stored_signatures(spark, sf_dir):
+    """r12 (verdict Next #6): the sign-LSH search and the recall
+    audit's approximate arm must read the corpus band-signature
+    table from the edge artifact — only the |Q| query signatures
+    fold live, so the embeddings table appears at most 3x in the
+    search plan (query fold, query vectors, corpus vector
+    re-attach) instead of carrying a 4th corpus-wide hyperplane
+    fold; a banding mismatch errors at read."""
+    import pytest
+
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.plans.llm_ops import (
+        _neardup_edges_artifact_path,
+    )
+
+    df = SPECS["similarity_topk_rplsh"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "fcs_neardup_edges" in plan
+    assert plan.count("embeddings.parquet") <= 3
+    dfr = SPECS["similarity_recall_audit"].fn(spark, sf_dir)
+    rplan = dfr._jdf.queryExecution().executedPlan().toString()
+    assert "fcs_neardup_edges" in rplan
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    with pytest.raises(ValueError, match="params mismatch"):
+        S.read_neardup_signatures(spark, path, n_planes=32)
