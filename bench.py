@@ -72,6 +72,9 @@ HEADLINE = [
     "grouped_map_demean",
     "multimodal_decode",
     "dedup_incremental_batch",
+    # r12: the compacted-index probe (build -> transactional append
+    # -> compact lifecycle priced in ITS cold column via BUILD_ONCE)
+    "dedup_index_compact_probe",
     "rollup_daily_from_hourly",
     # r3 additions
     "pipeline_mixture_sample",
@@ -260,6 +263,9 @@ BUILD_ONCE = [
     # tokens/grams/pairs/unigrams); eight n-gram/token reports read
     # them (r12 wave 1)
     "text_corpus_grams_artifact",
+    # ...and the compacted signature index (base+append+compact
+    # lifecycle) the compaction probe reads
+    "dedup_index_compact_probe",
 ]
 
 

@@ -1429,13 +1429,78 @@ def _read_index_relation(spark, path: str, rel: str) -> DataFrame:
     crashed append directories never enter the scan), then the
     partition column drops so consumers see the logical relation.
     The column guard keeps pre-partition-layout artifacts readable
-    (they are all-committed by construction)."""
-    df = spark.read.parquet(f"{path}/{rel}")
+    (they are all-committed by construction). If a crash landed
+    between :func:`minhash_index_compact`'s two renames (no live
+    relation dir), fall back to the preserved pre-compaction
+    relation — its partitions and markers are still intact, so even
+    that window serves the correct logical relation (the
+    ``codes_precompact`` discipline from the ANN artifacts)."""
+    import os
+
+    rel_dir = os.path.join(path, rel)
+    if not os.path.isdir(rel_dir):
+        pre = rel_dir + "_precompact"
+        if os.path.isdir(pre):
+            rel_dir = pre
+    df = spark.read.parquet(rel_dir)
     if "part" in df.columns:
         df = df.filter(
             F.col("part").isin(_committed_index_parts(path))
         ).drop("part")
     return df
+
+
+def minhash_index_compact(spark: SparkSession, path: str) -> None:
+    """Fold every committed append batch into a fresh ``part=base`` —
+    the maintenance verb that finishes the nightly-index lifecycle
+    (build -> append x N -> compact), the signature-index twin of
+    ``ivfpq_compact``. After months of nightly appends the index is
+    1+N partition directories; readers stay correct (the committed
+    filter) but every probe lists N+1 directories and small-file
+    counts grow without bound. Compaction rewrites each relation's
+    COMMITTED view as one partition and clears the consumed batch
+    markers; a reader sees the identical logical relation before,
+    during, and after.
+
+    Crash safety, window by window (each rename is atomic on a
+    POSIX/NFS filesystem; an object store would use its own
+    atomic-commit primitive):
+
+    - before any rename: originals + markers intact; the orphaned
+      ``*_compacting`` dir is removed by the retry.
+    - between a relation's two renames (no live dir): readers fall
+      back to the preserved ``*_precompact`` dir, whose partitions
+      and markers are untouched.
+    - between the two relations' swaps: one relation already serves
+      all rows from the new base, the other still unions base +
+      committed batches — the logical contents are identical.
+    - during marker clearing: a marker pointing at a batch dir the
+      new base absorbed prunes to zero files — harmless.
+
+    One linear pass per relation (partition-pruned committed read,
+    no shuffle beyond the write), O(1) metadata swaps."""
+    import os
+    import shutil
+
+    if _committed_index_parts(path) == ["base"]:
+        return  # nothing appended since the last base — no-op
+    for rel in ("bands", "shingles"):
+        live = f"{path}/{rel}"
+        tmp = f"{path}/{rel}_compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            _read_index_relation(spark, path, rel)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/part=base")
+        )
+        pre = f"{live}_precompact"
+        shutil.rmtree(pre, ignore_errors=True)
+        os.rename(live, pre)
+        os.rename(tmp, live)
+        shutil.rmtree(pre, ignore_errors=True)
+    bdir = os.path.join(path, "_batches")
+    for name in sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []:
+        os.unlink(os.path.join(bdir, name))
 
 
 def minhash_lsh_pairs_vs_index(

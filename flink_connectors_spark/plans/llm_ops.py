@@ -245,9 +245,11 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_incremental_batch",
-    oracle=f"""
+# The bipartite incremental-dedup oracle: full live replay of BOTH
+# sides (batch = every 10th doc, corpus = the rest). Shared by the
+# plain index probe AND the compaction probe — compaction must not
+# change the logical relation, so both MATCH the same replay.
+_INCR_BATCH_ORACLE = f"""
     WITH nnorm AS (
       SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id % 10 = 0),
     cnorm AS (
@@ -278,7 +280,12 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN csh y ON y.doc_id = d.corpus_id
     WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
                 / CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE), 6) >= 0.5
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_INCR_BATCH_ORACLE,
     tags=("llm", "dedup", "minhash", "lsh", "incremental"),
     changed=12,
 )
@@ -1054,6 +1061,67 @@ def _minhash_index_artifact_path(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return ensure_artifact(spark, "minhash_index", sf_dir, build)
+
+
+def _minhash_index_cpt_artifact_path(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Ensure a signature index that has lived the FULL nightly
+    lifecycle — base build on two thirds of the corpus slice, a
+    transactional append of the remaining third, then
+    `minhash_index_compact` folding the batch back into one
+    ``part=base`` per relation. The compact probe reads it; its
+    oracle is the same full bipartite replay as the plain index
+    probe, so a MATCH proves compaction preserved the logical
+    relation. Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        d = _load(spark, sf_dir, "documents")
+        cor = d.filter(F.col("doc_id") % 10 != 0)
+        D.minhash_index_build_artifact(
+            cor.filter(F.col("doc_id") % 3 != 1), path,
+            shingle_n=3, num_hashes=_MINHASH_K, band_size=_BAND,
+        )
+        D.minhash_index_append(
+            cor.filter(F.col("doc_id") % 3 == 1), path, "ingest1",
+            shingle_n=3, num_hashes=_MINHASH_K, band_size=_BAND,
+        )
+        D.minhash_index_compact(spark, path)
+
+    return ensure_artifact(spark, "minhash_index_cpt", sf_dir, build)
+
+
+@register(
+    "dedup_index_compact_probe",
+    oracle=_INCR_BATCH_ORACLE,
+    tags=("llm", "dedup", "minhash", "lsh", "incremental", "compact"),
+    since=12,
+)
+def dedup_index_compact_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction for the SIGNATURE index — the maintenance verb that
+    finishes the nightly-dedup lifecycle (build -> transactional
+    append -> compact), the text-side twin of
+    `similarity_ivfpq_compact_probe`: after months of appends the
+    index is 1+N partition directories; `minhash_index_compact`
+    rewrites each relation's committed view as one ``part=base``
+    (crash-safe two-rename swap with a ``*_precompact`` fallback,
+    consumed batch markers cleared) so probes stop listing N+1
+    directories. The probed index here was built on two thirds of
+    the corpus slice, appended the remaining third, and compacted —
+    and the oracle is the SAME full bipartite replay as
+    `dedup_incremental_batch`, so a MATCH proves storage-level
+    folding equals the never-compacted computation."""
+    d = _load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_vs_index(
+        d.filter(F.col("doc_id") % 10 == 0),
+        _minhash_index_cpt_artifact_path(spark, sf_dir),
+        num_hashes=_MINHASH_K,
+        band_size=_BAND,
+        threshold=0.5,
+    )
 
 
 def _corpus_grams_artifact_path(spark: SparkSession, sf_dir: str) -> str:

@@ -41,6 +41,7 @@ ALL_FAMILIES = [
     ("powdir", llm_ops3._powdir_artifact_path),
     ("sq8_stats", llm_ops2._sq8_artifact_path),
     ("corpus_grams", llm_ops._corpus_grams_artifact_path),
+    ("minhash_index_cpt", llm_ops._minhash_index_cpt_artifact_path),
 ]
 
 
@@ -452,3 +453,68 @@ def test_stable_claim_waits_for_live_builder(tmp_path):
         assert os.path.exists(os.path.join(path, "_done"))
     finally:
         os.environ.pop("FCS_ARTIFACT_ROOT", None)
+
+
+def test_minhash_index_compact_lifecycle(spark, sf_dir):
+    """Compaction folds committed batches into one part=base per
+    relation and clears the consumed markers; the probed pair set is
+    identical before and after, the crash window between the two
+    renames serves via the *_precompact fallback, and compacting a
+    never-appended index is a no-op."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators.dedup import (
+        _committed_index_parts,
+        minhash_index_append,
+        minhash_index_build_artifact,
+        minhash_index_compact,
+        minhash_lsh_pairs_vs_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    path = tempfile.mkdtemp(prefix="fcs_test_cpt_index_")
+    try:
+        minhash_index_build_artifact(
+            docs.filter(F.col("doc_id") % 3 == 0), path
+        )
+        minhash_index_append(
+            docs.filter(F.col("doc_id") % 3 == 1), path, "n1"
+        )
+        probe = docs.filter(F.col("doc_id") % 3 == 2)
+
+        def pairs():
+            return sorted(
+                map(
+                    tuple,
+                    minhash_lsh_pairs_vs_index(
+                        probe, path, threshold=0.5
+                    ).collect(),
+                )
+            )
+
+        before = pairs()
+        minhash_index_compact(spark, path)
+        assert _committed_index_parts(path) == ["base"]
+        assert sorted(os.listdir(os.path.join(path, "bands"))) == [
+            "part=base"
+        ]
+        assert pairs() == before, "compaction changed the relation"
+        # crash window: no live bands dir, only the precompact copy
+        os.rename(
+            os.path.join(path, "bands"),
+            os.path.join(path, "bands_precompact"),
+        )
+        assert pairs() == before, "precompact fallback not served"
+        os.rename(
+            os.path.join(path, "bands_precompact"),
+            os.path.join(path, "bands"),
+        )
+        # no-op on an all-base index: relations untouched
+        m = os.path.getmtime(os.path.join(path, "bands"))
+        minhash_index_compact(spark, path)
+        assert os.path.getmtime(os.path.join(path, "bands")) == m
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
