@@ -654,6 +654,7 @@ def unigram_logprob_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     head_k: int = 1024,
+    vocab_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-derived unigram cross-entropy per document — the
     perplexity-proxy quality signal (CCNet scores documents with a
@@ -699,12 +700,24 @@ def unigram_logprob_score(
     toks = df.select(
         F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
     ).localCheckpoint(eager=True)
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
-    freq = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    if vocab_counts is not None:
+        # r12: the LM side serves from the corpus_grams artifact's
+        # (word, n_w) relation — the corpus-wide vocabulary aggregate
+        # and the token total (sum of stored counts == the live toks
+        # count) disappear from the probe; only the positional doc
+        # side computes live (position order is the fold contract).
+        # Vocab-sized parquet scans need no checkpoint.
+        freq = vocab_counts.select(
+            F.col("word").alias("tok"), F.col("n_w").alias("c")
+        )
+        total = freq.agg(F.sum("c").cast("double").alias("__n__"))
+    else:
+        total = toks.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
+        freq = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
     # deterministic head: count desc, token asc tie-break
     head = freq.orderBy(F.desc("c"), F.asc("tok")).limit(head_k)
     tail = freq.join(F.broadcast(head.select("tok")), "tok", "left_anti")
@@ -836,6 +849,7 @@ def bigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bigram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-derived BIGRAM cross-entropy per document — one step up
     the n-gram ladder from :func:`unigram_logprob_score`: per-token
@@ -868,8 +882,22 @@ def bigram_logprob_score(
         F.lag("tok").over(w).alias("prev"),
         "tok",
     ).filter(F.col("prev").isNotNull())
-    bf = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
-    pf = big.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    if bigram_counts is not None:
+        # r12: the corpus bigram LM serves from the corpus_grams
+        # artifact's offset-1 pair counts — the lag-derived
+        # (w[i-1], w[i]) multiset is exactly the offset-1 zip_with
+        # pair stream, so the stored counts ARE cb; cp folds them by
+        # prefix (vocab-sized). Only the positional doc side stays
+        # live (position order is the fold contract).
+        bf = bigram_counts.select(
+            F.col("w1").alias("prev"),
+            F.col("w2").alias("tok"),
+            F.col("n_pair").alias("cb"),
+        )
+        pf = bf.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    else:
+        bf = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+        pf = big.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
     rows = big.join(bf.hint("shuffle_hash"), ["prev", "tok"]).join(
         pf.hint("shuffle_hash"), "prev"
     )
@@ -1736,9 +1764,12 @@ def corpus_grams_build_artifact(
     - ``grams``     — (doc_id, n_words, n, gram, cnt): raw
       (non-distinct) 2- and 3-gram counts per doc — the
       within-doc-repetition signal needs multiplicity.
-    - ``pairs``     — (w1, w2, n_pair): corpus co-occurrence counts
-      over token offsets 1..``pmi_window`` (word2vec's phrase-pass
-      table; vocabulary²-bounded, tiny next to the corpus).
+    - ``pairs``     — (off, w1, w2, n_pair): corpus co-occurrence
+      counts PER token offset 1..``pmi_window`` (r12 layout 2:
+      keeping the offset makes the off=1 slice a corpus bigram LM —
+      the n-gram-logprob consumers read it directly, PMI sums over
+      offsets; vocabulary²-bounded either way, tiny next to the
+      corpus).
     - ``unigrams``  — (word, n_w): corpus unigram counts.
 
     Manifest (written FIRST) records shingle_n / gram range /
@@ -1765,6 +1796,11 @@ def corpus_grams_build_artifact(
             "gram_n_min": 2,
             "gram_n_max": 3,
             "pmi_window": int(pmi_window),
+            # storage-layout version: 2 = pairs carry the offset
+            # column. Readers validate, so a stable-root artifact
+            # built by an older layout errors instead of silently
+            # serving a schema the consumer misreads.
+            "layout": 2,
         },
     )
     words = tokenize(F.col(text_col))
@@ -1818,11 +1854,19 @@ def corpus_grams_build_artifact(
     )
     base = df.select(tokenize(F.col(text_col)).alias("w"))
     nw = F.size("w")
+
+    def _tag_pairs(off: int):
+        # closure factory: zip_with inspects the lambda arity, so the
+        # offset must be captured, not passed as a default argument
+        return lambda a, b: F.struct(
+            F.lit(off).alias("off"), a.alias("w1"), b.alias("w2")
+        )
+
     pair_arrays = [
         F.zip_with(
             F.slice(F.col("w"), 1, F.greatest(nw - off, F.lit(0))),
             F.slice(F.col("w"), off + 1, F.greatest(nw - off, F.lit(0))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            _tag_pairs(off),
         )
         for off in range(1, pmi_window + 1)
     ]
@@ -1830,7 +1874,11 @@ def corpus_grams_build_artifact(
         base.select(
             F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
         )
-        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy(
+            F.col("p.off").alias("off"),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .write.mode("overwrite")
         .parquet(f"{path}/pairs")
@@ -1870,7 +1918,9 @@ def read_corpus_grams(
             f"expected one of {_CORPUS_GRAMS_RELATIONS}"
         )
     man = read_artifact_manifest(spark, path)
-    want = {"shingle_n": shingle_n, "pmi_window": pmi_window}
+    want = {
+        "shingle_n": shingle_n, "pmi_window": pmi_window, "layout": 2,
+    }
     got = {k: man.get(k) for k in want}
     if got != want:
         raise ValueError(

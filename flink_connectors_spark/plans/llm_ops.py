@@ -1173,7 +1173,7 @@ def _corpus_grams_artifact_path(spark: SparkSession, sf_dir: str) -> str:
           FROM norm WHERE len(w) >= 3) g) t),
     prc AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_pair_rows FROM (
-        SELECT DISTINCT w[i.i] AS w1, w[i.i + d.d] AS w2
+        SELECT DISTINCT d.d AS off, w[i.i] AS w1, w[i.i + d.d] AS w2
         FROM norm,
              UNNEST(range(1, 3)) AS d(d),
              UNNEST(range(1, len(w) + 1)) AS i(i)
@@ -2160,6 +2160,7 @@ def text_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "quality"),
     since=3,
+    changed=12,
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram cross-entropy per document — the perplexity
@@ -2172,9 +2173,18 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     head_k=8 (production default 1024) so the head/tail hybrid join
     exercises BOTH branches on the ~31-token synthetic vocabulary —
     the oracle is split-agnostic, proving the hybrid changes the
-    plan, never the values."""
+    plan, never the values.
+
+    r12: the LM side (vocabulary counts + token total) serves from
+    the corpus_grams artifact's ``unigrams`` relation; only the
+    positional doc side computes live. The oracle replays the full
+    live pipeline."""
     d = _load(spark, sf_dir, "documents")
-    return T.unigram_logprob_score(d, head_k=8)
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    return T.unigram_logprob_score(
+        d, head_k=8,
+        vocab_counts=T.read_corpus_grams(spark, path, "unigrams"),
+    )
 
 
 @register(
@@ -3587,8 +3597,18 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per hashed bucket == the live per-occurrence count) — no
     tokenize/explode in the probe; the oracle replays the live token
     pipeline."""
-    from pyspark.sql import functions as F
+    return _dsir_weights_from_grams(spark, sf_dir)
 
+
+def _dsir_weights_from_grams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR log-weights served from the corpus_grams artifact: the
+    per-(doc, target-flag, bucket) counts derive from the stored
+    per-doc token counts (sum of tf per hashed bucket == the live
+    per-occurrence count); the LM fits / LLR broadcast / ordered
+    fold are the shared operator. Used by BOTH the weights report
+    and the Gumbel-resampling select stage."""
     from ..operators.sampling import hash_bucket
 
     path = _corpus_grams_artifact_path(spark, sf_dir)
@@ -3684,6 +3704,7 @@ def text_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "sampling", "quality"),
     since=4,
+    changed=12,
 )
 def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resampling half of DSIR (Xie et al. 2023 §3: sample with
@@ -3700,11 +3721,13 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     subcorpus. Scale shape inherits dsir_logweights (bucket-bounded
     shuffle + B-row broadcast) plus one narrow projection and a
     global top-k: TakeOrderedAndProject ships only 100 candidates
-    per partition."""
-    d = _load(spark, sf_dir, "documents")
+    per partition. r12: the bucket counts derive from the
+    corpus_grams artifact's stored token counts (see
+    `_dsir_weights_from_grams`); the Gumbel keys and the top-k cut
+    are unchanged, and the oracle replays the live pipeline."""
     from pyspark.sql import functions as F
 
-    w = T.dsir_logweights(d, F.col("lang") == "en", n_buckets=64)
+    w = _dsir_weights_from_grams(spark, sf_dir)
     u = (
         (
             F.conv(
@@ -4053,6 +4076,7 @@ def pipeline_eval_burn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "report", "stats"),
     since=4,
+    changed=12,
 )
 def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card in one row: documents, tokens, language and
@@ -4061,17 +4085,18 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation), exact-duplicate count and rate — the summary
     table a corpus release ships and a refresh job diffs against
     yesterday's card to catch pipeline regressions (sudden dup-rate
-    or median shifts). Two corpus passes (token census + fingerprint
-    census); the median is a TakeOrdered-style bounded selection,
-    everything else folds map-side into one summary row."""
+    or median shifts). r12: BOTH corpus passes (token census +
+    fingerprint census) serve from the corpus_grams artifact's
+    one-row-per-doc ``docstats`` relation — the card touches no
+    corpus text; the median stays a TakeOrdered-style bounded
+    selection, everything else folds map-side into one summary row.
+    The oracle replays the live tokenize + fingerprint pipelines."""
     from pyspark.sql import functions as F
 
-    from ..functions import normalize_text, tokenize
-
-    d = _load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", "source",
-        F.size(tokenize(F.col("text"))).alias("nt"),
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    ds = T.read_corpus_grams(spark, path, "docstats")
+    toks = ds.select(
+        "doc_id", "lang", "source", F.col("n_words").alias("nt")
     )
     base = toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -4089,9 +4114,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("nt").cast("long").alias("median_tokens"))
     )
-    dup = d.select(
-        F.md5(normalize_text(F.col("text"))).alias("fp")
-    ).agg(
+    dup = ds.select("fp").agg(
         (F.count(F.lit(1)) - F.countDistinct("fp"))
         .cast("long")
         .alias("n_exact_dups")
@@ -4414,6 +4437,7 @@ _UNIGRAM_SCORE_CTE = f"""docs AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     """,
     tags=("llm", "pipeline", "quality", "ccnet"),
     since=4,
+    changed=12,
 )
 def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split: documents bucketed by
@@ -4433,8 +4457,12 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket compare) would otherwise each re-inline the whole
     # unigram-scoring pipeline — the worst plan in the r5 audit at 42
     # parquet scans. The count() materializes the checkpoint.
+    path = _corpus_grams_artifact_path(spark, sf_dir)
     scored = (
-        T.unigram_logprob_score(d, head_k=8)
+        T.unigram_logprob_score(
+            d, head_k=8,
+            vocab_counts=T.read_corpus_grams(spark, path, "unigrams"),
+        )
         .select("doc_id", F.col("avg_neg_logprob").alias("score"))
         .localCheckpoint(eager=False)
     )

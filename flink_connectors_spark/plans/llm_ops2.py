@@ -554,6 +554,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "stats", "quality"),
     since=4,
+    changed=12,
 )
 def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf exponent of the corpus frequency-rank curve — the
@@ -566,13 +567,20 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate at any corpus size; the four regression sums fold in
     RANK order on both engines and the slope/intercept expressions
     are written with identical operation order, so the single
-    output row value-hash-matches."""
-    d = _load(spark, sf_dir, "documents")
-    from ..functions import tokenize
+    output row value-hash-matches.
+
+    r12: the vocabulary aggregate serves from the corpus_grams
+    artifact's ``unigrams`` relation — the fit is a TakeOrdered off
+    a vocab-sized parquet scan, corpus-free; the oracle replays the
+    live token aggregate."""
     from pyspark.sql.window import Window as W
 
-    toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from .llm_ops import _corpus_grams_artifact_path
+
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    vocab = T.read_corpus_grams(spark, path, "unigrams").select(
+        F.col("word").alias("tok"), F.col("n_w").alias("c")
+    )
     top = (
         vocab.orderBy(F.desc("c"), F.asc("tok"))
         .limit(30)

@@ -1673,6 +1673,7 @@ def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "quality", "ngram"),
     since=4,
+    changed=12,
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram cross-entropy per doc — the next rung of the
@@ -1683,9 +1684,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts into one division + ln per bigram; per-doc sums fold in
     position order in BOTH engines so accumulation never depends on
     partitioning; frequency joins pinned shuffle_hash against the
-    explode-inherited broadcast estimate hazard."""
+    explode-inherited broadcast estimate hazard.
+
+    r12: the corpus bigram LM (both count tables) serves from the
+    corpus_grams artifact's offset-1 pair counts — the stored
+    zip_with pair stream is exactly the lag-derived bigram multiset;
+    only the positional doc side computes live. The oracle replays
+    the full live pipeline."""
+    from .llm_ops import _corpus_grams_artifact_path
+
     d = _load(spark, sf_dir, "documents")
-    return T.bigram_logprob_score(d)
+    path = _corpus_grams_artifact_path(spark, sf_dir)
+    bc = T.read_corpus_grams(spark, path, "pairs").filter(
+        F.col("off") == 1
+    )
+    return T.bigram_logprob_score(d, bigram_counts=bc)
 
 
 # ---------------------------------------------------------------------------
@@ -4264,7 +4277,14 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _corpus_grams_artifact_path
 
     path = _corpus_grams_artifact_path(spark, sf_dir)
-    pc = T.read_corpus_grams(spark, path, "pairs")
+    # pairs store per-OFFSET counts (layout 2, so the off=1 slice
+    # doubles as the bigram LM); PMI's window statistic sums over
+    # offsets — a vocab-sized aggregate
+    pc = (
+        T.read_corpus_grams(spark, path, "pairs")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n_pair").cast("long").alias("n_pair"))
+    )
     ug = T.read_corpus_grams(spark, path, "unigrams")
     tot = (
         ug.agg(F.sum("n_w").cast("long").alias("nw"))

@@ -1737,6 +1737,16 @@ def test_corpus_grams_probes_are_tokenize_free(spark, sf_dir):
         # plus an artifact scan
         "text_ngram_novelty": (2, 4),
         "text_pmi_cooccurrence": (0, 5),
+        # r12 wave 2
+        "pipeline_dsir_select": (0, 3),
+        "pipeline_dataset_card": (0, 5),
+        "text_zipf_alpha": (0, 1),
+        # the positional doc side of the logprob scores is an eager
+        # checkpoint (unigram) or a live explode (bigram); only the
+        # LM-count side must come from the artifact
+        "text_unigram_logprob": (0, 5),  # 5 vocab-sized artifact scans
+        "text_bigram_logprob": (1, 3),
+        "pipeline_ccnet_buckets": (0, 6),
     }
     for name, (n_docs, n_scans) in expectations.items():
         df = SPECS[name].fn(spark, sf_dir)
@@ -1751,12 +1761,14 @@ def test_corpus_grams_probes_are_tokenize_free(spark, sf_dir):
         )
         if name not in (
             "text_ngram_novelty",  # artifact scan + documents mx scan
-            # source_overlap checkpoints its vocab-sized grouped
-            # table during plan construction (the auto-strategy
-            # sizes.count()), so the executed plan shows ExistingRDD
-            # downstream of the artifact scan; its 0-documents pin
-            # above already proves no live tokenize.
+            # source_overlap (and ccnet's scored table) checkpoint a
+            # small multi-consumer frame during plan construction, so
+            # the executed plan shows ExistingRDD downstream of the
+            # artifact scan; their documents pins above already prove
+            # no live tokenize.
             "pipeline_source_overlap",
+            "pipeline_ccnet_buckets",
+            "text_bigram_logprob",  # 1 live docs scan (doc side)
         ):
             assert "fcs_corpus_grams" in plan, (
                 f"{name}: not reading the corpus_grams artifact"
