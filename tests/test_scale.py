@@ -1005,3 +1005,60 @@ def test_opq_reflected_corpus_released_by_unpersist_inputs(spark, sf_dir):
     assert all(i not in persistent_after for i in rdd_ids), (
         "unpersist_inputs left the reflected-corpus checkpoint pinned"
     )
+
+
+def test_corpus_grams_stress_counts_scale_exactly(spark, sf_dir, tmp_path):
+    """4x-union stress for the tokenized-corpus artifact: corpus-level
+    count relations must scale EXACTLY linearly (unigram counts x4,
+    offset-tagged pair counts x4 — exact integers, so any drift is a
+    build bug, not noise), and per-document statistics served from the
+    stored relations must be copy-invariant (each shifted duplicate
+    doc reports the same repetition fractions as its original). This
+    is the duplication-invariance a 100 TB ingest relies on: growing
+    the corpus never changes what a stored per-doc statistic says
+    about an unchanged document."""
+    from flink_connectors_spark.operators.text import (
+        corpus_grams_build_artifact,
+        read_corpus_grams,
+        top_ngram_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    big = docs
+    for i in range(1, 4):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        )
+    p1, p4 = str(tmp_path / "g1"), str(tmp_path / "g4")
+    corpus_grams_build_artifact(docs, p1)
+    corpus_grams_build_artifact(big, p4)
+    ug1 = {
+        r["word"]: r["n_w"]
+        for r in read_corpus_grams(spark, p1, "unigrams").collect()
+    }
+    ug4 = {
+        r["word"]: r["n_w"]
+        for r in read_corpus_grams(spark, p4, "unigrams").collect()
+    }
+    assert ug4 == {w: 4 * c for w, c in ug1.items()}
+    pr1 = {
+        (r["off"], r["w1"], r["w2"]): r["n_pair"]
+        for r in read_corpus_grams(spark, p1, "pairs").collect()
+    }
+    pr4 = {
+        (r["off"], r["w1"], r["w2"]): r["n_pair"]
+        for r in read_corpus_grams(spark, p4, "pairs").collect()
+    }
+    assert pr4 == {k: 4 * c for k, c in pr1.items()}
+    # per-doc statistic from the stored grams: copy-invariant
+    rep = top_ngram_fraction(
+        None, gram_counts=read_corpus_grams(spark, p4, "grams")
+    ).collect()
+    by_id = {r["doc_id"]: (r["top2_frac"], r["top3_frac"], r["flagged"])
+             for r in rep}
+    originals = {k: v for k, v in by_id.items() if k < 1_000_000}
+    assert originals, "fixture produced no original-copy rows"
+    for k, v in by_id.items():
+        assert v == by_id[k % 1_000_000 if k >= 1_000_000 else k], k
