@@ -1614,12 +1614,16 @@ def minhash_index_append(
 
     from .similarity import read_artifact_manifest
 
-    if not re.fullmatch(r"[A-Za-z0-9_.\-]+", batch_id) or (
-        batch_id == "base"
+    if (
+        not re.fullmatch(r"[A-Za-z0-9_.\-]+", batch_id)
+        or batch_id in ("base", ".", "..")
     ):
+        # "." / ".." pass the charset but resolve the marker path to
+        # the index dir itself — the append would silently no-op as
+        # "already committed"
         raise ValueError(
             f"invalid batch_id {batch_id!r}: must be a filesystem-"
-            "safe token and not the reserved 'base'"
+            "safe token and not 'base', '.', or '..'"
         )
     spark = new_docs.sparkSession
     man = read_artifact_manifest(spark, path)

@@ -348,6 +348,12 @@ def test_minhash_index_append_is_transactional(spark, sf_dir):
             minhash_index_append(batch2, path, "base")
         with pytest.raises(ValueError, match="invalid batch_id"):
             minhash_index_append(batch2, path, "a/b")
+        # "." / ".." pass the charset but resolve the marker to the
+        # index dir itself (silent already-committed no-op)
+        with pytest.raises(ValueError, match="invalid batch_id"):
+            minhash_index_append(batch2, path, "..")
+        with pytest.raises(ValueError, match="invalid batch_id"):
+            minhash_index_append(batch2, path, ".")
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
