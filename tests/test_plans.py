@@ -758,7 +758,11 @@ def test_multiconsumer_materializations_hold(spark, sf_dir):
         # pipeline ran live, so the plan reads pairs x2 + docs x2
         "dedup_rate_by_source": 4,
         "rollup_sketch_user_overlap": 1,
-        "text_unigram_logprob": 1,
+        # r12: the unigram LM side serves from the corpus_grams
+        # unigrams relation — 5 vocab-sized pushed-filter scans
+        # (freq x4 branches + total) replace the checkpointed live
+        # aggregate; the positional doc side stays one checkpoint
+        "text_unigram_logprob": 5,
         "pipeline_ccnet_buckets": 1,
         "similarity_recall_audit": 5,
         "similarity_recall_int8": 3,
@@ -856,6 +860,13 @@ _SCAN_ALLOWLIST = {
     # OPQ incremental ingest probe = the flat OPQ probe shape (5):
     # the merged codes relation is still ONE scan.
     "similarity_opq_append_probe": 5,
+    # r12 corpus_grams: the census row reads all six stored relations
+    # (one count scan each); PMI reads pairs x2 + unigrams x3; the
+    # unigram-logprob LM side reads unigrams x5 — every one a
+    # vocab- or relation-sized pushed-filter scan, zero corpus text
+    "text_corpus_grams_artifact": 6,
+    "text_pmi_cooccurrence": 5,
+    "text_unigram_logprob": 5,
 }
 _SCAN_DEFAULT = 4
 
