@@ -52,6 +52,7 @@ import tempfile
 import threading
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -71,6 +72,24 @@ _LOCKS_GUARD = threading.Lock()
 # block every later session.
 STALE_CLAIM_SECONDS = 1800.0
 _CLAIM_POLL_SECONDS = 0.2
+
+
+def floor_x100(value: float, name: str) -> int:
+    """The manifest stores score/jaccard floors at 1/100 granularity;
+    the readers' float-exact guard (r11 ADVICE) is only sound when
+    the stored integer EQUALS the build floor. A floor like 0.375
+    would round UP to 38 — the reader would then reject the
+    artifact's own build threshold — so unrepresentable floors error
+    at BUILD time instead of misfiring at read time."""
+    x = value * 100.0
+    r = round(x)
+    if abs(x - r) > 1e-9:
+        raise ValueError(
+            f"{name}={value!r} is not representable at the manifest's "
+            "1/100 floor granularity — use a multiple of 0.01 (the "
+            "stored floor must equal the build floor exactly)"
+        )
+    return int(r)
 
 
 def artifact_root(spark: SparkSession) -> str | None:
@@ -121,7 +140,7 @@ def invalidate_artifact_caches(path: str) -> None:
     _ROTATION_CACHE.pop(path, None)
 
 
-def _acquire_build_claim(path: str) -> bool:
+def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
     """Stable-mode cross-process claim (r11 verdict What's-wrong #3:
     the per-path lock is process-local, so two COLD processes sharing
     a durable artifact root could interleave rmtree+overwrite
@@ -136,7 +155,7 @@ def _acquire_build_claim(path: str) -> bool:
     marker = os.path.join(path, "_done")
     parent = os.path.dirname(path)
     while True:
-        if os.path.exists(marker):
+        if until_marker and os.path.exists(marker):
             return False
         if parent:
             os.makedirs(parent, exist_ok=True)
@@ -149,15 +168,56 @@ def _acquire_build_claim(path: str) -> bool:
             except OSError:
                 continue  # claim released between exists and stat
             if age > STALE_CLAIM_SECONDS:
-                # crashed builder: remove the stale claim and retry
-                # the mkdir race (exactly one waiter wins it)
-                shutil.rmtree(claim, ignore_errors=True)
+                # Crashed builder: take the stale claim ASIDE with an
+                # atomic rename — exactly one waiter wins the rename,
+                # so no waiter can ever delete a FRESH claim another
+                # taker-over just created (an rmtree here raced: two
+                # waiters observing staleness in the same poll round
+                # would let the second rmtree the first's new claim
+                # and both would build). The mkdir race then picks
+                # the single next builder as usual.
+                aside = f"{claim}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                try:
+                    os.rename(claim, aside)
+                except OSError:
+                    continue  # another waiter took it aside first
+                shutil.rmtree(aside, ignore_errors=True)
                 continue
             time.sleep(_CLAIM_POLL_SECONDS)
 
 
 def _release_build_claim(path: str) -> None:
     shutil.rmtree(path + ".building", ignore_errors=True)
+
+
+@contextmanager
+def _writer_claim(path: str):
+    """Cross-process WRITER mutual exclusion on an artifact path —
+    the same atomic claim dir (heartbeated, stale-takeover) the
+    stable-mode build uses, reusable by the maintenance verbs that
+    mutate a shared artifact in place (signature-index append and
+    compaction). Unlike the build acquire, an existing ``_done``
+    marker does NOT satisfy the wait: maintenance mutates a COMPLETE
+    artifact, so it must hold the claim itself."""
+    _acquire_build_claim(path, until_marker=False)
+    claim = path + ".building"
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(STALE_CLAIM_SECONDS / 3.0):
+            try:
+                os.utime(claim)
+            except OSError:
+                return
+
+    beater = threading.Thread(target=_beat, daemon=True)
+    beater.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        beater.join(timeout=1.0)
+        _release_build_claim(path)
 
 
 def ensure_artifact(
@@ -198,12 +258,37 @@ def ensure_artifact(
             # drop any cached header state from a pre-rebuild read
             invalidate_artifact_caches(path)
             return path
+        claim = path + ".building"
+        # Heartbeat: refresh the claim's mtime while the build runs so
+        # a LEGITIMATE build longer than STALE_CLAIM_SECONDS is never
+        # mistaken for a crash and taken over mid-write (the takeover
+        # would rmtree the half-built artifact under the live
+        # builder). A crashed builder stops beating, so the stale
+        # takeover still fires for real crashes.
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(STALE_CLAIM_SECONDS / 3.0):
+                try:
+                    os.utime(claim)
+                except OSError:
+                    return  # claim gone (released or taken over)
+
+        beater = threading.Thread(target=_beat, daemon=True)
+        beater.start()
         try:
             if not os.path.exists(marker):
                 shutil.rmtree(path, ignore_errors=True)
                 invalidate_artifact_caches(path)
                 build(path)
                 open(marker, "w").close()
+            else:
+                # another process finished between our last marker
+                # check and the mkdir that won us the claim — same
+                # pre-rebuild-cache hazard as the waiter branch
+                invalidate_artifact_caches(path)
         finally:
+            stop.set()
+            beater.join(timeout=1.0)
             _release_build_claim(path)
     return path

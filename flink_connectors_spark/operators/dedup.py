@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .artifacts import floor_x100
 from ..functions import (
     hex_prefix_to_long,
     jaccard_distinct,
@@ -739,7 +740,7 @@ def containment_pairs_build_artifact(
         {
             "shingle_n": int(shingle_n),
             "n_block_cols": len(block_cols),
-            "min_score_x100": int(round(min_score * 100)),
+            "min_score_x100": floor_x100(min_score, "min_score"),
         },
     )
     stats = _containment_stats_pairs(
@@ -1237,7 +1238,7 @@ def minhash_pairs_build_artifact(
             "shingle_n": int(shingle_n),
             "num_hashes": int(num_hashes),
             "band_size": int(band_size),
-            "min_jac_x100": int(round(min_jac * 100)),
+            "min_jac_x100": floor_x100(min_jac, "min_jac"),
         },
     )
     stats = _minhash_candidate_stats(
@@ -1343,6 +1344,14 @@ def _minhash_band_table(
     return shingled, bt
 
 
+# Storage-layout version of the signature index: 2 = part=<batch>
+# partition directories + _batches commit markers (r12). Appending
+# the partitioned layout into a pre-r12 FLAT index would mix
+# partition depths and brick the directory for every reader, so
+# build/probe/append all record + validate the version.
+_INDEX_LAYOUT = 2
+
+
 def minhash_index_build_artifact(
     corpus: DataFrame,
     path: str,
@@ -1393,6 +1402,7 @@ def minhash_index_build_artifact(
             "shingle_n": int(shingle_n),
             "num_hashes": int(num_hashes),
             "band_size": int(band_size),
+            "layout": _INDEX_LAYOUT,
         },
     )
     shingled, bt = _minhash_band_table(
@@ -1470,37 +1480,61 @@ def minhash_index_compact(spark: SparkSession, path: str) -> None:
       ``*_compacting`` dir is removed by the retry.
     - between a relation's two renames (no live dir): readers fall
       back to the preserved ``*_precompact`` dir, whose partitions
-      and markers are untouched.
+      and markers are untouched. A compact RETRY in this window
+      rebuilds ``*_compacting`` from the fallback and renames it
+      straight in (the rename-out is skipped when no live dir
+      exists); the fallback is only removed AFTER the new base is
+      live, so no window ever holds zero readable copies.
     - between the two relations' swaps: one relation already serves
       all rows from the new base, the other still unions base +
       committed batches — the logical contents are identical.
     - during marker clearing: a marker pointing at a batch dir the
       new base absorbed prunes to zero files — harmless.
 
+    Writer-writer concurrency: compaction takes the same atomic
+    ``{path}.building`` claim the artifact builds use (heartbeated,
+    stale-takeover) and so does :func:`minhash_index_append` — a
+    concurrently-committing append can therefore never land between
+    the committed-parts snapshot and the marker clearing (which
+    would silently destroy the batch). READERS do not lock: a probe
+    racing the rename pair may need one retry on a shared
+    filesystem; an object store deployment swaps via its own atomic
+    commit instead.
+
     One linear pass per relation (partition-pruned committed read,
     no shuffle beyond the write), O(1) metadata swaps."""
     import os
     import shutil
 
-    if _committed_index_parts(path) == ["base"]:
-        return  # nothing appended since the last base — no-op
-    for rel in ("bands", "shingles"):
-        live = f"{path}/{rel}"
-        tmp = f"{path}/{rel}_compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            _read_index_relation(spark, path, rel)
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/part=base")
-        )
-        pre = f"{live}_precompact"
-        shutil.rmtree(pre, ignore_errors=True)
-        os.rename(live, pre)
-        os.rename(tmp, live)
-        shutil.rmtree(pre, ignore_errors=True)
-    bdir = os.path.join(path, "_batches")
-    for name in sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []:
-        os.unlink(os.path.join(bdir, name))
+    from .artifacts import _writer_claim
+
+    with _writer_claim(path):
+        if _committed_index_parts(path) == ["base"]:
+            return  # nothing appended since the last base — no-op
+        for rel in ("bands", "shingles"):
+            live = f"{path}/{rel}"
+            tmp = f"{path}/{rel}_compacting"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                _read_index_relation(spark, path, rel)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/part=base")
+            )
+            pre = f"{live}_precompact"
+            if os.path.isdir(live):
+                # stage the old relation aside, THEN swap in the new
+                # base; only drop the fallback once the new base is
+                # live (the old rmtree-before-rename deleted the
+                # fallback first, so a retry after a crash between
+                # the renames stranded the relation entirely)
+                shutil.rmtree(pre, ignore_errors=True)
+                os.rename(live, pre)
+            os.rename(tmp, live)
+            shutil.rmtree(pre, ignore_errors=True)
+        bdir = os.path.join(path, "_batches")
+        names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+        for name in names:
+            os.unlink(os.path.join(bdir, name))
 
 
 def minhash_lsh_pairs_vs_index(
@@ -1529,7 +1563,7 @@ def minhash_lsh_pairs_vs_index(
     man = read_artifact_manifest(spark, path)
     want = {
         "shingle_n": shingle_n, "num_hashes": num_hashes,
-        "band_size": band_size,
+        "band_size": band_size, "layout": _INDEX_LAYOUT,
     }
     got = {k: man.get(k) for k in want}
     if got != want:
@@ -1629,7 +1663,7 @@ def minhash_index_append(
     man = read_artifact_manifest(spark, path)
     want = {
         "shingle_n": shingle_n, "num_hashes": num_hashes,
-        "band_size": band_size,
+        "band_size": band_size, "layout": _INDEX_LAYOUT,
     }
     got = {k: man.get(k) for k in want}
     if got != want:
@@ -1637,21 +1671,26 @@ def minhash_index_append(
             f"minhash index at {path!r} params mismatch: index has "
             f"{got}, append wants {want}"
         )
-    marker = os.path.join(path, "_batches", batch_id)
-    if os.path.exists(marker):
-        return  # already committed — idempotent retry
-    shingled, bt = _minhash_band_table(
-        new_docs, text_col, id_col, shingle_n, num_hashes, band_size
-    )
-    # shingles before bands: even mid-crash (pre-marker) state only
-    # ever OVER-provisions verify rows, never candidates — defense
-    # in depth under readers that ignore the commit set
-    (
-        shingled.select(F.col(id_col), "shingles")
-        .write.mode("overwrite")
-        .parquet(f"{path}/shingles/part={batch_id}")
-    )
-    bt.write.mode("overwrite").parquet(f"{path}/bands/part={batch_id}")
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    open(marker, "w").close()
+    from .artifacts import _writer_claim
+
+    with _writer_claim(path):
+        marker = os.path.join(path, "_batches", batch_id)
+        if os.path.exists(marker):
+            return  # already committed — idempotent retry
+        shingled, bt = _minhash_band_table(
+            new_docs, text_col, id_col, shingle_n, num_hashes, band_size
+        )
+        # shingles before bands: even mid-crash (pre-marker) state
+        # only ever OVER-provisions verify rows, never candidates —
+        # defense in depth under readers that ignore the commit set
+        (
+            shingled.select(F.col(id_col), "shingles")
+            .write.mode("overwrite")
+            .parquet(f"{path}/shingles/part={batch_id}")
+        )
+        bt.write.mode("overwrite").parquet(
+            f"{path}/bands/part={batch_id}"
+        )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
     _release_frame(shingled)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .artifacts import floor_x100
 from ..functions import cosine_similarity, dot_product, l2_norm
 
 
@@ -535,9 +536,17 @@ def cosine_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Label-free embedding near-duplicate pairs: sign-LSH banding
     replaces the blocking column `cosine_near_dup_pairs` needs.
+
+    ``signatures`` (r12) injects a pre-computed (id, band_id,
+    band_key) table — the edge-artifact build writes the signature
+    relation FIRST and feeds the read-back here, so the n_planes x
+    dim corpus fold runs once per build instead of once per
+    consumer-shape. The caller owns banding consistency (the build
+    derives both from the same resolved params).
 
     The candidate generator is a self-join of the narrow signature
     table on (band_id, band_key) — cost scales with bucket occupancy,
@@ -577,13 +586,16 @@ def cosine_near_dup_pairs_lsh(
     # the fold is cheaper than the checkpoint write + lineage cut,
     # measured ~2 s slower at sf0.1. Threshold 64 planes separates
     # the two regimes.
-    sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
-    if n_planes >= 64:
-        # eager: both self-join sides consume this within ONE action —
-        # a lazy pin lets the two exchange map-stages race-compute
-        # partitions before the cache fills (wasted recompute, the
-        # r4-documented lazy-pin hazard).
-        sig = sig.localCheckpoint(eager=True)
+    if signatures is not None:
+        sig = signatures  # persisted relation: scans are the cache
+    else:
+        sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
+        if n_planes >= 64:
+            # eager: both self-join sides consume this within ONE
+            # action — a lazy pin lets the two exchange map-stages
+            # race-compute partitions before the cache fills (wasted
+            # recompute, the r4-documented lazy-pin hazard).
+            sig = sig.localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
@@ -639,6 +651,7 @@ def neardup_edges_build_artifact(
     min_score: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> None:
     """Persist the SCORED sign-LSH near-dup edge list as a parquet
     artifact — the graph family's build-once / probe-many lifecycle
@@ -691,8 +704,25 @@ def neardup_edges_build_artifact(
         {
             "n_planes": int(n_planes),
             "bits_per_band": int(bits_per_band),
-            "min_score_x100": int(round(min_score * 100)),
+            "min_score_x100": floor_x100(min_score, "min_score"),
+            "dim": int(dim),
         },
+    )
+    # ONE hyperplane fold per build: write the signature relation
+    # first, then feed the read-back into the band self-join — the
+    # n_planes x dim fold over the corpus (the build's most
+    # expensive narrow map) runs once, and both consumer shapes
+    # (edges here, query-probes later) read the persisted table.
+    (
+        band_signatures(
+            corpus,
+            random_hyperplanes(n_planes, dim),
+            bits_per_band,
+            id_col,
+            vec_col,
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/signatures")
     )
     pairs = cosine_near_dup_pairs_lsh(
         corpus,
@@ -701,19 +731,9 @@ def neardup_edges_build_artifact(
         bits_per_band=bits_per_band,
         id_col=id_col,
         vec_col=vec_col,
+        signatures=spark.read.parquet(f"{path}/signatures"),
     )
     pairs.write.mode("overwrite").parquet(f"{path}/edges")
-    (
-        band_signatures(
-            corpus,
-            random_hyperplanes(n_planes, 64),
-            bits_per_band,
-            id_col,
-            vec_col,
-        )
-        .write.mode("overwrite")
-        .parquet(f"{path}/signatures")
-    )
 
 
 def read_neardup_signatures(
@@ -721,16 +741,22 @@ def read_neardup_signatures(
     path: str,
     n_planes: int = 16,
     bits_per_band: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Serve the persisted corpus band-signature table
     (id, band_id, band_key) from an edge artifact
     (:func:`neardup_edges_build_artifact`). Validates the banding
-    against the manifest — probing stored signatures with different
-    hyperplane/band params would silently produce different
-    candidate sets (the same failure mode every artifact reader in
-    the repo guards)."""
+    AND the hyperplane dimension against the manifest — probing
+    stored signatures with different hyperplanes (count, width, or
+    dim) would silently produce different candidate sets (the same
+    failure mode every artifact reader in the repo guards; a dim
+    mismatch is the nastiest — the zip_with fold NULL-pads, so every
+    band key would differ with zero errors raised)."""
     man = read_artifact_manifest(spark, path)
-    want = {"n_planes": n_planes, "bits_per_band": bits_per_band}
+    want = {
+        "n_planes": n_planes, "bits_per_band": bits_per_band,
+        "dim": dim,
+    }
     got = {k: man.get(k) for k in want}
     if got != want:
         raise ValueError(

@@ -889,6 +889,11 @@ def bigram_logprob_score(
         # pair stream, so the stored counts ARE cb; cp folds them by
         # prefix (vocab-sized). Only the positional doc side stays
         # live (position order is the fold contract).
+        if "off" in bigram_counts.columns:
+            # the raw multi-offset pairs relation: slice to adjacency
+            # HERE — relying on call sites to pre-filter would let a
+            # forgotten slice silently double-count every bigram
+            bigram_counts = bigram_counts.filter(F.col("off") == 1)
         bf = bigram_counts.select(
             F.col("w1").alias("prev"),
             F.col("w2").alias("tok"),

@@ -2241,6 +2241,7 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "similarity", "graph", "artifact", "lsh"),
     since=11,
+    changed=12,
 )
 def similarity_neardup_edges_artifact(
     spark: SparkSession, sf_dir: str

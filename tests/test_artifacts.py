@@ -524,3 +524,131 @@ def test_minhash_index_compact_lifecycle(spark, sf_dir):
         assert os.path.getmtime(os.path.join(path, "bands")) == m
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_minhash_index_compact_retry_after_rename_crash(spark, sf_dir):
+    """Code-review regression (r12): a compact retry after a crash
+    BETWEEN the two renames (live dir gone, only *_precompact left)
+    must rebuild from the fallback and finish — the original rmtree-
+    before-rename order deleted the fallback first and then raised
+    FileNotFoundError on the missing live dir, stranding the
+    relation entirely."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build_artifact,
+        minhash_index_compact,
+        minhash_lsh_pairs_vs_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    path = tempfile.mkdtemp(prefix="fcs_test_cpt_retry_")
+    try:
+        minhash_index_build_artifact(
+            docs.filter(F.col("doc_id") % 3 == 0), path
+        )
+        minhash_index_append(
+            docs.filter(F.col("doc_id") % 3 == 1), path, "n1"
+        )
+        probe = docs.filter(F.col("doc_id") % 3 == 2)
+        before = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs_vs_index(
+                    probe, path, threshold=0.5
+                ).collect(),
+            )
+        )
+        # simulate the crash window: live bands renamed out, new base
+        # never renamed in (and the markers still present, exactly as
+        # a real crash leaves them)
+        os.rename(
+            os.path.join(path, "bands"),
+            os.path.join(path, "bands_precompact"),
+        )
+        minhash_index_compact(spark, path)  # the retry
+        assert os.path.isdir(os.path.join(path, "bands"))
+        assert not os.path.isdir(os.path.join(path, "bands_precompact"))
+        after = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs_vs_index(
+                    probe, path, threshold=0.5
+                ).collect(),
+            )
+        )
+        assert after == before
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_floor_must_be_representable_at_x100(spark, sf_dir, tmp_path):
+    """Code-review regression (r12): the float-exact reader guard is
+    only sound when the stored x100 floor EQUALS the build floor — a
+    floor like 0.375 rounds UP to 38 and the reader would reject the
+    artifact's own build threshold. Unrepresentable floors must
+    error at build time; representable ones (0.3 despite its inexact
+    float) must pass."""
+    from flink_connectors_spark.operators.artifacts import floor_x100
+    from flink_connectors_spark.operators.dedup import (
+        minhash_pairs_build_artifact,
+    )
+
+    assert floor_x100(0.3, "x") == 30
+    assert floor_x100(0.5, "x") == 50
+    assert floor_x100(0.0, "x") == 0
+    with pytest.raises(ValueError, match="not representable"):
+        floor_x100(0.375, "x")
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    with pytest.raises(ValueError, match="not representable"):
+        minhash_pairs_build_artifact(
+            docs, str(tmp_path / "p375"), min_jac=0.375
+        )
+
+
+def test_neardup_signatures_validate_dim(spark, sf_dir):
+    """Code-review regression (r12): a hyperplane-dimension mismatch
+    is the nastiest silent failure (zip_with NULL-pads, so every
+    band key differs with zero errors) — the manifest records dim
+    and the reader validates it."""
+    from flink_connectors_spark.operators import similarity as S
+    from flink_connectors_spark.plans.llm_ops import (
+        _neardup_edges_artifact_path,
+    )
+
+    path = _neardup_edges_artifact_path(spark, sf_dir)
+    assert S.read_neardup_signatures(spark, path, dim=64).columns == [
+        "vec_id", "band_id", "band_key"
+    ]
+    with pytest.raises(ValueError, match="params mismatch"):
+        S.read_neardup_signatures(spark, path, dim=128)
+
+
+def test_minhash_index_layout_is_versioned(spark, sf_dir, tmp_path):
+    """Code-review regression (r12): appending the partitioned layout
+    into a pre-r12 FLAT index would mix partition depths and brick
+    the directory for every reader — the manifest records layout=2
+    and probe/append validate it."""
+    from flink_connectors_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_lsh_pairs_vs_index,
+    )
+    from flink_connectors_spark.operators.similarity import (
+        _write_artifact_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    flat = str(tmp_path / "flat_index")
+    # a layout-less manifest, as an r11 build would have written
+    _write_artifact_manifest(
+        spark, flat,
+        {"shingle_n": 3, "num_hashes": 8, "band_size": 2},
+    )
+    with pytest.raises(ValueError, match="params mismatch"):
+        minhash_lsh_pairs_vs_index(docs, flat, threshold=0.5)
+    with pytest.raises(ValueError, match="params mismatch"):
+        minhash_index_append(docs, flat, "b1")
