@@ -140,6 +140,30 @@ def invalidate_artifact_caches(path: str) -> None:
     _ROTATION_CACHE.pop(path, None)
 
 
+# Claims held by THIS process, keyed to the holding thread — makes
+# the writer claim REENTRANT within one thread, so a build closure
+# that calls the maintenance verbs (the compacted-index family builds
+# via append+compact) cannot deadlock against the claim
+# ensure_artifact already holds and heartbeats on its behalf. Across
+# threads the filesystem claim still excludes (a second thread polls).
+_HELD_CLAIMS: dict[str, int] = {}
+
+
+def _holds_claim(path: str) -> bool:
+    with _LOCKS_GUARD:
+        return _HELD_CLAIMS.get(path) == threading.get_ident()
+
+
+def _mark_claim_held(path: str) -> None:
+    with _LOCKS_GUARD:
+        _HELD_CLAIMS[path] = threading.get_ident()
+
+
+def _unmark_claim_held(path: str) -> None:
+    with _LOCKS_GUARD:
+        _HELD_CLAIMS.pop(path, None)
+
+
 def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
     """Stable-mode cross-process claim (r11 verdict What's-wrong #3:
     the per-path lock is process-local, so two COLD processes sharing
@@ -170,7 +194,7 @@ def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
             if age > STALE_CLAIM_SECONDS:
                 # Crashed builder: take the stale claim ASIDE with an
                 # atomic rename — exactly one waiter wins the rename,
-                # so no waiter can ever delete a FRESH claim another
+                # so no waiter can ever DELETE a fresh claim another
                 # taker-over just created (an rmtree here raced: two
                 # waiters observing staleness in the same poll round
                 # would let the second rmtree the first's new claim
@@ -181,6 +205,22 @@ def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
                     os.rename(claim, aside)
                 except OSError:
                     continue  # another waiter took it aside first
+                # Re-verify STALENESS on the renamed dir: if it is
+                # fresh, the dir we renamed was created AFTER our
+                # stat (a competing taker-over's new claim) — restore
+                # it instead of deleting it, then fall back to
+                # waiting.
+                try:
+                    aside_age = time.time() - os.path.getmtime(aside)
+                except OSError:
+                    aside_age = STALE_CLAIM_SECONDS + 1.0
+                if aside_age <= STALE_CLAIM_SECONDS:
+                    try:
+                        os.rename(aside, claim)
+                    except OSError:
+                        shutil.rmtree(aside, ignore_errors=True)
+                    time.sleep(_CLAIM_POLL_SECONDS)
+                    continue
                 shutil.rmtree(aside, ignore_errors=True)
                 continue
             time.sleep(_CLAIM_POLL_SECONDS)
@@ -191,24 +231,25 @@ def _release_build_claim(path: str) -> None:
 
 
 @contextmanager
-def _writer_claim(path: str):
-    """Cross-process WRITER mutual exclusion on an artifact path —
-    the same atomic claim dir (heartbeated, stale-takeover) the
-    stable-mode build uses, reusable by the maintenance verbs that
-    mutate a shared artifact in place (signature-index append and
-    compaction). Unlike the build acquire, an existing ``_done``
-    marker does NOT satisfy the wait: maintenance mutates a COMPLETE
-    artifact, so it must hold the claim itself."""
-    _acquire_build_claim(path, until_marker=False)
-    claim = path + ".building"
+def _claim_heartbeat(claim: str):
+    """Refresh the claim's mtime while the protected write runs, so a
+    LEGITIMATE build/append/compact longer than STALE_CLAIM_SECONDS
+    is never mistaken for a crash and taken over mid-write. Only a
+    MISSING claim (released or taken over) stops the beater; a
+    transient shared-filesystem error (ESTALE/EIO blip on the
+    NFS-style roots stable mode targets) retries next tick — exiting
+    on it would silently re-expose the takeover-under-live-writer
+    bug the heartbeat exists to prevent."""
     stop = threading.Event()
 
     def _beat() -> None:
         while not stop.wait(STALE_CLAIM_SECONDS / 3.0):
             try:
                 os.utime(claim)
-            except OSError:
+            except FileNotFoundError:
                 return
+            except OSError:
+                continue
 
     beater = threading.Thread(target=_beat, daemon=True)
     beater.start()
@@ -217,6 +258,29 @@ def _writer_claim(path: str):
     finally:
         stop.set()
         beater.join(timeout=1.0)
+
+
+@contextmanager
+def _writer_claim(path: str):
+    """Cross-process WRITER mutual exclusion on an artifact path —
+    the same atomic claim dir (heartbeated, stale-takeover) the
+    stable-mode build uses, reusable by the maintenance verbs that
+    mutate a shared artifact in place (signature-index append and
+    compaction). Unlike the build acquire, an existing ``_done``
+    marker does NOT satisfy the wait: maintenance mutates a COMPLETE
+    artifact, so it must hold the claim itself. REENTRANT within one
+    thread (see ``_HELD_CLAIMS``): a maintenance verb invoked from a
+    build closure rides the claim ensure_artifact already holds."""
+    if _holds_claim(path):
+        yield
+        return
+    _acquire_build_claim(path, until_marker=False)
+    _mark_claim_held(path)
+    try:
+        with _claim_heartbeat(path + ".building"):
+            yield
+    finally:
+        _unmark_claim_held(path)
         _release_build_claim(path)
 
 
@@ -258,37 +322,20 @@ def ensure_artifact(
             # drop any cached header state from a pre-rebuild read
             invalidate_artifact_caches(path)
             return path
-        claim = path + ".building"
-        # Heartbeat: refresh the claim's mtime while the build runs so
-        # a LEGITIMATE build longer than STALE_CLAIM_SECONDS is never
-        # mistaken for a crash and taken over mid-write (the takeover
-        # would rmtree the half-built artifact under the live
-        # builder). A crashed builder stops beating, so the stale
-        # takeover still fires for real crashes.
-        stop = threading.Event()
-
-        def _beat() -> None:
-            while not stop.wait(STALE_CLAIM_SECONDS / 3.0):
-                try:
-                    os.utime(claim)
-                except OSError:
-                    return  # claim gone (released or taken over)
-
-        beater = threading.Thread(target=_beat, daemon=True)
-        beater.start()
+        _mark_claim_held(path)
         try:
-            if not os.path.exists(marker):
-                shutil.rmtree(path, ignore_errors=True)
-                invalidate_artifact_caches(path)
-                build(path)
-                open(marker, "w").close()
-            else:
-                # another process finished between our last marker
-                # check and the mkdir that won us the claim — same
-                # pre-rebuild-cache hazard as the waiter branch
-                invalidate_artifact_caches(path)
+            with _claim_heartbeat(path + ".building"):
+                if not os.path.exists(marker):
+                    shutil.rmtree(path, ignore_errors=True)
+                    invalidate_artifact_caches(path)
+                    build(path)
+                    open(marker, "w").close()
+                else:
+                    # another process finished between our last marker
+                    # check and the mkdir that won us the claim — same
+                    # pre-rebuild-cache hazard as the waiter branch
+                    invalidate_artifact_caches(path)
         finally:
-            stop.set()
-            beater.join(timeout=1.0)
+            _unmark_claim_held(path)
             _release_build_claim(path)
     return path

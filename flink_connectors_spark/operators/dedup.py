@@ -1460,6 +1460,28 @@ def _read_index_relation(spark, path: str, rel: str) -> DataFrame:
     return df
 
 
+def _heal_interrupted_compact(path: str) -> None:
+    """Roll back a compact that crashed between its two renames: the
+    live relation dir is missing and ``*_precompact`` (the intact
+    pre-compaction state — all partitions AND their markers) is
+    present. Restoring it returns the index to a fully consistent
+    committed state; the interrupted compact's ``*_compacting``
+    output is discarded (a retry rebuilds it). MUST run under the
+    writer claim. Without this, an APPEND landing in the crash
+    window would recreate the live dir with only its own batch,
+    silently shadowing the fallback — every previously committed row
+    lost (r12 self-review)."""
+    import os
+    import shutil
+
+    for rel in ("bands", "shingles"):
+        live = f"{path}/{rel}"
+        pre = f"{live}_precompact"
+        if not os.path.isdir(live) and os.path.isdir(pre):
+            os.rename(pre, live)
+        shutil.rmtree(f"{path}/{rel}_compacting", ignore_errors=True)
+
+
 def minhash_index_compact(spark: SparkSession, path: str) -> None:
     """Fold every committed append batch into a fresh ``part=base`` —
     the maintenance verb that finishes the nightly-index lifecycle
@@ -1509,6 +1531,9 @@ def minhash_index_compact(spark: SparkSession, path: str) -> None:
     from .artifacts import _writer_claim
 
     with _writer_claim(path):
+        # roll back a predecessor's mid-swap crash FIRST: compaction
+        # must start from a consistent live layout
+        _heal_interrupted_compact(path)
         if _committed_index_parts(path) == ["base"]:
             return  # nothing appended since the last base — no-op
         for rel in ("bands", "shingles"):
@@ -1563,13 +1588,23 @@ def minhash_lsh_pairs_vs_index(
     man = read_artifact_manifest(spark, path)
     want = {
         "shingle_n": shingle_n, "num_hashes": num_hashes,
-        "band_size": band_size, "layout": _INDEX_LAYOUT,
+        "band_size": band_size,
     }
     got = {k: man.get(k) for k in want}
     if got != want:
         raise ValueError(
             f"minhash index at {path!r} params mismatch: index has "
             f"{got}, probe wants {want}"
+        )
+    # READS accept both layouts: a pre-r12 FLAT index (no layout key)
+    # is all-committed by construction and `_read_index_relation`'s
+    # column guard handles it — only APPEND/COMPACT (which would mix
+    # partition depths into a flat directory) require layout 2.
+    if man.get("layout") not in (None, _INDEX_LAYOUT):
+        raise ValueError(
+            f"minhash index at {path!r} has unknown layout "
+            f"{man.get('layout')!r}; this reader understands flat "
+            f"(pre-r12) and layout {_INDEX_LAYOUT}"
         )
     new_sh, new_bt = _minhash_band_table(
         new_batch, text_col, id_col, shingle_n, num_hashes, band_size
@@ -1674,6 +1709,11 @@ def minhash_index_append(
     from .artifacts import _writer_claim
 
     with _writer_claim(path):
+        # roll back a crashed compact's mid-swap window before
+        # writing: a batch partition landed into a recreated live dir
+        # would silently shadow the *_precompact fallback and lose
+        # every previously committed row (r12 self-review)
+        _heal_interrupted_compact(path)
         marker = os.path.join(path, "_batches", batch_id)
         if os.path.exists(marker):
             return  # already committed — idempotent retry

@@ -574,7 +574,6 @@ def cosine_near_dup_pairs_lsh(
         (lambda: corpus_count) if corpus_count is not None else df.count,
         threshold,
     )
-    planes = random_hyperplanes(n_planes, dim)
     # Both self-join sides read the signature table; without
     # materialization each side re-runs the n_planes x dim
     # dot-product fold over the corpus. Whether materializing wins
@@ -589,6 +588,10 @@ def cosine_near_dup_pairs_lsh(
     if signatures is not None:
         sig = signatures  # persisted relation: scans are the cache
     else:
+        # planes only exist on the live-fold branch — building them
+        # unconditionally at the default dim would silently disagree
+        # with injected signatures folded at another dim
+        planes = random_hyperplanes(n_planes, dim)
         sig = band_signatures(df, planes, bits_per_band, id_col, vec_col)
         if n_planes >= 64:
             # eager: both self-join sides consume this within ONE
@@ -699,6 +702,16 @@ def neardup_edges_build_artifact(
     n_planes, bits_per_band = resolve_lsh_banding(
         n_planes, bits_per_band, corpus.count, min_score
     )
+    # validate dim against the DATA before anything persists: folding
+    # d-wide planes over w-wide vectors NULL-pads silently (garbage
+    # signatures AND garbage edges, stamped with a clean manifest)
+    first = corpus.select(F.size(F.col(vec_col)).alias("w")).first()
+    if first is not None and first["w"] != dim:
+        raise ValueError(
+            f"neardup edge build: dim={dim} but {vec_col!r} vectors "
+            f"are {first['w']}-wide — signatures would NULL-pad "
+            "silently; pass the corpus's actual dimension"
+        )
     _write_artifact_manifest(
         spark, path,
         {
@@ -757,7 +770,16 @@ def read_neardup_signatures(
         "n_planes": n_planes, "bits_per_band": bits_per_band,
         "dim": dim,
     }
-    got = {k: man.get(k) for k in want}
+    # dim was hardcoded 64 before it entered the manifest (r12): a
+    # pre-r12 artifact with no dim key was BUILT at 64, so treating
+    # the missing key as 64 is exact — hard-erroring would brick
+    # every stable-root artifact with no rebuild path (ensure_artifact
+    # trusts the _done marker).
+    got = {
+        "n_planes": man.get("n_planes"),
+        "bits_per_band": man.get("bits_per_band"),
+        "dim": man.get("dim", 64),
+    }
     if got != want:
         raise ValueError(
             f"edge artifact at {path!r} params mismatch: signatures "

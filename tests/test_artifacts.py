@@ -631,8 +631,10 @@ def test_neardup_signatures_validate_dim(spark, sf_dir):
 def test_minhash_index_layout_is_versioned(spark, sf_dir, tmp_path):
     """Code-review regression (r12): appending the partitioned layout
     into a pre-r12 FLAT index would mix partition depths and brick
-    the directory for every reader — the manifest records layout=2
-    and probe/append validate it."""
+    the directory for every reader — APPEND requires layout=2.
+    READS stay backward-compatible (a flat index is all-committed by
+    construction and the column guard handles it), but an UNKNOWN
+    future layout errors loudly on read too."""
     from flink_connectors_spark.operators.dedup import (
         minhash_index_append,
         minhash_lsh_pairs_vs_index,
@@ -649,6 +651,12 @@ def test_minhash_index_layout_is_versioned(spark, sf_dir, tmp_path):
         {"shingle_n": 3, "num_hashes": 8, "band_size": 2},
     )
     with pytest.raises(ValueError, match="params mismatch"):
-        minhash_lsh_pairs_vs_index(docs, flat, threshold=0.5)
-    with pytest.raises(ValueError, match="params mismatch"):
         minhash_index_append(docs, flat, "b1")
+    unknown = str(tmp_path / "future_index")
+    _write_artifact_manifest(
+        spark, unknown,
+        {"shingle_n": 3, "num_hashes": 8, "band_size": 2,
+         "layout": 99},
+    )
+    with pytest.raises(ValueError, match="unknown layout"):
+        minhash_lsh_pairs_vs_index(docs, unknown, threshold=0.5)
