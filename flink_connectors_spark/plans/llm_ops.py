@@ -712,7 +712,7 @@ def similarity_topk_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(emb.vec_id < 20), emb, k=5, n_planes=16,
         bits_per_band=4,
         corpus_signatures=S.read_neardup_signatures(
-            spark, path, n_planes=16, bits_per_band=4
+            spark, path, n_planes=16, bits_per_band=4, corpus=emb
         ),
     )
 
@@ -786,7 +786,7 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.cosine_topk_rplsh(
         q, emb, k=5, n_planes=16, bits_per_band=4,
         corpus_signatures=S.read_neardup_signatures(
-            spark, path, n_planes=16, bits_per_band=4
+            spark, path, n_planes=16, bits_per_band=4, corpus=emb
         ),
     )
     return S.topk_recall_audit(exact, approx, k=5)

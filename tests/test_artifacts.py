@@ -660,3 +660,158 @@ def test_minhash_index_layout_is_versioned(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown layout"):
         minhash_lsh_pairs_vs_index(docs, unknown, threshold=0.5)
+
+def test_claim_acquire_writes_owner_token(tmp_path):
+    """r12 ADVICE: every claimant stamps an ``owner`` token (uuid:pid)
+    inside its claim dir so a taker-over can tell a crashed claim
+    from a fresh one that slid under a stale stat."""
+    path = str(tmp_path / "tokened_artifact")
+    assert A._acquire_build_claim(path, until_marker=False)
+    try:
+        tok = A._read_owner_token(path + ".building")
+        assert tok is not None and tok.endswith(f":{os.getpid()}")
+    finally:
+        A._release_build_claim(path)
+    assert not os.path.exists(path + ".building")
+
+
+def test_claim_takeover_token_mismatch_restores(tmp_path, monkeypatch):
+    """r12 ADVICE: if the claim dir a taker-over renamed aside turns
+    out to carry a DIFFERENT owner token than the stale one it
+    stat'd (a fresh claimant raced in between stat and rename), the
+    dir must be restored, never rmtree'd — the retry loop then takes
+    over the genuinely-stale claim on its next pass."""
+    import shutil
+
+    root = str(tmp_path / "root_tok")
+    monkeypatch.setenv("FCS_ARTIFACT_ROOT", root)
+    path = A.artifact_path(None, "tokkind", "/root/testdata/sf0.001")
+    claim = path + ".building"
+    os.makedirs(claim)
+    with open(os.path.join(claim, "owner"), "w") as fh:
+        fh.write("crashed-builder-token")
+    old = time.time() - A.STALE_CLAIM_SECONDS - 60
+    os.utime(claim, (old, old))
+
+    real = A._read_owner_token
+    calls = {"n": 0}
+
+    def race_once(p):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # the post-rename aside verification of takeover #1 sees
+            # a different token, as if a fresh claimant's dir had
+            # been renamed instead of the crashed one
+            return "fresh-claimants-token"
+        return real(p)
+
+    monkeypatch.setattr(A, "_read_owner_token", race_once)
+    built = []
+
+    def build(p):
+        built.append(1)
+        os.makedirs(os.path.join(p, "rel"), exist_ok=True)
+
+    got = A.ensure_artifact(None, "tokkind", "/root/testdata/sf0.001", build)
+    assert got == path and built == [1]
+    assert os.path.exists(os.path.join(path, "_done"))
+    # takeover #1 restored (mismatch), takeover #2 succeeded (match):
+    # the mismatch branch really executed, and no aside orphan remains
+    assert calls["n"] >= 4
+    assert not any(".stale." in d for d in os.listdir(root))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_claim_wait_warns_then_max_wait_raises(tmp_path, monkeypatch, caplog):
+    """r12 ADVICE: a waiter blocked on a peer's claim must (a) log a
+    warning with the claim path/age instead of polling silently and
+    (b) honor FCS_CLAIM_MAX_WAIT by raising a descriptive
+    TimeoutError instead of blocking until the stale takeover."""
+    import logging
+
+    root = str(tmp_path / "root_wait")
+    monkeypatch.setenv("FCS_ARTIFACT_ROOT", root)
+    monkeypatch.setenv(A.CLAIM_MAX_WAIT_ENV, "0.9")
+    monkeypatch.setattr(A, "CLAIM_WAIT_WARN_SECONDS", 0.1)
+    path = A.artifact_path(None, "waitwarn", "/root/testdata/sf0.001")
+    os.makedirs(path + ".building")  # a live peer's fresh claim
+
+    def build(p):  # pragma: no cover - must not run
+        raise AssertionError("waiter must time out, not build")
+
+    with caplog.at_level(
+        logging.WARNING, logger="flink_connectors_spark.artifacts"
+    ):
+        with pytest.raises(TimeoutError, match="gave up waiting"):
+            A.ensure_artifact(None, "waitwarn", "/root/testdata/sf0.001", build)
+    assert "waiting" in caplog.text and ".building" in caplog.text
+
+
+def test_claim_heartbeat_retries_through_missing_claim(tmp_path, monkeypatch):
+    """r12 ADVICE: the heartbeat must keep retrying on
+    FileNotFoundError (the transient aside-rename window of a
+    mistaken takeover) rather than exiting permanently — once the
+    claim dir is back, beats resume refreshing its mtime."""
+    import shutil
+
+    monkeypatch.setattr(A, "STALE_CLAIM_SECONDS", 0.3)  # tick = 0.1s
+    claim = str(tmp_path / "hb.building")
+    os.makedirs(claim)
+    with A._claim_heartbeat(claim):
+        shutil.rmtree(claim)  # the aside window: beats now ENOENT
+        time.sleep(0.35)
+        os.makedirs(claim)  # claim restored
+        stale = time.time() - 100
+        os.utime(claim, (stale, stale))
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline:
+            if time.time() - os.path.getmtime(claim) < 50:
+                break
+            time.sleep(0.05)
+        assert time.time() - os.path.getmtime(claim) < 50, (
+            "heartbeat never resumed after the claim reappeared"
+        )
+
+
+def test_neardup_signatures_pre_r12_fallback(spark, sf_dir, tmp_path):
+    """r12 ADVICE (medium): a pre-r12 edge artifact has a trusted
+    _done marker but no signatures relation — the reader must fall
+    back to the live hyperplane fold (bit-identical: deterministic
+    hyperplanes) when given the corpus, and raise a descriptive
+    error (not a parquet path error) without it."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    p = str(tmp_path / "edges_pre_r12")
+    S.neardup_edges_build_artifact(
+        emb, p, n_planes=16, bits_per_band=4, min_score=0.3
+    )
+    stored = sorted(
+        tuple(r) for r in S.read_neardup_signatures(spark, p).collect()
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(p, "signatures"))
+    with pytest.raises(ValueError, match="pre-r12"):
+        S.read_neardup_signatures(spark, p)
+    fallback = sorted(
+        tuple(r)
+        for r in S.read_neardup_signatures(spark, p, corpus=emb).collect()
+    )
+    assert fallback == stored
+
+
+def test_neardup_build_rejects_ragged_vectors(spark, sf_dir, tmp_path):
+    """r12 ADVICE: the build-time dim guard must validate the WHOLE
+    corpus (min/max width aggregate), not just the first row — a
+    ragged vector deep in the corpus NULL-pads just as silently."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(10)
+    ragged = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 7, F.slice("embedding", 1, 32)
+        ).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="widths span"):
+        S.neardup_edges_build_artifact(
+            ragged, str(tmp_path / "ragged"),
+            n_planes=16, bits_per_band=4, min_score=0.3,
+        )
