@@ -84,6 +84,13 @@ HEADLINE = [
     # (BUILD_ONCE); the eight rewired reports below then price
     # statistic-sized artifact scans only.
     "text_corpus_grams_artifact",
+    # r13: the incremental-ingest lifecycle rows — append probe
+    # (build-on-3/4 + transactional batch append, read uncompacted
+    # through the merge-on-read path) and compact probe (same +
+    # compaction); each prices its own artifact build in its cold
+    # column (BUILD_ONCE)
+    "text_corpus_grams_append_probe",
+    "text_corpus_grams_compact_probe",
     "text_crossdoc_ngram_mass",
     "pipeline_source_overlap",
     "similarity_topk_ivf_unlabeled",
@@ -266,6 +273,16 @@ BUILD_ONCE = [
     # ...and the compacted signature index (base+append+compact
     # lifecycle) the compaction probe reads
     "dedup_index_compact_probe",
+    # ...and the two tokenized-corpus LIFECYCLE artifacts (r13):
+    # the append probe builds base(3/4)+append(1/4); the compact
+    # probe builds the same then compacts — each cold column prices
+    # its own lifecycle
+    "text_corpus_grams_append_probe",
+    "text_corpus_grams_compact_probe",
+    # ...and the persisted SimHash fingerprint table (r13): the
+    # fingerprint report prices the one tokenize->vote fold; the
+    # exhaustive-pairs and banded-LSH rows read 2-byte-row scans
+    "dedup_simhash",
 ]
 
 

@@ -383,6 +383,210 @@ def _writer_claim(path: str):
         _release_build_claim(path)
 
 
+# ---------------------------------------------------------------------------
+# Partitioned-relation index lifecycle — the transactional append /
+# crash-safe compaction protocol the r12 signature index proved out
+# (`operators/dedup.py`), factored here (r13) so the tokenized-corpus
+# artifact and future families share ONE audited implementation
+# instead of re-deriving the crash-window analysis per family:
+#
+# - every relation directory is hive-partitioned on ``part``:
+#   ``part=base`` from the initial build plus one ``part=<batch_id>``
+#   per appended ingest batch;
+# - a batch is COMMITTED iff ``{path}/_batches/<batch_id>`` exists —
+#   the marker is written LAST, so readers (which partition-prune to
+#   the committed set) never see a crashed half-append;
+# - compaction folds the committed view back into one ``part=base``
+#   per relation with a two-rename swap (``*_compacting`` staging,
+#   ``*_precompact`` fallback) so every crash window serves the
+#   identical logical relation;
+# - append and compact both run under the artifact's writer claim
+#   (:func:`_writer_claim` — heartbeated, stale-takeover, reentrant
+#   within the building thread).
+#
+# The swap relies on POSIX rename atomicity (local FS / NFS); the
+# marker protocol itself (write-last, read-filtered) is object-store
+# safe — an object-store deployment keeps markers and replaces the
+# renames with its own atomic commit (see `commit_swap_dir`, the one
+# seam that would change).
+
+
+def validate_batch_id(batch_id: str) -> None:
+    """Reject batch ids that are not filesystem-safe tokens or that
+    collide with reserved partition names: '.' / '..' pass the
+    charset but resolve the marker path to the index dir itself —
+    the append would silently no-op as "already committed"."""
+    import re
+
+    if (
+        not re.fullmatch(r"[A-Za-z0-9_.\-]+", batch_id)
+        or batch_id in ("base", ".", "..")
+    ):
+        raise ValueError(
+            f"invalid batch_id {batch_id!r}: must be a filesystem-"
+            "safe token and not 'base', '.', or '..'"
+        )
+
+
+def committed_parts(path: str) -> list[str]:
+    """The committed partition set of a partitioned artifact: the
+    base build plus every appended batch whose commit marker exists.
+    A crashed append's partition directories are present on disk but
+    invisible to every reader until its marker lands (written LAST
+    by the append verb)."""
+    parts = ["base"]
+    bdir = os.path.join(path, "_batches")
+    if os.path.isdir(bdir):
+        parts += sorted(os.listdir(bdir))
+    return parts
+
+
+def read_committed_relation(spark, path: str, rel: str):
+    """Read one partitioned relation restricted to COMMITTED batches:
+    the ``part`` filter is partition PRUNING (uncommitted / crashed
+    append directories never enter the scan), then the partition
+    column drops so consumers see the logical relation. The column
+    guard keeps pre-partition-layout artifacts readable (they are
+    all-committed by construction). If a crash landed between
+    compaction's two renames (no live relation dir), fall back to
+    the preserved ``*_precompact`` relation — its partitions and
+    markers are still intact, so even that window serves the correct
+    logical relation."""
+    from pyspark.sql import functions as F
+
+    rel_dir = os.path.join(path, rel)
+    if not os.path.isdir(rel_dir):
+        pre = rel_dir + "_precompact"
+        if os.path.isdir(pre):
+            rel_dir = pre
+    df = spark.read.parquet(rel_dir)
+    if "part" in df.columns:
+        df = df.filter(
+            F.col("part").isin(committed_parts(path))
+        ).drop("part")
+    return df
+
+
+def heal_interrupted_compact(
+    path: str, relations: tuple[str, ...]
+) -> None:
+    """Roll back a compact that crashed between its two renames: the
+    live relation dir is missing and ``*_precompact`` (the intact
+    pre-compaction state — all partitions AND their markers) is
+    present. Restoring it returns the artifact to a fully consistent
+    committed state; the interrupted compact's ``*_compacting``
+    output is discarded (a retry rebuilds it). MUST run under the
+    writer claim. Without this, an APPEND landing in the crash
+    window would recreate the live dir with only its own batch,
+    silently shadowing the fallback — every previously committed row
+    lost (r12 self-review)."""
+    for rel in relations:
+        live = f"{path}/{rel}"
+        pre = f"{live}_precompact"
+        if not os.path.isdir(live) and os.path.isdir(pre):
+            os.rename(pre, live)
+        shutil.rmtree(f"{path}/{rel}_compacting", ignore_errors=True)
+
+
+def compact_relations(
+    spark,
+    path: str,
+    relations: tuple[str, ...],
+    finalize: dict[str, Callable] | None = None,
+) -> None:
+    """Fold every committed append batch into a fresh ``part=base``
+    per relation and clear the consumed batch markers — the generic
+    maintenance verb behind ``minhash_index_compact`` and
+    ``corpus_grams_compact``. ``finalize[rel]`` (optional) transforms
+    the committed view before it is written — the tokenized-corpus
+    count relations pass their merge aggregation here, so compaction
+    is also where per-batch partial counts fold into one exact row
+    per key. A reader sees the identical logical relation before,
+    during, and after.
+
+    Crash safety, window by window (each rename is atomic on a
+    POSIX/NFS filesystem; an object store would use its own
+    atomic-commit primitive):
+
+    - before any rename: originals + markers intact; the orphaned
+      ``*_compacting`` dir is removed by the retry.
+    - between a relation's two renames (no live dir): readers fall
+      back to the preserved ``*_precompact`` dir, whose partitions
+      and markers are untouched. A compact RETRY in this window
+      rebuilds ``*_compacting`` from the fallback and renames it
+      straight in (the rename-out is skipped when no live dir
+      exists); the fallback is only removed AFTER the new base is
+      live, so no window ever holds zero readable copies.
+    - between two relations' swaps: one relation already serves all
+      rows from the new base, the other still unions base +
+      committed batches — the logical contents are identical.
+    - during marker clearing: a marker pointing at a batch dir the
+      new base absorbed prunes to zero files — harmless.
+
+    Writer-writer concurrency: compaction takes the same atomic
+    ``{path}.building`` claim the artifact builds and appends use —
+    a concurrently-committing append can therefore never land
+    between the committed-parts snapshot and the marker clearing
+    (which would silently destroy the batch). READERS do not lock: a
+    probe racing the rename pair may need one retry on a shared
+    filesystem.
+
+    One linear pass per relation (partition-pruned committed read,
+    no shuffle beyond the write and any finalize aggregation), O(1)
+    metadata swaps."""
+    with _writer_claim(path):
+        # roll back a predecessor's mid-swap crash FIRST: compaction
+        # must start from a consistent live layout
+        heal_interrupted_compact(path, relations)
+        if committed_parts(path) == ["base"]:
+            return  # nothing appended since the last base — no-op
+        for rel in relations:
+            live = f"{path}/{rel}"
+            tmp = f"{path}/{rel}_compacting"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df = read_committed_relation(spark, path, rel)
+            if finalize and rel in finalize:
+                df = finalize[rel](df)
+            df.write.mode("overwrite").parquet(f"{tmp}/part=base")
+            pre = f"{live}_precompact"
+            if os.path.isdir(live):
+                # stage the old relation aside, THEN swap in the new
+                # base; only drop the fallback once the new base is
+                # live (an rmtree-before-rename would delete the
+                # fallback first, so a retry after a crash between
+                # the renames would strand the relation entirely)
+                shutil.rmtree(pre, ignore_errors=True)
+                os.rename(live, pre)
+            os.rename(tmp, live)
+            shutil.rmtree(pre, ignore_errors=True)
+        bdir = os.path.join(path, "_batches")
+        names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+        for name in names:
+            os.unlink(os.path.join(bdir, name))
+
+
+@contextmanager
+def transactional_append(path: str, batch_id: str, relations: tuple[str, ...]):
+    """The append-side transaction shared by every partitioned
+    artifact family: validates the batch id, takes the writer claim,
+    heals a predecessor's mid-swap compact crash, and yields True
+    when the batch still needs writing (False = the commit marker
+    already exists — an idempotent retry must skip its writes). The
+    caller writes each relation's ``part={batch_id}`` directory in
+    OVERWRITE mode inside the ``with`` body; the commit marker is
+    written LAST, on clean exit only."""
+    validate_batch_id(batch_id)
+    with _writer_claim(path):
+        heal_interrupted_compact(path, relations)
+        marker = os.path.join(path, "_batches", batch_id)
+        if os.path.exists(marker):
+            yield False  # already committed — idempotent retry
+            return
+        yield True
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
+
+
 def ensure_artifact(
     spark: SparkSession,
     kind: str,

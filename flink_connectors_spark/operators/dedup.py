@@ -531,10 +531,21 @@ def simhash_pairs(
     id_col: str = "doc_id",
     n_bits: int = 16,
     max_hamming: int = 2,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within blocks."""
-    base = df.select(*[F.col(c) for c in block_cols], F.col(id_col), F.col(text_col))
-    fps = simhash(base, text_col, id_col, n_bits).join(base, id_col).drop(text_col)
+    """Near-dup pairs by SimHash Hamming distance within blocks.
+
+    ``fps`` (r13) injects the PERSISTED fingerprint table
+    (:func:`simhash_build_artifact`'s ``fps`` relation, block cols
+    included) in place of the live tokenize->vote fold — the plan
+    becomes fingerprint-table scans only. Deterministic hashing, so
+    results are identical either way (the registered query's oracle
+    replays the live fold and MATCHes the stored path)."""
+    if fps is None:
+        base = df.select(
+            *[F.col(c) for c in block_cols], F.col(id_col), F.col(text_col)
+        )
+        fps = simhash(base, text_col, id_col, n_bits).join(base, id_col).drop(text_col)
     a = fps.alias("a")
     b = fps.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -1101,6 +1112,7 @@ def simhash_lsh_pairs(
     n_bits: int = 16,
     max_hamming: int = 3,
     n_bands: int = 4,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via BANDED fingerprint bucketing — the
     scale path over :func:`simhash_pairs`'s exhaustive blocked join
@@ -1117,7 +1129,13 @@ def simhash_lsh_pairs(
     what the driver oracle checks. Scale shape: fingerprints are 2
     bytes/doc, the explode is n_bands rows/doc, the join shuffles on
     small integer band keys, verification is one XOR + popcount per
-    candidate."""
+    candidate.
+
+    ``fps`` (r13) injects the PERSISTED fingerprint table
+    (:func:`simhash_build_artifact`) in place of the live
+    tokenize->vote fold; a parquet relation is already materialized,
+    so the injected path skips the localCheckpoint (its three
+    consumer branches re-scan a 2-byte-row file)."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < n_bands "
@@ -1126,18 +1144,24 @@ def simhash_lsh_pairs(
     if n_bits % n_bands:
         raise ValueError(f"{n_bits} bits not divisible by {n_bands}")
     width = n_bits // n_bands
-    base = df.select(
-        *[F.col(c) for c in block_cols], F.col(id_col), F.col(text_col)
-    )
-    fps = (
-        simhash(base, text_col, id_col, n_bits)
-        .join(base, id_col)
-        .drop(text_col)
-        .select(*[F.col(c) for c in block_cols], id_col, "simhash")
-        # 2-byte rows, consumed by the band explode AND both verify
-        # sides launching together — eager per the materialization rule
-        .localCheckpoint(eager=True)
-    )
+    if fps is None:
+        base = df.select(
+            *[F.col(c) for c in block_cols], F.col(id_col), F.col(text_col)
+        )
+        fps = (
+            simhash(base, text_col, id_col, n_bits)
+            .join(base, id_col)
+            .drop(text_col)
+            .select(*[F.col(c) for c in block_cols], id_col, "simhash")
+            # 2-byte rows, consumed by the band explode AND both verify
+            # sides launching together — eager per the materialization
+            # rule
+            .localCheckpoint(eager=True)
+        )
+    else:
+        fps = fps.select(
+            *[F.col(c) for c in block_cols], F.col(id_col), "simhash"
+        )
     mask = (1 << width) - 1
     bands = fps.select(
         *[F.col(c) for c in block_cols],
@@ -1182,6 +1206,69 @@ def simhash_lsh_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def simhash_build_artifact(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    n_bits: int = 16,
+) -> None:
+    """Persist the per-document SimHash fingerprint table —
+    ``{path}/fps`` = (id, n_tokens, simhash [, block cols]) — the
+    build-once half of the simhash family (r12 verdict What's-wrong
+    #2: the banded LSH probe was the dedup bench family's last
+    live-LSH recompute; every sibling already served from a stored
+    relation). The tokenize -> md5 -> 16-bit-vote fold is the
+    expensive pass (one corpus explode + one doc-keyed shuffle);
+    fingerprints are 2 bytes/doc, so the stored relation is
+    corpus-row-sized and every consumer shape — the fingerprint
+    report, the exhaustive blocked join, the banded bucket join —
+    becomes a fingerprint-table scan. Deterministic (md5 prefixes,
+    exact integer votes), so SQL oracles keep replaying the full
+    live fold and a MATCH proves the stored table equals it.
+    Manifest (written FIRST) records n_bits and the block-col count;
+    readers validate — probing fingerprints built at a different
+    width would change every Hamming distance silently."""
+    from .similarity import _write_artifact_manifest
+
+    block_cols = list(block_cols or [])
+    spark = df.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {"n_bits": int(n_bits), "n_block_cols": len(block_cols)},
+    )
+    fps = simhash(df, text_col, id_col, n_bits)
+    if block_cols:
+        fps = fps.join(
+            df.select(F.col(id_col), *[F.col(c) for c in block_cols]),
+            id_col,
+        )
+    fps.write.mode("overwrite").parquet(f"{path}/fps")
+
+
+def read_simhash_fps(
+    spark: SparkSession,
+    path: str,
+    n_bits: int = 16,
+    n_block_cols: int = 0,
+) -> DataFrame:
+    """Serve the persisted SimHash fingerprint table
+    (:func:`simhash_build_artifact`), validating n_bits and the
+    block-col count against the manifest."""
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    want = {"n_bits": n_bits, "n_block_cols": n_block_cols}
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"simhash artifact at {path!r} params mismatch: built "
+            f"with {got}, probe wants {want}"
+        )
+    return spark.read.parquet(f"{path}/fps")
 
 
 def minhash_pairs_build_artifact(
@@ -1419,67 +1506,24 @@ def minhash_index_build_artifact(
 
 
 def _committed_index_parts(path: str) -> list[str]:
-    """The committed partition set of a signature index: the base
-    build plus every appended batch whose commit marker exists. A
-    crashed append's partition directories are present on disk but
-    invisible to every reader until its marker lands (written LAST
-    by :func:`minhash_index_append`)."""
-    import os
+    """The committed partition set of a signature index — delegates
+    to the shared partitioned-artifact lifecycle (r13: the r12
+    protocol proved out here moved to ``operators/artifacts.py`` so
+    the tokenized-corpus family reuses the same audited machinery)."""
+    from .artifacts import committed_parts
 
-    parts = ["base"]
-    bdir = os.path.join(path, "_batches")
-    if os.path.isdir(bdir):
-        parts += sorted(os.listdir(bdir))
-    return parts
+    return committed_parts(path)
 
 
 def _read_index_relation(spark, path: str, rel: str) -> DataFrame:
-    """Read one signature-index relation restricted to COMMITTED
-    batches: the ``part`` filter is partition PRUNING (uncommitted /
-    crashed append directories never enter the scan), then the
-    partition column drops so consumers see the logical relation.
-    The column guard keeps pre-partition-layout artifacts readable
-    (they are all-committed by construction). If a crash landed
-    between :func:`minhash_index_compact`'s two renames (no live
-    relation dir), fall back to the preserved pre-compaction
-    relation — its partitions and markers are still intact, so even
-    that window serves the correct logical relation (the
-    ``codes_precompact`` discipline from the ANN artifacts)."""
-    import os
+    """Committed-pruned read of one signature-index relation (shared
+    implementation: partition-prunes to committed batches, drops the
+    partition column, serves the ``*_precompact`` fallback inside
+    compaction's crash window — see
+    ``artifacts.read_committed_relation``)."""
+    from .artifacts import read_committed_relation
 
-    rel_dir = os.path.join(path, rel)
-    if not os.path.isdir(rel_dir):
-        pre = rel_dir + "_precompact"
-        if os.path.isdir(pre):
-            rel_dir = pre
-    df = spark.read.parquet(rel_dir)
-    if "part" in df.columns:
-        df = df.filter(
-            F.col("part").isin(_committed_index_parts(path))
-        ).drop("part")
-    return df
-
-
-def _heal_interrupted_compact(path: str) -> None:
-    """Roll back a compact that crashed between its two renames: the
-    live relation dir is missing and ``*_precompact`` (the intact
-    pre-compaction state — all partitions AND their markers) is
-    present. Restoring it returns the index to a fully consistent
-    committed state; the interrupted compact's ``*_compacting``
-    output is discarded (a retry rebuilds it). MUST run under the
-    writer claim. Without this, an APPEND landing in the crash
-    window would recreate the live dir with only its own batch,
-    silently shadowing the fallback — every previously committed row
-    lost (r12 self-review)."""
-    import os
-    import shutil
-
-    for rel in ("bands", "shingles"):
-        live = f"{path}/{rel}"
-        pre = f"{live}_precompact"
-        if not os.path.isdir(live) and os.path.isdir(pre):
-            os.rename(pre, live)
-        shutil.rmtree(f"{path}/{rel}_compacting", ignore_errors=True)
+    return read_committed_relation(spark, path, rel)
 
 
 def minhash_index_compact(spark: SparkSession, path: str) -> None:
@@ -1524,42 +1568,13 @@ def minhash_index_compact(spark: SparkSession, path: str) -> None:
     commit instead.
 
     One linear pass per relation (partition-pruned committed read,
-    no shuffle beyond the write), O(1) metadata swaps."""
-    import os
-    import shutil
+    no shuffle beyond the write), O(1) metadata swaps. Shared
+    implementation: ``artifacts.compact_relations`` (r13) — the
+    crash-window analysis above is documented once there and tested
+    per family."""
+    from .artifacts import compact_relations
 
-    from .artifacts import _writer_claim
-
-    with _writer_claim(path):
-        # roll back a predecessor's mid-swap crash FIRST: compaction
-        # must start from a consistent live layout
-        _heal_interrupted_compact(path)
-        if _committed_index_parts(path) == ["base"]:
-            return  # nothing appended since the last base — no-op
-        for rel in ("bands", "shingles"):
-            live = f"{path}/{rel}"
-            tmp = f"{path}/{rel}_compacting"
-            shutil.rmtree(tmp, ignore_errors=True)
-            (
-                _read_index_relation(spark, path, rel)
-                .write.mode("overwrite")
-                .parquet(f"{tmp}/part=base")
-            )
-            pre = f"{live}_precompact"
-            if os.path.isdir(live):
-                # stage the old relation aside, THEN swap in the new
-                # base; only drop the fallback once the new base is
-                # live (the old rmtree-before-rename deleted the
-                # fallback first, so a retry after a crash between
-                # the renames stranded the relation entirely)
-                shutil.rmtree(pre, ignore_errors=True)
-                os.rename(live, pre)
-            os.rename(tmp, live)
-            shutil.rmtree(pre, ignore_errors=True)
-        bdir = os.path.join(path, "_batches")
-        names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
-        for name in names:
-            os.unlink(os.path.join(bdir, name))
+    compact_relations(spark, path, ("bands", "shingles"))
 
 
 def minhash_lsh_pairs_vs_index(
@@ -1677,23 +1692,12 @@ def minhash_index_append(
     ``batch_id`` names the ingest batch (e.g. the nightly date) and
     must be stable across retries — it IS the idempotency key.
     Params validate against the manifest; the batch-side tables are
-    built once and released here."""
-    import os
-    import re
-
+    built once and released here. Transaction scaffolding (claim,
+    heal, idempotent marker check, marker-written-LAST) is the
+    shared ``artifacts.transactional_append`` (r13)."""
+    from .artifacts import transactional_append
     from .similarity import read_artifact_manifest
 
-    if (
-        not re.fullmatch(r"[A-Za-z0-9_.\-]+", batch_id)
-        or batch_id in ("base", ".", "..")
-    ):
-        # "." / ".." pass the charset but resolve the marker path to
-        # the index dir itself — the append would silently no-op as
-        # "already committed"
-        raise ValueError(
-            f"invalid batch_id {batch_id!r}: must be a filesystem-"
-            "safe token and not 'base', '.', or '..'"
-        )
     spark = new_docs.sparkSession
     man = read_artifact_manifest(spark, path)
     want = {
@@ -1706,31 +1710,26 @@ def minhash_index_append(
             f"minhash index at {path!r} params mismatch: index has "
             f"{got}, append wants {want}"
         )
-    from .artifacts import _writer_claim
-
-    with _writer_claim(path):
-        # roll back a crashed compact's mid-swap window before
-        # writing: a batch partition landed into a recreated live dir
-        # would silently shadow the *_precompact fallback and lose
-        # every previously committed row (r12 self-review)
-        _heal_interrupted_compact(path)
-        marker = os.path.join(path, "_batches", batch_id)
-        if os.path.exists(marker):
-            return  # already committed — idempotent retry
-        shingled, bt = _minhash_band_table(
-            new_docs, text_col, id_col, shingle_n, num_hashes, band_size
-        )
-        # shingles before bands: even mid-crash (pre-marker) state
-        # only ever OVER-provisions verify rows, never candidates —
-        # defense in depth under readers that ignore the commit set
-        (
-            shingled.select(F.col(id_col), "shingles")
-            .write.mode("overwrite")
-            .parquet(f"{path}/shingles/part={batch_id}")
-        )
-        bt.write.mode("overwrite").parquet(
-            f"{path}/bands/part={batch_id}"
-        )
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        open(marker, "w").close()
-    _release_frame(shingled)
+    shingled = None
+    with transactional_append(
+        path, batch_id, ("bands", "shingles")
+    ) as fresh:
+        if fresh:
+            shingled, bt = _minhash_band_table(
+                new_docs, text_col, id_col, shingle_n, num_hashes,
+                band_size,
+            )
+            # shingles before bands: even mid-crash (pre-marker)
+            # state only ever OVER-provisions verify rows, never
+            # candidates — defense in depth under readers that
+            # ignore the commit set
+            (
+                shingled.select(F.col(id_col), "shingles")
+                .write.mode("overwrite")
+                .parquet(f"{path}/shingles/part={batch_id}")
+            )
+            bt.write.mode("overwrite").parquet(
+                f"{path}/bands/part={batch_id}"
+            )
+    if shingled is not None:
+        _release_frame(shingled)

@@ -175,7 +175,7 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "tfidf", "keywords"),
     since=4,
-    changed=12,
+    changed=13,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords — the classic salient-term
@@ -554,7 +554,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "stats", "quality"),
     since=4,
-    changed=12,
+    changed=13,
 )
 def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf exponent of the corpus frequency-rank curve — the

@@ -1673,7 +1673,7 @@ def pipeline_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "quality", "ngram"),
     since=4,
-    changed=12,
+    changed=13,
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram cross-entropy per doc — the next rung of the
@@ -3183,7 +3183,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "quality", "repetition"),
     since=7,
-    changed=12,
+    changed=13,
 )
 def text_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition filter (Rae et al. 2021):
@@ -3229,7 +3229,7 @@ def text_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "dedup", "longitudinal"),
     since=7,
-    changed=12,
+    changed=13,
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty curve: 10 id-ordered slices (crawl-increment
@@ -4254,7 +4254,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "text", "collocation", "pmi"),
     since=8,
-    changed=12,
+    changed=13,
 )
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 directional word pairs by pointwise

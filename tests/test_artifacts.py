@@ -42,6 +42,9 @@ ALL_FAMILIES = [
     ("sq8_stats", llm_ops2._sq8_artifact_path),
     ("corpus_grams", llm_ops._corpus_grams_artifact_path),
     ("minhash_index_cpt", llm_ops._minhash_index_cpt_artifact_path),
+    ("corpus_grams_inc", llm_ops._corpus_grams_inc_artifact_path),
+    ("corpus_grams_cpt", llm_ops._corpus_grams_cpt_artifact_path),
+    ("simhash_fps", llm_ops._simhash_fps_artifact_path),
 ]
 
 
@@ -815,3 +818,138 @@ def test_neardup_build_rejects_ragged_vectors(spark, sf_dir, tmp_path):
             ragged, str(tmp_path / "ragged"),
             n_planes=16, bits_per_band=4, min_score=0.3,
         )
+
+def test_corpus_grams_append_is_transactional(spark, sf_dir):
+    """r12 verdict Next #1: the tokenized-corpus append must be the
+    same transaction the signature index proved out — a crash
+    mid-append leaves every relation serving exactly the pre-append
+    state (commit marker written LAST; readers partition-prune to
+    committed batches), a retry with the same batch_id is
+    idempotent, and the merged count relations equal the
+    from-scratch build's."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 3)
+    new = docs.filter(F.col("doc_id") % 4 == 3)
+    inc = tempfile.mkdtemp(prefix="fcs_test_grams_inc_")
+    full = tempfile.mkdtemp(prefix="fcs_test_grams_full_")
+    try:
+        T.corpus_grams_build_artifact(docs, full)
+        T.corpus_grams_build_artifact(old, inc)
+
+        def uni(path):
+            return sorted(
+                tuple(r)
+                for r in T.read_corpus_grams(
+                    spark, path, "unigrams"
+                ).collect()
+            )
+
+        before = uni(inc)
+        T.corpus_grams_append(new, inc, "ingest1")
+        merged = uni(inc)
+        assert merged == uni(full), (
+            "append + merge-on-read != from-scratch unigram counts"
+        )
+        assert merged != before
+        # idempotent retry: same batch_id, identical contents
+        T.corpus_grams_append(new, inc, "ingest1")
+        assert uni(inc) == merged
+        # crash simulation: strip the commit marker — every reader
+        # must treat the batch as never-happened
+        os.unlink(os.path.join(inc, "_batches", "ingest1"))
+        assert uni(inc) == before, (
+            "uncommitted (crashed) append is visible to readers"
+        )
+        # retry re-commits
+        T.corpus_grams_append(new, inc, "ingest1")
+        assert uni(inc) == merged
+        # batch ids validate through the shared gate
+        with pytest.raises(ValueError, match="invalid batch_id"):
+            T.corpus_grams_append(new, inc, "base")
+        # doc-keyed relations append: docstats row count is additive
+        n_docs = T.read_corpus_grams(spark, inc, "docstats").count()
+        assert n_docs == docs.count()
+    finally:
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+
+
+def test_corpus_grams_compact_lifecycle(spark, sf_dir):
+    """Compaction folds committed batches into one part=base per
+    relation, MATERIALIZES the count relations' SUM merge, clears
+    the consumed markers, and preserves every relation's logical
+    contents; compacting a never-appended artifact is a no-op."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators import text as T
+    from flink_connectors_spark.operators.artifacts import (
+        committed_parts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    old = docs.filter(F.col("doc_id") % 4 != 3)
+    new = docs.filter(F.col("doc_id") % 4 == 3)
+    path = tempfile.mkdtemp(prefix="fcs_test_grams_cpt_")
+    try:
+        T.corpus_grams_build_artifact(old, path)
+        T.corpus_grams_append(new, path, "ingest1")
+
+        def snap(rel):
+            return sorted(
+                tuple(str(x) for x in r)
+                for r in T.read_corpus_grams(spark, path, rel).collect()
+            )
+
+        before = {r: snap(r) for r in T._CORPUS_GRAMS_RELATIONS}
+        T.corpus_grams_compact(spark, path)
+        assert committed_parts(path) == ["base"]
+        for rel in T._CORPUS_GRAMS_RELATIONS:
+            assert snap(rel) == before[rel], f"{rel} changed"
+            parts = sorted(
+                d for d in os.listdir(os.path.join(path, rel))
+                if d.startswith("part=")
+            )
+            assert parts == ["part=base"], f"{rel}: {parts}"
+        # idempotent: a second compact is a no-op
+        T.corpus_grams_compact(spark, path)
+        for rel in ("unigrams", "pairs"):
+            assert snap(rel) == before[rel]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_corpus_grams_layout_is_versioned(spark, sf_dir, tmp_path):
+    """A flat pre-r13 artifact (layout 2) stays READABLE but rejects
+    append/compact (a partition directory appended into a flat
+    relation would mix partition depths); an unknown future layout
+    errors loudly on read too."""
+    from flink_connectors_spark.operators import text as T
+    from flink_connectors_spark.operators.similarity import (
+        _write_artifact_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    flat = str(tmp_path / "flat_grams")
+    _write_artifact_manifest(
+        spark, flat,
+        {"shingle_n": 3, "gram_n_min": 2, "gram_n_max": 3,
+         "pmi_window": 2, "layout": 2},
+    )
+    with pytest.raises(ValueError, match="does not support append"):
+        T.corpus_grams_append(docs, flat, "b1")
+    with pytest.raises(ValueError, match="does not support compact"):
+        T.corpus_grams_compact(spark, flat)
+    unknown = str(tmp_path / "future_grams")
+    _write_artifact_manifest(
+        spark, unknown,
+        {"shingle_n": 3, "gram_n_min": 2, "gram_n_max": 3,
+         "pmi_window": 2, "layout": 99},
+    )
+    with pytest.raises(ValueError, match="unknown layout"):
+        T.read_corpus_grams(spark, unknown, "unigrams")

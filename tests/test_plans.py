@@ -867,6 +867,12 @@ _SCAN_ALLOWLIST = {
     "text_corpus_grams_artifact": 6,
     "text_pmi_cooccurrence": 5,
     "text_unigram_logprob": 5,
+    # r13 lifecycle probes: the same six-relation census shape as the
+    # build row (one statistic-sized count scan per stored relation;
+    # the merge-on-read SUM for pairs/unigrams is a fold over the
+    # same single scan, zero corpus text in either plan)
+    "text_corpus_grams_append_probe": 6,
+    "text_corpus_grams_compact_probe": 6,
 }
 _SCAN_DEFAULT = 4
 
