@@ -219,6 +219,10 @@ HEADLINE = [
     # queries (pagerank x2, link prediction, triangles) price reads
     # of the persisted edge relation only.
     "similarity_neardup_edges_artifact",
+    # r13: the edge-index ingest lifecycle row (base build on 3/4 +
+    # transactional batch append; committed read through partition
+    # pruning) — prices its own lifecycle in its cold column
+    "similarity_neardup_append_probe",
     "similarity_graph_components_census",
     "similarity_graph_adamic_adar",
     "dedup_embedding_keeplist",
@@ -283,6 +287,8 @@ BUILD_ONCE = [
     # fingerprint report prices the one tokenize->vote fold; the
     # exhaustive-pairs and banded-LSH rows read 2-byte-row scans
     "dedup_simhash",
+    # ...and the edge-index ingest lifecycle (r13): base + append
+    "similarity_neardup_append_probe",
 ]
 
 

@@ -730,6 +730,12 @@ def neardup_edges_build_artifact(
             "bits_per_band": int(bits_per_band),
             "min_score_x100": floor_x100(min_score, "min_score"),
             "dim": int(dim),
+            # storage-layout version: 2 = relations partitioned on
+            # ``part`` with per-batch commit markers (r13 — enables
+            # the transactional append/compact verbs). Flat pre-r13
+            # artifacts carry no layout key; reads stay compatible,
+            # appends require 2.
+            "layout": _EDGES_LAYOUT,
         },
     )
     # ONE hyperplane fold per build: write the signature relation
@@ -746,7 +752,7 @@ def neardup_edges_build_artifact(
             vec_col,
         )
         .write.mode("overwrite")
-        .parquet(f"{path}/signatures")
+        .parquet(f"{path}/signatures/part=base")
     )
     pairs = cosine_near_dup_pairs_lsh(
         corpus,
@@ -755,9 +761,164 @@ def neardup_edges_build_artifact(
         bits_per_band=bits_per_band,
         id_col=id_col,
         vec_col=vec_col,
-        signatures=spark.read.parquet(f"{path}/signatures"),
+        signatures=spark.read.parquet(f"{path}/signatures/part=base"),
     )
-    pairs.write.mode("overwrite").parquet(f"{path}/edges")
+    pairs.write.mode("overwrite").parquet(f"{path}/edges/part=base")
+    os.makedirs(f"{path}/_batches", exist_ok=True)
+
+
+_EDGES_LAYOUT = 2
+_EDGES_RELATIONS = ("edges", "signatures")
+
+
+def neardup_edges_append(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    batch_id: str,
+    n_planes: int = 16,
+    bits_per_band: int = 4,
+    min_score: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Fold a NEW embedding batch into the standing near-dup edge
+    artifact TRANSACTIONALLY (r12 verdict Next #3: the edge/pair
+    artifacts were rebuild-only — a daily embedding batch paid a
+    full-corpus LSH pass). Only the batch folds through the
+    hyperplanes (O(batch)); candidates come from band-joining the
+    batch signatures against the STORED committed signatures (plus
+    the batch against itself), and the exact rescore touches only
+    candidate ids — the appended edge set is exactly the edges the
+    full rebuild would add, because band keys are deterministic per
+    vector and every new pair has >= 1 batch side.
+
+    ``corpus`` supplies the vectors of previously indexed rows for
+    the rescore (the artifact stores signatures + edges, not
+    vectors — the corpus table IS the vector store; the rescore join
+    is candidate-bounded, pushed by id). ``new_vecs`` ids must be
+    NEW to the index (the caller's exact-dedup gate, as with every
+    append verb here). Protocol = the shared
+    ``artifacts.transactional_append``: ``part=<batch_id>``
+    partitions in OVERWRITE mode for both relations, commit marker
+    LAST, idempotent batch ids, writer claim, heal-on-entry."""
+    from .artifacts import (
+        read_committed_relation,
+        transactional_append,
+    )
+
+    spark = new_vecs.sparkSession
+    man = read_artifact_manifest(spark, path)
+    want = {
+        "n_planes": n_planes, "bits_per_band": bits_per_band,
+        "min_score_x100": floor_x100(min_score, "min_score"),
+        "dim": dim,
+    }
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"edge artifact at {path!r} params mismatch: built with "
+            f"{got}, append wants {want}"
+        )
+    if man.get("layout") != _EDGES_LAYOUT:
+        raise ValueError(
+            f"edge artifact at {path!r} layout {man.get('layout')!r} "
+            f"does not support append — rebuild at layout "
+            f"{_EDGES_LAYOUT} (partitioned) first"
+        )
+    with transactional_append(
+        path, batch_id, _EDGES_RELATIONS
+    ) as fresh:
+        if not fresh:
+            return
+        # batch fold first, persisted as this batch's signature
+        # partition — the same write-then-read-back discipline the
+        # base build uses, so the band join and any crash-retry read
+        # ONE materialized fold
+        (
+            band_signatures(
+                new_vecs, random_hyperplanes(n_planes, dim),
+                bits_per_band, id_col, vec_col,
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/signatures/part={batch_id}")
+        )
+        batch_sig = spark.read.parquet(
+            f"{path}/signatures/part={batch_id}"
+        )
+        # stored committed signatures (the marker for THIS batch is
+        # not yet written, so the batch partition is excluded)
+        stored_sig = read_committed_relation(spark, path, "signatures")
+        both_sig = stored_sig.unionByName(batch_sig)
+        # every NEW pair has >= 1 batch side: batch x (stored+batch),
+        # ids normalized so batch-vs-batch pairs dedupe exactly like
+        # the self-join's id< guard
+        cand = (
+            batch_sig.withColumnRenamed(id_col, "bid")
+            .join(
+                both_sig.withColumnRenamed(id_col, "oid")
+                .hint("shuffle_hash"),
+                ["band_id", "band_key"],
+            )
+            .filter(F.col("bid") != F.col("oid"))
+            .select(
+                F.least("bid", "oid").alias("id1"),
+                F.greatest("bid", "oid").alias("id2"),
+            )
+            .distinct()
+        )
+        vecs = corpus.select(
+            F.col(id_col), F.col(vec_col)
+        ).unionByName(new_vecs.select(F.col(id_col), F.col(vec_col)))
+        v = vecs.select(
+            F.col(id_col), F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__nrm__"),
+        )
+        score = F.round(
+            F.try_divide(
+                dot_product(F.col("v1.ev"), F.col("v2.ev")),
+                F.col("v1.__nrm__") * F.col("v2.__nrm__"),
+            ),
+            6,
+        )
+        v1 = v.select(
+            F.col(id_col).alias("id1"), F.col(vec_col).alias("ev"),
+            "__nrm__",
+        ).alias("v1")
+        v2 = v.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("ev"),
+            "__nrm__",
+        ).alias("v2")
+        (
+            cand.hint("shuffle_hash")
+            .join(v1, "id1")
+            .hint("shuffle_hash")
+            .join(v2, "id2")
+            .withColumn("score", score)
+            .filter(F.col("score") >= min_score)
+            .select("id1", "id2", "score")
+            .write.mode("overwrite")
+            .parquet(f"{path}/edges/part={batch_id}")
+        )
+
+
+def neardup_edges_compact(spark: SparkSession, path: str) -> None:
+    """Fold every committed append batch of the near-dup edge
+    artifact into one ``part=base`` per relation (edges and
+    signatures are plain append relations — no count merge). Shared
+    implementation + crash-window analysis:
+    ``artifacts.compact_relations``."""
+    from .artifacts import compact_relations
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("layout") != _EDGES_LAYOUT:
+        raise ValueError(
+            f"edge artifact at {path!r} layout {man.get('layout')!r} "
+            f"does not support compact — rebuild at layout "
+            f"{_EDGES_LAYOUT} (partitioned) first"
+        )
+    compact_relations(spark, path, _EDGES_RELATIONS)
 
 
 def read_neardup_signatures(
@@ -820,7 +981,11 @@ def read_neardup_signatures(
             "passed for the live-fold fallback — pass corpus= or "
             "rebuild the artifact"
         )
-    return spark.read.parquet(f"{path}/signatures")
+    from .artifacts import read_committed_relation
+
+    # committed-pruned read (r13 layout 2: crashed appends invisible);
+    # flat pre-r13 relations pass through the column guard unchanged
+    return read_committed_relation(spark, path, "signatures")
 
 
 def read_neardup_edges(
@@ -845,7 +1010,9 @@ def read_neardup_edges(
             f"{man['min_score_x100'] / 100}; cannot serve threshold "
             f"{threshold} (pairs below the floor were never stored)"
         )
-    return spark.read.parquet(f"{path}/edges").filter(
+    from .artifacts import read_committed_relation
+
+    return read_committed_relation(spark, path, "edges").filter(
         F.col("score") >= threshold
     )
 

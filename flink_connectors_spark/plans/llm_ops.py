@@ -2472,7 +2472,7 @@ def similarity_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "similarity", "graph", "artifact", "lsh"),
     since=11,
-    changed=12,
+    changed=13,
 )
 def similarity_neardup_edges_artifact(
     spark: SparkSession, sf_dir: str
@@ -2500,6 +2500,66 @@ def similarity_neardup_edges_artifact(
         F.lit(man["bits_per_band"]).cast("int").alias("bits_per_band"),
         F.lit(man["min_score_x100"]).cast("int").alias("min_score_x100"),
     )
+
+
+def _neardup_edges_inc_artifact_path(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Ensure a near-dup edge artifact that has lived an ingest day:
+    base LSH build on three quarters of the embedding corpus, then a
+    TRANSACTIONAL append of the remaining quarter
+    (`neardup_edges_append` — only the batch folds through the
+    hyperplanes; candidates band-join against the STORED committed
+    signatures, r12 verdict Next #3). The probe reads it uncompacted,
+    so the committed-partition pruning is on the hook. Contract in
+    `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        emb = _load(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 4 != 3)
+        S.neardup_edges_build_artifact(
+            old, path, n_planes=16, bits_per_band=4, min_score=0.3,
+        )
+        S.neardup_edges_append(
+            emb.filter(F.col("vec_id") % 4 == 3), old, path, "ingest1",
+            n_planes=16, bits_per_band=4, min_score=0.3,
+        )
+
+    return ensure_artifact(spark, "neardup_edges_inc", sf_dir, build)
+
+
+@register(
+    "similarity_neardup_append_probe",
+    oracle=f"""
+    WITH {_lsh_pairs_cte()}
+    SELECT id1, id2, score FROM scored WHERE score >= 0.3
+    """,
+    tags=("llm", "similarity", "graph", "artifact", "lsh",
+          "incremental"),
+    since=13,
+)
+def similarity_neardup_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ingest for the near-dup edge artifact (r12
+    verdict Next #3): the probed artifact was built on three
+    quarters of the embedding corpus and a daily batch (the last
+    quarter) was APPENDED transactionally — only the batch folded
+    through the hyperplanes; its candidates band-joined against the
+    stored committed signatures and the exact rescore touched only
+    candidate ids. Returns the full committed edge relation
+    (uncompacted: base + batch partitions); the oracle replays the
+    FULL-corpus banding + rescore, and a MATCH proves
+    build-on-old + append-new equals the from-scratch build — exact
+    because band keys are deterministic per vector, so every pair
+    the full build finds has either both sides old (in the base
+    partition) or >= 1 batch side (in the append partition)."""
+    return S.read_neardup_edges(
+        spark,
+        _neardup_edges_inc_artifact_path(spark, sf_dir),
+        threshold=0.3,
+    ).select("id1", "id2", "score")
 
 
 @register(

@@ -45,6 +45,7 @@ ALL_FAMILIES = [
     ("corpus_grams_inc", llm_ops._corpus_grams_inc_artifact_path),
     ("corpus_grams_cpt", llm_ops._corpus_grams_cpt_artifact_path),
     ("simhash_fps", llm_ops._simhash_fps_artifact_path),
+    ("neardup_edges_inc", llm_ops._neardup_edges_inc_artifact_path),
 ]
 
 
@@ -953,3 +954,86 @@ def test_corpus_grams_layout_is_versioned(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown layout"):
         T.read_corpus_grams(spark, unknown, "unigrams")
+
+def test_neardup_edges_append_is_transactional(spark, sf_dir):
+    """r12 verdict Next #3: the edge-artifact append must be the
+    shared transaction — edges from an appended batch equal what a
+    from-scratch build over old+new finds, a crash (marker stripped)
+    reverts to the pre-append edge set, a retry is idempotent, and
+    compaction preserves the logical relations."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    old = emb.filter(F.col("vec_id") % 4 != 3)
+    new = emb.filter(F.col("vec_id") % 4 == 3)
+    inc = tempfile.mkdtemp(prefix="fcs_test_edges_inc_")
+    full = tempfile.mkdtemp(prefix="fcs_test_edges_full_")
+    try:
+        S.neardup_edges_build_artifact(
+            emb, full, n_planes=16, bits_per_band=4, min_score=0.3
+        )
+        S.neardup_edges_build_artifact(
+            old, inc, n_planes=16, bits_per_band=4, min_score=0.3
+        )
+
+        def edges(path):
+            return sorted(
+                tuple(r)
+                for r in S.read_neardup_edges(
+                    spark, path, threshold=0.3
+                ).collect()
+            )
+
+        before = edges(inc)
+        S.neardup_edges_append(new, old, inc, "ingest1")
+        merged = edges(inc)
+        assert merged == edges(full), (
+            "append != from-scratch edge set over old+new"
+        )
+        assert len(merged) > len(before)
+        # signatures relation merged too (rplsh consumers read it)
+        n_sig = S.read_neardup_signatures(spark, inc).count()
+        assert n_sig == S.read_neardup_signatures(spark, full).count()
+        # idempotent retry
+        S.neardup_edges_append(new, old, inc, "ingest1")
+        assert edges(inc) == merged
+        # crash simulation: strip the marker — batch invisible
+        os.unlink(os.path.join(inc, "_batches", "ingest1"))
+        assert edges(inc) == before
+        S.neardup_edges_append(new, old, inc, "ingest1")
+        assert edges(inc) == merged
+        # compact folds to one base and preserves contents
+        S.neardup_edges_compact(spark, inc)
+        assert edges(inc) == merged
+        parts = sorted(
+            d for d in os.listdir(os.path.join(inc, "edges"))
+            if d.startswith("part=")
+        )
+        assert parts == ["part=base"]
+    finally:
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+
+
+def test_neardup_edges_append_requires_partitioned_layout(
+    spark, sf_dir, tmp_path
+):
+    """A flat pre-r13 edge artifact stays readable but rejects
+    append/compact — a partition dir appended into a flat relation
+    would mix partition depths."""
+    from flink_connectors_spark.operators.similarity import (
+        _write_artifact_manifest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    flat = str(tmp_path / "flat_edges")
+    _write_artifact_manifest(
+        spark, flat,
+        {"n_planes": 16, "bits_per_band": 4, "min_score_x100": 30,
+         "dim": 64},
+    )
+    with pytest.raises(ValueError, match="does not support append"):
+        S.neardup_edges_append(emb, emb, flat, "b1")
+    with pytest.raises(ValueError, match="does not support compact"):
+        S.neardup_edges_compact(spark, flat)
