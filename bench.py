@@ -75,6 +75,9 @@ HEADLINE = [
     # r12: the compacted-index probe (build -> transactional append
     # -> compact lifecycle priced in ITS cold column via BUILD_ONCE)
     "dedup_index_compact_probe",
+    # r13: the pair-artifact ingest lifecycle row (base build on 3/4
+    # + transactional batch append read uncompacted)
+    "dedup_pairs_append_probe",
     "rollup_daily_from_hourly",
     # r3 additions
     "pipeline_mixture_sample",
@@ -289,6 +292,8 @@ BUILD_ONCE = [
     "dedup_simhash",
     # ...and the edge-index ingest lifecycle (r13): base + append
     "similarity_neardup_append_probe",
+    # ...and the text pair-artifact ingest lifecycle (r13)
+    "dedup_pairs_append_probe",
 ]
 
 

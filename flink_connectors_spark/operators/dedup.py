@@ -1315,7 +1315,20 @@ def minhash_pairs_build_artifact(
     count — so the sketch-accuracy audit serves from the SAME
     one-LSH-pass relation as the six verified-pair consumers (which
     read the (d1, d2, jac) projection through their jac >= threshold
-    filter)."""
+    filter).
+
+    r13 (verdict Next #3): the artifact ALSO stores the per-doc
+    signature relation ``{path}/sigs`` = (id, shingles, m0..m{k-1})
+    and both relations are partitioned on ``part`` with per-batch
+    commit markers — the state a TRANSACTIONAL append needs: a
+    nightly doc batch shingles/hashes only itself
+    (:func:`minhash_pairs_append`), its candidates band-join against
+    the stored committed signatures, and
+    :func:`minhash_pairs_compact` folds batches back into one base.
+    One fold per build: sigs write first, the pair stage reads them
+    back."""
+    import os
+
     from .similarity import _write_artifact_manifest
 
     spark = df.sparkSession
@@ -1326,20 +1339,215 @@ def minhash_pairs_build_artifact(
             "num_hashes": int(num_hashes),
             "band_size": int(band_size),
             "min_jac_x100": floor_x100(min_jac, "min_jac"),
+            "layout": _PAIRS_LAYOUT,
         },
     )
-    stats = _minhash_candidate_stats(
-        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
-        num_hashes=num_hashes, band_size=band_size,
+    (
+        minhash_signatures(
+            with_shingles(df, text_col, id_col, shingle_n), num_hashes
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/sigs/part=base")
+    )
+    sigs = spark.read.parquet(f"{path}/sigs/part=base")
+    stats = _candidate_stats_from_sigs(
+        sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
     )
     (
         stats.filter(F.col("jac") >= min_jac)
         .write.mode("overwrite")
-        .parquet(f"{path}/pairs")
+        .parquet(f"{path}/pairs/part=base")
     )
-    # stats relation is on disk — free the build's checkpointed
-    # shingle/signature tables
-    unpersist_inputs(stats)
+    os.makedirs(f"{path}/_batches", exist_ok=True)
+
+
+_PAIRS_LAYOUT = 2
+_PAIRS_RELATIONS = ("pairs", "sigs")
+
+
+def _candidate_stats_from_sigs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """(d1, d2, eq_count, jac) for every band-bucket candidate pair
+    of a MATERIALIZED signature table (id, shingles, m0..m{k-1}) —
+    the self-join half of :func:`_minhash_candidate_stats` operating
+    on stored relations instead of a live pipeline (no persist pins:
+    parquet inputs re-scan cheaply). With ``probe`` set, candidates
+    are probe-bands x sig-bands with ids normalized (every pair has
+    >= 1 probe side) — the append shape; pairs are verified against
+    the UNION signature table so both sides' shingles resolve."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.concat(
+                    *[
+                        F.col(f"m{b * band_size + j}")
+                        for j in range(band_size)
+                    ]
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col),
+            F.posexplode(bands).alias("band_id", "band_key"),
+        )
+
+    if probe is None:
+        a = bands_of(sig).alias("a").hint("merge")
+        b = bands_of(sig).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("d1"),
+                F.col(f"b.{id_col}").alias("d2"),
+            )
+            .distinct()
+        )
+        verify = sig
+    else:
+        verify = sig.unionByName(probe)
+        cand = (
+            bands_of(probe).withColumnRenamed(id_col, "bid")
+            .hint("merge")
+            .join(
+                bands_of(verify).withColumnRenamed(id_col, "oid")
+                .hint("merge"),
+                ["band_id", "band_key"],
+            )
+            .filter(F.col("bid") != F.col("oid"))
+            .select(
+                F.least("bid", "oid").alias("d1"),
+                F.greatest("bid", "oid").alias("d2"),
+            )
+            .distinct()
+        )
+    x = verify.select(
+        F.col(id_col).alias("d1"),
+        F.col("shingles").alias("sh1"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(num_hashes)],
+    ).hint("merge")
+    y = verify.select(
+        F.col(id_col).alias("d2"),
+        F.col("shingles").alias("sh2"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(num_hashes)],
+    ).hint("merge")
+    eq_count = sum(
+        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            eq_count.cast("int").alias("eq_count"),
+            F.round(
+                jaccard_distinct(F.col("sh1"), F.col("sh2")), 6
+            ).alias("jac"),
+        )
+    )
+
+
+def minhash_pairs_append(
+    new_docs: DataFrame,
+    path: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_jac: float = 0.0,
+) -> None:
+    """Fold a NEW doc batch into the standing MinHash pair artifact
+    TRANSACTIONALLY (r12 verdict Next #3): only the batch
+    shingles/hashes (O(batch)); new candidates band-join the batch
+    signatures against the STORED committed ones (plus batch x
+    batch), and Jaccard verification resolves shingles from the
+    stored relation — the appended pair partition is exactly what a
+    from-scratch rebuild over old+new adds, because band keys are
+    deterministic per doc and every new pair has >= 1 batch side.
+    Protocol = the shared ``artifacts.transactional_append``
+    (idempotent batch ids, marker LAST, writer claim,
+    heal-on-entry). Batch doc ids must be NEW to the artifact."""
+    from .artifacts import read_committed_relation, transactional_append
+    from .similarity import read_artifact_manifest
+
+    spark = new_docs.sparkSession
+    man = read_artifact_manifest(spark, path)
+    want = {
+        "shingle_n": shingle_n, "num_hashes": num_hashes,
+        "band_size": band_size,
+        "min_jac_x100": floor_x100(min_jac, "min_jac"),
+    }
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"minhash pair artifact at {path!r} params mismatch: "
+            f"built with {got}, append wants {want}"
+        )
+    if man.get("layout") != _PAIRS_LAYOUT:
+        raise ValueError(
+            f"minhash pair artifact at {path!r} layout "
+            f"{man.get('layout')!r} does not support append — rebuild "
+            f"at layout {_PAIRS_LAYOUT} (partitioned) first"
+        )
+    with transactional_append(
+        path, batch_id, _PAIRS_RELATIONS
+    ) as fresh:
+        if not fresh:
+            return
+        (
+            minhash_signatures(
+                with_shingles(new_docs, text_col, id_col, shingle_n),
+                num_hashes,
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/sigs/part={batch_id}")
+        )
+        batch_sig = spark.read.parquet(f"{path}/sigs/part={batch_id}")
+        stored_sig = read_committed_relation(spark, path, "sigs")
+        stats = _candidate_stats_from_sigs(
+            stored_sig, id_col=id_col, num_hashes=num_hashes,
+            band_size=band_size, probe=batch_sig,
+        )
+        (
+            stats.filter(F.col("jac") >= min_jac)
+            .write.mode("overwrite")
+            .parquet(f"{path}/pairs/part={batch_id}")
+        )
+
+
+def minhash_pairs_compact(spark: SparkSession, path: str) -> None:
+    """Fold every committed append batch of the MinHash pair artifact
+    into one ``part=base`` per relation (pairs and sigs are plain
+    append relations — no count merge). Shared implementation +
+    crash-window analysis: ``artifacts.compact_relations``."""
+    from .artifacts import compact_relations
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("layout") != _PAIRS_LAYOUT:
+        raise ValueError(
+            f"minhash pair artifact at {path!r} layout "
+            f"{man.get('layout')!r} does not support compact — "
+            f"rebuild at layout {_PAIRS_LAYOUT} (partitioned) first"
+        )
+    compact_relations(spark, path, _PAIRS_RELATIONS)
 
 
 def read_minhash_pairs(
@@ -1366,8 +1574,12 @@ def read_minhash_pairs(
             f"threshold {threshold} (pairs below the floor were never "
             "stored)"
         )
+    from .artifacts import read_committed_relation
+
+    # committed-pruned read (r13 layout 2: crashed appends
+    # invisible); flat pre-r13 relations pass the column guard
     return (
-        spark.read.parquet(f"{path}/pairs")
+        read_committed_relation(spark, path, "pairs")
         .filter(F.col("jac") >= threshold)
         .select("d1", "d2", "jac")
     )
@@ -1398,7 +1610,9 @@ def read_minhash_candidate_stats(
             f"built with num_hashes={man.get('num_hashes')}, audit "
             f"wants {num_hashes}"
         )
-    return spark.read.parquet(f"{path}/pairs").select(
+    from .artifacts import read_committed_relation
+
+    return read_committed_relation(spark, path, "pairs").select(
         "d1", "d2", "eq_count", "jac"
     )
 

@@ -117,7 +117,7 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "clustering", "census", "iterative"),
     since=4,
-    changed=11,
+    changed=13,
 )
 def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster SIZE census — the dedup-health histogram
@@ -409,7 +409,7 @@ from .llm_ops import _lsh_pairs_cte  # noqa: E402
 
 @register(
     "dedup_modality_agreement",
-    changed=11,
+    changed=13,
     oracle=f"""
     SELECT
       CAST(SUM(CASE WHEN tp.d1 IS NOT NULL AND ep.d1 IS NOT NULL

@@ -461,7 +461,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "minhash", "audit", "sketch"),
     since=4,
-    changed=11,
+    changed=13,
 )
 def dedup_minhash_estimate_audit(
     spark: SparkSession, sf_dir: str
@@ -1727,7 +1727,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "apply", "iterative"),
     since=4,
-    changed=11,
+    changed=13,
 )
 def dedup_apply_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stage that actually SHRINKS the corpus: MinHash-LSH pairs
