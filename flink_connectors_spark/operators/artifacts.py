@@ -411,6 +411,98 @@ def _writer_claim(path: str):
 # seam that would change).
 
 
+# Commit-backend seam (r12 verdict Next #4): the compaction SWAP is
+# the one step whose crash analysis depended on POSIX directory-rename
+# atomicity. It is now pluggable:
+#
+# - ``rename`` (default): the proven two-rename swap (stage the old
+#   relation aside as ``*_precompact``, rename the staged rewrite in,
+#   drop the fallback last). Correct on local FS / NFS.
+# - ``pointer``: rename-free — each compaction writes a fresh
+#   GENERATION directory (``{rel}__g<N>/part=base``) and then commits
+#   by atomically replacing a one-line pointer FILE
+#   (``{rel}.current``) naming the live generation. Readers resolve
+#   the pointer first. The only atomic primitive used on a directory
+#   of data is "write small file, replace" — exactly the atomic-PUT
+#   an object store provides — so the crash analysis holds on
+#   S3-class storage: before the pointer lands readers serve the old
+#   generation (batch partitions + markers intact); after it lands
+#   they serve the new base (batch markers pointing at partitions
+#   absent from the new generation prune to zero rows — the rows are
+#   already IN the new base); orphan generations from a crash before
+#   the pointer are garbage-collected by the next compact.
+#
+# Select with the env var ``FCS_COMMIT_BACKEND`` or per-call. The
+# append path needs no seam: it only ever ADDS a partition directory
+# + a marker file written last (already object-store-safe). The
+# claim DIRECTORY (os.mkdir test-and-set) remains the documented
+# local/NFS primitive; an object-store deployment replaces it with a
+# conditional PUT (if-none-match) — the one remaining seam, isolated
+# in _acquire_build_claim.
+COMMIT_BACKEND_ENV = "FCS_COMMIT_BACKEND"
+
+
+def _commit_backend() -> str:
+    backend = os.environ.get(COMMIT_BACKEND_ENV, "").strip() or "rename"
+    if backend not in ("rename", "pointer"):
+        raise ValueError(
+            f"{COMMIT_BACKEND_ENV}={backend!r}: want 'rename' or "
+            "'pointer'"
+        )
+    return backend
+
+
+def _pointer_file(path: str, rel: str) -> str:
+    return os.path.join(path, f"{rel}.current")
+
+
+def _read_pointer(path: str, rel: str) -> str | None:
+    try:
+        with open(_pointer_file(path, rel)) as fh:
+            name = fh.read().strip()
+    except OSError:
+        return None
+    return name or None
+
+
+def _atomic_pointer_write(path: str, rel: str, gen_name: str) -> None:
+    """Commit a new live generation by replacing the pointer file —
+    write-temp-then-replace, the local analogue of an object store's
+    atomic PUT (never an in-place partial write)."""
+    ptr = _pointer_file(path, rel)
+    tmp = f"{ptr}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as fh:
+        fh.write(gen_name)
+    os.replace(tmp, ptr)
+
+
+def resolve_rel_dir(path: str, rel: str) -> str:
+    """The LIVE directory of a relation: the pointer target when a
+    ``{rel}.current`` pointer exists (pointer-backend generations),
+    else the plain relation dir, else the ``*_precompact`` fallback
+    inside the rename backend's crash window."""
+    ptr_gen = _read_pointer(path, rel)
+    if ptr_gen:
+        cand = os.path.join(path, ptr_gen)
+        if os.path.isdir(cand):
+            return cand
+    rel_dir = os.path.join(path, rel)
+    if not os.path.isdir(rel_dir):
+        pre = rel_dir + "_precompact"
+        if os.path.isdir(pre):
+            return pre
+    return rel_dir
+
+
+def append_part_dir(path: str, rel: str, batch_id: str) -> str:
+    """Where an append writes its ``part=<batch_id>`` partition: the
+    relation's LIVE directory (pointer-resolved under the pointer
+    backend, the plain dir otherwise) — so appends keep working
+    unchanged after a pointer-backend compaction swapped the live
+    generation."""
+    return os.path.join(resolve_rel_dir(path, rel), f"part={batch_id}")
+
+
 def validate_batch_id(batch_id: str) -> None:
     """Reject batch ids that are not filesystem-safe tokens or that
     collide with reserved partition names: '.' / '..' pass the
@@ -454,12 +546,7 @@ def read_committed_relation(spark, path: str, rel: str):
     logical relation."""
     from pyspark.sql import functions as F
 
-    rel_dir = os.path.join(path, rel)
-    if not os.path.isdir(rel_dir):
-        pre = rel_dir + "_precompact"
-        if os.path.isdir(pre):
-            rel_dir = pre
-    df = spark.read.parquet(rel_dir)
+    df = spark.read.parquet(resolve_rel_dir(path, rel))
     if "part" in df.columns:
         df = df.filter(
             F.col("part").isin(committed_parts(path))
@@ -479,8 +566,19 @@ def heal_interrupted_compact(
     writer claim. Without this, an APPEND landing in the crash
     window would recreate the live dir with only its own batch,
     silently shadowing the fallback — every previously committed row
-    lost (r12 self-review)."""
+    lost (r12 self-review).
+
+    Pointer-backend artifacts have no mid-swap state to heal (the
+    pointer flip is atomic); their only crash residue is an orphan
+    generation directory never pointed at, which the next compact
+    garbage-collects — a relation whose pointer resolves is left
+    alone here."""
     for rel in relations:
+        if _read_pointer(path, rel):
+            shutil.rmtree(
+                f"{path}/{rel}_compacting", ignore_errors=True
+            )
+            continue
         live = f"{path}/{rel}"
         pre = f"{live}_precompact"
         if not os.path.isdir(live) and os.path.isdir(pre):
@@ -534,6 +632,7 @@ def compact_relations(
     One linear pass per relation (partition-pruned committed read,
     no shuffle beyond the write and any finalize aggregation), O(1)
     metadata swaps."""
+    backend = _commit_backend()
     with _writer_claim(path):
         # roll back a predecessor's mid-swap crash FIRST: compaction
         # must start from a consistent live layout
@@ -541,28 +640,70 @@ def compact_relations(
         if committed_parts(path) == ["base"]:
             return  # nothing appended since the last base — no-op
         for rel in relations:
-            live = f"{path}/{rel}"
-            tmp = f"{path}/{rel}_compacting"
-            shutil.rmtree(tmp, ignore_errors=True)
             df = read_committed_relation(spark, path, rel)
             if finalize and rel in finalize:
                 df = finalize[rel](df)
-            df.write.mode("overwrite").parquet(f"{tmp}/part=base")
-            pre = f"{live}_precompact"
-            if os.path.isdir(live):
-                # stage the old relation aside, THEN swap in the new
-                # base; only drop the fallback once the new base is
-                # live (an rmtree-before-rename would delete the
-                # fallback first, so a retry after a crash between
-                # the renames would strand the relation entirely)
-                shutil.rmtree(pre, ignore_errors=True)
-                os.rename(live, pre)
-            os.rename(tmp, live)
-            shutil.rmtree(pre, ignore_errors=True)
+            if backend == "pointer":
+                _pointer_swap_in(spark, path, rel, df)
+            else:
+                _rename_swap_in(path, rel, df)
         bdir = os.path.join(path, "_batches")
         names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
         for name in names:
             os.unlink(os.path.join(bdir, name))
+
+
+def _rename_swap_in(path: str, rel: str, df) -> None:
+    """The default POSIX two-rename swap (see the crash-window
+    analysis in :func:`compact_relations`'s docstring)."""
+    live = f"{path}/{rel}"
+    tmp = f"{path}/{rel}_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(f"{tmp}/part=base")
+    pre = f"{live}_precompact"
+    if os.path.isdir(live):
+        # stage the old relation aside, THEN swap in the new base;
+        # only drop the fallback once the new base is live (an
+        # rmtree-before-rename would delete the fallback first, so a
+        # retry after a crash between the renames would strand the
+        # relation entirely)
+        shutil.rmtree(pre, ignore_errors=True)
+        os.rename(live, pre)
+    os.rename(tmp, live)
+    shutil.rmtree(pre, ignore_errors=True)
+
+
+def _pointer_swap_in(spark, path: str, rel: str, df) -> None:
+    """The rename-free swap (FCS_COMMIT_BACKEND=pointer): write a
+    fresh generation directory, commit it with one atomic pointer-
+    file replace, then garbage-collect every stale generation and
+    the legacy plain relation dir. No step renames a directory of
+    data — the object-store-compatible protocol (atomic small-object
+    PUT). Crash windows: before the pointer lands, readers resolve
+    the previous generation (or the legacy dir) with its batch
+    partitions + markers intact; after it lands, the new base IS the
+    committed view (stale batch markers prune to zero partitions —
+    their rows are already in the new base) and the GC below is pure
+    cleanup. Generation numbers are monotonic per relation, so a
+    crashed orphan can never be confused for the live generation."""
+    current = _read_pointer(path, rel)
+    cur_n = 0
+    if current and "__g" in current:
+        try:
+            cur_n = int(current.rsplit("__g", 1)[1])
+        except ValueError:
+            cur_n = 0
+    gen = f"{rel}__g{cur_n + 1}"
+    gen_dir = os.path.join(path, gen)
+    shutil.rmtree(gen_dir, ignore_errors=True)  # crashed orphan
+    df.write.mode("overwrite").parquet(f"{gen_dir}/part=base")
+    _atomic_pointer_write(path, rel, gen)
+    # GC: every generation except the live one, plus the legacy
+    # plain dir the first pointer commit supersedes
+    for d in os.listdir(path):
+        if d.startswith(f"{rel}__g") and d != gen:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
 
 
 @contextmanager

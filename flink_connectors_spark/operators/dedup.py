@@ -1484,7 +1484,11 @@ def minhash_pairs_append(
     Protocol = the shared ``artifacts.transactional_append``
     (idempotent batch ids, marker LAST, writer claim,
     heal-on-entry). Batch doc ids must be NEW to the artifact."""
-    from .artifacts import read_committed_relation, transactional_append
+    from .artifacts import (
+        append_part_dir,
+        read_committed_relation,
+        transactional_append,
+    )
     from .similarity import read_artifact_manifest
 
     spark = new_docs.sparkSession
@@ -1517,9 +1521,9 @@ def minhash_pairs_append(
                 num_hashes,
             )
             .write.mode("overwrite")
-            .parquet(f"{path}/sigs/part={batch_id}")
+            .parquet(append_part_dir(path, "sigs", batch_id))
         )
-        batch_sig = spark.read.parquet(f"{path}/sigs/part={batch_id}")
+        batch_sig = spark.read.parquet(append_part_dir(path, "sigs", batch_id))
         stored_sig = read_committed_relation(spark, path, "sigs")
         stats = _candidate_stats_from_sigs(
             stored_sig, id_col=id_col, num_hashes=num_hashes,
@@ -1528,7 +1532,7 @@ def minhash_pairs_append(
         (
             stats.filter(F.col("jac") >= min_jac)
             .write.mode("overwrite")
-            .parquet(f"{path}/pairs/part={batch_id}")
+            .parquet(append_part_dir(path, "pairs", batch_id))
         )
 
 
@@ -1909,7 +1913,7 @@ def minhash_index_append(
     built once and released here. Transaction scaffolding (claim,
     heal, idempotent marker check, marker-written-LAST) is the
     shared ``artifacts.transactional_append`` (r13)."""
-    from .artifacts import transactional_append
+    from .artifacts import append_part_dir, transactional_append
     from .similarity import read_artifact_manifest
 
     spark = new_docs.sparkSession
@@ -1940,10 +1944,10 @@ def minhash_index_append(
             (
                 shingled.select(F.col(id_col), "shingles")
                 .write.mode("overwrite")
-                .parquet(f"{path}/shingles/part={batch_id}")
+                .parquet(append_part_dir(path, "shingles", batch_id))
             )
             bt.write.mode("overwrite").parquet(
-                f"{path}/bands/part={batch_id}"
+                append_part_dir(path, "bands", batch_id)
             )
     if shingled is not None:
         _release_frame(shingled)

@@ -804,6 +804,7 @@ def neardup_edges_append(
     partitions in OVERWRITE mode for both relations, commit marker
     LAST, idempotent batch ids, writer claim, heal-on-entry."""
     from .artifacts import (
+        append_part_dir,
         read_committed_relation,
         transactional_append,
     )
@@ -842,10 +843,10 @@ def neardup_edges_append(
                 bits_per_band, id_col, vec_col,
             )
             .write.mode("overwrite")
-            .parquet(f"{path}/signatures/part={batch_id}")
+            .parquet(append_part_dir(path, "signatures", batch_id))
         )
         batch_sig = spark.read.parquet(
-            f"{path}/signatures/part={batch_id}"
+            append_part_dir(path, "signatures", batch_id)
         )
         # stored committed signatures (the marker for THIS batch is
         # not yet written, so the batch partition is excluded)
@@ -899,7 +900,7 @@ def neardup_edges_append(
             .filter(F.col("score") >= min_score)
             .select("id1", "id2", "score")
             .write.mode("overwrite")
-            .parquet(f"{path}/edges/part={batch_id}")
+            .parquet(append_part_dir(path, "edges", batch_id))
         )
 
 

@@ -1863,7 +1863,11 @@ def _write_grams_relations(
     (``part=base`` from the build, ``part=<batch_id>`` from an
     append) — the single tokenize pipeline both verbs share.
     OVERWRITE mode per partition directory: a retry after any crash
-    replaces partial files instead of doubling them."""
+    replaces partial files instead of doubling them. Partition dirs
+    resolve through ``append_part_dir`` so appends keep landing in
+    the LIVE generation after a pointer-backend compaction."""
+    from .artifacts import append_part_dir
+
     words = tokenize(F.col(text_col))
     (
         df.select(
@@ -1872,7 +1876,7 @@ def _write_grams_relations(
             F.md5(normalize_text(F.col(text_col))).alias("fp"),
         )
         .write.mode("overwrite")
-        .parquet(f"{path}/docstats/part={part}")
+        .parquet(append_part_dir(path, "docstats", part))
     )
     (
         df.select(
@@ -1880,14 +1884,14 @@ def _write_grams_relations(
             F.explode(word_shingles(words, shingle_n)).alias("shingle"),
         )
         .write.mode("overwrite")
-        .parquet(f"{path}/shingles/part={part}")
+        .parquet(append_part_dir(path, "shingles", part))
     )
     (
         df.select(F.col(id_col), "lang", F.explode(words).alias("token"))
         .groupBy(id_col, "lang", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .write.mode("overwrite")
-        .parquet(f"{path}/tokens/part={part}")
+        .parquet(append_part_dir(path, "tokens", part))
     )
     tag = lambda arr, n: F.transform(  # noqa: E731
         arr,
@@ -1911,7 +1915,7 @@ def _write_grams_relations(
         .groupBy(id_col, "n_words", "n", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .write.mode("overwrite")
-        .parquet(f"{path}/grams/part={part}")
+        .parquet(append_part_dir(path, "grams", part))
     )
     base = df.select(tokenize(F.col(text_col)).alias("w"))
     nw = F.size("w")
@@ -1942,14 +1946,14 @@ def _write_grams_relations(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .write.mode("overwrite")
-        .parquet(f"{path}/pairs/part={part}")
+        .parquet(append_part_dir(path, "pairs", part))
     )
     (
         base.select(F.explode("w").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
         .write.mode("overwrite")
-        .parquet(f"{path}/unigrams/part={part}")
+        .parquet(append_part_dir(path, "unigrams", part))
     )
 
 
