@@ -97,31 +97,57 @@ def nightly_ingest(spark, sf_dir: str, n_nights: int = 3) -> dict:
     }
 
 
-def nightly_ingest_indexed(spark, sf_dir: str, n_nights: int = 3) -> dict:
+def nightly_ingest_indexed(
+    spark, sf_dir: str, n_nights: int = 3, index_dir: str | None = None
+) -> dict:
     """The r11 PRODUCTION variant of the loop: the standing corpus is
     a PERSISTED signature index (bands + shingles on disk) instead of
     a checkpointed DataFrame. Each night: probe the index with the
     live batch side only (O(batch) compute), cut, then APPEND the
     accepted batch's bands/shingles to the index — O(batch) storage,
     no rewrite. Night-for-night results are identical to the live
-    loop (`nightly_ingest`), which the example asserts."""
+    loop (`nightly_ingest`), which the example asserts.
+
+    r13 — the FULL maintenance lifecycle the verbs exist for:
+
+    - mid-loop COMPACTION (`minhash_index_compact`) folds the
+      accumulated night partitions into one base, with the example
+      asserting the probe results are identical across the fold and
+      that later nights append cleanly onto the compacted index;
+    - a DURABLE index root (``index_dir``): point two runs at the
+      same directory and the second run is a safe re-run of the same
+      nights — probes recognize previously ingested docs (they
+      near-dup themselves at Jaccard 1.0), and the per-night appends
+      are idempotent retries (the night label is the idempotency
+      key), so the index does not grow. ``nightly_index_rows``
+      reports the committed band-row count the caller can assert on.
+    """
     import shutil
     import tempfile
 
     from flink_connectors_spark.operators.dedup import (
+        _read_index_relation,
         minhash_index_append,
         minhash_index_build_artifact,
+        minhash_index_compact,
         minhash_lsh_pairs_vs_index,
     )
 
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    path = tempfile.mkdtemp(prefix="fcs_nightly_index_")
+    own = index_dir is None
+    path = index_dir or tempfile.mkdtemp(prefix="fcs_nightly_index_")
     try:
-        minhash_index_build_artifact(
-            docs.filter(F.col("doc_id") % (n_nights + 1) == 0), path
-        )
+        if not os.path.isdir(os.path.join(path, "bands")) and not any(
+            d.startswith("bands__g") for d in (
+                os.listdir(path) if os.path.isdir(path) else []
+            )
+        ):
+            # day-0 build; a re-run over a durable root reuses it
+            minhash_index_build_artifact(
+                docs.filter(F.col("doc_id") % (n_nights + 1) == 0), path
+            )
         kept_per_night: list[int] = []
         for night in range(1, n_nights + 1):
             batch = docs.filter(
@@ -148,9 +174,45 @@ def nightly_ingest_indexed(spark, sf_dir: str, n_nights: int = 3) -> dict:
             # index maintenance: O(batch) transactional append —
             # the night label is the idempotency key a retry reuses
             minhash_index_append(survivors, path, f"night{night}")
-        return {"kept_per_night": kept_per_night}
+            if night == (n_nights + 1) // 2:
+                # mid-loop maintenance: fold the accumulated night
+                # partitions into one base. The probe set must be
+                # IDENTICAL across the fold — compaction is a
+                # storage-level rewrite, never a semantic change —
+                # and the remaining nights append onto the
+                # compacted index.
+                probe = docs.filter(
+                    F.col("doc_id") % (n_nights + 1) == n_nights
+                )
+                before = sorted(
+                    map(
+                        tuple,
+                        minhash_lsh_pairs_vs_index(
+                            probe, path, threshold=0.5
+                        ).collect(),
+                    )
+                )
+                minhash_index_compact(spark, path)
+                after = sorted(
+                    map(
+                        tuple,
+                        minhash_lsh_pairs_vs_index(
+                            probe, path, threshold=0.5
+                        ).collect(),
+                    )
+                )
+                assert after == before, (
+                    "compaction changed the probed pair set"
+                )
+        return {
+            "kept_per_night": kept_per_night,
+            "nightly_index_rows": _read_index_relation(
+                spark, path, "bands"
+            ).count(),
+        }
     finally:
-        shutil.rmtree(path, ignore_errors=True)
+        if own:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def main() -> None:

@@ -9,6 +9,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flink_connectors_spark.session import build_session
 
+# Light up google.protobuf (and so the live transformWithStateInPandas
+# test) from the container's bundled pure-python runtime when no real
+# install exists — MUST run before the session fixture builds the JVM
+# (workers inherit PYTHONPATH from the JVM's start environment). See
+# tests/_protobuf_shim.py; a no-op where protobuf is installed.
+from _protobuf_shim import ensure_protobuf
+
+ensure_protobuf()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

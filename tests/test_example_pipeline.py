@@ -51,6 +51,38 @@ def test_nightly_ingest_loop_releases_caches(spark, sf_dir):
     )
 
 
+def test_nightly_ingest_indexed_compacts_and_reruns_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """r12 verdict Next #6: the indexed nightly loop must exercise
+    BOTH maintenance verbs — it compacts mid-loop (asserting the
+    probed pair set is identical across the fold, inside the
+    example) and, over a DURABLE index root, a full re-run of the
+    same nights is safe: previously ingested docs near-dup
+    themselves so nothing new survives the cut, the per-night
+    appends are idempotent retries, and the index does not grow."""
+    sys.path.insert(0, "examples")
+    from nightly_ingest import nightly_ingest_indexed
+
+    root = str(tmp_path / "nightly_idx")
+    first = nightly_ingest_indexed(spark, sf_dir, n_nights=3,
+                                   index_dir=root)
+    assert first["nightly_index_rows"] > 0
+    second = nightly_ingest_indexed(spark, sf_dir, n_nights=3,
+                                    index_dir=root)
+    # idempotent appends: the committed band-row count is unchanged
+    assert second["nightly_index_rows"] == first["nightly_index_rows"]
+    # re-ingesting an already-indexed night keeps (at most) only the
+    # docs the index cannot see (shingle-less shorts) — never more
+    # than the first run kept
+    assert all(
+        b <= a
+        for a, b in zip(
+            first["kept_per_night"], second["kept_per_night"]
+        )
+    )
+
+
 def test_index_embeddings_lifecycle(spark, sf_dir):
     """The composed vector-index example: both ANN paths produce
     bounded recall against the exact baseline and the anisotropy
