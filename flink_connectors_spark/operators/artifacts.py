@@ -671,6 +671,18 @@ def _rename_swap_in(path: str, rel: str, df) -> None:
         os.rename(live, pre)
     os.rename(tmp, live)
     shutil.rmtree(pre, ignore_errors=True)
+    # backend-flip hygiene (r13 self-review): a relation previously
+    # compacted under the POINTER backend still carries a pointer
+    # file and its generation dir — left in place they would SHADOW
+    # the freshly renamed plain dir (readers prefer the pointer).
+    # Retire both once the plain dir is live.
+    gen = _read_pointer(path, rel)
+    try:
+        os.unlink(_pointer_file(path, rel))
+    except OSError:
+        pass
+    if gen and gen != rel:
+        shutil.rmtree(os.path.join(path, gen), ignore_errors=True)
 
 
 def _pointer_swap_in(spark, path: str, rel: str, df) -> None:

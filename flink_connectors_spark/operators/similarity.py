@@ -970,7 +970,13 @@ def read_neardup_signatures(
             f"edge artifact at {path!r} params mismatch: signatures "
             f"built with {got}, probe wants {want}"
         )
-    if not os.path.exists(os.path.join(path, "signatures")):
+    from .artifacts import read_committed_relation, resolve_rel_dir
+
+    # existence check must be pointer-aware (r13): a pointer-backend
+    # compaction GC's the plain `signatures` dir — resolve_rel_dir
+    # finds the live generation; only a genuinely pre-r12 artifact
+    # (no relation under ANY layout) takes the fallback
+    if not os.path.isdir(resolve_rel_dir(path, "signatures")):
         if corpus is not None:
             return band_signatures(
                 corpus, random_hyperplanes(n_planes, dim),
@@ -982,7 +988,6 @@ def read_neardup_signatures(
             "passed for the live-fold fallback — pass corpus= or "
             "rebuild the artifact"
         )
-    from .artifacts import read_committed_relation
 
     # committed-pruned read (r13 layout 2: crashed appends invisible);
     # flat pre-r13 relations pass through the column guard unchanged
@@ -1522,9 +1527,46 @@ _SQ8_CODE = (
 _SQ8_REC255 = (
     "transform(sequence(1, size(__codes__)), i -> "
     "element_at(mins, i) * CAST(255 AS BIGINT) "
-    "+ element_at(__codes__, i) "
+    "+ CAST(element_at(__codes__, i) AS BIGINT) "
     "* (element_at(maxs, i) - element_at(mins, i)))"
 )
+
+
+def sq8_encode_codes(
+    corpus: DataFrame,
+    stats: DataFrame,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENCODE the corpus against trained SQ8 ranges — (id, codes
+    array<smallint>), the relation a FAISS ``IndexScalarQuantizer``
+    actually stores (r13: until now the sq8 artifact persisted only
+    the trained ranges and every probe re-encoded the corpus inside
+    its scan — the per-invocation compute the artifact doctrine
+    retires, and where the r11 saturation clamp's cost lived).
+    smallint storage keeps the 4x byte shrink honest; the decode
+    widens to int64 before the span multiply so scoring stays
+    integer-exact. Deterministic (exact integer grid + IEEE-stable
+    division), so a stored-codes probe is bit-identical to the live
+    encode and oracles keep replaying train+encode+search."""
+    w = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    return (
+        corpus.select(F.col(id_col), w.alias("__w__"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__codes__", F.expr(_SQ8_CODE))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "transform(__codes__, c -> CAST(c AS SMALLINT))"
+            ).alias("codes"),
+        )
+    )
 
 
 def cosine_topk_sq8(
@@ -1535,6 +1577,7 @@ def cosine_topk_sq8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine over a per-DIMENSION 8-bit scalar-quantized store
     (FAISS ``ScalarQuantizer`` QT_8bit / ``IndexScalarQuantizer``
@@ -1564,7 +1607,13 @@ def cosine_topk_sq8(
 
     ``stats`` injects a PERSISTED one-row (mins, maxs) frame (the
     sq8_stats artifact) in place of the per-invocation train pass —
-    deterministic train, identical results either way."""
+    deterministic train, identical results either way. ``codes``
+    (r13) injects the PERSISTED encoded corpus
+    (:func:`sq8_encode_codes`'s (id, codes) relation): the corpus
+    encode leaves the probe plan entirely — the decode reconstructs
+    rv from stored smallint codes, exactly what FAISS
+    ``IndexScalarQuantizer.search`` scans. Deterministic encode, so
+    results are identical either way."""
     if stats is None:
         stats = sq8_train_stats(corpus, scale=scale, vec_col=vec_col)
     w = F.transform(
@@ -1581,11 +1630,21 @@ def cosine_topk_sq8(
             lambda acc, x: acc + x,
         )
 
+    if codes is not None:
+        base = codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("codes").alias("__codes__"),
+        ).crossJoin(F.broadcast(stats))
+    else:
+        base = (
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), w.alias("__w__")
+            )
+            .crossJoin(F.broadcast(stats))
+            .withColumn("__codes__", F.expr(_SQ8_CODE))
+        )
     n = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), w.alias("__w__"))
-        .crossJoin(F.broadcast(stats))
-        .withColumn("__codes__", F.expr(_SQ8_CODE))
-        .withColumn("rv", F.expr(_SQ8_REC255))
+        base.withColumn("rv", F.expr(_SQ8_REC255))
         .filter(idot("rv", "rv") > 0)
         .select("neighbor_id", "rv")
     )

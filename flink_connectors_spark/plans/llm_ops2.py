@@ -1148,25 +1148,37 @@ _SQL_SQ8_SCORED = f"""
 
 
 def _sq8_artifact_path(spark: SparkSession, sf_dir: str) -> str:
-    """Ensure the persisted SQ8 range artifact (one-row per-dimension
-    (mins, maxs) on the 1024 grid — the scalar quantizer's whole
-    "codebook"). `similarity_topk_sq8` prices the one train pass
-    (first toucher); the recall meter injects the same stored row.
-    Contract in `ensure_artifact`."""
+    """Ensure the persisted SQ8 index artifact: the one-row
+    per-dimension (mins, maxs) trained ranges on the 1024 grid (the
+    scalar quantizer's whole "codebook") PLUS, since r13, the
+    ENCODED corpus codes relation (id, array<smallint>) — what a
+    FAISS IndexScalarQuantizer actually stores, so probes scan
+    stored codes instead of re-encoding the corpus per invocation
+    (the clamp's per-probe cost measured in the r13 quiet-box A/B
+    moves to this one build). `similarity_topk_sq8` prices the
+    train+encode pass (first toucher); the recall meter reads the
+    same relations. Contract in `ensure_artifact`."""
     from ..operators.artifacts import ensure_artifact
     from ..operators.similarity import (
         _write_artifact_manifest,
+        sq8_encode_codes,
         sq8_train_stats,
     )
 
     def build(path: str) -> None:
-        _write_artifact_manifest(spark, path, {"scale": 1024})
+        _write_artifact_manifest(
+            spark, path, {"scale": 1024, "layout": 2}
+        )
+        emb = _load(spark, sf_dir, "embeddings")
         (
-            sq8_train_stats(_load(spark, sf_dir, "embeddings"), scale=1024)
+            sq8_train_stats(emb, scale=1024)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{path}/stats")
         )
+        sq8_encode_codes(
+            emb, spark.read.parquet(f"{path}/stats"), scale=1024
+        ).write.mode("overwrite").parquet(f"{path}/codes")
 
     return ensure_artifact(spark, "sq8_stats", sf_dir, build)
 
@@ -1184,6 +1196,20 @@ def _sq8_stored_stats(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(f"{path}/stats")
 
 
+def _sq8_stored_codes(spark: SparkSession, sf_dir: str):
+    """The persisted encoded corpus, or None for a pre-r13
+    stable-root artifact that stores only the trained ranges (the
+    probe then encodes live — deterministic, bit-identical; the same
+    trusted-marker compatibility rule as the pre-r12 signatures
+    fallback)."""
+    import os
+
+    path = _sq8_artifact_path(spark, sf_dir)
+    if not os.path.isdir(os.path.join(path, "codes")):
+        return None
+    return spark.read.parquet(f"{path}/codes")
+
+
 @register(
     "similarity_topk_sq8",
     oracle=f"""
@@ -1198,7 +1224,7 @@ def _sq8_stored_stats(spark: SparkSession, sf_dir: str):
     """,
     tags=("llm", "similarity", "topk", "quantization"),
     since=11,
-    changed=12,
+    changed=13,
 )
 def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine over the per-DIMENSION 8-bit scalar-quantized
@@ -1217,6 +1243,7 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_sq8(
         emb.filter(emb.vec_id < 20), emb, k=5,
         stats=_sq8_stored_stats(spark, sf_dir),
+        codes=_sq8_stored_codes(spark, sf_dir),
     )
 
 
@@ -1261,7 +1288,7 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "similarity", "quantization", "qa"),
     since=11,
-    changed=12,
+    changed=13,
 )
 def similarity_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the per-dimension SQ8 asymmetric scan against the
@@ -1281,6 +1308,7 @@ def similarity_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(emb.vec_id < 20)
     exact = cosine_topk_bruteforce(q, emb, k=5)
     approx = cosine_topk_sq8(
-        q, emb, k=5, stats=_sq8_stored_stats(spark, sf_dir)
+        q, emb, k=5, stats=_sq8_stored_stats(spark, sf_dir),
+        codes=_sq8_stored_codes(spark, sf_dir),
     )
     return topk_recall_audit(exact, approx, k=5)

@@ -1232,3 +1232,58 @@ def test_pointer_backend_crash_windows(spark, sf_dir, monkeypatch):
         assert uni() == merged
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+def test_backend_flip_pointer_to_rename_and_signature_resolution(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 self-review: (a) an edge artifact compacted under the
+    POINTER backend must still serve its signatures relation (the
+    plain dir is GC'd — the reader's existence check must resolve
+    the pointer, not fall back to the pre-r12 path); (b) compacting
+    the same artifact again under the default RENAME backend must
+    retire the stale pointer + generation dir, or they would shadow
+    the freshly renamed relation."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    old = emb.filter(F.col("vec_id") % 4 != 3)
+    new = emb.filter(F.col("vec_id") % 4 == 3)
+    path = str(tmp_path / "edges_flip")
+    S.neardup_edges_build_artifact(
+        old, path, n_planes=16, bits_per_band=4, min_score=0.3
+    )
+    S.neardup_edges_append(new, old, path, "b1")
+
+    def sig_rows():
+        return S.read_neardup_signatures(spark, path).count()
+
+    def edges():
+        return sorted(
+            tuple(r)
+            for r in S.read_neardup_edges(
+                spark, path, threshold=0.3
+            ).collect()
+        )
+
+    n_sig, e = sig_rows(), edges()
+    monkeypatch.setenv(A.COMMIT_BACKEND_ENV, "pointer")
+    S.neardup_edges_compact(spark, path)
+    # (a) plain dir gone, pointer live — reader must NOT take the
+    # pre-r12 fallback (which would raise without corpus=)
+    assert not os.path.isdir(os.path.join(path, "signatures"))
+    assert sig_rows() == n_sig and edges() == e
+    # (b) flip back to rename: append a batch of genuinely NEW ids,
+    # then compact again under the default backend
+    monkeypatch.setenv(A.COMMIT_BACKEND_ENV, "rename")
+    indexed = emb.select("vec_id", "embedding")
+    batch2 = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 200)
+        .limit(50)
+    )
+    S.neardup_edges_append(batch2, indexed, path, "b2")
+    S.neardup_edges_compact(spark, path)
+    assert A._read_pointer(path, "edges") is None, "stale pointer"
+    assert A._read_pointer(path, "signatures") is None
+    assert os.path.isdir(os.path.join(path, "edges"))
+    assert not any(
+        d.startswith("edges__g") for d in os.listdir(path)
+    ), "stale generation dir survived the rename compact"
