@@ -1878,3 +1878,27 @@ def test_rplsh_probes_stored_signatures(spark, sf_dir):
     path = _neardup_edges_artifact_path(spark, sf_dir)
     with pytest.raises(ValueError, match="params mismatch"):
         S.read_neardup_signatures(spark, path, n_planes=32)
+
+
+def test_committed_partition_reads_prune_at_planning_time(spark, sf_dir):
+    """r13 incremental-ingest plan contract: the committed-batch
+    filter on every partitioned-artifact read must land as a
+    planning-time PartitionFilter (part IN (base, <committed...>)) —
+    crashed-append directories never enter the scan's file listing —
+    not a post-scan row filter. Pinned on the grams append probe
+    (six relations, all committed-pruned) and the edge append probe."""
+    import re
+
+    for name in (
+        "text_corpus_grams_append_probe",
+        "similarity_neardup_append_probe",
+    ):
+        df = SPECS[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        committed = [p for p in pfs if "IN (base" in p]
+        assert committed, f"{name}: no committed-set PartitionFilter"
+        assert all("ingest1" in p for p in committed), (
+            f"{name}: committed filter missing the appended batch"
+        )
+        _release(spark)
