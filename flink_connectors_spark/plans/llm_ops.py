@@ -1368,19 +1368,27 @@ def _corpus_grams_cpt_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     nightly lifecycle — base build on three quarters, transactional
     append of the last quarter, then `corpus_grams_compact` folding
     the batch (and the count relations' partial sums) back into one
-    ``part=base`` per relation. Contract in `ensure_artifact`."""
-    from ..operators.artifacts import ensure_artifact
+    ``part=base`` per relation.
+
+    The pre-compaction state is a SNAPSHOT of the append-lifecycle
+    artifact (`_corpus_grams_inc_artifact_path`) rather than a second
+    from-scratch tokenize — truer to production (maintenance runs ON
+    the standing index, never on a rebuild) and it prices the corpus
+    tokenize once across the two lifecycle probes; compaction's
+    storage folding is what THIS artifact exists to prove, and its
+    oracle replays the full pipeline regardless. Contract in
+    `ensure_artifact`."""
+    import shutil
+
+    from ..operators.artifacts import _writer_claim, ensure_artifact
 
     def build(path: str) -> None:
-        d = _load(spark, sf_dir, "documents")
-        T.corpus_grams_build_artifact(
-            d.filter(F.col("doc_id") % 4 != 3), path,
-            shingle_n=3, pmi_window=2,
-        )
-        T.corpus_grams_append(
-            d.filter(F.col("doc_id") % 4 == 3), path, "ingest1",
-            shingle_n=3, pmi_window=2,
-        )
+        src = _corpus_grams_inc_artifact_path(spark, sf_dir)
+        # snapshot under the SOURCE's writer claim: a concurrent
+        # append mid-copy would otherwise tear a committed partition
+        # into the copy (its marker copied whole, its files partial)
+        with _writer_claim(src):
+            shutil.copytree(src, path, dirs_exist_ok=True)
         T.corpus_grams_compact(spark, path)
 
     return ensure_artifact(spark, "corpus_grams_cpt", sf_dir, build)
