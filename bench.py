@@ -78,6 +78,9 @@ HEADLINE = [
     # r13: the pair-artifact ingest lifecycle row (base build on 3/4
     # + transactional batch append read uncompacted)
     "dedup_pairs_append_probe",
+    # r13: the containment-statistics ingest lifecycle row — the last
+    # rebuild-only pair family adopts the shared protocol
+    "dedup_containment_append_probe",
     "rollup_daily_from_hourly",
     # r3 additions
     "pipeline_mixture_sample",
@@ -294,6 +297,8 @@ BUILD_ONCE = [
     "similarity_neardup_append_probe",
     # ...and the text pair-artifact ingest lifecycle (r13)
     "dedup_pairs_append_probe",
+    # ...and the containment-statistics ingest lifecycle (r13)
+    "dedup_containment_append_probe",
 ]
 
 

@@ -742,7 +742,17 @@ def containment_pairs_build_artifact(
     (n1 <= n2 -> d1), each a codegen'd projection over the stored
     ints. Same manifest/floor contract as the MinHash pair artifact;
     the shared blocked self-join runs once per ingest instead of once
-    per query."""
+    per query.
+
+    r13: the artifact ALSO stores the per-doc blocked shingle
+    relation ``{path}/shingles`` and both relations are partitioned
+    under the shared commit-marker protocol, so a nightly doc batch
+    shingles only itself (:func:`containment_pairs_append`) and
+    :func:`containment_pairs_compact` folds batches back into one
+    base. One tokenize per build: shingles write first, the pair
+    stage reads them back."""
+    import os
+
     from .similarity import _write_artifact_manifest
 
     spark = df.sparkSession
@@ -752,16 +762,210 @@ def containment_pairs_build_artifact(
             "shingle_n": int(shingle_n),
             "n_block_cols": len(block_cols),
             "min_score_x100": floor_x100(min_score, "min_score"),
+            "layout": _CONTAIN_LAYOUT,
         },
     )
-    stats = _containment_stats_pairs(
-        df, block_cols, text_col, id_col, shingle_n
+    words = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("__words__"),
+    ).filter(F.size("__words__") >= shingle_n)
+    (
+        words.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col),
+            word_shingles(F.col("__words__"), shingle_n).alias(
+                "shingles"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles/part=base")
     )
+    sh = spark.read.parquet(f"{path}/shingles/part=base")
+    stats = _containment_stats_from_shingles(sh, block_cols, id_col)
     (
         stats.filter(
             _contain_min(F.col("inter"), "n1", "n2") >= min_score
-        ).write.mode("overwrite").parquet(f"{path}/pairs")
+        ).write.mode("overwrite").parquet(f"{path}/pairs/part=base")
     )
+    os.makedirs(f"{path}/_batches", exist_ok=True)
+
+
+_CONTAIN_LAYOUT = 2
+_CONTAIN_RELATIONS = ("pairs", "shingles")
+
+
+def _containment_stats_from_shingles(
+    sh: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """(d1, d2, inter, n1, n2) for every blocked candidate pair of a
+    MATERIALIZED shingle relation (block cols + id + shingles) — the
+    self-join half of :func:`_containment_stats_pairs` operating on
+    stored relations. With ``probe`` set, candidates are probe x
+    (sh ∪ probe) within blocks with ids normalized (every pair has
+    >= 1 probe side) — the append shape; n1/n2 resolve by id from the
+    union so the (d1 < d2)-keyed statistics match the self-join's
+    exactly."""
+    if probe is None:
+        a = sh.alias("a").hint("merge")
+        b = sh.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.size(
+                F.array_intersect(
+                    F.col("a.shingles"), F.col("b.shingles")
+                )
+            )
+            .cast("long")
+            .alias("inter"),
+            F.size("a.shingles").cast("long").alias("n1"),
+            F.size("b.shingles").cast("long").alias("n2"),
+        )
+    union = sh.unionByName(probe)
+    p = probe.select(
+        *[F.col(c).alias(f"p_{c}") for c in block_cols],
+        F.col(id_col).alias("bid"),
+    ).hint("merge")
+    o = union.select(
+        *[F.col(c).alias(f"o_{c}") for c in block_cols],
+        F.col(id_col).alias("oid"),
+    ).hint("merge")
+    cond = F.col("bid") != F.col("oid")
+    for c in block_cols:
+        cond = cond & (F.col(f"p_{c}") == F.col(f"o_{c}"))
+    cand = (
+        p.join(o, cond)
+        .select(
+            F.least("bid", "oid").alias("d1"),
+            F.greatest("bid", "oid").alias("d2"),
+        )
+        .distinct()
+    )
+    x = union.select(
+        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
+    ).hint("merge")
+    y = union.select(
+        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
+    ).hint("merge")
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+            .cast("long")
+            .alias("inter"),
+            F.size("sh1").cast("long").alias("n1"),
+            F.size("sh2").cast("long").alias("n2"),
+        )
+    )
+
+
+def containment_pairs_append(
+    new_docs: DataFrame,
+    path: str,
+    batch_id: str,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_score: float = 0.5,
+) -> None:
+    """Fold a NEW doc batch into the standing containment-statistics
+    artifact TRANSACTIONALLY: only the batch tokenizes/shingles
+    (O(batch)); new candidates block-join the batch against the
+    STORED committed shingle relation (plus batch x batch), and the
+    appended pair partition is exactly what a from-scratch rebuild
+    over old+new adds (every new pair has >= 1 batch side; the
+    blocked candidate set is deterministic). Protocol = the shared
+    ``artifacts.transactional_append``. Batch doc ids must be NEW."""
+    from .artifacts import (
+        append_part_dir,
+        read_committed_relation,
+        transactional_append,
+    )
+    from .similarity import read_artifact_manifest
+
+    spark = new_docs.sparkSession
+    man = read_artifact_manifest(spark, path)
+    want = {
+        "shingle_n": shingle_n,
+        "n_block_cols": len(block_cols),
+        "min_score_x100": floor_x100(min_score, "min_score"),
+    }
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"containment pair artifact at {path!r} params mismatch: "
+            f"built with {got}, append wants {want}"
+        )
+    if man.get("layout") != _CONTAIN_LAYOUT:
+        raise ValueError(
+            f"containment pair artifact at {path!r} layout "
+            f"{man.get('layout')!r} does not support append — rebuild "
+            f"at layout {_CONTAIN_LAYOUT} (partitioned) first"
+        )
+    with transactional_append(
+        path, batch_id, _CONTAIN_RELATIONS
+    ) as fresh:
+        if not fresh:
+            return
+        words = new_docs.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col),
+            tokenize(F.col(text_col)).alias("__words__"),
+        ).filter(F.size("__words__") >= shingle_n)
+        (
+            words.select(
+                *[F.col(c) for c in block_cols],
+                F.col(id_col),
+                word_shingles(F.col("__words__"), shingle_n).alias(
+                    "shingles"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(append_part_dir(path, "shingles", batch_id))
+        )
+        batch_sh = spark.read.parquet(
+            append_part_dir(path, "shingles", batch_id)
+        )
+        stored_sh = read_committed_relation(spark, path, "shingles")
+        stats = _containment_stats_from_shingles(
+            stored_sh, block_cols, id_col, probe=batch_sh
+        )
+        (
+            stats.filter(
+                _contain_min(F.col("inter"), "n1", "n2") >= min_score
+            )
+            .write.mode("overwrite")
+            .parquet(append_part_dir(path, "pairs", batch_id))
+        )
+
+
+def containment_pairs_compact(spark: SparkSession, path: str) -> None:
+    """Fold every committed append batch of the containment artifact
+    into one ``part=base`` per relation (plain append relations — no
+    count merge). Shared implementation:
+    ``artifacts.compact_relations``."""
+    from .artifacts import compact_relations
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("layout") != _CONTAIN_LAYOUT:
+        raise ValueError(
+            f"containment pair artifact at {path!r} layout "
+            f"{man.get('layout')!r} does not support compact — "
+            f"rebuild at layout {_CONTAIN_LAYOUT} (partitioned) first"
+        )
+    compact_relations(spark, path, _CONTAIN_RELATIONS)
 
 
 def read_containment_pairs(
@@ -787,7 +991,11 @@ def read_containment_pairs(
             f"threshold {threshold} (pairs below the floor were never "
             "stored)"
         )
-    stats = spark.read.parquet(f"{path}/pairs")
+    from .artifacts import read_committed_relation
+
+    # committed-pruned read (r13 layout 2: crashed appends
+    # invisible); flat pre-r13 relations pass the column guard
+    stats = read_committed_relation(spark, path, "pairs")
     return stats.filter(
         _contain_min(F.col("inter"), "n1", "n2") >= threshold
     )

@@ -440,7 +440,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "ngram", "containment"),
     since=7,
-    changed=11,
+    changed=13,
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs (Broder 1997): a doc
@@ -496,7 +496,7 @@ _CONTAIN_PAIRS_CTE = f"""{_SHINGLES_CTE},
     """,
     tags=("llm", "dedup", "containment", "apply"),
     since=7,
-    changed=11,
+    changed=13,
 )
 def dedup_containment_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment CUT: every doc that is contained (>= 0.5 of
@@ -3539,7 +3539,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup", "containment"),
     since=3,
-    changed=11,
+    changed=13,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup detection: flags pairs where
@@ -3550,9 +3550,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11: min-side containment and the drop candidate are one-division
     projections over the persisted containment-statistics artifact
     (round(inter/min, 6) == greatest directed score, so the shared
-    floor loses nothing); the oracle replays the full pipeline."""
+    floor loses nothing); the oracle replays the full pipeline.
+    r13: the artifact is partitioned (layout 2) and reads are
+    committed-pruned — the serving path of every consumer changed."""
     stats = D.read_containment_pairs(
         spark, _containment_pairs_artifact_path(spark, sf_dir),
+        threshold=0.5,
+    )
+    return stats.select(
+        "d1",
+        "d2",
+        D._contain_min(F.col("inter"), "n1", "n2").alias("containment"),
+        F.when(F.col("n1") <= F.col("n2"), F.col("d1"))
+        .otherwise(F.col("d2"))
+        .cast("long")
+        .alias("smaller"),
+    )
+
+
+def _containment_pairs_inc_artifact_path(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Ensure a containment-statistics artifact that has lived an
+    ingest day: base build on three quarters of the corpus, then a
+    TRANSACTIONAL append of the remaining quarter
+    (`containment_pairs_append` — only the batch tokenizes; new
+    candidates block-join the stored committed shingle relation).
+    The probe reads it uncompacted. Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+
+    def build(path: str) -> None:
+        d = _load(spark, sf_dir, "documents")
+        D.containment_pairs_build_artifact(
+            d.filter(F.col("doc_id") % 4 != 3), path,
+            block_cols=["lang", "source"], shingle_n=3, min_score=0.5,
+        )
+        D.containment_pairs_append(
+            d.filter(F.col("doc_id") % 4 == 3), path, "ingest1",
+            block_cols=["lang", "source"], shingle_n=3, min_score=0.5,
+        )
+
+    return ensure_artifact(spark, "contain_pairs_inc", sf_dir, build)
+
+
+@register(
+    "dedup_containment_append_probe",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    blocked AS (
+      SELECT d.lang, d.source, s.doc_id, s.shingles
+      FROM documents d JOIN sh s ON d.doc_id = s.doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             round(CAST(len(list_intersect(a.shingles, b.shingles))
+                        AS DOUBLE)
+                   / least(len(a.shingles), len(b.shingles)), 6)
+               AS containment,
+             CASE WHEN len(a.shingles) <= len(b.shingles)
+                  THEN a.doc_id ELSE b.doc_id END AS smaller
+      FROM blocked a JOIN blocked b
+        ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id)
+    SELECT d1, d2, containment, CAST(smaller AS BIGINT) AS smaller
+    FROM pairs WHERE containment >= 0.5
+    """,
+    tags=("llm", "dedup", "containment", "incremental"),
+    since=13,
+)
+def dedup_containment_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ingest for the containment-statistics artifact —
+    the last rebuild-only pair family adopts the shared transactional
+    protocol: the probed artifact was built on three quarters of the
+    corpus and a nightly batch (the last quarter) was APPENDED
+    transactionally (only the batch tokenized; its candidates
+    block-joined the stored committed shingle relation). Returns the
+    min-side containment report over the full committed pair relation
+    (uncompacted: base + batch partitions); the oracle replays the
+    FULL-corpus blocked pipeline, and a MATCH proves
+    build-on-old + append-new equals the from-scratch build."""
+    stats = D.read_containment_pairs(
+        spark, _containment_pairs_inc_artifact_path(spark, sf_dir),
         threshold=0.5,
     )
     return stats.select(

@@ -47,6 +47,7 @@ ALL_FAMILIES = [
     ("simhash_fps", llm_ops._simhash_fps_artifact_path),
     ("neardup_edges_inc", llm_ops._neardup_edges_inc_artifact_path),
     ("minhash_pairs_inc", llm_ops._minhash_pairs_inc_artifact_path),
+    ("contain_pairs_inc", llm_ops._containment_pairs_inc_artifact_path),
 ]
 
 
@@ -1287,3 +1288,71 @@ def test_backend_flip_pointer_to_rename_and_signature_resolution(
     assert not any(
         d.startswith("edges__g") for d in os.listdir(path)
     ), "stale generation dir survived the rename compact"
+
+def test_containment_pairs_append_is_transactional(spark, sf_dir):
+    """r13: the containment-statistics append (the last rebuild-only
+    pair family) must match the shared transaction contract — pairs
+    from an appended batch equal the from-scratch build over
+    old+new, a crash reverts, a retry is idempotent, compaction
+    preserves."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 4 != 3)
+    new = docs.filter(F.col("doc_id") % 4 == 3)
+    inc = tempfile.mkdtemp(prefix="fcs_test_contain_inc_")
+    full = tempfile.mkdtemp(prefix="fcs_test_contain_full_")
+    bc = ["lang", "source"]
+    try:
+        D.containment_pairs_build_artifact(
+            docs, full, block_cols=bc, min_score=0.5
+        )
+        D.containment_pairs_build_artifact(
+            old, inc, block_cols=bc, min_score=0.5
+        )
+
+        def pairs(path):
+            return sorted(
+                tuple(r)
+                for r in D.read_containment_pairs(
+                    spark, path, threshold=0.5
+                ).collect()
+            )
+
+        before = pairs(inc)
+        D.containment_pairs_append(
+            new, inc, "ingest1", block_cols=bc, min_score=0.5
+        )
+        merged = pairs(inc)
+        assert merged == pairs(full), (
+            "append != from-scratch containment stats over old+new"
+        )
+        # idempotent retry
+        D.containment_pairs_append(
+            new, inc, "ingest1", block_cols=bc, min_score=0.5
+        )
+        assert pairs(inc) == merged
+        # crash simulation
+        os.unlink(os.path.join(inc, "_batches", "ingest1"))
+        assert pairs(inc) == before
+        D.containment_pairs_append(
+            new, inc, "ingest1", block_cols=bc, min_score=0.5
+        )
+        assert pairs(inc) == merged
+        # compact preserves
+        D.containment_pairs_compact(spark, inc)
+        assert pairs(inc) == merged
+        for rel in ("pairs", "shingles"):
+            parts = sorted(
+                d for d in os.listdir(os.path.join(inc, rel))
+                if d.startswith("part=")
+            )
+            assert parts == ["part=base"], f"{rel}: {parts}"
+    finally:
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
