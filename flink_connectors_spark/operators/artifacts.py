@@ -404,11 +404,11 @@ def _writer_claim(path: str):
 #   (:func:`_writer_claim` — heartbeated, stale-takeover, reentrant
 #   within the building thread).
 #
-# The swap relies on POSIX rename atomicity (local FS / NFS); the
-# marker protocol itself (write-last, read-filtered) is object-store
-# safe — an object-store deployment keeps markers and replaces the
-# renames with its own atomic commit (see `commit_swap_dir`, the one
-# seam that would change).
+# The default swap relies on POSIX rename atomicity (local FS /
+# NFS); the marker protocol itself (write-last, read-filtered) is
+# object-store safe — and the swap is the pluggable commit-backend
+# seam documented directly below (`_rename_swap_in` /
+# `_pointer_swap_in`).
 
 
 # Commit-backend seam (r12 verdict Next #4): the compaction SWAP is
@@ -432,7 +432,9 @@ def _writer_claim(path: str):
 #   already IN the new base); orphan generations from a crash before
 #   the pointer are garbage-collected by the next compact.
 #
-# Select with the env var ``FCS_COMMIT_BACKEND`` or per-call. The
+# Select with the env var ``FCS_COMMIT_BACKEND`` (read at each
+# compaction, so a deployment can flip backends between runs — the
+# rename backend retires a stale pointer it finds). The
 # append path needs no seam: it only ever ADDS a partition directory
 # + a marker file written last (already object-store-safe). The
 # claim DIRECTORY (os.mkdir test-and-set) remains the documented
