@@ -1356,3 +1356,74 @@ def test_containment_pairs_append_is_transactional(spark, sf_dir):
     finally:
         shutil.rmtree(inc, ignore_errors=True)
         shutil.rmtree(full, ignore_errors=True)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=14,
+    ),
+    splits=st.lists(st.integers(0, 2), min_size=14, max_size=14),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grams_partial_sum_merge_is_split_invariant(spark, docs, splits):
+    """Property (r13 merge algebra): for ANY corpus and ANY
+    partition of it into base + up to two ingest batches, the
+    tokenized-corpus artifact's merged count relations (unigrams,
+    pairs) and doc-keyed relations (tokens) equal the from-scratch
+    build's — the per-doc-fold additivity the merge-on-read SUM
+    relies on, checked beyond the fixed 3/4-1/4 split the lifecycle
+    tests use. Tiny 4-word alphabet so counts collide across docs
+    and batches."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators import text as T
+
+    rows = [
+        (i, "en", "src", " ".join(words))
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    groups = {g: [] for g in (0, 1, 2)}
+    for i in range(len(rows)):
+        groups[splits[i]].append(i)
+    inc = tempfile.mkdtemp(prefix="fcs_prop_grams_inc_")
+    full = tempfile.mkdtemp(prefix="fcs_prop_grams_full_")
+    try:
+        T.corpus_grams_build_artifact(df, full)
+        base_ids = groups[0]
+        T.corpus_grams_build_artifact(
+            df.filter(F.col("doc_id").isin(base_ids or [-1])), inc
+        )
+        for g in (1, 2):
+            if groups[g]:
+                T.corpus_grams_append(
+                    df.filter(F.col("doc_id").isin(groups[g])),
+                    inc, f"b{g}",
+                )
+        for rel in ("unigrams", "pairs", "tokens"):
+            got = sorted(
+                tuple(r)
+                for r in T.read_corpus_grams(spark, inc, rel).collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in T.read_corpus_grams(spark, full, rel).collect()
+            )
+            assert got == want, f"{rel}: split-variant merge"
+    finally:
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
