@@ -248,6 +248,7 @@ def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
                     fh.write(token)
             except OSError:
                 pass  # tokenless claim degrades to pre-r13 behavior
+            _sweep_stale_claim_litter(path)
             return True
         # --- waiter path: a peer holds the claim ---
         waited = time.monotonic() - wait_started
@@ -326,6 +327,36 @@ def _acquire_build_claim(path: str, *, until_marker: bool = True) -> bool:
 
 def _release_build_claim(path: str) -> None:
     shutil.rmtree(path + ".building", ignore_errors=True)
+
+
+def _sweep_stale_claim_litter(path: str) -> None:
+    """GC takeover residue (r13 ADVICE, low): ``{path}.building.
+    stale.*`` aside dirs deliberately left by a failed takeover
+    restore accumulate forever on stable artifact roots. Swept here
+    — by the claimant that just WON the claim — only once older than
+    ``STALE_CLAIM_SECONDS``: inside the microsecond restore-failure
+    window the aside is the displaced live claim's copy and must
+    survive; past the stale horizon no writer references it
+    (heartbeats touch the claim dir itself, never an aside)."""
+    parent = os.path.dirname(path) or "."
+    prefix = os.path.basename(path) + ".building.stale."
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        full = os.path.join(parent, name)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue
+        if age > STALE_CLAIM_SECONDS:
+            _LOG.info("sweeping orphan claim aside %s (age %.0fs)",
+                      full, age)
+            shutil.rmtree(full, ignore_errors=True)
 
 
 @contextmanager
@@ -535,6 +566,28 @@ def committed_parts(path: str) -> list[str]:
     return parts
 
 
+def _done_ledger_entry(path: str, batch_id: str) -> str:
+    return os.path.join(path, "_batches_done", batch_id)
+
+
+def batch_already_consumed(path: str, batch_id: str) -> bool:
+    """True when ``batch_id`` was committed at ANY point in the
+    artifact's history — live marker (rows still in their own
+    partition) OR the compaction ledger (rows folded into
+    ``part=base``). The ledger exists because batch_id is sold as
+    the idempotency key a retry reuses (r13 ADVICE, medium):
+    compaction clears the live markers, so without a persistent
+    record a delayed/retried append of an already-compacted batch
+    would pass the marker check as fresh and silently RE-COMMIT
+    every row of the batch (doubled counts in every count relation).
+    Ledger entries are empty marker files, one per batch id ever
+    compacted — a nightly cadence accrues ~365 zero-byte files/year,
+    negligible next to the data partitions they guard."""
+    return os.path.exists(
+        os.path.join(path, "_batches", batch_id)
+    ) or os.path.exists(_done_ledger_entry(path, batch_id))
+
+
 def read_committed_relation(spark, path: str, rel: str):
     """Read one partitioned relation restricted to COMMITTED batches:
     the ``part`` filter is partition PRUNING (uncommitted / crashed
@@ -651,8 +704,21 @@ def compact_relations(
                 _rename_swap_in(path, rel, df)
         bdir = os.path.join(path, "_batches")
         names = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
-        for name in names:
-            os.unlink(os.path.join(bdir, name))
+        if names:
+            # Idempotency ledger BEFORE the live markers clear (r13
+            # ADVICE): each consumed batch id is recorded in
+            # ``_batches_done/`` so a delayed retry of an already-
+            # compacted batch still reads as committed (see
+            # :func:`batch_already_consumed`). Crash between the two
+            # loops: a batch is ledgered AND still live-marked — the
+            # marker prunes to zero partitions (its rows are in the
+            # new base) and the next compact finishes the clearing.
+            ddir = os.path.join(path, "_batches_done")
+            os.makedirs(ddir, exist_ok=True)
+            for name in names:
+                open(os.path.join(ddir, name), "w").close()
+            for name in names:
+                os.unlink(os.path.join(bdir, name))
 
 
 def _rename_swap_in(path: str, rel: str, df) -> None:
@@ -718,6 +784,13 @@ def _pointer_swap_in(spark, path: str, rel: str, df) -> None:
         if d.startswith(f"{rel}__g") and d != gen:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    # backend-flip hygiene (r13 ADVICE, low): a rename→pointer flip
+    # can strand the rename backend's ``*_precompact`` fallback; once
+    # the pointer commits, readers resolve the generation and the
+    # fallback is unreachable litter — GC it with the rest.
+    shutil.rmtree(
+        os.path.join(path, f"{rel}_precompact"), ignore_errors=True
+    )
 
 
 @contextmanager
@@ -729,12 +802,16 @@ def transactional_append(path: str, batch_id: str, relations: tuple[str, ...]):
     already exists — an idempotent retry must skip its writes). The
     caller writes each relation's ``part={batch_id}`` directory in
     OVERWRITE mode inside the ``with`` body; the commit marker is
-    written LAST, on clean exit only."""
+    written LAST, on clean exit only. Idempotency survives
+    compaction: a batch whose live marker was cleared by
+    ``compact_relations`` is still recorded in the ``_batches_done``
+    ledger, so a delayed retry can never re-commit its rows (r13
+    ADVICE)."""
     validate_batch_id(batch_id)
     with _writer_claim(path):
         heal_interrupted_compact(path, relations)
         marker = os.path.join(path, "_batches", batch_id)
-        if os.path.exists(marker):
+        if batch_already_consumed(path, batch_id):
             yield False  # already committed — idempotent retry
             return
         yield True

@@ -869,9 +869,20 @@ def neardup_edges_append(
             )
             .distinct()
         )
-        vecs = corpus.select(
-            F.col(id_col), F.col(vec_col)
-        ).unionByName(new_vecs.select(F.col(id_col), F.col(vec_col)))
+        # Defensive corpus hygiene (r13 ADVICE): the contract says
+        # ``corpus`` = previously indexed vectors only, but a caller
+        # passing the CURRENT corpus (batch rows included) would
+        # duplicate ids in this union — the rescore join would then
+        # fan out and write duplicate edge rows. Anti-joining the
+        # batch ids out of the corpus side makes that call shape
+        # correct instead of corrupt; the batch-id frame is
+        # broadcast (a nightly batch is the small side by design).
+        batch_ids = new_vecs.select(F.col(id_col)).distinct()
+        vecs = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .join(F.broadcast(batch_ids), id_col, "left_anti")
+            .unionByName(new_vecs.select(F.col(id_col), F.col(vec_col)))
+        )
         v = vecs.select(
             F.col(id_col), F.col(vec_col),
             l2_norm(F.col(vec_col)).alias("__nrm__"),

@@ -51,27 +51,54 @@ def ensure_protobuf() -> bool:
     shim_root = os.path.join(
         tempfile.gettempdir(), f"fcs_pb_shim_{os.getuid()}"
     )
-    dst = os.path.join(shim_root, "google", "protobuf")
     marker = os.path.join(shim_root, "_ready")
     if not os.path.exists(marker):
-        shutil.rmtree(shim_root, ignore_errors=True)
-        shutil.copytree(
-            _SDK_PROTOBUF, dst,
-            ignore=shutil.ignore_patterns("blaze-out"),
-        )
-        rv = os.path.join(dst, "runtime_version.py")
-        src = open(rv).read()
-        needle = "def ValidateProtobufRuntimeVersion("
-        i = src.index(needle)
-        j = src.index("\n", src.index("):", i))
-        src = (
-            src[: j + 1]
-            + "  return  # test shim: 6.32 runtime vs 6.33 gencode "
-            "(see tests/_protobuf_shim.py)\n"
-            + src[j + 1:]
-        )
-        open(rv, "w").write(src)
-        open(marker, "w").close()
+        # Build into a UNIQUE tempdir and commit with one atomic
+        # os.rename (r13 ADVICE): the old copy-and-patch rmtree'd the
+        # shared shim_root in place, so a second concurrent test
+        # process could delete a root another process had already put
+        # on sys.path. Under the rename protocol the shared root is
+        # either absent or complete-with-marker — never partial.
+        build = tempfile.mkdtemp(prefix="fcs_pb_shim_build_")
+        try:
+            bdst = os.path.join(build, "google", "protobuf")
+            shutil.copytree(
+                _SDK_PROTOBUF, bdst,
+                ignore=shutil.ignore_patterns("blaze-out"),
+            )
+            rv = os.path.join(bdst, "runtime_version.py")
+            src = open(rv).read()
+            needle = "def ValidateProtobufRuntimeVersion("
+            try:
+                i = src.index(needle)
+                j = src.index("\n", src.index("):", i))
+            except ValueError:
+                # upstream renamed/reshaped the validator — degrade
+                # to the skip gate instead of raising out of conftest
+                return False
+            src = (
+                src[: j + 1]
+                + "  return  # test shim: 6.32 runtime vs 6.33 gencode "
+                "(see tests/_protobuf_shim.py)\n"
+                + src[j + 1:]
+            )
+            open(rv, "w").write(src)
+            open(os.path.join(build, "_ready"), "w").close()
+            try:
+                os.rename(build, shim_root)
+            except OSError:
+                # a peer committed first (or a crashed pre-rename-era
+                # partial occupies the root): trust a marked root,
+                # otherwise clear the unmarked partial and retry once
+                if not os.path.exists(marker):
+                    shutil.rmtree(shim_root, ignore_errors=True)
+                    try:
+                        os.rename(build, shim_root)
+                    except OSError:
+                        if not os.path.exists(marker):
+                            return False
+        finally:
+            shutil.rmtree(build, ignore_errors=True)
     if shim_root not in sys.path:
         sys.path.insert(0, shim_root)
     # workers fork from the JVM's environment — both vars must be in

@@ -1427,3 +1427,153 @@ def test_grams_partial_sum_merge_is_split_invariant(spark, docs, splits):
     finally:
         shutil.rmtree(inc, ignore_errors=True)
         shutil.rmtree(full, ignore_errors=True)
+
+
+@pytest.mark.parametrize("backend", ["rename", "pointer"])
+def test_compaction_ledger_blocks_replayed_batch(
+    spark, tmp_path, monkeypatch, backend
+):
+    """r13 ADVICE (medium): ``compact_relations`` clears the live
+    batch markers, so without a persistent record a delayed/retried
+    append of an already-compacted batch_id would pass the marker
+    check as fresh and re-commit — silently doubling every row of
+    the batch. The ``_batches_done`` ledger must keep the batch
+    reading as committed across compaction, under BOTH commit
+    backends."""
+    monkeypatch.setenv(A.COMMIT_BACKEND_ENV, backend)
+    path = str(tmp_path / "art")
+    os.makedirs(path)
+    spark.range(5).withColumnRenamed("id", "k").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "rel", "part=base"))
+    with A.transactional_append(path, "b1", ("rel",)) as fresh:
+        assert fresh
+        spark.range(5, 8).withColumnRenamed("id", "k").write.mode(
+            "overwrite"
+        ).parquet(A.append_part_dir(path, "rel", "b1"))
+    assert A.read_committed_relation(spark, path, "rel").count() == 8
+    A.compact_relations(spark, path, ("rel",))
+    assert A.read_committed_relation(spark, path, "rel").count() == 8
+    assert A.batch_already_consumed(path, "b1")
+    # the delayed retry: must read as already committed, not fresh
+    replayed = None
+    with A.transactional_append(path, "b1", ("rel",)) as fresh:
+        replayed = fresh
+        if fresh:  # would double the rows — reproduce the hazard
+            spark.range(5, 8).withColumnRenamed("id", "k").write.mode(
+                "overwrite"
+            ).parquet(A.append_part_dir(path, "rel", "b1"))
+    assert replayed is False, (
+        "compacted batch replayed as fresh — its rows would re-commit"
+    )
+    assert A.read_committed_relation(spark, path, "rel").count() == 8
+    # a genuinely NEW batch still appends normally
+    with A.transactional_append(path, "b2", ("rel",)) as fresh:
+        assert fresh
+        spark.range(8, 10).withColumnRenamed("id", "k").write.mode(
+            "overwrite"
+        ).parquet(A.append_part_dir(path, "rel", "b2"))
+    assert A.read_committed_relation(spark, path, "rel").count() == 10
+    # and a second compact keeps both ledger entries
+    A.compact_relations(spark, path, ("rel",))
+    assert A.batch_already_consumed(path, "b1")
+    assert A.batch_already_consumed(path, "b2")
+    assert A.read_committed_relation(spark, path, "rel").count() == 10
+
+
+def test_stale_aside_litter_swept_on_claim_acquire(tmp_path):
+    """r13 ADVICE (low): ``{path}.building.stale.*`` aside dirs from
+    a failed takeover restore were never garbage-collected. The next
+    successful claimant sweeps asides older than the stale horizon;
+    a fresh aside (inside the restore-failure window) survives."""
+    path = str(tmp_path / "art")
+    old_aside = path + ".building.stale.111.222"
+    fresh_aside = path + ".building.stale.333.444"
+    os.makedirs(old_aside)
+    os.makedirs(fresh_aside)
+    past = time.time() - A.STALE_CLAIM_SECONDS - 60.0
+    os.utime(old_aside, (past, past))
+    assert A._acquire_build_claim(path, until_marker=False)
+    try:
+        assert not os.path.exists(old_aside), (
+            "stale aside litter survived claim acquisition"
+        )
+        assert os.path.exists(fresh_aside), (
+            "fresh aside (possible displaced live claim) was deleted"
+        )
+    finally:
+        A._release_build_claim(path)
+        import shutil
+
+        shutil.rmtree(fresh_aside, ignore_errors=True)
+
+
+def test_pointer_compact_gc_stranded_precompact(
+    spark, tmp_path, monkeypatch
+):
+    """r13 ADVICE (low): a rename→pointer backend flip can strand a
+    ``*_precompact`` fallback dir. Once a pointer-backend compaction
+    commits, the fallback is unreachable (readers resolve the
+    pointer) and must be GC'd with the stale generations."""
+    monkeypatch.setenv(A.COMMIT_BACKEND_ENV, "pointer")
+    path = str(tmp_path / "art")
+    os.makedirs(path)
+    spark.range(4).withColumnRenamed("id", "k").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "rel", "part=base"))
+    # the stranded fallback a rename-era compact left behind
+    spark.range(4).withColumnRenamed("id", "k").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "rel_precompact", "part=base"))
+    with A.transactional_append(path, "b1", ("rel",)) as fresh:
+        assert fresh
+        spark.range(4, 6).withColumnRenamed("id", "k").write.mode(
+            "overwrite"
+        ).parquet(A.append_part_dir(path, "rel", "b1"))
+    A.compact_relations(spark, path, ("rel",))
+    assert not os.path.isdir(os.path.join(path, "rel_precompact")), (
+        "backend-flip precompact fallback left as litter"
+    )
+    assert A.read_committed_relation(spark, path, "rel").count() == 6
+
+
+def test_neardup_edges_append_tolerates_current_corpus(spark, sf_dir):
+    """r13 ADVICE (low): the append contract says ``corpus`` = the
+    PREVIOUSLY indexed vectors, but a caller passing the CURRENT
+    corpus (batch rows included) would duplicate ids in the rescore
+    union and write duplicate edge rows. The defensive anti-join
+    must make that call shape produce exactly the rebuild's edges."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    old = emb.filter(F.col("vec_id") % 4 != 3)
+    new = emb.filter(F.col("vec_id") % 4 == 3)
+    inc = tempfile.mkdtemp(prefix="fcs_test_edges_cur_")
+    full = tempfile.mkdtemp(prefix="fcs_test_edges_curf_")
+    try:
+        S.neardup_edges_build_artifact(
+            emb, full, n_planes=16, bits_per_band=4, min_score=0.3
+        )
+        S.neardup_edges_build_artifact(
+            old, inc, n_planes=16, bits_per_band=4, min_score=0.3
+        )
+        # WRONG-but-common call shape: corpus includes the batch
+        S.neardup_edges_append(new, emb, inc, "ingest1")
+
+        def edges(path):
+            return sorted(
+                tuple(r)
+                for r in S.read_neardup_edges(
+                    spark, path, threshold=0.3
+                ).collect()
+            )
+
+        got = edges(inc)
+        assert got == edges(full), (
+            "current-corpus call shape corrupted the edge set"
+        )
+        assert len(got) == len(set(got)), "duplicate edge rows written"
+    finally:
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
