@@ -88,13 +88,16 @@ HEADLINE = [
     # n-gram/token consumer in the corpus block so the one
     # tokenize/shingle/pair build is priced in ITS cold column
     # (BUILD_ONCE); the eight rewired reports below then price
-    # statistic-sized artifact scans only.
+    # statistic-sized artifact scans only. r14: this row's cold
+    # column now prices the WHOLE grams chain — the full artifact is
+    # a snapshot of the compacted lifecycle artifact (one corpus
+    # tokenize total), so the two lifecycle rows below read
+    # already-built state in their cold cells too.
     "text_corpus_grams_artifact",
     # r13: the incremental-ingest lifecycle rows — append probe
     # (build-on-3/4 + transactional batch append, read uncompacted
-    # through the merge-on-read path) and compact probe (same +
-    # compaction); each prices its own artifact build in its cold
-    # column (BUILD_ONCE)
+    # through the merge-on-read path) and compact probe (snapshot of
+    # the append artifact + compaction)
     "text_corpus_grams_append_probe",
     "text_corpus_grams_compact_probe",
     "text_crossdoc_ngram_mass",
@@ -121,6 +124,11 @@ HEADLINE = [
     # r4 wave 2
     "dedup_semantic_cluster",
     "agg_countmin_frequency",
+    # r14: the Count-Min counter table is a persisted artifact
+    # (verdict Next #3) — the frequency row prices the one sketch
+    # build (BUILD_ONCE first toucher), the append-probe row its own
+    # base(3/4)+append(1/4) ingest lifecycle
+    "agg_countmin_append_probe",
     "dedup_minhash_estimate_audit",
     "events_cohort_retention",
     "events_transition_matrix",
@@ -299,6 +307,11 @@ BUILD_ONCE = [
     "dedup_pairs_append_probe",
     # ...and the containment-statistics ingest lifecycle (r13)
     "dedup_containment_append_probe",
+    # ...and the Count-Min counter-table artifact + its ingest
+    # lifecycle (r14): the frequency row ensures the full-stream
+    # sketch, the append probe its base+append twin
+    "agg_countmin_frequency",
+    "agg_countmin_append_probe",
 ]
 
 

@@ -682,6 +682,161 @@ def countmin_estimate(
 
 
 # ---------------------------------------------------------------------------
+# Count-Min ARTIFACT: the persisted, append-able counter table
+# ---------------------------------------------------------------------------
+#
+# The r13 taxonomy (SCALING.md) classifies the CMS counter table as
+# APPEND-able: every cell is an integer count additive over disjoint
+# row batches, so sketch(old) + sketch(delta), cell-wise SUM, equals
+# sketch(old ∪ delta) EXACTLY — the same partial-sum contract as the
+# corpus_grams count relations. The artifact stores per-batch partial
+# counter partitions under the shared commit-marker protocol; reads
+# SUM-merge committed partitions (a ≤ depth*width-row shuffle), and
+# compaction materializes the merge. The r13 verdict's Next #3: the
+# counter build re-scanned its input on every estimate query; build
+# once, append nightly, probe sketch-sized forever.
+
+_CMS_ART_LAYOUT = 1
+_CMS_ART_RELATIONS = ("counters",)
+
+
+def _cms_counters_merge(df: DataFrame) -> DataFrame:
+    """Fold per-batch partial counters into one exact row per (j,
+    cell) — used both at read time (merge-on-read between an append
+    and the next compact) and as the compact finalize."""
+    return df.groupBy("j", "cell").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+_CMS_MERGE = {"counters": _cms_counters_merge}
+
+
+def _validate_cms_manifest(
+    spark: SparkSession, path: str, depth: int, width: int, verb: str
+) -> dict:
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    want = {"depth": int(depth), "width": int(width)}
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"countmin artifact at {path!r} params mismatch: built "
+            f"with {got}, {verb} wants {want} — estimates from a "
+            "differently-shaped sketch are silently wrong, not "
+            "obviously broken"
+        )
+    return man
+
+
+def countmin_build_artifact(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Persist the Count-Min counter table ``(j, cell, n)`` for
+    ``df[key_col]`` as a partitioned artifact (part=base + the shared
+    ``_batches`` commit-marker dir). The manifest pins (depth, width)
+    — estimating against a sketch built at another shape would read
+    the wrong cells, so every probe/append validates first. The
+    stored relation is at most depth*width rows: index-metadata-
+    sized, broadcastable at any corpus scale."""
+    import os
+
+    from .similarity import _write_artifact_manifest
+
+    spark = df.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {
+            "depth": int(depth),
+            "width": int(width),
+            "layout": _CMS_ART_LAYOUT,
+        },
+    )
+    (
+        countmin_counters(df, key_col, depth=depth, width=width)
+        .write.mode("overwrite")
+        .parquet(f"{path}/counters/part=base")
+    )
+    os.makedirs(f"{path}/_batches", exist_ok=True)
+
+
+def countmin_append(
+    new_rows: DataFrame,
+    path: str,
+    batch_id: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Fold a NEW row batch into the standing sketch TRANSACTIONALLY:
+    only the batch is scanned (O(batch)), its partial counter table
+    lands as ``part=<batch_id>``, and the commit marker is written
+    LAST (shared ``artifacts.transactional_append`` — idempotent
+    batch ids, writer claim, heal-on-entry, compaction ledger).
+    Unlike the doc-keyed families there is NO new-keys precondition:
+    CMS is additive over ROWS, so re-sketching any disjoint slice of
+    the stream composes exactly; only replaying the SAME rows twice
+    (same batch_id — which the ledger rejects) would double-count."""
+    from .artifacts import append_part_dir, transactional_append
+
+    spark = new_rows.sparkSession
+    _validate_cms_manifest(spark, path, depth, width, "append")
+    with transactional_append(
+        path, batch_id, _CMS_ART_RELATIONS
+    ) as fresh:
+        if not fresh:
+            return
+        (
+            countmin_counters(new_rows, key_col, depth=depth, width=width)
+            .write.mode("overwrite")
+            .parquet(append_part_dir(path, "counters", batch_id))
+        )
+
+
+def countmin_compact(spark: SparkSession, path: str) -> None:
+    """Fold every committed append batch into one ``part=base``,
+    MATERIALIZING the cell-wise SUM merge (finalize) so post-compact
+    reads serve one exact row per (j, cell) with no merge shuffle.
+    Shared implementation + crash-window analysis:
+    ``artifacts.compact_relations``."""
+    from .artifacts import compact_relations
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("layout") != _CMS_ART_LAYOUT:
+        raise ValueError(
+            f"countmin artifact at {path!r} layout "
+            f"{man.get('layout')!r} does not support compact"
+        )
+    compact_relations(
+        spark, path, _CMS_ART_RELATIONS, finalize=_CMS_MERGE
+    )
+
+
+def read_countmin_counters(
+    spark: SparkSession, path: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Read the committed counter table, merging per-batch partials
+    by SUM when appended batches are outstanding (≤ depth*width rows
+    out — the merge shuffle is sketch-sized, paid only between an
+    append and the next compact). Validates (depth, width) against
+    the manifest; crashed appends are invisible (partition-pruned to
+    committed batches)."""
+    from .artifacts import committed_parts, read_committed_relation
+
+    _validate_cms_manifest(spark, path, depth, width, "probe")
+    df = read_committed_relation(spark, path, "counters")
+    if len(committed_parts(path)) > 1:
+        df = _cms_counters_merge(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
 # Prefix-sharded Bloom: the past-broadcast-size growth path
 # ---------------------------------------------------------------------------
 

@@ -188,6 +188,7 @@ def _minhash_pairs_inc_artifact_path(
     """,
     tags=("llm", "dedup", "minhash", "lsh", "incremental"),
     since=13,
+    changed=14,
 )
 def dedup_pairs_append_probe(
     spark: SparkSession, sf_dir: str
@@ -1203,6 +1204,7 @@ def _minhash_index_cpt_artifact_path(
     oracle=_INCR_BATCH_ORACLE,
     tags=("llm", "dedup", "minhash", "lsh", "incremental", "compact"),
     since=12,
+    changed=14,
 )
 def dedup_index_compact_probe(
     spark: SparkSession, sf_dir: str
@@ -1235,14 +1237,31 @@ def _corpus_grams_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     shingles / tokens / grams / pairs / unigrams — the tokenize-once
     layout every n-gram and token report reads from r12 on).
     `text_corpus_grams_artifact` prices the build as first toucher;
-    eight statistic consumers then run corpus-free. Contract in
-    `ensure_artifact`."""
+    the statistic consumers then run corpus-free.
+
+    r14 (the grams cold-column diet, verdict Next #6 extended): the
+    full-corpus artifact is a SNAPSHOT of the compacted lifecycle
+    artifact (`_corpus_grams_cpt_artifact_path`), not a second
+    full-corpus tokenize. Grams has NO training step, so
+    compact(build(3/4) + append(1/4)) is LOGICALLY IDENTICAL to
+    build(full): tokenize is per-doc deterministic, the count
+    relations are per-doc folds whose partial sums over disjoint doc
+    batches are the corpus sums (batch-split invariance is property-
+    tested, `tests/test_text.py`), and the compact probe's
+    full-replay census MATCH pins the equality at 3 SFs every
+    rotation. One corpus tokenize now prices the whole grams family
+    (build + both lifecycle probes) instead of two. This inversion
+    is exactly the production flow: the standing nightly-ingest
+    artifact IS the source of truth — a "full rebuild" is a
+    snapshot of it, not a re-scan of the corpus. (Trained families
+    — OPQ/IVF-PQ codebooks — can NOT do this: their inc artifacts
+    train on the old corpus only, so their full builds are genuinely
+    different models; see the r13 taxonomy in SCALING.md.)"""
     from ..operators.artifacts import ensure_artifact
 
     def build(path: str) -> None:
-        T.corpus_grams_build_artifact(
-            _load(spark, sf_dir, "documents"), path,
-            shingle_n=3, pmi_window=2,
+        _snapshot_artifact(
+            _corpus_grams_cpt_artifact_path(spark, sf_dir), path
         )
 
     return ensure_artifact(spark, "corpus_grams", sf_dir, build)
@@ -1250,7 +1269,7 @@ def _corpus_grams_artifact_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "text_corpus_grams_artifact",
-    changed=13,
+    changed=14,
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     shc AS (
@@ -1378,20 +1397,36 @@ def _corpus_grams_cpt_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     storage folding is what THIS artifact exists to prove, and its
     oracle replays the full pipeline regardless. Contract in
     `ensure_artifact`."""
-    import shutil
-
-    from ..operators.artifacts import _writer_claim, ensure_artifact
+    from ..operators.artifacts import ensure_artifact
 
     def build(path: str) -> None:
-        src = _corpus_grams_inc_artifact_path(spark, sf_dir)
-        # snapshot under the SOURCE's writer claim: a concurrent
-        # append mid-copy would otherwise tear a committed partition
-        # into the copy (its marker copied whole, its files partial)
-        with _writer_claim(src):
-            shutil.copytree(src, path, dirs_exist_ok=True)
+        _snapshot_artifact(
+            _corpus_grams_inc_artifact_path(spark, sf_dir), path
+        )
         T.corpus_grams_compact(spark, path)
 
     return ensure_artifact(spark, "corpus_grams_cpt", sf_dir, build)
+
+
+def _snapshot_artifact(src: str, dst: str) -> None:
+    """Copy a standing artifact into a new root for an independent
+    lifecycle, under the SOURCE's writer claim (a concurrent append
+    mid-copy would otherwise tear a committed partition into the
+    copy: its marker copied whole, its files partial). The source's
+    ``_done`` marker is EXCLUDED: `ensure_artifact` writes the
+    destination's own marker after the whole build succeeds — copying
+    the source's would make a crash mid-copytree look like a
+    completed build to every later process (r14 self-review; the
+    marker must always be the LAST thing written)."""
+    import shutil
+
+    from ..operators.artifacts import _writer_claim
+
+    with _writer_claim(src):
+        shutil.copytree(
+            src, dst, dirs_exist_ok=True,
+            ignore=shutil.ignore_patterns("_done"),
+        )
 
 
 def _grams_lifecycle_census(spark: SparkSession, path: str) -> DataFrame:
@@ -1486,6 +1521,7 @@ _GRAMS_LIFECYCLE_ORACLE = f"""
     oracle=_GRAMS_LIFECYCLE_ORACLE,
     tags=("llm", "text", "artifact", "ngram", "incremental"),
     since=13,
+    changed=14,
 )
 def text_corpus_grams_append_probe(
     spark: SparkSession, sf_dir: str
@@ -1513,6 +1549,7 @@ def text_corpus_grams_append_probe(
     oracle=_GRAMS_LIFECYCLE_ORACLE,
     tags=("llm", "text", "artifact", "ngram", "incremental", "compact"),
     since=13,
+    changed=14,
 )
 def text_corpus_grams_compact_probe(
     spark: SparkSession, sf_dir: str
@@ -2624,6 +2661,7 @@ def _neardup_edges_inc_artifact_path(
     tags=("llm", "similarity", "graph", "artifact", "lsh",
           "incremental"),
     since=13,
+    changed=14,
 )
 def similarity_neardup_append_probe(
     spark: SparkSession, sf_dir: str
@@ -3616,6 +3654,7 @@ def _containment_pairs_inc_artifact_path(
     """,
     tags=("llm", "dedup", "containment", "incremental"),
     since=13,
+    changed=14,
 )
 def dedup_containment_append_probe(
     spark: SparkSession, sf_dir: str

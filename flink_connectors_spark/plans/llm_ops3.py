@@ -34,6 +34,7 @@ from .llm_ops import (
     _km_chain_cte,
     _load,
     _lsh_pairs_cte,
+    _snapshot_artifact,
     _sql_cos,
 )
 
@@ -248,9 +249,7 @@ _CMS_PROBE = " UNION ALL ".join(
 )
 
 
-@register(
-    "agg_countmin_frequency",
-    oracle=f"""
+_CMS_AUDIT_ORACLE = f"""
     WITH ex AS (
       SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_count
       FROM lineitem GROUP BY l_partkey),
@@ -266,30 +265,38 @@ _CMS_PROBE = " UNION ALL ".join(
            MIN(COALESCE(c.n, 0)) - p.exact_count AS overestimate
     FROM probe p LEFT JOIN counters c ON c.j = p.j AND c.cell = p.cell
     GROUP BY p.l_partkey, p.exact_count
-    """,
-    tags=("agg", "sketch", "countmin", "mergeable"),
-    since=4,
-)
-def agg_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch frequency estimation with its accuracy audit:
-    sketch the lineitem partkey stream into a 4x256 counter table
-    (ONE scan; the explode feeds a map-side-combining aggregate whose
-    key domain is bounded at d*w, so the shuffle is sketch-sized per
-    map partition regardless of input rows), then estimate the 10
-    hottest keys and report estimate vs exact. CMS is additive —
-    tomorrow's sketch is today's + the delta batch's, cell-wise SUM,
-    the same mergeable-summary contract as the rollup histograms —
-    and estimates only ever exceed the truth (collisions add), which
-    the driver-verified ``overestimate >= 0`` column exhibits. At
-    100 TB the exact side of this audit runs over a key sample; here
-    it doubles as the ground truth the gate hashes."""
+    """
+
+
+def _cms_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted Count-Min counter table over the full
+    lineitem partkey stream (4x256; the depth/width every estimate in
+    the repo shares). `agg_countmin_frequency` prices the build as
+    first toucher; estimates then read ≤ d*w stored rows instead of
+    re-sketching the fact table. Contract in `ensure_artifact`."""
+
+    def build(path: str) -> None:
+        SC.countmin_build_artifact(
+            load_table(spark, sf_dir, "lineitem"), path,
+            "l_partkey", depth=_CMS_D, width=_CMS_W,
+        )
+
+    return ensure_artifact(spark, "cms_partkey", sf_dir, build)
+
+
+def _cms_audit_report(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The estimate-vs-exact audit (kept LIVE per the r13 verdict):
+    exact top-10 partkeys from the fact table, estimated from the
+    stored committed counter table."""
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
     top = exact.orderBy(F.desc("exact_count"), F.asc("l_partkey")).limit(10)
-    counters = SC.countmin_counters(
-        li, "l_partkey", depth=_CMS_D, width=_CMS_W
+    counters = SC.read_countmin_counters(
+        spark, path, depth=_CMS_D, width=_CMS_W
     )
     est = SC.countmin_estimate(
         top, counters, "l_partkey", depth=_CMS_D, width=_CMS_W
@@ -299,6 +306,84 @@ def agg_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+@register(
+    "agg_countmin_frequency",
+    oracle=_CMS_AUDIT_ORACLE,
+    tags=("agg", "sketch", "countmin", "mergeable", "artifact"),
+    since=4,
+    changed=14,
+)
+def agg_countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation with its accuracy audit:
+    estimate the 10 hottest partkeys from the PERSISTED 4x256 counter
+    table and report estimate vs exact. CMS is additive — tomorrow's
+    sketch is today's + the delta batch's, cell-wise SUM, the same
+    mergeable-summary contract as the rollup histograms — and
+    estimates only ever exceed the truth (collisions add), which the
+    driver-verified ``overestimate >= 0`` column exhibits.
+
+    r14 (verdict Next #3): the counter table is a persisted artifact
+    (`operators/scale.countmin_build_artifact`) — the repo's 2nd most
+    expensive headliner re-sketched lineitem per invocation when the
+    sketch is per-cell integer-additive, i.e. build-once + append-
+    nightly per the r13 taxonomy. The estimate now reads ≤ d*w stored
+    rows (broadcast, one fact scan left: the exact side of the audit,
+    kept live by design — at 100 TB that side runs over a key sample;
+    here it doubles as the ground truth the gate hashes). The oracle
+    still replays sketch-build + estimate from scratch, so a MATCH
+    proves the stored counter table equals the live computation."""
+    return _cms_audit_report(
+        spark, sf_dir, _cms_artifact_path(spark, sf_dir)
+    )
+
+
+def _cms_inc_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure a Count-Min artifact that has lived an ingest day:
+    base build on three quarters of the lineitem stream, then a
+    TRANSACTIONAL append of the remaining quarter — only the batch
+    scanned, its partial counters landing as ``part=ingest1``. The
+    probe reads it uncompacted. Unlike the doc-keyed families the
+    split is by ROWS (orderkey), not by new ids: CMS composes over
+    any disjoint row partition."""
+
+    def build(path: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        SC.countmin_build_artifact(
+            li.filter(F.col("l_orderkey") % 4 != 3), path,
+            "l_partkey", depth=_CMS_D, width=_CMS_W,
+        )
+        SC.countmin_append(
+            li.filter(F.col("l_orderkey") % 4 == 3), path, "ingest1",
+            "l_partkey", depth=_CMS_D, width=_CMS_W,
+        )
+
+    return ensure_artifact(spark, "cms_partkey_inc", sf_dir, build)
+
+
+@register(
+    "agg_countmin_append_probe",
+    oracle=_CMS_AUDIT_ORACLE,
+    tags=("agg", "sketch", "countmin", "mergeable", "incremental"),
+    since=14,
+)
+def agg_countmin_append_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ingest for the Count-Min artifact: the probed
+    counter table was built on three quarters of the lineitem stream
+    and a nightly batch (the last quarter, split by orderkey) was
+    APPENDED transactionally — only the batch scanned, its partial
+    counters committed as their own partition. The audit reads the
+    UNCOMPACTED artifact, so committed-partition pruning AND the
+    cell-wise SUM merge-on-read are both on the hook; the oracle
+    replays the FULL-stream sketch build, and a MATCH proves
+    sketch(old) + sketch(delta) == sketch(all) cell-for-cell (the
+    merge is exact: integer counts over disjoint row batches)."""
+    return _cms_audit_report(
+        spark, sf_dir, _cms_inc_artifact_path(spark, sf_dir)
     )
 
 
@@ -3985,25 +4070,30 @@ def similarity_opq_append_probe(
 
 
 def _ivfpq_cpt_artifact_path(spark: SparkSession, sf_dir: str) -> str:
-    """Ensure the COMPACTION demo artifact: full IVF-PQ build, the
-    same tombstone set as the delete probe (vec_id % 5 == 2, >= 20),
-    then `ivfpq_compact` — the codes partitions are physically
-    rewritten minus tombstones and the tombstone relation truncated.
-    Separate path from the live probe artifact (compaction mutates
-    codes; the delete probe must keep exercising the anti-join
-    path). Contract in `ensure_artifact`."""
+    """Ensure the COMPACTION demo artifact: the full-corpus IVF-PQ
+    index with the delete probe's tombstone set (vec_id % 5 == 2,
+    >= 20), then `ivfpq_compact` — the codes partitions are
+    physically rewritten minus tombstones and the tombstone relation
+    truncated. Separate path from the live probe artifact (compaction
+    mutates codes; the delete probe must keep exercising the
+    anti-join path).
+
+    r14 cold-column diet: the pre-compaction state is a SNAPSHOT of
+    the main artifact after its tombstones land — truer to production
+    (compaction runs ON the standing index, never on a rebuild) and
+    it retires a full redundant Lloyd train from the cold column. The
+    k-means build is deterministic, so the snapshot's codebooks are
+    bit-identical to what the rebuild produced; the probe's oracle
+    (build-then-probe-with-deletes, replayed from scratch) pins that
+    every rotation. Contract in `ensure_artifact`."""
 
     def build(path: str) -> None:
-        emb = _load(spark, sf_dir, "embeddings")
-        S.ivfpq_build_artifact(
-            emb, path, subspaces=2, codebook_k=16, iters=2
-        )
-        S.ivfpq_delete_ids(
-            emb.filter(
-                (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 20)
-            ),
-            path,
-        )
+        src = _ivfpq_artifact_path(spark, sf_dir)
+        # tombstones must land on the SOURCE before the copy — a
+        # snapshot taken first would compact nothing and the
+        # compacted probe would resurface deleted vectors
+        _ivfpq_tombstones_ready(spark, sf_dir, src)
+        _snapshot_artifact(src, path)
         S.ivfpq_compact(spark, path)
 
     return ensure_artifact(spark, "ann_ivfpq_cpt", sf_dir, build)
@@ -4017,6 +4107,7 @@ def _ivfpq_cpt_artifact_path(spark: SparkSession, sf_dir: str) -> str:
     ),
     tags=("llm", "similarity", "ann", "index", "delete", "compact"),
     since=10,
+    changed=14,
 )
 def similarity_ivfpq_compact_probe(
     spark: SparkSession, sf_dir: str

@@ -48,6 +48,8 @@ ALL_FAMILIES = [
     ("neardup_edges_inc", llm_ops._neardup_edges_inc_artifact_path),
     ("minhash_pairs_inc", llm_ops._minhash_pairs_inc_artifact_path),
     ("contain_pairs_inc", llm_ops._containment_pairs_inc_artifact_path),
+    ("cms_partkey", llm_ops3._cms_artifact_path),
+    ("cms_partkey_inc", llm_ops3._cms_inc_artifact_path),
 ]
 
 

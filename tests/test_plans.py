@@ -635,12 +635,16 @@ def test_semantic_dedup_pair_sides_read_cached_assignment(spark, sf_dir):
 
 
 def test_cms_counters_partial_aggregate_and_broadcast_probe(spark, sf_dir):
-    """The CMS counter build must partial-aggregate map-side (two
-    HashAggregates around one exchange on the bounded (j, cell)
-    domain) and the probe must broadcast the sketch-sized counter
-    table — never shuffle the probed keys against it."""
+    """r14: the estimate reads the PERSISTED counter table (the
+    sketch build is retired from the query plan — one fact scan
+    left, the exact audit side) and the probe must broadcast the
+    sketch-sized counters — never shuffle the probed keys against
+    them."""
     plan = _plan(spark, sf_dir, "agg_countmin_frequency")
-    assert plan.count("HashAggregate") >= 4  # exact counts + counters
+    assert "fcs_cms_partkey" in plan, (
+        "estimate should read the stored counter table"
+    )
+    assert plan.count("HashAggregate") >= 4  # exact counts + estimate
     assert "BroadcastHashJoin" in plan, "counter probe should broadcast"
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
 
