@@ -1579,3 +1579,177 @@ def test_neardup_edges_append_tolerates_current_corpus(spark, sf_dir):
     finally:
         shutil.rmtree(inc, ignore_errors=True)
         shutil.rmtree(full, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r14 verdict Next #4: the full-family lifecycle sweep under BOTH
+# commit backends. Every family that adopted the shared transactional
+# protocol runs its complete build -> append -> compact -> probe
+# lifecycle under the default rename seam AND the rename-free pointer
+# seam, pinned so both stay green as verbs accrete. The probe is
+# compared at three points: after the append (uncompacted,
+# merge-on-read path), after the compact (folded base), and against a
+# from-scratch single build over the full input — so each (family,
+# backend) cell re-proves append == compact == rebuild.
+# ---------------------------------------------------------------------------
+
+_SWEEP_FAMILIES = (
+    "corpus_grams",
+    "minhash_pairs",
+    "minhash_index",
+    "containment_pairs",
+    "neardup_edges",
+    "countmin",
+)
+
+
+def _sweep_driver(spark, sf_dir, family):
+    """(relations, build(df, path), append(df, path, bid),
+    compact(path), probe(path) -> sorted rows, (old_df, new_df,
+    all_df)) for one lifecycle family."""
+    from flink_connectors_spark.operators import dedup as D
+    from flink_connectors_spark.operators import scale as SC
+    from flink_connectors_spark.operators import text as T
+
+    def rows(df):
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda r: tuple(str(x) for x in r),
+        )
+
+    if family in ("corpus_grams",):
+        docs = load_table(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 4 != 3)
+        new = docs.filter(F.col("doc_id") % 4 == 3)
+        rels = T._CORPUS_GRAMS_RELATIONS
+
+        def probe(path):
+            out = []
+            for rel in rels:
+                out.append(rows(T.read_corpus_grams(spark, path, rel)))
+            return out
+
+        return (
+            rels,
+            lambda df, p: T.corpus_grams_build_artifact(df, p),
+            lambda df, p, b: T.corpus_grams_append(df, p, b),
+            lambda p: T.corpus_grams_compact(spark, p),
+            probe,
+            (old, new, docs),
+        )
+    if family == "minhash_pairs":
+        docs = load_table(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 4 != 3)
+        new = docs.filter(F.col("doc_id") % 4 == 3)
+        return (
+            D._PAIRS_RELATIONS,
+            lambda df, p: D.minhash_pairs_build_artifact(df, p),
+            lambda df, p, b: D.minhash_pairs_append(df, p, b),
+            lambda p: D.minhash_pairs_compact(spark, p),
+            lambda p: rows(D.read_minhash_pairs(spark, p, threshold=0.5)),
+            (old, new, docs),
+        )
+    if family == "minhash_index":
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        old = docs.filter(F.col("doc_id") % 4 != 3)
+        new = docs.filter(F.col("doc_id") % 4 == 3)
+        pr = docs.filter(F.col("doc_id") % 5 == 2)
+        return (
+            ("bands", "shingles"),
+            lambda df, p: D.minhash_index_build_artifact(df, p),
+            lambda df, p, b: D.minhash_index_append(df, p, b),
+            lambda p: D.minhash_index_compact(spark, p),
+            lambda p: rows(
+                D.minhash_lsh_pairs_vs_index(pr, p, threshold=0.5)
+            ),
+            (old, new, docs),
+        )
+    if family == "containment_pairs":
+        docs = load_table(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 4 != 3)
+        new = docs.filter(F.col("doc_id") % 4 == 3)
+        bc = ["lang", "source"]
+        return (
+            D._CONTAIN_RELATIONS,
+            lambda df, p: D.containment_pairs_build_artifact(df, p, bc),
+            lambda df, p, b: D.containment_pairs_append(df, p, b, bc),
+            lambda p: D.containment_pairs_compact(spark, p),
+            lambda p: rows(
+                D.read_containment_pairs(spark, p, threshold=0.5)
+            ),
+            (old, new, docs),
+        )
+    if family == "neardup_edges":
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 4 != 3)
+        new = emb.filter(F.col("vec_id") % 4 == 3)
+        return (
+            S._EDGES_RELATIONS,
+            lambda df, p: S.neardup_edges_build_artifact(df, p),
+            # the corpus side is the previously indexed vectors
+            lambda df, p, b: S.neardup_edges_append(df, old, p, b),
+            lambda p: S.neardup_edges_compact(spark, p),
+            lambda p: rows(S.read_neardup_edges(spark, p, threshold=0.3)),
+            (old, new, emb),
+        )
+    assert family == "countmin"
+    li = load_table(spark, sf_dir, "lineitem")
+    old = li.filter(F.col("l_orderkey") % 4 != 3)
+    new = li.filter(F.col("l_orderkey") % 4 == 3)
+    return (
+        SC._CMS_ART_RELATIONS,
+        lambda df, p: SC.countmin_build_artifact(df, p, "l_partkey"),
+        lambda df, p, b: SC.countmin_append(df, p, b, "l_partkey"),
+        lambda p: SC.countmin_compact(spark, p),
+        lambda p: rows(SC.read_countmin_counters(spark, p)),
+        (old, new, li),
+    )
+
+
+@pytest.mark.parametrize("backend", ["rename", "pointer"])
+@pytest.mark.parametrize("family", _SWEEP_FAMILIES)
+def test_lifecycle_sweep_both_commit_backends(
+    spark, sf_dir, monkeypatch, family, backend
+):
+    import shutil
+    import tempfile
+
+    monkeypatch.setenv(A.COMMIT_BACKEND_ENV, backend)
+    rels, build, append, compact, probe, (old, new, full_df) = (
+        _sweep_driver(spark, sf_dir, family)
+    )
+    inc = tempfile.mkdtemp(prefix=f"fcs_sweep_{family}_{backend}_i_")
+    ref = tempfile.mkdtemp(prefix=f"fcs_sweep_{family}_{backend}_r_")
+    try:
+        build(old, inc)
+        append(new, inc, "b1")
+        appended = probe(inc)
+        compact(inc)
+        assert probe(inc) == appended, (
+            f"{family}/{backend}: compaction changed the probed "
+            "contents"
+        )
+        if backend == "pointer":
+            # rename-free structural pins: every relation serves
+            # from a pointer-committed generation; the plain dir and
+            # the rename seam's *_precompact fallback never exist
+            for rel in rels:
+                gen = A._read_pointer(inc, rel)
+                assert gen and gen.startswith(f"{rel}__g"), (
+                    f"{family}: relation {rel} not pointer-committed"
+                )
+                assert os.path.isdir(os.path.join(inc, gen))
+                assert not os.path.isdir(os.path.join(inc, rel))
+                assert not os.path.isdir(
+                    os.path.join(inc, rel + "_precompact")
+                )
+        build(full_df, ref)
+        assert probe(ref) == appended, (
+            f"{family}/{backend}: build-on-old + append-new + "
+            "compact != from-scratch build"
+        )
+    finally:
+        shutil.rmtree(inc, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
