@@ -82,6 +82,9 @@ HEADLINE = [
     # rebuild-only pair family adopts the shared protocol
     "dedup_containment_append_probe",
     "rollup_daily_from_hourly",
+    # r14: the MAX-monoid lifecycle row — deterministic-HLL register
+    # artifact over the event stream, exact register-table oracle
+    "rollup_hll_append_probe",
     # r3 additions
     "pipeline_mixture_sample",
     # r12: the tokenized-corpus artifact row runs BEFORE every
@@ -108,6 +111,10 @@ HEADLINE = [
     "pipeline_global_shuffle",
     "text_token_entropy",
     "dedup_bloom_guard",
+    # r14: the OR-monoid lifecycle row — bloom word-table artifact,
+    # base(3/4)+append(1/4), bitmap packed from the merged committed
+    # words (BUILD_ONCE prices the build in its cold column)
+    "dedup_bloom_append_probe",
     "rollup_quantile_histogram",
     "sink_precompact_batch",
     # r4 additions
@@ -312,6 +319,10 @@ BUILD_ONCE = [
     # sketch, the append probe its base+append twin
     "agg_countmin_frequency",
     "agg_countmin_append_probe",
+    # ...and the OR-monoid (bloom words) and MAX-monoid (HLL
+    # registers) lifecycle artifacts (r14)
+    "dedup_bloom_append_probe",
+    "rollup_hll_append_probe",
 ]
 
 

@@ -394,41 +394,9 @@ def bloom_bitmap(
         )
     if not 1 <= n_hashes <= 4:
         raise ValueError("n_hashes must be in [1, 4] (md5 has 4 slices)")
-    n_words = m_bits // _BLOOM_WORD_BITS
-    pos = fps.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.conv(
-                            F.substring(F.col(fp_col), 1 + 8 * j, 8), 16, 10
-                        ).cast("bigint"),
-                        F.lit(m_bits),
-                    )
-                    for j in range(n_hashes)
-                ]
-            )
-        ).alias("pos")
-    )
-    words = (
-        pos.select(
-            F.floor(F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("w"),
-            F.pmod(F.col("pos"), _BLOOM_WORD_BITS).cast("int").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
-    )
-    packed = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("__m__")
-    )
-    out = packed.select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("__m__"), i.cast("long")),
-                F.lit(0).cast("long"),
-            ),
-        ).alias("bf")
+    out = _pack_word_table(
+        _bloom_word_table(fps, fp_col, m_bits, n_hashes),
+        m_bits // _BLOOM_WORD_BITS,
     )
     if assert_fill_below is not None:
         if not 0.0 < assert_fill_below <= 1.0:
@@ -456,6 +424,56 @@ def bloom_bitmap(
                 "docstring)."
             )
     return out
+
+
+def _bloom_word_table(
+    fps: DataFrame, fp_col: str, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """The sparse (w, word) bit-word rows of a Bloom bitmap — the
+    aggregate state BEFORE dense packing. Two word tables over
+    different member sets merge by per-``w`` ``bit_or`` (OR is the
+    Bloom monoid), which is what the partitioned artifact family
+    stores per batch."""
+    pos = fps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(F.col(fp_col), 1 + 8 * j, 8), 16, 10
+                        ).cast("bigint"),
+                        F.lit(m_bits),
+                    )
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("w"),
+            F.pmod(F.col("pos"), _BLOOM_WORD_BITS).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
+    )
+
+
+def _pack_word_table(words: DataFrame, n_words: int) -> DataFrame:
+    """Fold sparse (w, word) rows into the dense ONE-ROW ``bf``
+    array<int64> that :func:`bloom_might_contain` broadcasts."""
+    packed = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("__m__")
+    )
+    return packed.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m__"), i.cast("long")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bf")
+    )
 
 
 def bloom_fill_ratio(bitmap: DataFrame) -> DataFrame:
@@ -833,6 +851,310 @@ def read_countmin_counters(
     df = read_committed_relation(spark, path, "counters")
     if len(committed_parts(path)) > 1:
         df = _cms_counters_merge(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Bloom word-table ARTIFACT: the OR-monoid member of the lifecycle
+# protocol
+# ---------------------------------------------------------------------------
+#
+# r14 completes the shared transactional protocol's merge algebra:
+# partitioned count relations merge by SUM (grams, CMS), Bloom bit
+# words by bitwise OR, HLL registers by MAX — any commutative monoid
+# works, because merge-on-read and the compact finalize are plain
+# per-family aggregations over the committed partitions. OR and MAX
+# are additionally IDEMPOTENT, so unlike the SUM families these two
+# tolerate OVERLAPPING batches (re-sketching a row twice cannot
+# change a bit/register) — only the batch_id replay guard is needed,
+# and only to avoid wasted work.
+
+_BLOOM_ART_LAYOUT = 1
+_BLOOM_ART_RELATIONS = ("words",)
+
+
+def _bloom_words_merge(df: DataFrame) -> DataFrame:
+    return df.groupBy("w").agg(F.expr("bit_or(word)").alias("word"))
+
+
+_BLOOM_ART_MERGE = {"words": _bloom_words_merge}
+
+
+def _validate_bloom_manifest(
+    spark: SparkSession, path: str, m_bits: int, n_hashes: int, verb: str
+) -> dict:
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    want = {"m_bits": int(m_bits), "n_hashes": int(n_hashes)}
+    got = {k: man.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"bloom word artifact at {path!r} params mismatch: built "
+            f"with {got}, {verb} wants {want} — words from a "
+            "differently-sized family never line up (the bloom_merge "
+            "width contract)"
+        )
+    return man
+
+
+def bloom_words_build_artifact(
+    fps: DataFrame,
+    path: str,
+    m_bits: int,
+    fp_col: str = "fp",
+    n_hashes: int = 3,
+) -> None:
+    """Persist the sparse Bloom word table ``(w, word)`` as a
+    partitioned artifact. ``m_bits`` is REQUIRED (no auto-sizing):
+    an append-able bitmap family must fix its width at provisioning
+    time from expected corpus scale — auto-sizing per batch would
+    produce incompatible words (the :func:`bloom_merge` width
+    contract, enforced here by the manifest)."""
+    import os
+
+    from .similarity import _write_artifact_manifest
+
+    if m_bits % _BLOOM_WORD_BITS != 0:
+        raise ValueError(
+            f"m_bits must be a multiple of {_BLOOM_WORD_BITS}: {m_bits}"
+        )
+    spark = fps.sparkSession
+    _write_artifact_manifest(
+        spark, path,
+        {
+            "m_bits": int(m_bits),
+            "n_hashes": int(n_hashes),
+            "layout": _BLOOM_ART_LAYOUT,
+        },
+    )
+    (
+        _bloom_word_table(fps, fp_col, m_bits, n_hashes)
+        .write.mode("overwrite")
+        .parquet(f"{path}/words/part=base")
+    )
+    os.makedirs(f"{path}/_batches", exist_ok=True)
+
+
+def bloom_words_append(
+    new_fps: DataFrame,
+    path: str,
+    batch_id: str,
+    fp_col: str = "fp",
+) -> None:
+    """Fold a new fingerprint batch into the standing Bloom family
+    TRANSACTIONALLY: only the batch hashes (O(batch)); its word rows
+    land as ``part=<batch_id>`` under the shared protocol. OR is
+    idempotent, so a fingerprint present in BOTH the base and a
+    batch is harmless — the one precondition the SUM families need
+    (disjoint batches) does not apply here."""
+    from .artifacts import append_part_dir, transactional_append
+
+    spark = new_fps.sparkSession
+    man = _validate_bloom_manifest_any(spark, path, "append")
+    with transactional_append(
+        path, batch_id, _BLOOM_ART_RELATIONS
+    ) as fresh:
+        if not fresh:
+            return
+        (
+            _bloom_word_table(
+                new_fps, fp_col, man["m_bits"], man["n_hashes"]
+            )
+            .write.mode("overwrite")
+            .parquet(append_part_dir(path, "words", batch_id))
+        )
+
+
+def _validate_bloom_manifest_any(spark, path: str, verb: str) -> dict:
+    """Manifest read for verbs that inherit (m_bits, n_hashes) from
+    the artifact rather than validating caller params."""
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("layout") != _BLOOM_ART_LAYOUT:
+        raise ValueError(
+            f"bloom word artifact at {path!r} layout "
+            f"{man.get('layout')!r} unsupported by {verb}"
+        )
+    return man
+
+
+def bloom_words_compact(spark: SparkSession, path: str) -> None:
+    """Fold committed batches into one ``part=base``, materializing
+    the per-word OR (finalize) — post-compact reads serve one row
+    per word. Shared implementation: ``artifacts.compact_relations``."""
+    from .artifacts import compact_relations
+
+    _validate_bloom_manifest_any(spark, path, "compact")
+    compact_relations(
+        spark, path, _BLOOM_ART_RELATIONS, finalize=_BLOOM_ART_MERGE
+    )
+
+
+def read_bloom_bitmap(spark: SparkSession, path: str) -> DataFrame:
+    """Serve the committed family as the dense ONE-ROW ``bf`` bitmap
+    :func:`bloom_might_contain` broadcasts: committed-pruned word
+    rows, OR-merged when appended batches are outstanding (a
+    ≤ words-sized shuffle), packed to width. The result answers
+    membership for the UNION of base + committed batches with zero
+    false negatives — crashed appends are invisible, so a bit can
+    never be set for a fingerprint whose batch did not commit."""
+    from .artifacts import committed_parts, read_committed_relation
+
+    man = _validate_bloom_manifest_any(spark, path, "probe")
+    words = read_committed_relation(spark, path, "words")
+    if len(committed_parts(path)) > 1:
+        words = _bloom_words_merge(words)
+    return _pack_word_table(words, man["m_bits"] // _BLOOM_WORD_BITS)
+
+
+# ---------------------------------------------------------------------------
+# HLL register-table ARTIFACT: the MAX-monoid member
+# ---------------------------------------------------------------------------
+#
+# A deterministic, engine-portable HyperLogLog register table:
+# register index = first md5 word mod 2^p, rho = 1-based position of
+# the first set bit in the second md5 word's 32-bit slice (33 when
+# the slice is zero). Everything is integer/string expressions both
+# Spark and DuckDB evaluate bit-identically — unlike the built-in
+# DataSketches HLL (opaque binary, bound-predicate oracles only),
+# this register table is EXACTLY hash-verifiable, and two tables
+# over any row batches merge by per-register MAX.
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = 6
+) -> DataFrame:
+    """The (reg, rho) register table of ``df[key_col]``: at most
+    ``2**p`` rows regardless of input size (the explode-free CMS
+    cousin — one md5 per row, one bounded-domain map-side-combining
+    aggregate)."""
+    h = F.md5(F.col(key_col).cast("string"))
+    t = df.select(
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+            F.lit(2 ** p),
+        ).alias("reg"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("__x__"),
+    )
+    rho = F.when(F.col("__x__") == 0, F.lit(33)).otherwise(
+        F.instr(F.lpad(F.bin(F.col("__x__")), 32, "0"), "1")
+    )
+    return (
+        t.select("reg", rho.cast("int").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+_HLL_ART_LAYOUT = 1
+_HLL_ART_RELATIONS = ("registers",)
+
+
+def _hll_registers_merge(df: DataFrame) -> DataFrame:
+    return df.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+_HLL_ART_MERGE = {"registers": _hll_registers_merge}
+
+
+def _validate_hll_manifest(
+    spark: SparkSession, path: str, p: int, verb: str
+) -> dict:
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("p") != int(p):
+        raise ValueError(
+            f"hll register artifact at {path!r} built with p="
+            f"{man.get('p')!r}, {verb} wants p={p} — registers from "
+            "different precisions never merge"
+        )
+    return man
+
+
+def hll_build_artifact(
+    df: DataFrame, path: str, key_col: str, p: int = 6
+) -> None:
+    """Persist the register table as a partitioned artifact (manifest
+    pins the precision ``p``; ≤ 2**p rows — index-metadata-sized at
+    any corpus scale)."""
+    import os
+
+    from .similarity import _write_artifact_manifest
+
+    spark = df.sparkSession
+    _write_artifact_manifest(
+        spark, path, {"p": int(p), "layout": _HLL_ART_LAYOUT}
+    )
+    (
+        hll_registers(df, key_col, p=p)
+        .write.mode("overwrite")
+        .parquet(f"{path}/registers/part=base")
+    )
+    os.makedirs(f"{path}/_batches", exist_ok=True)
+
+
+def hll_append(
+    new_rows: DataFrame,
+    path: str,
+    batch_id: str,
+    key_col: str,
+    p: int = 6,
+) -> None:
+    """Fold a new row batch into the standing register table
+    TRANSACTIONALLY — O(batch), per-batch partial registers merged by
+    MAX on read. Like OR (and unlike SUM), MAX is idempotent:
+    overlapping batches are harmless, which is exactly why
+    distinct-count sketches are the nightly-rollup workhorse — the
+    same user seen on two days maxes into the same register."""
+    from .artifacts import append_part_dir, transactional_append
+
+    spark = new_rows.sparkSession
+    _validate_hll_manifest(spark, path, p, "append")
+    with transactional_append(
+        path, batch_id, _HLL_ART_RELATIONS
+    ) as fresh:
+        if not fresh:
+            return
+        (
+            hll_registers(new_rows, key_col, p=p)
+            .write.mode("overwrite")
+            .parquet(append_part_dir(path, "registers", batch_id))
+        )
+
+
+def hll_compact(spark: SparkSession, path: str) -> None:
+    """Fold committed batches into one ``part=base``, materializing
+    the per-register MAX. Shared implementation:
+    ``artifacts.compact_relations``."""
+    from .artifacts import compact_relations
+    from .similarity import read_artifact_manifest
+
+    man = read_artifact_manifest(spark, path)
+    if man.get("layout") != _HLL_ART_LAYOUT:
+        raise ValueError(
+            f"hll register artifact at {path!r} layout "
+            f"{man.get('layout')!r} does not support compact"
+        )
+    compact_relations(
+        spark, path, _HLL_ART_RELATIONS, finalize=_HLL_ART_MERGE
+    )
+
+
+def read_hll_registers(
+    spark: SparkSession, path: str, p: int = 6
+) -> DataFrame:
+    """Read the committed register table, MAX-merging per-batch
+    partials when appended batches are outstanding (≤ 2**p rows
+    out)."""
+    from .artifacts import committed_parts, read_committed_relation
+
+    _validate_hll_manifest(spark, path, p, "probe")
+    df = read_committed_relation(spark, path, "registers")
+    if len(committed_parts(path)) > 1:
+        df = _hll_registers_merge(df)
     return df
 
 

@@ -3769,9 +3769,7 @@ _BLOOM_HIT = " AND ".join(
 )
 
 
-@register(
-    "dedup_bloom_guard",
-    oracle=f"""
+_BLOOM_GUARD_ORACLE = f"""
     WITH n AS (
       SELECT doc_id, md5({_NORM}) AS fp FROM documents),
     hist AS (SELECT DISTINCT fp FROM n WHERE doc_id % 3 = 0),
@@ -3790,7 +3788,48 @@ _BLOOM_HIT = " AND ".join(
            CAST(CASE WHEN fp IN (SELECT fp FROM hist) THEN 1 ELSE 0 END
                 AS BIGINT) AS true_dup
     FROM n
-    """,
+    """
+
+
+def _doc_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) normalized-text fingerprints — the bloom family's
+    input stream."""
+    from pyspark.sql import functions as F
+
+    from ..functions import normalize_text
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
+    )
+
+
+def _bloom_guard_report(
+    fps: DataFrame, hist: DataFrame, bmp: DataFrame
+) -> DataFrame:
+    """Per-doc Bloom verdict next to ground truth — shared by the
+    live-bitmap guard and the artifact-served append probe."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scale import bloom_might_contain
+
+    probed = bloom_might_contain(fps, bmp)
+    truth = hist.withColumn("__t__", F.lit(1).cast("long"))
+    return (
+        probed.join(F.broadcast(truth), "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("__t__"), F.lit(0).cast("long")).alias(
+                "true_dup"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_bloom_guard",
+    oracle=_BLOOM_GUARD_ORACLE,
     tags=("llm", "dedup", "bloom", "scale"),
     since=3,
 )
@@ -3809,30 +3848,77 @@ def dedup_bloom_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the same width from its own COUNT(*) before rebuilding
     the identical bitmap bit-for-bit in SQL, so one flipped bit — or
     a sizing divergence — anywhere fails the hash."""
-    from pyspark.sql import functions as F
+    from ..operators.scale import bloom_bitmap
 
-    from ..functions import normalize_text
-    from ..operators.scale import bloom_bitmap, bloom_might_contain
-
-    d = _load(spark, sf_dir, "documents")
-
-    fps = d.select(
-        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fp")
-    )
+    fps = _doc_fps(spark, sf_dir)
     hist = fps.filter("doc_id % 3 = 0").select("fp").distinct()
     bmp = bloom_bitmap(hist)  # m_bits=None -> auto-sized from hist count
-    probed = bloom_might_contain(fps, bmp)
-    truth = hist.withColumn("__t__", F.lit(1).cast("long"))
-    return (
-        probed.join(F.broadcast(truth), "fp", "left")
-        .select(
-            "doc_id",
-            "bloom_hit",
-            F.coalesce(F.col("__t__"), F.lit(0).cast("long")).alias(
-                "true_dup"
-            ),
-        )
+    return _bloom_guard_report(fps, hist, bmp)
+
+
+def _bloom_words_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure a Bloom word-table artifact that has lived an ingest
+    day: the family width is provisioned ONCE from the full history's
+    distinct-fingerprint count (the bloom_merge width contract — an
+    append-able bitmap family can never auto-size per batch), the
+    base is built on three quarters of the history rows, and the
+    last quarter is APPENDED transactionally. The two batches'
+    fingerprint SETS may overlap (same normalized text under
+    different doc ids) — deliberately: OR is idempotent, so the
+    bloom family tolerates overlapping batches, the property the
+    SUM families must forbid. Contract in `ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+    from ..operators.scale import (
+        auto_bloom_bits,
+        bloom_words_append,
+        bloom_words_build_artifact,
     )
+
+    def build(path: str) -> None:
+        fps = _doc_fps(spark, sf_dir)
+        hist = fps.filter("doc_id % 3 = 0")
+        m_bits = auto_bloom_bits(
+            hist.select("fp").distinct().count()
+        )
+        bloom_words_build_artifact(
+            hist.filter(F.col("doc_id") % 4 != 3).select("fp").distinct(),
+            path, m_bits,
+        )
+        bloom_words_append(
+            hist.filter(F.col("doc_id") % 4 == 3).select("fp").distinct(),
+            path, "ingest1",
+        )
+
+    return ensure_artifact(spark, "bloom_words", sf_dir, build)
+
+
+@register(
+    "dedup_bloom_append_probe",
+    oracle=_BLOOM_GUARD_ORACLE,
+    tags=("llm", "dedup", "bloom", "scale", "incremental"),
+    since=14,
+)
+def dedup_bloom_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest for the Bloom guard — the OR-monoid member
+    of the shared transactional protocol (r14): the probed bitmap is
+    served from a word-table artifact built on three quarters of the
+    history and transactionally appended with the last quarter (only
+    the batch hashed, O(batch)); the uncompacted read OR-merges the
+    committed word partitions before packing, so committed-partition
+    pruning AND the bitwise merge-on-read are both on the hook. The
+    oracle replays the FULL-history bitmap build bit-for-bit, so a
+    MATCH proves OR(words(old), words(delta)) == words(all) — and
+    because a crashed append's partition is invisible, a bit can
+    never be set for a fingerprint whose batch did not commit (the
+    no-false-negatives invariant survives the lifecycle)."""
+    from ..operators.scale import read_bloom_bitmap
+
+    fps = _doc_fps(spark, sf_dir)
+    hist = fps.filter("doc_id % 3 = 0").select("fp").distinct()
+    bmp = read_bloom_bitmap(
+        spark, _bloom_words_artifact_path(spark, sf_dir)
+    )
+    return _bloom_guard_report(fps, hist, bmp)
 
 
 @register(

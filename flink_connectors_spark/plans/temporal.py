@@ -828,6 +828,72 @@ def rollup_merge_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.finalize(R.merge_rollup(standing, delta))
 
 
+def _hll_users_artifact_path(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure a deterministic-HLL register artifact that has lived an
+    ingest day: base built on events before the 25th, the newer
+    window APPENDED transactionally (only the batch hashed). The
+    same user_id appears on BOTH sides of the cut — deliberately:
+    register MAX is idempotent, so overlapping batches are exactly
+    what the distinct-count sketch family must absorb (a user seen
+    on two days maxes into the same register). Contract in
+    `operators.artifacts.ensure_artifact`."""
+    from ..operators.artifacts import ensure_artifact
+    from ..operators.scale import hll_append, hll_build_artifact
+
+    def build(path: str) -> None:
+        ev = _events(spark, sf_dir)
+        cut = F.to_timestamp(F.lit("2024-01-25 00:00:00"))
+        hll_build_artifact(
+            ev.filter(F.col("ts") < cut), path, "user_id", p=6
+        )
+        hll_append(
+            ev.filter(F.col("ts") >= cut), path, "ingest1",
+            "user_id", p=6,
+        )
+
+    return ensure_artifact(spark, "hll_users", sf_dir, build)
+
+
+@register(
+    "rollup_hll_append_probe",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 64 AS reg,
+             CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS x
+      FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events))
+    SELECT reg,
+           CAST(MAX(CASE WHEN x = 0 THEN 33
+                         ELSE strpos(lpad(bin(x), 32, '0'), '1')
+                    END) AS INT) AS rho
+    FROM t GROUP BY reg
+    """,
+    tags=("temporal", "rollup", "sketch", "hll", "incremental"),
+    since=14,
+)
+def rollup_hll_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest for the distinct-count sketch — the
+    MAX-monoid member of the shared transactional protocol (r14).
+    Unlike the built-in DataSketches HLL (opaque binary, so its
+    rollup rows carry error-bound oracles), this register table is
+    fully deterministic — reg = first md5 word mod 2^p, rho = first
+    set bit of the second word's 32-bit slice via pure
+    integer/string ops — so the DuckDB oracle replays the FULL event
+    stream's registers and the driver value-hashes them EXACTLY. The
+    probed artifact was built on events before the ingest cut and
+    the newer window appended transactionally; the uncompacted read
+    MAX-merges the committed register partitions, so a MATCH proves
+    max(reg(old), reg(delta)) == reg(all) register-for-register —
+    the mergeability that lets a 100 TB summary answer 'distinct
+    users last quarter' without a fact scan, now with the same
+    crash-safe append/compact lifecycle as every other standing
+    artifact."""
+    from ..operators.scale import read_hll_registers
+
+    return read_hll_registers(
+        spark, _hll_users_artifact_path(spark, sf_dir), p=6
+    )
+
+
 @register(
     "rollup_quantile_histogram",
     oracle="""

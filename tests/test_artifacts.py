@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from flink_connectors_spark.operators import artifacts as A
 from flink_connectors_spark.operators import similarity as S
 from flink_connectors_spark.plans import llm_ops, llm_ops2, llm_ops3
+from flink_connectors_spark.plans import temporal as _temporal
 from flink_connectors_spark.session import load_table
 
 # every artifact family: (kind tag, ensure-helper). Parametrizing over
@@ -50,6 +51,8 @@ ALL_FAMILIES = [
     ("contain_pairs_inc", llm_ops._containment_pairs_inc_artifact_path),
     ("cms_partkey", llm_ops3._cms_artifact_path),
     ("cms_partkey_inc", llm_ops3._cms_inc_artifact_path),
+    ("bloom_words", llm_ops._bloom_words_artifact_path),
+    ("hll_users", _temporal._hll_users_artifact_path),
 ]
 
 
@@ -1600,6 +1603,8 @@ _SWEEP_FAMILIES = (
     "containment_pairs",
     "neardup_edges",
     "countmin",
+    "bloom_words",
+    "hll_registers",
 )
 
 
@@ -1694,17 +1699,49 @@ def _sweep_driver(spark, sf_dir, family):
             lambda p: rows(S.read_neardup_edges(spark, p, threshold=0.3)),
             (old, new, emb),
         )
-    assert family == "countmin"
-    li = load_table(spark, sf_dir, "lineitem")
-    old = li.filter(F.col("l_orderkey") % 4 != 3)
-    new = li.filter(F.col("l_orderkey") % 4 == 3)
+    if family == "countmin":
+        li = load_table(spark, sf_dir, "lineitem")
+        old = li.filter(F.col("l_orderkey") % 4 != 3)
+        new = li.filter(F.col("l_orderkey") % 4 == 3)
+        return (
+            SC._CMS_ART_RELATIONS,
+            lambda df, p: SC.countmin_build_artifact(df, p, "l_partkey"),
+            lambda df, p, b: SC.countmin_append(df, p, b, "l_partkey"),
+            lambda p: SC.countmin_compact(spark, p),
+            lambda p: rows(SC.read_countmin_counters(spark, p)),
+            (old, new, li),
+        )
+    if family == "bloom_words":
+        docs = load_table(spark, sf_dir, "documents")
+        fps = docs.select(F.md5(F.col("text")).alias("fp"))
+        # row-split batches whose fingerprint SETS may overlap —
+        # OR is idempotent, so the family must absorb that
+        old = docs.filter(F.col("doc_id") % 4 != 3).select(
+            F.md5(F.col("text")).alias("fp")
+        )
+        new = docs.filter(F.col("doc_id") % 4 == 3).select(
+            F.md5(F.col("text")).alias("fp")
+        )
+        m = SC.auto_bloom_bits(fps.count())
+        return (
+            SC._BLOOM_ART_RELATIONS,
+            lambda df, p: SC.bloom_words_build_artifact(df, p, m),
+            lambda df, p, b: SC.bloom_words_append(df, p, b),
+            lambda p: SC.bloom_words_compact(spark, p),
+            lambda p: rows(SC.read_bloom_bitmap(spark, p)),
+            (old, new, fps),
+        )
+    assert family == "hll_registers"
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("user_id") % 4 != 3)
+    new = ev.filter(F.col("user_id") % 4 == 3)
     return (
-        SC._CMS_ART_RELATIONS,
-        lambda df, p: SC.countmin_build_artifact(df, p, "l_partkey"),
-        lambda df, p, b: SC.countmin_append(df, p, b, "l_partkey"),
-        lambda p: SC.countmin_compact(spark, p),
-        lambda p: rows(SC.read_countmin_counters(spark, p)),
-        (old, new, li),
+        SC._HLL_ART_RELATIONS,
+        lambda df, p: SC.hll_build_artifact(df, p, "user_id"),
+        lambda df, p, b: SC.hll_append(df, p, b, "user_id"),
+        lambda p: SC.hll_compact(spark, p),
+        lambda p: rows(SC.read_hll_registers(spark, p)),
+        (old, new, ev),
     )
 
 
