@@ -242,6 +242,137 @@ def stress_containment(spark, docs, batch_src, scale_tag: str) -> dict:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def stress_countmin(spark, li, batch_src, scale_tag: str) -> dict:
+    """r14: the SUM-monoid sketch family — appends re-sketch only the
+    batch into a ≤ d*w-row partial, so the cost is batch-scan-bounded
+    and the 4x standing corpus should not move it at all."""
+    from flink_connectors_spark.operators import scale as SC
+
+    path = tempfile.mkdtemp(prefix=f"fcs_s14_cms_{scale_tag}_")
+    try:
+        t_build = _clock(
+            lambda: SC.countmin_build_artifact(li, path, "l_partkey")
+        )
+        t_appends = []
+        appended = li
+        for i, b in enumerate(_batches(batch_src, "l_orderkey")):
+            t_appends.append(
+                _clock(
+                    lambda b=b, i=i: SC.countmin_append(
+                        b, path, f"night{i}", "l_partkey"
+                    )
+                )
+            )
+            appended = appended.unionByName(b)
+            if i == 1:
+                SC.countmin_compact(spark, path)
+        got = sorted(
+            tuple(r)
+            for r in SC.read_countmin_counters(spark, path).collect()
+        )
+        ref_path = tempfile.mkdtemp(prefix="fcs_s14_cmsref_")
+        try:
+            SC.countmin_build_artifact(appended, ref_path, "l_partkey")
+            want = sorted(
+                tuple(r)
+                for r in SC.read_countmin_counters(
+                    spark, ref_path
+                ).collect()
+            )
+        finally:
+            shutil.rmtree(ref_path, ignore_errors=True)
+        assert got == want, f"countmin {scale_tag}: append != rebuild"
+        return {"build": t_build, "appends": t_appends}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def stress_bloom(spark, docs, batch_src, scale_tag: str) -> dict:
+    """r14: the OR-monoid family. The nightly batches deliberately
+    OVERLAP the standing set (identical fingerprints) — OR is
+    idempotent, so the family must absorb that, unlike the SUM
+    families."""
+    from flink_connectors_spark.operators import scale as SC
+
+    fps = docs.select(F.md5(F.col("text")).alias("fp"))
+    batch = batch_src.select(F.md5(F.col("text")).alias("fp"))
+    m = SC.auto_bloom_bits(fps.count())
+    path = tempfile.mkdtemp(prefix=f"fcs_s14_bloom_{scale_tag}_")
+    try:
+        t_build = _clock(
+            lambda: SC.bloom_words_build_artifact(fps, path, m)
+        )
+        t_appends = []
+        for i in range(3):
+            t_appends.append(
+                _clock(
+                    lambda i=i: SC.bloom_words_append(
+                        batch, path, f"night{i}"
+                    )
+                )
+            )
+            if i == 1:
+                SC.bloom_words_compact(spark, path)
+        got = SC.read_bloom_bitmap(spark, path).first()["bf"]
+        ref_path = tempfile.mkdtemp(prefix="fcs_s14_bloomref_")
+        try:
+            SC.bloom_words_build_artifact(
+                fps.unionByName(batch), ref_path, m
+            )
+            want = SC.read_bloom_bitmap(spark, ref_path).first()["bf"]
+        finally:
+            shutil.rmtree(ref_path, ignore_errors=True)
+        assert got == want, f"bloom {scale_tag}: append != rebuild"
+        return {"build": t_build, "appends": t_appends}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def stress_hll(spark, ev, batch_src, scale_tag: str) -> dict:
+    """r14: the MAX-monoid family — overlapping user batches max into
+    the same registers; the committed view must equal the rebuild
+    register-for-register."""
+    from flink_connectors_spark.operators import scale as SC
+
+    path = tempfile.mkdtemp(prefix=f"fcs_s14_hll_{scale_tag}_")
+    try:
+        t_build = _clock(
+            lambda: SC.hll_build_artifact(ev, path, "user_id")
+        )
+        t_appends = []
+        appended = ev
+        for i in range(3):
+            t_appends.append(
+                _clock(
+                    lambda i=i: SC.hll_append(
+                        batch_src, path, f"night{i}", "user_id"
+                    )
+                )
+            )
+            appended = appended.unionByName(batch_src)
+            if i == 1:
+                SC.hll_compact(spark, path)
+        got = sorted(
+            tuple(r)
+            for r in SC.read_hll_registers(spark, path).collect()
+        )
+        ref_path = tempfile.mkdtemp(prefix="fcs_s14_hllref_")
+        try:
+            SC.hll_build_artifact(appended, ref_path, "user_id")
+            want = sorted(
+                tuple(r)
+                for r in SC.read_hll_registers(
+                    spark, ref_path
+                ).collect()
+            )
+        finally:
+            shutil.rmtree(ref_path, ignore_errors=True)
+        assert got == want, f"hll {scale_tag}: append != rebuild"
+        return {"build": t_build, "appends": t_appends}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(app_name="stress-r13-incremental")
@@ -252,9 +383,15 @@ def main() -> None:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id")
     # fixed nightly batch: one fifth of the base corpus, both scales
     doc_batch = docs.filter(F.col("doc_id") % 5 == 0)
     emb_batch = emb.filter(F.col("vec_id") % 5 == 0)
+    li_batch = li.filter(F.col("l_orderkey") % 5 == 0)
+    ev_batch = ev.filter(F.col("user_id") % 5 == 0)
 
     results: dict[str, dict] = {}
     # per-family append-cost bounds under 4x corpus growth: the LSH /
@@ -264,12 +401,20 @@ def main() -> None:
     # bound there is "clearly below the candidate-volume growth", not
     # flat (at 100 TB the fix is finer blocking or prefix filtering,
     # which `dedup_containment_rare_shingle` implements).
-    bounds = {"grams": 2.5, "edges": 2.5, "pairs": 2.5, "contain": 5.0}
+    bounds = {
+        "grams": 2.5, "edges": 2.5, "pairs": 2.5, "contain": 5.0,
+        # the r14 sketch monoids: appends are a batch scan into a
+        # bounded-domain aggregate — near-flat by construction
+        "countmin": 2.5, "bloom": 2.5, "hll": 2.5,
+    }
     for fam, fn, base, batch, id_col in (
         ("grams", stress_grams, docs, doc_batch, "doc_id"),
         ("edges", stress_edges, emb, emb_batch, "vec_id"),
         ("pairs", stress_pairs, docs, doc_batch, "doc_id"),
         ("contain", stress_containment, docs, doc_batch, "doc_id"),
+        ("countmin", stress_countmin, li, li_batch, "l_orderkey"),
+        ("bloom", stress_bloom, docs, doc_batch, "doc_id"),
+        ("hll", stress_hll, ev, ev_batch, "user_id"),
     ):
         r1 = fn(spark, base, batch, "1x")
         r4 = fn(spark, _shifted_union(base, id_col, 4), batch, "4x")
