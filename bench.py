@@ -71,6 +71,9 @@ HEADLINE = [
     "sql_text_window_sessions",
     "grouped_map_demean",
     "multimodal_decode",
+    # r14: the compressed-codec decode (real PNG — CRC walk, inflate,
+    # full predictive-filter inversion inside Arrow batches)
+    "multimodal_png_decode",
     "dedup_incremental_batch",
     # r12: the compacted-index probe (build -> transactional append
     # -> compact lifecycle priced in ITS cold column via BUILD_ONCE)

@@ -9,7 +9,9 @@ is a Pandas-UDF stage over Arrow batches. Two tiers:
   `decode_media`): byte-for-byte valid BMP and RIFF-WAVE files are
   built and struct-parsed back — header fields and full payload
   checksums come from the actual bytes (stdlib-`wave`-validated in
-  tests). This is the production plumbing end-to-end.
+  tests). This is the production plumbing end-to-end. r14 adds the
+  first COMPRESSED codec: real PNG (`synthesize_png` / `png_decode`,
+  stdlib zlib — DEFLATE inflate + the full predictive-filter set).
 - STUB codecs for formats that need external libraries (PIL/librosa/
   ffmpeg are not in this container): `_image_resize_stub` etc. keep
   the real signatures over the same Arrow machinery, clearly marked.
@@ -657,3 +659,224 @@ def video_frame_sample(mm: DataFrame, every_n: int = 3) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return mm.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: the first COMPRESSED codec in the family (r14)
+# ---------------------------------------------------------------------------
+#
+# BMP / WAV / Y4M prove the plumbing on uncompressed formats; JPEG and
+# FLAC stay env-blocked (no PIL/soundfile in the container). PNG needs
+# only stdlib zlib + struct, so the compressed-codec path is REAL:
+# DEFLATE-compressed IDAT streams (split across two chunks to exercise
+# reassembly), CRC-verified chunk walk, and the full scanline
+# predictive-filter set (None/Sub/Up/Average/Paeth — the synthesizer
+# cycles all five by row, so a single wrong predictor anywhere moves
+# the unfiltered checksum and fails the oracle hash).
+
+import zlib as _zlib
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def _make_png(width: int, height: int, doc_id: int) -> bytes:
+    """A real, openable RGB8 PNG (bit depth 8, color type 2, non-
+    interlaced, correct CRCs). Raw pixel byte i follows the
+    deterministic (i*7 + doc_id) % 256 pattern; each scanline is
+    filtered with type ``row % 5``, so the decoder must run every
+    PNG predictor correctly to recover the SQL-predictable bytes."""
+    stride = width * 3
+    bpp = 3
+    raw = (
+        (np.arange(stride * height, dtype=np.int64) * 7 + doc_id) % 256
+    ).astype(np.uint8).tobytes()
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = raw[r * stride : (r + 1) * stride]
+        ft = r % 5
+        out.append(ft)
+        if ft == 0:
+            out += row
+        elif ft == 1:
+            out += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(stride)
+            )
+        elif ft == 2:
+            out += bytes(
+                (row[i] - prev[i]) % 256 for i in range(stride)
+            )
+        elif ft == 3:
+            out += bytes(
+                (
+                    row[i]
+                    - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2
+                )
+                % 256
+                for i in range(stride)
+            )
+        else:
+            out += bytes(
+                (
+                    row[i]
+                    - _png_paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                % 256
+                for i in range(stride)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = _zlib.compress(bytes(out), 6)
+    mid = max(1, len(idat) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat[:mid])
+        + _png_chunk(b"IDAT", idat[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Parse + decompress + unfilter a real PNG: CRC-verified chunk
+    walk, multi-IDAT reassembly, zlib inflate, then the per-scanline
+    predictor inversion. Returns header fields AND the checksum of
+    the UNFILTERED pixel bytes — the value only a correct end-to-end
+    decode can produce. RGB8 non-interlaced only (the shape the
+    synthesizer emits); anything else raises rather than guessing."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        crc = struct.unpack_from(">I", payload, pos + 8 + clen)[0]
+        if crc != (_zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    w, h, depth, ctyp = struct.unpack_from(">IIBB", ihdr, 0)
+    if depth != 8 or ctyp != 2 or ihdr[12] != 0:
+        raise NotImplementedError(
+            "only RGB8 non-interlaced PNGs are decoded here"
+        )
+    bpp, stride = 3, w * 3
+    data = _zlib.decompress(idat)
+    checksum = 0
+    prev = bytes(stride)
+    p = 0
+    for _r in range(h):
+        ft = data[p]
+        p += 1
+        line = bytearray(data[p : p + stride])
+        p += stride
+        if ft == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) % 256
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) % 256
+        elif ft == 3:
+            for i in range(stride):
+                line[i] = (
+                    line[i]
+                    + ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2
+                ) % 256
+        elif ft == 4:
+            for i in range(stride):
+                line[i] = (
+                    line[i]
+                    + _png_paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                ) % 256
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        checksum += sum(line)
+        prev = bytes(line)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bit_depth": int(depth),
+        "color_type": int(ctyp),
+        "n_raw_bytes": int(stride * h),
+        "pixel_checksum": int(checksum),
+    }
+
+
+PNG_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("color_type", LongType()),
+        StructField("n_raw_bytes", LongType()),
+        StructField("pixel_checksum", LongType()),
+    ]
+)
+
+
+def synthesize_png(
+    df: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Ingest-simulation stage for the compressed modality: build a
+    real PNG per row (width/height derived from row attributes),
+    Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _make_png(
+                    int(did) % 13 + 1, int(nch) % 11 + 1, int(did)
+                )
+                for did, nch in zip(pdf[id_col], pdf[chars_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(run, "doc_id long, payload binary")
+
+
+def png_decode(mm: DataFrame) -> DataFrame:
+    """The compressed-decode stage: every payload's chunks are
+    CRC-verified, inflated, and unfiltered inside Arrow-batched
+    mapInPandas; only header fields + the pixel checksum leave the
+    stage (payload bytes never shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_png(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
+            yield out[[f.name for f in PNG_DECODE_SCHEMA.fields]]
+
+    return mm.mapInPandas(run, PNG_DECODE_SCHEMA)

@@ -3555,6 +3555,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 13 + 1 AS BIGINT) AS width,
+           CAST(n_chars % 11 + 1 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(3 * (doc_id % 13 + 1) * (n_chars % 11 + 1) AS BIGINT)
+             AS n_raw_bytes,
+           CAST(list_sum(list_transform(
+                 range(0, 3 * (doc_id % 13 + 1) * (n_chars % 11 + 1)),
+                 i -> (i * 7 + doc_id) % 256)) AS BIGINT)
+             AS pixel_checksum
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "png", "codec", "pandas_udf"),
+    since=14,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's first COMPRESSED codec, end-to-end real (r14):
+    synthesize a valid RGB8 PNG per document (correct CRCs, DEFLATE
+    IDAT split across two chunks, scanlines filtered with the full
+    None/Sub/Up/Average/Paeth predictor set cycling by row), then
+    decode it back — CRC-verified chunk walk, multi-IDAT reassembly,
+    zlib inflate, per-scanline predictor inversion — inside
+    Arrow-batched mapInPandas. The oracle predicts every image's
+    UNFILTERED pixel checksum arithmetically, so one wrong predictor,
+    one mis-assembled chunk, or one bad inflate anywhere fails the
+    value hash. BMP/WAV/Y4M proved the uncompressed plumbing;
+    JPEG/FLAC remain env-blocked (no PIL/soundfile) — PNG needs only
+    stdlib zlib, so the compressed path is no longer hypothetical.
+    Payload bytes never leave the stage: only header fields + the
+    checksum ship."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return M.png_decode(M.synthesize_png(d))
+
+
+@register(
     "dedup_containment",
     oracle=f"""
     WITH {_SHINGLES_CTE},

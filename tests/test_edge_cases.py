@@ -736,3 +736,34 @@ def test_robust_mad_zero_mad_fallback_counts_outliers(spark, tmp_path):
     ocols, orows = _norm(*_oracle_rows(str(tmp_path), spec.oracle))
     assert scols == ocols
     assert srows == orows
+
+
+def test_png_codec_roundtrip_and_guards():
+    """The r14 compressed codec: (a) round-trip over sizes that hit
+    every filter type (height >= 5 cycles all five predictors) and
+    both the i<bpp edge and multi-IDAT reassembly; (b) a corrupted
+    chunk fails the CRC check loudly; (c) non-PNG magic and
+    unsupported shapes raise instead of guessing."""
+    import pytest as _pytest
+
+    from flink_connectors_spark.operators.multimodal import (
+        _decode_png,
+        _make_png,
+    )
+
+    for w, h, did in [(1, 1, 0), (1, 7, 3), (13, 11, 42), (4, 6, 999)]:
+        png = _make_png(w, h, did)
+        r = _decode_png(png)
+        want = sum((i * 7 + did) % 256 for i in range(3 * w * h))
+        assert (
+            r["width"], r["height"], r["bit_depth"], r["color_type"],
+            r["n_raw_bytes"], r["pixel_checksum"],
+        ) == (w, h, 8, 2, 3 * w * h, want)
+
+    png = bytearray(_make_png(5, 5, 1))
+    png[40] ^= 0xFF  # flip a byte inside the first IDAT body
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(png))
+
+    with _pytest.raises(NotImplementedError, match="not a PNG"):
+        _decode_png(b"GIF89a" + b"\x00" * 20)
