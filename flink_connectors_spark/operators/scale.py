@@ -880,24 +880,6 @@ def _bloom_words_merge(df: DataFrame) -> DataFrame:
 _BLOOM_ART_MERGE = {"words": _bloom_words_merge}
 
 
-def _validate_bloom_manifest(
-    spark: SparkSession, path: str, m_bits: int, n_hashes: int, verb: str
-) -> dict:
-    from .similarity import read_artifact_manifest
-
-    man = read_artifact_manifest(spark, path)
-    want = {"m_bits": int(m_bits), "n_hashes": int(n_hashes)}
-    got = {k: man.get(k) for k in want}
-    if got != want:
-        raise ValueError(
-            f"bloom word artifact at {path!r} params mismatch: built "
-            f"with {got}, {verb} wants {want} — words from a "
-            "differently-sized family never line up (the bloom_merge "
-            "width contract)"
-        )
-    return man
-
-
 def bloom_words_build_artifact(
     fps: DataFrame,
     path: str,
