@@ -86,8 +86,11 @@ HEADLINE = [
     "dedup_containment_append_probe",
     "rollup_daily_from_hourly",
     # r14: the MAX-monoid lifecycle row — deterministic-HLL register
-    # artifact over the event stream, exact register-table oracle
+    # artifact over the event stream, exact register-table oracle —
+    # and its consumer (distinct-count estimate off the registers,
+    # bound-gated against the exact count)
     "rollup_hll_append_probe",
+    "rollup_hll_distinct_estimate",
     # r3 additions
     "pipeline_mixture_sample",
     # r12: the tokenized-corpus artifact row runs BEFORE every

@@ -285,3 +285,28 @@ def test_duplicated_spans_match_bruteforce_model(spark, ts):
     }
     exp = _model_spans({i: _model_tokens(t) for i, t in enumerate(ts)}, k)
     assert got == exp, (ts, got, exp)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    doc_id=st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_codec_roundtrip_property(w, h, doc_id):
+    """r14 compressed codec, property form: for ANY image shape and
+    seed, decode(encode(...)) recovers the header fields and the
+    exact unfiltered pixel checksum — across every predictive filter
+    the row count reaches (heights >= 5 cycle all five), the i < bpp
+    left-edge cases, and whatever DEFLATE does to the byte stream."""
+    from flink_connectors_spark.operators.multimodal import (
+        _decode_png,
+        _make_png,
+    )
+
+    r = _decode_png(_make_png(w, h, doc_id))
+    want = sum((i * 7 + doc_id) % 256 for i in range(3 * w * h))
+    assert (
+        r["width"], r["height"], r["bit_depth"], r["color_type"],
+        r["n_raw_bytes"], r["pixel_checksum"],
+    ) == (w, h, 8, 2, 3 * w * h, want)
