@@ -125,7 +125,11 @@ def main() -> None:
 
     # HEAD-only: price the artifact OPEN path the verdict fingered
     # (manifest read + committed-parts listing + pointer resolution)
-    # on the OPQ artifact this very process just built.
+    # on the OPQ artifact this very process just built. NOTE: the
+    # manifest cache is already primed by the probes above, so this
+    # measures the WARM open path — exactly what the warm-regression
+    # adjudication needs, but NOT a cold/cross-process first open
+    # (that pays one real manifest parquet read).
     try:
         from flink_connectors_spark.operators import artifacts as A
         from flink_connectors_spark.operators.similarity import (

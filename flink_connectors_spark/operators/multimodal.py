@@ -777,6 +777,10 @@ def _decode_png(payload: bytes) -> dict:
         elif ctype == b"IEND":
             break
         pos += 12 + clen
+    if ihdr is None:
+        raise ValueError(
+            "PNG payload has no IHDR chunk (truncated or corrupt)"
+        )
     w, h, depth, ctyp = struct.unpack_from(">IIBB", ihdr, 0)
     if depth != 8 or ctyp != 2 or ihdr[12] != 0:
         raise NotImplementedError(

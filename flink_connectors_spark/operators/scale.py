@@ -730,22 +730,33 @@ def _cms_counters_merge(df: DataFrame) -> DataFrame:
 _CMS_MERGE = {"counters": _cms_counters_merge}
 
 
-def _validate_cms_manifest(
-    spark: SparkSession, path: str, depth: int, width: int, verb: str
+def _validate_sketch_manifest(
+    spark: SparkSession,
+    path: str,
+    family: str,
+    layout: int,
+    given: dict,
 ) -> dict:
-    from .similarity import read_artifact_manifest
+    """The one validator every sketch-monoid family verb goes
+    through (r14 review): layout pin + caller-params-vs-manifest
+    check via the shared `similarity._validate_artifact_params`
+    (None values are DISCOVERED from the manifest — how the bloom
+    append inherits its family width). Every verb — append, compact,
+    probe — validates, so a layout bump or param drift fails loudly
+    at the first touch instead of being silently served."""
+    from .similarity import (
+        _validate_artifact_params,
+        read_artifact_manifest,
+    )
 
     man = read_artifact_manifest(spark, path)
-    want = {"depth": int(depth), "width": int(width)}
-    got = {k: man.get(k) for k in want}
-    if got != want:
+    if man.get("layout") != layout:
         raise ValueError(
-            f"countmin artifact at {path!r} params mismatch: built "
-            f"with {got}, {verb} wants {want} — estimates from a "
-            "differently-shaped sketch are silently wrong, not "
-            "obviously broken"
+            f"{family} artifact at {path!r} layout "
+            f"{man.get('layout')!r} does not match the supported "
+            f"layout {layout} — rebuild first"
         )
-    return man
+    return _validate_artifact_params(spark, path, given)
 
 
 def countmin_build_artifact(
@@ -803,7 +814,10 @@ def countmin_append(
     from .artifacts import append_part_dir, transactional_append
 
     spark = new_rows.sparkSession
-    _validate_cms_manifest(spark, path, depth, width, "append")
+    _validate_sketch_manifest(
+        spark, path, "countmin", _CMS_ART_LAYOUT,
+        {"depth": depth, "width": width},
+    )
     with transactional_append(
         path, batch_id, _CMS_ART_RELATIONS
     ) as fresh:
@@ -823,14 +837,8 @@ def countmin_compact(spark: SparkSession, path: str) -> None:
     Shared implementation + crash-window analysis:
     ``artifacts.compact_relations``."""
     from .artifacts import compact_relations
-    from .similarity import read_artifact_manifest
 
-    man = read_artifact_manifest(spark, path)
-    if man.get("layout") != _CMS_ART_LAYOUT:
-        raise ValueError(
-            f"countmin artifact at {path!r} layout "
-            f"{man.get('layout')!r} does not support compact"
-        )
+    _validate_sketch_manifest(spark, path, "countmin", _CMS_ART_LAYOUT, {})
     compact_relations(
         spark, path, _CMS_ART_RELATIONS, finalize=_CMS_MERGE
     )
@@ -847,7 +855,10 @@ def read_countmin_counters(
     committed batches)."""
     from .artifacts import committed_parts, read_committed_relation
 
-    _validate_cms_manifest(spark, path, depth, width, "probe")
+    _validate_sketch_manifest(
+        spark, path, "countmin", _CMS_ART_LAYOUT,
+        {"depth": depth, "width": width},
+    )
     df = read_committed_relation(spark, path, "counters")
     if len(committed_parts(path)) > 1:
         df = _cms_counters_merge(df)
@@ -897,10 +908,16 @@ def bloom_words_build_artifact(
 
     from .similarity import _write_artifact_manifest
 
-    if m_bits % _BLOOM_WORD_BITS != 0:
+    if m_bits <= 0 or m_bits % _BLOOM_WORD_BITS != 0:
         raise ValueError(
-            f"m_bits must be a multiple of {_BLOOM_WORD_BITS}: {m_bits}"
+            f"m_bits must be a positive multiple of "
+            f"{_BLOOM_WORD_BITS}: {m_bits}"
         )
+    if not 1 <= n_hashes <= 4:
+        # same guard as bloom_bitmap (r14 review): md5 has 4 slices;
+        # a 5th hash would persist NULL word rows that crash every
+        # later read far from the provisioning mistake
+        raise ValueError("n_hashes must be in [1, 4] (md5 has 4 slices)")
     spark = fps.sparkSession
     _write_artifact_manifest(
         spark, path,
@@ -933,7 +950,10 @@ def bloom_words_append(
     from .artifacts import append_part_dir, transactional_append
 
     spark = new_fps.sparkSession
-    man = _validate_bloom_manifest_any(spark, path, "append")
+    man = _validate_sketch_manifest(
+        spark, path, "bloom word", _BLOOM_ART_LAYOUT,
+        {"m_bits": None, "n_hashes": None},
+    )
     with transactional_append(
         path, batch_id, _BLOOM_ART_RELATIONS
     ) as fresh:
@@ -948,43 +968,45 @@ def bloom_words_append(
         )
 
 
-def _validate_bloom_manifest_any(spark, path: str, verb: str) -> dict:
-    """Manifest read for verbs that inherit (m_bits, n_hashes) from
-    the artifact rather than validating caller params."""
-    from .similarity import read_artifact_manifest
-
-    man = read_artifact_manifest(spark, path)
-    if man.get("layout") != _BLOOM_ART_LAYOUT:
-        raise ValueError(
-            f"bloom word artifact at {path!r} layout "
-            f"{man.get('layout')!r} unsupported by {verb}"
-        )
-    return man
-
-
 def bloom_words_compact(spark: SparkSession, path: str) -> None:
     """Fold committed batches into one ``part=base``, materializing
     the per-word OR (finalize) — post-compact reads serve one row
     per word. Shared implementation: ``artifacts.compact_relations``."""
     from .artifacts import compact_relations
 
-    _validate_bloom_manifest_any(spark, path, "compact")
+    _validate_sketch_manifest(
+        spark, path, "bloom word", _BLOOM_ART_LAYOUT, {}
+    )
     compact_relations(
         spark, path, _BLOOM_ART_RELATIONS, finalize=_BLOOM_ART_MERGE
     )
 
 
-def read_bloom_bitmap(spark: SparkSession, path: str) -> DataFrame:
+def read_bloom_bitmap(
+    spark: SparkSession, path: str, n_hashes: int | None = 3
+) -> DataFrame:
     """Serve the committed family as the dense ONE-ROW ``bf`` bitmap
     :func:`bloom_might_contain` broadcasts: committed-pruned word
     rows, OR-merged when appended batches are outstanding (a
     ≤ words-sized shuffle), packed to width. The result answers
     membership for the UNION of base + committed batches with zero
     false negatives — crashed appends are invisible, so a bit can
-    never be set for a fingerprint whose batch did not commit."""
+    never be set for a fingerprint whose batch did not commit.
+
+    ``n_hashes`` is the hash count the CALLER will probe with
+    (r14 review): it must equal the family's build value or probing
+    checks a bit position that was never set and true members read
+    ``bloom_hit=0`` — the exact silent-false-negative hazard the
+    manifest exists to prevent. Pass the value you will hand to
+    :func:`bloom_might_contain` (its default, 3, matches this
+    default); ``None`` skips the pin only when the caller reads the
+    count out of band."""
     from .artifacts import committed_parts, read_committed_relation
 
-    man = _validate_bloom_manifest_any(spark, path, "probe")
+    man = _validate_sketch_manifest(
+        spark, path, "bloom word", _BLOOM_ART_LAYOUT,
+        {"m_bits": None, "n_hashes": n_hashes},
+    )
     words = read_committed_relation(spark, path, "words")
     if len(committed_parts(path)) > 1:
         words = _bloom_words_merge(words)
@@ -1041,21 +1063,6 @@ def _hll_registers_merge(df: DataFrame) -> DataFrame:
 _HLL_ART_MERGE = {"registers": _hll_registers_merge}
 
 
-def _validate_hll_manifest(
-    spark: SparkSession, path: str, p: int, verb: str
-) -> dict:
-    from .similarity import read_artifact_manifest
-
-    man = read_artifact_manifest(spark, path)
-    if man.get("p") != int(p):
-        raise ValueError(
-            f"hll register artifact at {path!r} built with p="
-            f"{man.get('p')!r}, {verb} wants p={p} — registers from "
-            "different precisions never merge"
-        )
-    return man
-
-
 def hll_build_artifact(
     df: DataFrame, path: str, key_col: str, p: int = 6
 ) -> None:
@@ -1094,7 +1101,9 @@ def hll_append(
     from .artifacts import append_part_dir, transactional_append
 
     spark = new_rows.sparkSession
-    _validate_hll_manifest(spark, path, p, "append")
+    _validate_sketch_manifest(
+        spark, path, "hll register", _HLL_ART_LAYOUT, {"p": p}
+    )
     with transactional_append(
         path, batch_id, _HLL_ART_RELATIONS
     ) as fresh:
@@ -1112,14 +1121,10 @@ def hll_compact(spark: SparkSession, path: str) -> None:
     the per-register MAX. Shared implementation:
     ``artifacts.compact_relations``."""
     from .artifacts import compact_relations
-    from .similarity import read_artifact_manifest
 
-    man = read_artifact_manifest(spark, path)
-    if man.get("layout") != _HLL_ART_LAYOUT:
-        raise ValueError(
-            f"hll register artifact at {path!r} layout "
-            f"{man.get('layout')!r} does not support compact"
-        )
+    _validate_sketch_manifest(
+        spark, path, "hll register", _HLL_ART_LAYOUT, {}
+    )
     compact_relations(
         spark, path, _HLL_ART_RELATIONS, finalize=_HLL_ART_MERGE
     )
@@ -1133,7 +1138,9 @@ def read_hll_registers(
     out)."""
     from .artifacts import committed_parts, read_committed_relation
 
-    _validate_hll_manifest(spark, path, p, "probe")
+    _validate_sketch_manifest(
+        spark, path, "hll register", _HLL_ART_LAYOUT, {"p": p}
+    )
     df = read_committed_relation(spark, path, "registers")
     if len(committed_parts(path)) > 1:
         df = _hll_registers_merge(df)

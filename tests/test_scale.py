@@ -1062,3 +1062,41 @@ def test_corpus_grams_stress_counts_scale_exactly(spark, sf_dir, tmp_path):
     assert originals, "fixture produced no original-copy rows"
     for k, v in by_id.items():
         assert v == by_id[k % 1_000_000 if k >= 1_000_000 else k], k
+
+
+def test_bloom_words_family_guards(spark, sf_dir):
+    """r14 review findings: (a) the artifact build rejects the
+    provisioning mistakes bloom_bitmap rejects (n_hashes outside
+    md5's 4 slices, non-positive width) instead of persisting NULL
+    word rows that crash reads far away; (b) read_bloom_bitmap pins
+    the caller's probe n_hashes against the family's build value —
+    a mismatch would silently produce Bloom false negatives."""
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from flink_connectors_spark.operators.scale import (
+        bloom_words_build_artifact,
+        read_bloom_bitmap,
+    )
+    from flink_connectors_spark.session import load_table
+
+    fps = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5(F.col("text")).alias("fp"))
+        .limit(50)
+    )
+    path = tempfile.mkdtemp(prefix="fcs_test_bloomguards_")
+    try:
+        with _pytest.raises(ValueError, match="n_hashes"):
+            bloom_words_build_artifact(fps, path, 992, n_hashes=5)
+        with _pytest.raises(ValueError, match="positive multiple"):
+            bloom_words_build_artifact(fps, path, 0)
+        shutil.rmtree(path, ignore_errors=True)
+        bloom_words_build_artifact(fps, path, 992, n_hashes=2)
+        with _pytest.raises(ValueError, match="mismatch"):
+            read_bloom_bitmap(spark, path, n_hashes=3)
+        assert read_bloom_bitmap(spark, path, n_hashes=2).count() == 1
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
