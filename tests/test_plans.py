@@ -1906,3 +1906,44 @@ def test_committed_partition_reads_prune_at_planning_time(spark, sf_dir):
             f"{name}: committed filter missing the appended batch"
         )
         _release(spark)
+
+
+def test_sketch_monoid_probes_artifact_served(spark, sf_dir):
+    """r14 plan pins for the three sketch-monoid lifecycle probes:
+    each is served from its persisted artifact with no row-at-a-time
+    Python anywhere, and the cheapest shape of all — the HLL register
+    probe — touches NOTHING but the register relation (one scan, one
+    bounded-domain exchange; the event stream never appears)."""
+    plan = _plan(spark, sf_dir, "rollup_hll_append_probe")
+    assert "fcs_hll_users" in plan, "must read the register artifact"
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, (
+        "the register probe must scan ONLY the artifact relation"
+    )
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(spark, sf_dir, "agg_countmin_append_probe")
+    assert "fcs_cms_partkey_inc" in plan, "must read the counter artifact"
+    assert "BroadcastHashJoin" in plan, "counters must broadcast"
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(spark, sf_dir, "dedup_bloom_append_probe")
+    assert "fcs_bloom_words" in plan, "must read the word artifact"
+    assert "BroadcastHashJoin" in plan, "truth set must broadcast"
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, (
+        "only the one-row bitmap attach may nested-loop"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_png_decode_arrow_batched_no_row_python(spark, sf_dir):
+    """The compressed-codec decode runs as Arrow-batched mapInPandas
+    stages (synthesize + decode), never row-at-a-time Python, and
+    only header fields + the checksum leave the stage (no binary
+    column in the output schema)."""
+    df = SPECS["multimodal_png_decode"].fn(spark, sf_dir)
+    plan = _plan(spark, sf_dir, "multimodal_png_decode")
+    assert plan.count("MapInPandas") >= 2, "synthesize + decode stages"
+    assert "BatchEvalPython" not in plan
+    assert "payload" not in df.columns
