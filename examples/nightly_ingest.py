@@ -215,6 +215,113 @@ def nightly_ingest_indexed(
             shutil.rmtree(path, ignore_errors=True)
 
 
+def nightly_sketch_maintenance(
+    spark, sf_dir: str, n_nights: int = 3
+) -> dict:
+    """r14 — the sketch-monoid leg of the nightly loop: the standing
+    corpus's EXACT-dup Bloom guard is a durable word-table artifact
+    (`operators/scale.bloom_words_*`) maintained by O(batch) appends,
+    in its production role as the pre-filter that turns the nightly
+    batch-vs-corpus dedup join from batch-sized to duplicate-sized.
+
+    Each night:
+
+    1. probe the batch's fingerprints against the COMMITTED bitmap
+       (one few-MB broadcast, zero shuffle) — bloom-negative rows are
+       DEFINITIVELY new (no false negatives by construction) and skip
+       the verify join entirely;
+    2. only bloom-positive rows pay the exact verify join against the
+       standing fingerprint set — duplicate-sized-plus-false-positive
+       input, never batch-sized;
+    3. the kept rows' fingerprints APPEND transactionally to the word
+       artifact (the night label is the idempotency key), so night
+       N's guard reflects nights < N exactly — crashed appends are
+       invisible, which is precisely what keeps the no-false-negative
+       invariant true across the lifecycle.
+
+    Returns per-night stats plus two loop-level invariants the test
+    pins: ``false_negatives`` (true duplicates the guard missed —
+    the contract says always 0) and ``final_bitmap_equals_rebuild``
+    (the maintained bitmap equals a from-scratch build over the final
+    fingerprint set — merge == rebuild in the production loop shape,
+    not just the unit test)."""
+    import shutil
+    import tempfile
+
+    from flink_connectors_spark.operators.scale import (
+        auto_bloom_bits,
+        bloom_might_contain,
+        bloom_words_append,
+        bloom_words_build_artifact,
+        read_bloom_bitmap,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    path = tempfile.mkdtemp(prefix="fcs_nightly_bloom_")
+    try:
+        # family width provisioned ONCE from expected corpus scale
+        m_bits = auto_bloom_bits(docs.count())
+        day0 = docs.filter(F.col("doc_id") % (n_nights + 1) == 0)
+        standing = day0.select("fp").distinct().localCheckpoint(
+            eager=True
+        )
+        bloom_words_build_artifact(standing, path, m_bits)
+        nights = []
+        false_negatives = 0
+        for night in range(1, n_nights + 1):
+            batch = docs.filter(
+                F.col("doc_id") % (n_nights + 1) == night
+            )
+            bmp = read_bloom_bitmap(spark, path)
+            probed = bloom_might_contain(batch, bmp).localCheckpoint(
+                eager=True
+            )
+            # (1) bloom-negative: definitively new, no join needed
+            fresh = probed.filter("bloom_hit = 0")
+            # (2) only positives pay the exact verify join
+            positives = probed.filter("bloom_hit = 1")
+            true_dups = positives.join(standing, "fp", "left_semi")
+            keep = probed.join(true_dups, "doc_id", "left_anti")
+            # the invariant the guard sells: every true duplicate in
+            # the WHOLE batch was bloom-positive (a negative that is
+            # a true dup would have been silently kept)
+            false_negatives += fresh.join(
+                standing, "fp", "left_semi"
+            ).count()
+            kept_fps = keep.select("fp").distinct().localCheckpoint(
+                eager=True
+            )
+            nights.append(
+                {
+                    "n_batch": batch.count(),
+                    "n_bloom_pos": positives.count(),
+                    "n_true_dup": true_dups.count(),
+                    "n_kept": keep.count(),
+                }
+            )
+            # (3) O(batch) transactional append; night label is the
+            # idempotency key a retry reuses
+            bloom_words_append(kept_fps, path, f"night{night}")
+            standing = standing.unionByName(kept_fps).distinct(
+            ).localCheckpoint(eager=True)
+        got = read_bloom_bitmap(spark, path).first()["bf"]
+        ref = tempfile.mkdtemp(prefix="fcs_nightly_bloomref_")
+        try:
+            bloom_words_build_artifact(standing, ref, m_bits)
+            want = read_bloom_bitmap(spark, ref).first()["bf"]
+        finally:
+            shutil.rmtree(ref, ignore_errors=True)
+        return {
+            "nights": nights,
+            "false_negatives": false_negatives,
+            "final_bitmap_equals_rebuild": got == want,
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = build_session(app_name="nightly-ingest")
@@ -228,6 +335,15 @@ def main() -> None:
         "indexed loop diverged from the live loop"
     )
     print("indexed == live: True")
+    sk = nightly_sketch_maintenance(spark, sf_dir)
+    for n in sk["nights"]:
+        print(f"{'bloom_night':16s} {n}")
+    print(f"{'false_negatives':16s} {sk['false_negatives']}")
+    print(
+        f"{'merge==rebuild':16s} {sk['final_bitmap_equals_rebuild']}"
+    )
+    assert sk["false_negatives"] == 0
+    assert sk["final_bitmap_equals_rebuild"]
     spark.stop()
 
 

@@ -99,3 +99,25 @@ def test_index_embeddings_lifecycle(spark, sf_dir):
     assert stats["recall_ivf_at_5"] >= 0.2
     # drift is a finite non-negative distance in embedding units
     assert stats["max_centroid_drift"] >= 0.0
+
+
+def test_nightly_sketch_maintenance_invariants(spark, sf_dir):
+    """r14: the sketch-monoid leg of the nightly loop — the durable
+    Bloom word-table guard in its production role. Pins the two
+    invariants the family sells: ZERO false negatives across every
+    night (a crashed/partial append could otherwise silently keep a
+    true duplicate) and maintained-bitmap == from-scratch-rebuild
+    over the final fingerprint set (merge == rebuild in the loop
+    shape, not just the unit test)."""
+    sys.path.insert(0, "examples")
+    from nightly_ingest import nightly_sketch_maintenance
+
+    sk = nightly_sketch_maintenance(spark, sf_dir, n_nights=3)
+    assert len(sk["nights"]) == 3
+    for n in sk["nights"]:
+        assert n["n_kept"] == n["n_batch"] - n["n_true_dup"]
+        assert n["n_true_dup"] <= n["n_bloom_pos"], (
+            "a true duplicate was bloom-negative"
+        )
+    assert sk["false_negatives"] == 0
+    assert sk["final_bitmap_equals_rebuild"]
