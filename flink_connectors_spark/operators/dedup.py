@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .artifacts import floor_x100
+from ..session import read_parquet as _read_pq
 from ..functions import (
     hex_prefix_to_long,
     jaccard_distinct,
@@ -781,7 +782,7 @@ def containment_pairs_build_artifact(
         .write.mode("overwrite")
         .parquet(f"{path}/shingles/part=base")
     )
-    sh = spark.read.parquet(f"{path}/shingles/part=base")
+    sh = _read_pq(spark, f"{path}/shingles/part=base")
     stats = _containment_stats_from_shingles(sh, block_cols, id_col)
     (
         stats.filter(
@@ -934,7 +935,7 @@ def containment_pairs_append(
             .write.mode("overwrite")
             .parquet(append_part_dir(path, "shingles", batch_id))
         )
-        batch_sh = spark.read.parquet(
+        batch_sh = _read_pq(spark, 
             append_part_dir(path, "shingles", batch_id)
         )
         stored_sh = read_committed_relation(spark, path, "shingles")
@@ -1476,7 +1477,7 @@ def read_simhash_fps(
             f"simhash artifact at {path!r} params mismatch: built "
             f"with {got}, probe wants {want}"
         )
-    return spark.read.parquet(f"{path}/fps")
+    return _read_pq(spark, f"{path}/fps")
 
 
 def minhash_pairs_build_artifact(
@@ -1557,7 +1558,7 @@ def minhash_pairs_build_artifact(
         .write.mode("overwrite")
         .parquet(f"{path}/sigs/part=base")
     )
-    sigs = spark.read.parquet(f"{path}/sigs/part=base")
+    sigs = _read_pq(spark, f"{path}/sigs/part=base")
     stats = _candidate_stats_from_sigs(
         sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
     )
@@ -1731,7 +1732,7 @@ def minhash_pairs_append(
             .write.mode("overwrite")
             .parquet(append_part_dir(path, "sigs", batch_id))
         )
-        batch_sig = spark.read.parquet(append_part_dir(path, "sigs", batch_id))
+        batch_sig = _read_pq(spark, append_part_dir(path, "sigs", batch_id))
         stored_sig = read_committed_relation(spark, path, "sigs")
         stats = _candidate_stats_from_sigs(
             stored_sig, id_col=id_col, num_hashes=num_hashes,

@@ -107,42 +107,70 @@ def pack_firstfit(
     The fold is inherently sequential per chain (each decision
     depends on the running fill), which is exactly why the operator
     takes a bounded CHAIN key (e.g. (source, doc_id // 256)): the
-    sequential unit is capped at a few hundred docs, the chains
-    themselves are embarrassingly parallel, and the Python boundary
-    is one Arrow-batched ``applyInPandas`` fold per chain — no
-    driver-side loop, no row-at-a-time UDF. At 100 TB this is one
-    shuffle on the chain key followed by pure map work; pre-bucketing
-    the corpus by the chain key turns even that shuffle into a local
-    sort.
+    sequential unit is capped at a few hundred docs and the chains
+    themselves are embarrassingly parallel. r14 (guide §4.1): the
+    per-chain fold runs as a codegen'd JVM higher-order ``aggregate``
+    over the chain's ``array_sort``-ordered rows — the
+    ``applyInPandas`` this replaces shipped every row across the
+    JVM↔Python boundary (a FlatMapGroupsInPandas node and an Arrow
+    round-trip) just to run a 256-step integer loop. Same one shuffle
+    on the chain key, then pure map work; pre-bucketing the corpus by
+    the chain key turns even that shuffle into a local sort.
 
     Input must carry ``chain_cols``, ``order_col`` and ``tokens_col``;
     output appends (pack_no, fill_after) — pack ids are per-chain,
     globally unique as (*chain_cols, pack_no). Deterministic: layout
-    depends only on the chain partition and ``order_col`` order.
-    """
-    import pandas as pd
-
-    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in docs.schema]
-    schema = ", ".join(out_fields + ["pack_no bigint", "fill_after bigint"])
-
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
-            drop=True
+    depends only on the chain partition and ``order_col`` order
+    (``order_col`` leads the sort struct; ties fall back to the
+    remaining row fields, deterministic where the old stable
+    pandas sort depended on arrival order)."""
+    rest = [c for c in docs.columns if c not in chain_cols]
+    if order_col not in rest or tokens_col not in rest:
+        raise ValueError(
+            f"docs must carry {order_col!r} and {tokens_col!r} outside "
+            f"the chain key"
         )
-        pack, fill = 0, 0
-        packs, fills = [], []
-        for n in pdf[tokens_col]:
-            n = int(n)
-            if fill > 0 and fill + n > budget:
-                pack += 1
-                fill = 0
-            fill += n
-            packs.append(pack)
-            fills.append(fill)
-        pdf["pack_no"] = pd.Series(packs, dtype="int64")
-        pdf["fill_after"] = pd.Series(fills, dtype="int64")
-        return pdf
-
-    return docs.groupBy(*[F.col(c) for c in chain_cols]).applyInPandas(
-        fold, schema
+    ordered = [order_col] + [c for c in rest if c != order_col]
+    seq = docs.groupBy(*[F.col(c) for c in chain_cols]).agg(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in ordered]))
+        ).alias("__rows__")
+    )
+    fold = f"""
+      aggregate(
+        __rows__,
+        named_struct(
+          'pack', CAST(0 AS BIGINT), 'fill', CAST(0 AS BIGINT),
+          'out', CAST(array() AS
+            array<struct<pack_no: bigint, fill_after: bigint>>)),
+        (acc, x) -> CASE
+          WHEN acc.fill > 0 AND acc.fill + x.`{tokens_col}` > {int(budget)}
+          THEN named_struct(
+            'pack', acc.pack + 1, 'fill', x.`{tokens_col}`,
+            'out', concat(acc.out, array(named_struct(
+              'pack_no', acc.pack + 1,
+              'fill_after', x.`{tokens_col}`))))
+          ELSE named_struct(
+            'pack', acc.pack, 'fill', acc.fill + x.`{tokens_col}`,
+            'out', concat(acc.out, array(named_struct(
+              'pack_no', acc.pack,
+              'fill_after', acc.fill + x.`{tokens_col}`))))
+          END,
+        acc -> arrays_zip(__rows__, acc.out))
+    """
+    return (
+        seq.select(
+            *[F.col(c) for c in chain_cols],
+            F.explode(F.expr(fold)).alias("__e__"),
+        )
+        .select(
+            *[
+                F.col(c)
+                if c in chain_cols
+                else F.col(f"__e__.__rows__.{c}").alias(c)
+                for c in docs.columns
+            ],
+            F.col("__e__.out.pack_no").cast("long").alias("pack_no"),
+            F.col("__e__.out.fill_after").cast("long").alias("fill_after"),
+        )
     )

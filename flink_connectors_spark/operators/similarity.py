@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from .artifacts import floor_x100
 from ..functions import cosine_similarity, dot_product, l2_norm
+from ..session import read_parquet as _read_pq
 
 
 def cosine_topk_bruteforce(
@@ -761,7 +762,7 @@ def neardup_edges_build_artifact(
         bits_per_band=bits_per_band,
         id_col=id_col,
         vec_col=vec_col,
-        signatures=spark.read.parquet(f"{path}/signatures/part=base"),
+        signatures=_read_pq(spark, f"{path}/signatures/part=base"),
     )
     pairs.write.mode("overwrite").parquet(f"{path}/edges/part=base")
     os.makedirs(f"{path}/_batches", exist_ok=True)
@@ -845,7 +846,7 @@ def neardup_edges_append(
             .write.mode("overwrite")
             .parquet(append_part_dir(path, "signatures", batch_id))
         )
-        batch_sig = spark.read.parquet(
+        batch_sig = _read_pq(spark, 
             append_part_dir(path, "signatures", batch_id)
         )
         # stored committed signatures (the marker for THIS batch is
@@ -2298,7 +2299,7 @@ def _write_artifact_manifest(
 def read_artifact_manifest(spark: SparkSession, path: str) -> dict:
     """Read (cached) the params sidecar of a persisted index."""
     if path not in _MANIFEST_CACHE:
-        row = spark.read.parquet(f"{path}/manifest").first().asDict()
+        row = _read_pq(spark, f"{path}/manifest").first().asDict()
         _MANIFEST_CACHE[path] = {k: int(v) for k, v in row.items()}
     return dict(_MANIFEST_CACHE[path])
 
@@ -2339,8 +2340,8 @@ def _artifact_codes(spark: SparkSession, path: str) -> DataFrame:
     codes_dir = f"{path}/codes"
     pre = f"{path}/codes_precompact"
     if not os.path.isdir(codes_dir) and os.path.isdir(pre):
-        return spark.read.parquet(pre)
-    return spark.read.parquet(codes_dir)
+        return _read_pq(spark, pre)
+    return _read_pq(spark, codes_dir)
 
 
 def _with_tombstones_removed(
@@ -2358,7 +2359,7 @@ def _with_tombstones_removed(
     if not os.path.isdir(f"{path}/tombstones"):
         return codes
     tombs = (
-        spark.read.parquet(f"{path}/tombstones")
+        _read_pq(spark, f"{path}/tombstones")
         .select(id_col)
         .distinct()
     )
@@ -2474,7 +2475,7 @@ def ivfpq_encode_append(
         spark, path, {"subspaces": subspaces, "scale": scale}
     )
     subspaces, scale = eff["subspaces"], eff["scale"]
-    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    cb_rows = _read_pq(spark, f"{path}/codebooks").collect()
     width = len(cb_rows[0]["s"])
     codes = None
     for b in range(subspaces):
@@ -2608,10 +2609,10 @@ def ivfpq_compact(
     tomb_dir = f"{path}/tombstones"
     if not os.path.isdir(tomb_dir):
         return  # nothing logically deleted — no-op
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _read_pq(spark, f"{path}/codes")
     # distinct: delete_ids dedupes within a call only — overlapping
     # delete calls may repeat ids across the appended files
-    tombs = spark.read.parquet(tomb_dir).select(id_col).distinct()
+    tombs = _read_pq(spark, tomb_dir).select(id_col).distinct()
     kept = codes.join(F.broadcast(tombs), id_col, "left_anti")
     tmp = f"{path}/codes_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -2656,7 +2657,7 @@ def opq_encode_append(
     man = read_artifact_manifest(spark, path)
     scale = man["scale"]
     u, uu, perm = read_opq_rotation(spark, path)
-    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    py = _perm_projection(perm)
     rq = _householder_frame(
         new_vectors, u, uu, scale, id_col, vec_col,
         extra_cols=(cluster_col,),
@@ -2718,7 +2719,7 @@ def topk_from_ivfpq_artifact(
     codes = _artifact_codes(spark, path)
     if apply_tombstones:
         codes = _with_tombstones_removed(spark, codes, path, id_col)
-    cbs = spark.read.parquet(f"{path}/codebooks")
+    cbs = _read_pq(spark, f"{path}/codebooks")
     cents = [
         cbs.filter(F.col("block") == b).select("cluster", "s", "c")
         for b in range(subspaces)
@@ -2729,7 +2730,7 @@ def topk_from_ivfpq_artifact(
         # artifact's codes/codebooks ARE the flat-PQ index (global
         # codebooks), so the flat rungs serve from the same build.
         return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
-    reps = spark.read.parquet(f"{path}/reps")
+    reps = _read_pq(spark, f"{path}/reps")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -3084,9 +3085,9 @@ def topk_from_ivfadc_artifact(
     subspaces, width, scale = (
         eff["subspaces"], eff["width"], eff["scale"]
     )
-    codes = spark.read.parquet(f"{path}/codes")
-    cbs = spark.read.parquet(f"{path}/codebooks")
-    reps = spark.read.parquet(f"{path}/reps").select(
+    codes = _read_pq(spark, f"{path}/codes")
+    cbs = _read_pq(spark, f"{path}/codebooks")
+    reps = _read_pq(spark, f"{path}/reps").select(
         "cluster",
         "rvec",
         F.transform(
@@ -3196,16 +3197,16 @@ def mutual_knn_edges(
     (`cosine_near_dup_pairs` economics — per-row norms precomputed,
     block-keyed shuffle, never global O(n^2); swap an ANN rung in
     for the directed kNN at unblocked corpus scale); the directed
-    top-k prunes per-partition BEFORE the mutuality join, which
-    intersects two |N| x k edge lists on the reversed key. The
-    directed kNN table is eager-checkpointed: both sides of the
-    mutuality self-join launch in one action (the eager/lazy rule);
-    it is tagged on the result via ``_track_caches`` so loop callers
-    release it with :func:`..operators.dedup.unpersist_inputs` after
-    materializing (same contract as the LSH family).
+    top-k prunes per-partition BEFORE the mutuality test. r14: the
+    mutuality test is a GROUP-BY over the directed edge list instead
+    of a reversed-key self-join — cosine is bit-symmetric (same
+    dims-ordered fold both directions), so an unordered pair is
+    mutual iff BOTH of its directed rows survive the per-src top-k,
+    i.e. iff its (least, greatest, score) group has count 2. That
+    removes the eager checkpoint (driver-blocking build inside the
+    plan constructor) and one |N|·k self-join shuffle; one window +
+    one aggregation remain.
     Returns (id1, id2, score) with id1 < id2."""
-    from .dedup import _track_caches
-
     v = corpus.select(
         F.col(block_col),
         F.col(id_col),
@@ -3238,21 +3239,17 @@ def mutual_knn_edges(
         directed.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("src", "dst", "score")
-        .localCheckpoint(eager=True)
     )
-    rev = knn.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    out = (
-        knn.join(rev, ["src", "dst"])
-        .filter(F.col("src") < F.col("dst"))
-        .select(
-            F.col("src").alias("id1"),
-            F.col("dst").alias("id2"),
+    return (
+        knn.groupBy(
+            F.least("src", "dst").alias("id1"),
+            F.greatest("src", "dst").alias("id2"),
             "score",
         )
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") == 2)
+        .select("id1", "id2", "score")
     )
-    return _track_caches(out, [knn])
 
 
 def hard_negative_mining(
@@ -3352,17 +3349,31 @@ def opq_rotation_build(
         corpus, u, uu, scale, id_col, vec_col, extra_cols
     ).localCheckpoint(eager=True)
 
-    def _qy(j: int):
-        return F.round(F.element_at("y", j + 1) * scale).cast("long")
+    def _qy(j: int) -> str:
+        return f"CAST(round(y[{j}] * {int(scale)}) AS BIGINT)"
 
     eng = yc.agg(
-        *[F.sum(_qy(j) * _qy(j)).alias(f"e{j}") for j in range(d)]
+        *[
+            F.expr(f"sum({_qy(j)} * {_qy(j)})").alias(f"e{j}")
+            for j in range(d)
+        ]
     ).first()
     e = [int(eng[f"e{j}"]) for j in range(d)]
     ranked = sorted(range(d), key=lambda j: (-e[j], j))
     order = sorted(range(d), key=lambda r: (r % subspaces, r))
     perm = [ranked[r] for r in order]
     return u, uu, perm, yc
+
+
+def _perm_projection(perm: list[int], src: str = "y"):
+    """``array(y[p0], y[p1], ...)`` — the OPQ dimension permutation as
+    ONE parsed SQL expression (``col[i]`` is 0-based, so ``y[p]`` is
+    exactly the old ``element_at(y, p + 1)``). The per-element Column
+    construction this replaces cost ~0.1 s of driver time per call at
+    d=64."""
+    return F.expr(
+        "array(" + ",".join(f"`{src}`[{int(p)}]" for p in perm) + ")"
+    )
 
 
 def _householder_frame(
@@ -3380,35 +3391,33 @@ def _householder_frame(
     scale=1024), one IEEE division back to original vector units, so
     both engines produce bit-identical doubles. Codegen'd per-row
     fold + d-wide projection; no shuffle."""
-    d = len(u)
-    qx = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    # All three stages are built as single SQL strings parsed JVM-side
+    # in one py4j call each: the old per-element Column construction
+    # (~600 py4j round trips at d=64) cost ~1.5 s of DRIVER time per
+    # probe — more than the probe's whole cluster execution. Same
+    # exact-integer expressions, same cast points, bit-identical
+    # output (pinned by the unchanged oracles).
+    ul = "array(" + ",".join(f"{int(x)}L" for x in u) + ")"
+    qx = (
+        f"transform(`{vec_col}`, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT))"
     )
-    ul = F.array(*[F.lit(int(x)).cast("long") for x in u])
-    dot = F.aggregate(
-        F.zip_with(F.col("qx"), ul, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    dot = (
+        f"aggregate(zip_with(qx, {ul}, (a, b) -> a * b), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    y = (
+        f"zip_with(qx, {ul}, (x, uj) -> "
+        f"CAST({int(uu)} * x - 2 * dot * uj AS DOUBLE) "
+        f"/ CAST({int(uu) * int(scale)} AS DOUBLE))"
     )
     tmp = df.select(
-        F.col(id_col), *[F.col(c) for c in extra_cols], qx.alias("qx")
-    ).withColumn("dot", dot)
-    den = F.lit(float(uu * scale))
-    y = F.array(
-        *[
-            (
-                (
-                    F.lit(int(uu)) * F.element_at("qx", j + 1)
-                    - F.lit(2) * F.col("dot") * F.lit(int(u[j]))
-                ).cast("double")
-                / den
-            )
-            for j in range(d)
-        ]
-    )
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.expr(qx).alias("qx"),
+    ).withColumn("dot", F.expr(dot))
     return tmp.select(
-        F.col(id_col), *[F.col(c) for c in extra_cols], y.alias("y")
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.expr(y).alias("y"),
     )
 
 
@@ -3448,7 +3457,7 @@ def topk_opq(
     u, uu, perm, yc = opq_rotation_build(
         corpus, subspaces, pca_iters, scale, id_col, vec_col, dims
     )
-    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    py = _perm_projection(perm)
     # the corpus reflection is already checkpoint-materialized inside
     # the build; the permutation is a narrow projection over those
     # blocks (>= 3 concurrent Lloyd consumers read it — the
@@ -3928,7 +3937,7 @@ def topk_ivf_opq(
         corpus, subspaces, pca_iters, scale, id_col, vec_col, dims,
         extra_cols=(cluster_col,),
     )
-    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    py = _perm_projection(perm)
     rc = yc.select(
         F.col(id_col), F.col(cluster_col), py.alias(vec_col)
     )
@@ -3998,7 +4007,7 @@ def opq_build_artifact(
         corpus, subspaces, pca_iters, scale, id_col, vec_col, dims,
         extra_cols=(cluster_col,),
     )
-    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    py = _perm_projection(perm)
     rc = yc.select(
         F.col(id_col), F.col(cluster_col), py.alias(vec_col)
     )
@@ -4060,7 +4069,7 @@ def read_opq_rotation(
 ) -> tuple[list[int], int, list[int]]:
     """Read (cached) the persisted OPQ rotation parameters."""
     if path not in _ROTATION_CACHE:
-        row = spark.read.parquet(f"{path}/rotation").first()
+        row = _read_pq(spark, f"{path}/rotation").first()
         _ROTATION_CACHE[path] = (
             [int(x) for x in row["u"]],
             int(row["uu"]),
@@ -4116,14 +4125,14 @@ def topk_from_opq_artifact(
         eff["subspaces"], eff["width"], eff["scale"]
     )
     u, uu, perm = read_opq_rotation(spark, path)
-    py = F.array(*[F.element_at("y", int(p) + 1) for p in perm])
+    py = _perm_projection(perm)
     rq = _householder_frame(
         queries, u, uu, scale, id_col, vec_col
     ).select(F.col(id_col), py.alias(vec_col))
     codes = _artifact_codes(spark, path)
     if apply_tombstones:
         codes = _with_tombstones_removed(spark, codes, path, id_col)
-    cbs = spark.read.parquet(f"{path}/codebooks")
+    cbs = _read_pq(spark, f"{path}/codebooks")
     cents = [
         cbs.filter(F.col("block") == b).select("cluster", "s", "c")
         for b in range(subspaces)
@@ -4131,7 +4140,7 @@ def topk_from_opq_artifact(
     luts = _pq_query_luts(rq, cents, width, scale, id_col, vec_col)
     if n_probe is None:
         return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)
-    reps = spark.read.parquet(f"{path}/reps")
+    reps = _read_pq(spark, f"{path}/reps")
     q = rq.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -4198,5 +4207,5 @@ def read_powdir(
             f"powdir artifact at {path!r} params mismatch: built with "
             f"{got}, probe wants {want}"
         )
-    row = spark.read.parquet(f"{path}/direction").first()
+    row = _read_pq(spark, f"{path}/direction").first()
     return [int(x) for x in row["v"]]

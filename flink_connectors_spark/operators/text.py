@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import read_parquet as _read_pq
 
 from ..functions import (
     minhash_value,
@@ -1737,7 +1738,7 @@ def read_bpe_merges(
             f"n_merges={man.get('n_merges')}, probe wants {n_merges}"
         )
     return (
-        spark.read.parquet(f"{path}/merges")
+        _read_pq(spark, f"{path}/merges")
         .orderBy("merge_rank")
         .collect()
     )

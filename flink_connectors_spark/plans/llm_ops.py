@@ -20,6 +20,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..registry import register
+from ..session import read_parquet as _read_pq
 from ..session import load_table, spread
 
 
@@ -1594,7 +1595,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-tripped index; the downstream consumers (unlabeled IVF
     search, SemDeDup, purity, drift) probe the same artifact."""
     path = _kmeans_artifact_path(spark, sf_dir)
-    return spark.read.parquet(f"{path}/assign").select(
+    return _read_pq(spark, f"{path}/assign").select(
         "vec_id", "cluster", "dist"
     )
 
@@ -2724,7 +2725,7 @@ def similarity_graph_components_census(
     node-sized parquet scan + two aggregates; LSH and the closure
     iterations are priced in the graph build, once per scope."""
     path = _neardup_graph_artifact_path(spark, sf_dir)
-    comp = spark.read.parquet(f"{path}/components")
+    comp = _read_pq(spark, f"{path}/components")
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -2817,7 +2818,7 @@ def dedup_embedding_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     one node-sized scan + one anti-join against the corpus; the
     oracle replays banding + recursive closure + the anti-join."""
     path = _neardup_graph_artifact_path(spark, sf_dir)
-    comp = spark.read.parquet(f"{path}/components")
+    comp = _read_pq(spark, f"{path}/components")
     drops = comp.filter(F.col("vec_id") != F.col("cluster_id")).select(
         "vec_id"
     )
@@ -2884,7 +2885,7 @@ def similarity_topk_ivf_unlabeled(spark: SparkSession, sf_dir: str) -> DataFrame
     # plan, no corpus-wide assignment join: the candidate scan's
     # cluster restriction arrives as runtime partition pruning.
     path = _kmeans_artifact_path(spark, sf_dir)
-    corpus = spark.read.parquet(f"{path}/clustered")
+    corpus = _read_pq(spark, f"{path}/clustered")
     return S.cosine_topk_ivf(
         emb.filter(emb.vec_id < 20), corpus, k=5, n_probe=2,
         cluster_col="cluster",

@@ -16,6 +16,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
 from ..registry import register
+from ..session import read_parquet as _read_pq
 from ..session import load_table
 from .llm_ops import (
     _BAND,
@@ -1177,7 +1178,7 @@ def _sq8_artifact_path(spark: SparkSession, sf_dir: str) -> str:
             .parquet(f"{path}/stats")
         )
         sq8_encode_codes(
-            emb, spark.read.parquet(f"{path}/stats"), scale=1024
+            emb, _read_pq(spark, f"{path}/stats"), scale=1024
         ).write.mode("overwrite").parquet(f"{path}/codes")
 
     return ensure_artifact(spark, "sq8_stats", sf_dir, build)
@@ -1193,7 +1194,7 @@ def _sq8_stored_stats(spark: SparkSession, sf_dir: str):
             f"sq8 artifact at {path!r} params mismatch: built with "
             f"scale={man.get('scale')}, probe wants 1024"
         )
-    return spark.read.parquet(f"{path}/stats")
+    return _read_pq(spark, f"{path}/stats")
 
 
 def _sq8_stored_codes(spark: SparkSession, sf_dir: str):
@@ -1207,7 +1208,7 @@ def _sq8_stored_codes(spark: SparkSession, sf_dir: str):
     path = _sq8_artifact_path(spark, sf_dir)
     if not os.path.isdir(os.path.join(path, "codes")):
         return None
-    return spark.read.parquet(f"{path}/codes")
+    return _read_pq(spark, f"{path}/codes")
 
 
 @register(

@@ -23,6 +23,7 @@ from ..operators import similarity as S
 from ..operators import text as T
 from ..operators.artifacts import ensure_artifact
 from ..registry import register
+from ..session import read_parquet as _read_pq
 from ..session import load_table
 from ._util import dec, dsum
 from .llm_ops import (
@@ -499,7 +500,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     path = _kmeans_artifact_path(spark, sf_dir)
-    assign = spark.read.parquet(f"{path}/assign").select(
+    assign = _read_pq(spark, f"{path}/assign").select(
         "vec_id", "cluster"
     )
     return S.semantic_dedup_pairs(
@@ -930,7 +931,7 @@ def _read_vocab(
             f"vocab artifact at {path!r} params mismatch: built with "
             f"top_v={got}, prefix consumer needs top_v>={min_top_v}"
         )
-    return spark.read.parquet(f"{path}/vocab")
+    return _read_pq(spark, f"{path}/vocab")
 
 
 @register(
@@ -1240,7 +1241,7 @@ def similarity_ivfpq_build_artifact(
     subsequent probe query reads only the probed partitions. The
     build is priced here and nowhere else."""
     path = _ivfpq_artifact_path(spark, sf_dir)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _read_pq(spark, f"{path}/codes")
     asg = codes.select(
         F.lit(0).cast("long").alias("block"),
         F.col("c0").alias("cluster"),
@@ -1253,7 +1254,7 @@ def similarity_ivfpq_build_artifact(
     cnt = asg.groupBy("block", "cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_codes")
     )
-    book = spark.read.parquet(f"{path}/codebooks").select(
+    book = _read_pq(spark, f"{path}/codebooks").select(
         F.col("block").cast("long").alias("block"),
         F.col("cluster").alias("cluster"),
         F.col("c").alias("n_members"),
@@ -2229,7 +2230,7 @@ def similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _neardup_graph_artifact_path
 
     path = _neardup_graph_artifact_path(spark, sf_dir)
-    return spark.read.parquet(f"{path}/ranks").select(
+    return _read_pq(spark, f"{path}/ranks").select(
         "vec_id", "pagerank"
     )
 
@@ -2315,8 +2316,8 @@ def dedup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _neardup_graph_artifact_path
 
     path = _neardup_graph_artifact_path(spark, sf_dir)
-    comp = spark.read.parquet(f"{path}/components")
-    pr = spark.read.parquet(f"{path}/ranks")
+    comp = _read_pq(spark, f"{path}/components")
+    pr = _read_pq(spark, f"{path}/ranks")
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("pagerank"), F.asc("vec_id")
     )
@@ -2431,7 +2432,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [
             (r["cluster"], list(r["s"]), r["c"])
             for r in sorted(
-                spark.read.parquet(f"{path}/centroids").collect(),
+                _read_pq(spark, f"{path}/centroids").collect(),
                 key=lambda r: r["cluster"],
             )
         ]
@@ -2766,7 +2767,7 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices the one training loop (first toucher) and value-hashes
     the read-back."""
     path = _bpe_artifact_path(spark, sf_dir)
-    return spark.read.parquet(f"{path}/merges")
+    return _read_pq(spark, f"{path}/merges")
 
 
 @register(
@@ -3883,7 +3884,7 @@ def similarity_opq_build_artifact(
     Scale: the rotation pass and the Lloyd build are priced HERE and
     nowhere else; every probe query reads the index relations only."""
     path = _opq_artifact_path(spark, sf_dir)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _read_pq(spark, f"{path}/codes")
     asg = codes.select(
         F.lit(0).cast("long").alias("block"),
         F.col("c0").alias("cluster"),
@@ -3896,7 +3897,7 @@ def similarity_opq_build_artifact(
     cnt = asg.groupBy("block", "cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_codes")
     )
-    book = spark.read.parquet(f"{path}/codebooks").select(
+    book = _read_pq(spark, f"{path}/codebooks").select(
         F.col("block").cast("long").alias("block"),
         F.col("cluster").alias("cluster"),
         F.col("c").alias("n_members"),
@@ -3904,7 +3905,7 @@ def similarity_opq_build_artifact(
             "s_str"
         ),
     )
-    rot = spark.read.parquet(f"{path}/rotation").select(
+    rot = _read_pq(spark, f"{path}/rotation").select(
         F.col("uu").alias("rot_uu"),
         F.concat_ws(
             ",",
@@ -4233,7 +4234,7 @@ def pipeline_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     path = _kmeans_artifact_path(spark, sf_dir)
-    assign = spark.read.parquet(f"{path}/assign")
+    assign = _read_pq(spark, f"{path}/assign")
     j = assign.select("vec_id", "cluster").join(
         emb.select("vec_id", "label"), "vec_id"
     )

@@ -956,29 +956,77 @@ def test_sharded_bloom_agrees_with_unsharded_semantics(spark, sf_dir):
     assert probe_flat == probe_fam
 
 
-def test_mutual_knn_checkpoint_released_by_unpersist_inputs(spark, sf_dir):
-    """ADVICE r8: mutual_knn_edges eager-checkpoints the directed kNN
-    table; without _track_caches repeated registry/bench sweeps pin one
-    edge-list-sized checkpoint per call until driver GC. The result
-    must carry the frame and unpersist_inputs must free its blocks."""
-    from flink_connectors_spark.operators.dedup import unpersist_inputs
+def test_mutual_knn_groupby_mutuality_no_pinned_blocks(spark, sf_dir):
+    """r14: mutual_knn_edges replaced the eager-checkpoint +
+    reversed-key self-join with a count-2 group-by over the directed
+    top-k (cosine is bit-symmetric, so both directions of a mutual
+    pair carry the same score). Pin (a) the mutuality semantics
+    against a literal two-window replay and (b) that the operator no
+    longer pins ANY block-manager state (the r8 checkpoint-leak class
+    is structurally gone)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from flink_connectors_spark.operators.similarity import (
         mutual_knn_edges,
     )
     from flink_connectors_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").limit(60)
-    out = mutual_knn_edges(emb, k=2)
-    out.count()
-    cached = out._fcs_cached_inputs
-    rdd_ids = _checkpoint_rdd_ids(cached)
-    persistent = dict(spark.sparkContext._jsc.getPersistentRDDs())
-    assert all(i in persistent for i in rdd_ids)
-    unpersist_inputs(out, blocking=True)
-    persistent_after = dict(spark.sparkContext._jsc.getPersistentRDDs())
-    assert all(i not in persistent_after for i in rdd_ids), (
-        "unpersist_inputs left the directed-kNN checkpoint pinned"
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    out = sorted(map(tuple, mutual_knn_edges(emb, k=2).collect()))
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after == before, (
+        "mutual_knn_edges pinned block-manager state"
     )
+
+    # literal replay: directed top-k both ways, edge iff both survive
+    from flink_connectors_spark.operators.similarity import (
+        dot_product,
+        l2_norm,
+    )
+
+    v = emb.select(
+        "label", "vec_id", "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    directed = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.round(
+            F.try_divide(
+                dot_product(F.col("a.embedding"), F.col("b.embedding")),
+                F.col("a.nrm") * F.col("b.nrm"),
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    knn = (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("src", "dst", "score")
+    )
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    want = sorted(
+        map(
+            tuple,
+            knn.join(rev, ["src", "dst"])
+            .filter(F.col("src") < F.col("dst"))
+            .select(
+                F.col("src").alias("id1"),
+                F.col("dst").alias("id2"),
+                "score",
+            )
+            .collect(),
+        )
+    )
+    assert out == want
 
 
 def test_opq_reflected_corpus_released_by_unpersist_inputs(spark, sf_dir):
