@@ -1291,37 +1291,38 @@ def topk_recall_audit(
     Returns (query_id, n_exact, n_hits, recall) with recall rounded
     to 6 (exact small-integer division — engine-stable).
     """
-    # |Q| x k rows, but read by BOTH the hits join and the base
-    # count — without materialization the whole upstream search
-    # (brute force: |Q| x N scoring) re-inlines into each branch,
-    # doubling the expensive exact side (r5 plan audit: 16 parquet
-    # scans on the recall queries). Small multi-branch frames always
-    # checkpoint.
-    e = (
-        exact.filter(F.col("rnk") <= k)
+    # r14: ONE pass — a left join of the exact list against the
+    # (broadcast) approx list with a hit flag, then one per-query
+    # aggregate computing n_exact and n_hits together. The previous
+    # shape read the exact list from two branches (hits join + base
+    # count), which required a localCheckpoint to stop the brute-force
+    # subtree re-inlining — and even the lazy checkpoint forced
+    # physical planning of the whole exact side at CONSTRUCTION time
+    # (~1 s of driver time per recall meter) plus a materialization
+    # job at execution. Single-consumer plans need no
+    # materialization at all.
+    e = exact.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
+    a = (
+        approx.filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id")
-        # Lazy checkpoint, measured deliberately: the hits join's
-        # stage computes first and fills the cache before the base
-        # count reads it — no race in practice on this plan shape —
-        # while eager pays a separate materialization job (r6
-        # interleaved A/B at sf0.1: lazy 1.21 s vs eager 1.38 s).
-        # Contrast dedup_rate_by_source, whose pair-list consumers DO
-        # launch concurrently and keep eager=True (2.81 s vs 3.01 s).
-        .localCheckpoint(eager=False)
+        .withColumn("__hit__", F.lit(1))
     )
-    a = approx.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
-    hits = (
-        e.join(a, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    nh = F.coalesce(F.col("n_hits"), F.lit(0))
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_exact",
-        nh.cast("long").alias("n_hits"),
-        F.round(nh / F.col("n_exact"), 6).alias("recall"),
+    joined = e.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
+    nh = F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            nh.alias("__nh__"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.col("__nh__").cast("long").alias("n_hits"),
+            F.round(F.col("__nh__") / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
     )
 
 

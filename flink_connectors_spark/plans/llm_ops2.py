@@ -984,8 +984,19 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     to = f"fcs_bkt_orders_{os.getpid()}_{tag}"
     tl = f"fcs_bkt_li_{os.getpid()}_{tag}"
-    write_bucketed_table(o, to, f"{base}/orders", "o_orderkey", 8)
-    write_bucketed_table(l, tl, f"{base}/lineitem", "l_orderkey", 8)
+    # written once per process (the DPP query's guard, r14): the
+    # bucketed layout is the pay-once-at-ingest half of this query's
+    # story — rewriting BOTH tables per invocation (a shuffle + full
+    # write of each side) priced ingest into every probe run. Re-runs
+    # now read the standing buckets, exactly like production.
+    if not (
+        os.path.isdir(f"{base}/orders")
+        and os.path.isdir(f"{base}/lineitem")
+        and spark.catalog.tableExists(to)
+        and spark.catalog.tableExists(tl)
+    ):
+        write_bucketed_table(o, to, f"{base}/orders", "o_orderkey", 8)
+        write_bucketed_table(l, tl, f"{base}/lineitem", "l_orderkey", 8)
     # merge-hint both sides: at test SFs Catalyst would BROADCAST the
     # small orders side, which silently skips the co-located path this
     # query exists to exercise (and at real fact-fact scale broadcast

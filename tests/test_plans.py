@@ -835,7 +835,14 @@ _SCAN_ALLOWLIST = {
     "similarity_topk_from_opq_artifact": 5,
     # recall gate = flat OPQ probe (5) + the brute-force exact side
     # (its corpus/query reads fold into checkpointed audit inputs).
-    "similarity_recall_opq": 5,
+    # r14: recall meters lost their audit-input checkpoint (the
+    # single-pass left-join+aggregate shape) — the exact brute-force
+    # side's corpus + query-slice scans now appear in-plan (+2), by
+    # design: one read each, no re-inlined branch.
+    "similarity_recall_opq": 7,
+    "similarity_recall_sq8": 5,
+    "similarity_recall_rrf": 6,
+    "similarity_recall_audit": 6,
     # routed OPQ probe: flat shape (5) + reps + embeddings routing
     # projection + DPP subquery re-evaluating the tiny probes
     # subtree = 9 (the similarity_topk_from_artifact shape).
@@ -857,7 +864,7 @@ _SCAN_ALLOWLIST = {
     # per LUT branch + DPP subquery duplicates = 13; the recall meter
     # adds the brute-force side into checkpointed audit inputs.
     "similarity_topk_ivfadc": 13,
-    "similarity_recall_ivfadc": 13,
+    "similarity_recall_ivfadc": 15,  # +2: r14 single-pass recall meter
     # compact probe = the PLAIN artifact probe shape (9): after
     # physical reclamation there is no tombstone read at all.
     "similarity_ivfpq_compact_probe": 9,
