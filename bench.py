@@ -329,6 +329,13 @@ BUILD_ONCE = [
     # registers) lifecycle artifacts (r14)
     "dedup_bloom_append_probe",
     "rollup_hll_append_probe",
+    # ...and the two LAYOUT queries (r15, r14 verdict Next #8): both
+    # write their pay-once-at-ingest copy (bucketed orders/lineitem;
+    # date-partitioned events) once per process — the ingest write
+    # lands in each row's cold column, warm runs read the standing
+    # layout, exactly like production
+    "join_bucketed_colocated",
+    "join_dynamic_partition_pruning",
 ]
 
 

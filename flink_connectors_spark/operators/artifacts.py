@@ -163,10 +163,21 @@ def invalidate_artifact_caches(path: str) -> None:
     cache was primed on first read but never invalidated — a rebuild
     would silently rotate queries with the old Householder vector
     against the new codebooks)."""
+    from ..session import _SCHEMA_CACHE, _SIZE_CACHE
     from .similarity import _MANIFEST_CACHE, _ROTATION_CACHE
 
     _MANIFEST_CACHE.pop(path, None)
     _ROTATION_CACHE.pop(path, None)
+    # r15 (r14 ADVICE): the session-level parquet schema/size caches
+    # are keyed on relation paths INSIDE the artifact dir — a rebuild
+    # with schema-changing params (e.g. ivfpq ``subspaces`` changes
+    # the codes columns) must not be read through ``spark.read.schema
+    # (stale)``, which would silently null the new columns. Pop the
+    # path and every sub-path.
+    prefix = path.rstrip(os.sep) + os.sep
+    for cache in (_SCHEMA_CACHE, _SIZE_CACHE):
+        for key in [k for k in cache if k == path or k.startswith(prefix)]:
+            cache.pop(key, None)
 
 
 # Claims held by THIS process, keyed to the holding thread — makes

@@ -3010,8 +3010,11 @@ def pipeline_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     which wastes nothing but splits docs). The per-chain fold is
     inherently sequential, so the chain key is BOUNDED — (source,
     doc_id // 256) caps each sequential unit at 256 docs — and runs
-    as one Arrow-batched applyInPandas per chain: one shuffle on the
-    chain key, then pure parallel map work at any corpus size. The
+    as a codegen'd JVM higher-order ``aggregate`` fold over each
+    chain's array_sort'ed rows (r14: the Arrow-batched applyInPandas
+    round-trip was the corpus block's slowest Python boundary): one
+    shuffle on the chain key, then pure parallel map work at any
+    corpus size, no Python in the row path. The
     oracle replays the identical greedy fold as a recursive CTE
     advancing all chains in lockstep, so the driver hash pins every
     packing decision."""

@@ -105,6 +105,38 @@ def test_rebuild_invalidates_manifest_and_rotation_caches(spark, sf_dir):
     assert len(u) > 1 and len(perm) > 1
 
 
+def test_rebuild_invalidates_schema_cache(spark, sf_dir):
+    """r14 ADVICE (low) / r14 verdict Next #7: the session-level
+    parquet schema cache is keyed on relation paths inside the
+    artifact dir. A rebuild with schema-changing params (e.g. ivfpq
+    ``subspaces`` changes the codes columns) must not be read through
+    ``spark.read.schema(stale)`` — missing columns would silently
+    come back NULL instead of erroring. ensure_artifact's cache
+    invalidation must pop the schema cache for every sub-path."""
+    import flink_connectors_spark.session as sess
+
+    schemas = iter([("a", "b"), ("a", "b", "c")])
+
+    def build(path: str) -> None:
+        cols = next(schemas)
+        row = {c: float(i) for i, c in enumerate(cols)}
+        spark.createDataFrame([row]).select(*cols).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "rel"))
+
+    path = A.ensure_artifact(spark, "schemaflip", sf_dir, build)
+    rel = os.path.join(path, "rel")
+    assert sess.read_parquet(spark, rel).columns == ["a", "b"]
+    assert rel in sess._SCHEMA_CACHE
+    os.unlink(os.path.join(path, "_done"))
+    A.ensure_artifact(spark, "schemaflip", sf_dir, build)
+    got = sess.read_parquet(spark, rel)
+    assert got.columns == ["a", "b", "c"], (
+        "stale cached schema served after a schema-changing rebuild"
+    )
+    assert got.first()["c"] == 2.0
+
+
 def test_concurrent_ensure_builds_once(spark, sf_dir):
     """r10 ADVICE: two threads observing the missing marker must not
     run interleaved rmtree+overwrite builds — the per-path lock

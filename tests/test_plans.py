@@ -768,8 +768,13 @@ def test_multiconsumer_materializations_hold(spark, sf_dir):
         # aggregate; the positional doc side stays one checkpoint
         "text_unigram_logprob": 5,
         "pipeline_ccnet_buckets": 1,
-        "similarity_recall_audit": 5,
-        "similarity_recall_int8": 3,
+        # r14: topk_recall_audit became a single-pass left broadcast-
+        # join + aggregate (checkpoint on the exact side removed), so
+        # the brute-force corpus/query scans appear in-plan once each —
+        # audited shapes are 6 (audit) / 4 (int8), matching the
+        # _SCAN_ALLOWLIST entries for the other recall meters.
+        "similarity_recall_audit": 6,
+        "similarity_recall_int8": 4,
     }
     for name, max_scans in ceilings.items():
         df = SPECS[name].fn(spark, sf_dir)
