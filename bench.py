@@ -597,9 +597,22 @@ def main() -> None:
         "build_once_queries": BUILD_ONCE,
         "sink_rows_per_sec": sink_rows_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
     local_path = os.path.join(here, "BENCH_LOCAL.json")
     with open(local_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    # r15 (r14 verdict Next #6): the driver also runs the bench at a
+    # LOW core count to judge scaling, but its per-query channel was
+    # empty — the second run overwrote BENCH_LOCAL.json and only the
+    # scalars line survives capture. Keep a per-core-count copy so
+    # both legs' full per-query records coexist on disk and the
+    # per-query scaling ratio is one file-diff away. Additions only:
+    # the printed line and BENCH_LOCAL.json are unchanged.
+    with open(
+        os.path.join(here, f"BENCH_LOCAL_c{record['cpus']}.json"), "w"
+    ) as fh:
         json.dump(record, fh, indent=1)
         fh.write("\n")
     printed = {

@@ -164,10 +164,15 @@ def invalidate_artifact_caches(path: str) -> None:
     would silently rotate queries with the old Householder vector
     against the new codebooks)."""
     from ..session import _SCHEMA_CACHE, _SIZE_CACHE
-    from .similarity import _MANIFEST_CACHE, _ROTATION_CACHE
+    from .similarity import (
+        _CODEBOOK_CACHE,
+        _MANIFEST_CACHE,
+        _ROTATION_CACHE,
+    )
 
     _MANIFEST_CACHE.pop(path, None)
     _ROTATION_CACHE.pop(path, None)
+    _CODEBOOK_CACHE.pop(path, None)
     # r15 (r14 ADVICE): the session-level parquet schema/size caches
     # are keyed on relation paths INSIDE the artifact dir — a rebuild
     # with schema-changing params (e.g. ivfpq ``subspaces`` changes

@@ -2025,6 +2025,72 @@ def _pq_train_codes(
     return codes, codebooks, width
 
 
+def _codebook_relation(spark: SparkSession, packed: list[list[tuple]]):
+    """The collected codebooks as a ONE-ROW broadcastable relation —
+    column ``b{b}`` holds block ``b``'s
+    ``array<struct<code:int, s:array<long>, c:long>>``. Built with
+    ``spark.sql`` over OneRowRelation, for two measured reasons
+    (the same trade band_signatures documents for its plane matrix):
+    inlining ~1.5k scalar literals per block into the consuming
+    expression tree costs a few hundred ms of driver analysis/codegen
+    PER QUERY (and the DPP subquery duplicates the whole tree again),
+    while a ``createDataFrame`` one-row relation plans as
+    ``Scan ExistingRDD`` — indistinguishable from a Lloyd checkpoint
+    leftover in the probe-contract plan pins. OneRowRelation keeps
+    the big literals in one tiny side plan AND prints as
+    ``Scan OneRowRelation``."""
+
+    def lit_sql(rows: list[tuple]) -> str:
+        return "array(" + ",".join(
+            "named_struct('code',{code},'s',array({s}),'c',{c}L)".format(
+                code=code,
+                s=",".join(f"{x}L" for x in s),
+                c=c,
+            )
+            for code, s, c in rows
+        ) + ")"
+
+    return spark.sql(
+        "SELECT " + ", ".join(
+            f"{lit_sql(rows)} AS b{b}" for b, rows in enumerate(packed)
+        )
+    )
+
+
+# Collected codebook rows per artifact path — index-header state
+# cached per process exactly like the manifest and the OPQ rotation
+# (popped by ``invalidate_artifact_caches`` on rebuild). Saves the
+# one collect JOB (~0.1-0.2 s of driver latency) every probe
+# construction otherwise pays.
+_CODEBOOK_CACHE: dict[str, list] = {}
+
+
+def _collect_cents(
+    spark: SparkSession, path: str, subspaces: int
+) -> list[list[tuple]]:
+    """Collect a persisted (block, cluster|codeword, s, c) codebook
+    relation into per-block (code, s, c) row lists — cached per
+    (process, path); the driver-side form :func:`_pq_query_luts`
+    packs into its one-row literal."""
+    if path not in _CODEBOOK_CACHE:
+        rows = _read_pq(spark, f"{path}/codebooks").collect()
+        key = "cluster" if "cluster" in rows[0].__fields__ else "codeword"
+        _CODEBOOK_CACHE[path] = [
+            (
+                int(r["block"]),
+                int(r[key]),
+                [int(x) for x in r["s"]],
+                int(r["c"]),
+            )
+            for r in rows
+        ]
+    return [
+        [(code, s, c) for blk, code, s, c in _CODEBOOK_CACHE[path]
+         if blk == b]
+        for b in range(subspaces)
+    ]
+
+
 def _pq_query_luts(
     queries: DataFrame,
     cents: list[DataFrame],
@@ -2032,43 +2098,62 @@ def _pq_query_luts(
     scale: int,
     id_col: str,
     vec_col: str,
-) -> list[DataFrame]:
-    """Per-query ADC lookup tables (the search half of
-    `_pq_train_encode`): one broadcastable (query_id, c{b}, dk{b})
-    distance table per block. ``cents[b]`` is the block's codebook
-    as a DataFrame (cluster, s array<long>, c long) — from the
-    in-process Lloyd build OR read back from a persisted artifact;
-    the dk expression is identical either way (exact integers into
-    one IEEE division), so artifact round-trips stay bit-exact."""
-    luts = []
-    for b, cent in enumerate(cents):
-        qsub = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.transform(
-                F.slice(F.col(vec_col), b * width + 1, width),
-                lambda v: F.round(v.cast("double") * scale).cast("long"),
-            ).alias("qv"),
+) -> DataFrame:
+    """Per-query ADC lookup relation (the search half of
+    `_pq_train_encode`): ONE broadcastable (query_id, lut0..lut{m-1})
+    frame where ``lut{b}`` is a codeword -> block-distance MAP column.
+    ``cents[b]`` is the block's codebook — a DataFrame (cluster,
+    s array<long>, c long) read back from a persisted artifact, or
+    the in-process Lloyd build's plain (cluster, s, c) row list;
+    either way it is index-header-sized and becomes a driver-side
+    one-row literal (the same treatment the OPQ rotation and the
+    encode-append codebooks already get), so the search plan carries
+    NO codebook scan and NO per-block LUT branch re-evaluating the
+    query subtree (r15, r14 verdict Next #3: the one-join-per-block
+    shape cost 2 extra scans and one extra broadcast join per block
+    per consumer). The dk expression is the per-codeword
+    exact-integer fold into one IEEE division — bit-identical to the
+    per-block crossJoin it replaces, and block distances still add
+    in block order downstream."""
+    packed = []
+    for cent in cents:
+        rows = (
+            [(r["cluster"], list(r["s"]), r["c"]) for r in cent.collect()]
+            if isinstance(cent, DataFrame)
+            else [(cl, list(s), c) for cl, s, c in cent]
         )
-        sq = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                F.col("s"),
-                lambda x, sv: (F.col("c") * x - sv) * (F.col("c") * x - sv),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        packed.append(
+            [
+                (int(cl), [int(x) for x in s], int(c))
+                for cl, s, c in sorted(rows, key=lambda t: t[0])
+            ]
         )
-        luts.append(
-            qsub.crossJoin(F.broadcast(cent)).select(
-                "query_id",
-                F.col("cluster").alias(f"c{b}"),
-                (
-                    sq.cast("double")
-                    / (F.col("c") * F.col("c")).cast("double")
-                ).alias(f"dk{b}"),
-            )
+
+    # Each per-block map is ONE parsed SQL expression (the r14 rule:
+    # nested Column-API lambdas cost hundreds of py4j round trips per
+    # construction — ~0.2 s of pure driver latency here); the parsed
+    # tree is identical to the Column build, so values are unchanged.
+    def _lut_map(b: int):
+        qv = (
+            f"transform(slice(`{vec_col}`, {b * width + 1}, {width}), "
+            f"q -> CAST(round(CAST(q AS DOUBLE) * {scale}) AS BIGINT))"
         )
-    return luts
+        dk = (
+            f"CAST(aggregate(zip_with({qv}, ct.s, "
+            "(x, sv) -> (ct.c * x - sv) * (ct.c * x - sv)), "
+            "CAST(0 AS BIGINT), (acc, e) -> acc + e) AS DOUBLE) "
+            "/ CAST(ct.c * ct.c AS DOUBLE)"
+        )
+        return F.expr(
+            f"map_from_arrays(transform(b{b}, ct -> ct.code), "
+            f"transform(b{b}, ct -> {dk}))"
+        ).alias(f"lut{b}")
+
+    cent = _codebook_relation(queries.sparkSession, packed)
+    return queries.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).alias("query_id"),
+        *[_lut_map(b) for b in range(len(packed))],
+    )
 
 
 def _pq_train_encode(
@@ -2085,41 +2170,42 @@ def _pq_train_encode(
     flat scan (`topk_pq_adc`) and the cluster-routed scan
     (`topk_ivfpq`). Returns (codes, luts): ``codes`` is the
     (id, c0..c{m-1}) corpus code table — the only corpus-sized thing
-    the search reads — and ``luts`` one broadcastable per-block
-    (query_id, c{b}, dk{b}) distance table."""
-    spark = corpus.sparkSession
+    the search reads — and ``luts`` the single broadcastable
+    (query_id, lut0..lut{m-1}) ADC map relation (the Lloyd builds'
+    exact-integer codebook rows feed it directly — no intermediate
+    codebook DataFrame)."""
     codes, codebooks, width = _pq_train_codes(
         corpus, subspaces, codebook_k, iters, scale, id_col, vec_col
     )
-    cents = [
-        spark.createDataFrame(
-            [(cl, s, c) for cl, s, c in cb],
-            "cluster int, s array<long>, c long",
-        )
-        for cb in codebooks
-    ]
-    luts = _pq_query_luts(queries, cents, width, scale, id_col, vec_col)
+    luts = _pq_query_luts(
+        queries, codebooks, width, scale, id_col, vec_col
+    )
     return codes, luts
 
 
 def _pq_adc_rank(
     scored: DataFrame,
-    luts: list[DataFrame],
+    luts: DataFrame,
     k: int,
     subspaces: int,
     scale: int,
     id_col: str,
 ) -> DataFrame:
-    """ADC scoring tail: join the broadcast per-block lookup tables
-    onto a (possibly cluster-restricted) code table, sum block
-    distances in block order, rank ascending."""
-    for b, lut in enumerate(luts):
-        on = [f"c{b}"] if b == 0 and "query_id" not in scored.columns else [
-            "query_id", f"c{b}"
-        ]
-        scored = scored.join(F.broadcast(lut), on)
+    """ADC scoring tail: attach the ONE broadcast per-query LUT-map
+    relation to a (possibly cluster-restricted) code table — a
+    broadcast hash join on query_id when the routing already supplied
+    one, the |Q|-way broadcast fan-out otherwise (the same candidate
+    multiplicity the per-block LUT joins produced) — then sum the
+    per-block map lookups in block order and rank ascending."""
+    if "query_id" in scored.columns:
+        scored = scored.join(F.broadcast(luts), "query_id")
+    else:
+        scored = scored.crossJoin(F.broadcast(luts))
     adist = F.round(
-        sum(F.col(f"dk{b}") for b in range(subspaces))
+        sum(
+            F.element_at(F.col(f"lut{b}"), F.col(f"c{b}"))
+            for b in range(subspaces)
+        )
         / float(scale * scale),
         6,
     )
@@ -2720,11 +2806,7 @@ def topk_from_ivfpq_artifact(
     codes = _artifact_codes(spark, path)
     if apply_tombstones:
         codes = _with_tombstones_removed(spark, codes, path, id_col)
-    cbs = _read_pq(spark, f"{path}/codebooks")
-    cents = [
-        cbs.filter(F.col("block") == b).select("cluster", "s", "c")
-        for b in range(subspaces)
-    ]
+    cents = _collect_cents(spark, path, subspaces)
     luts = _pq_query_luts(queries, cents, width, scale, id_col, vec_col)
     if n_probe is None:
         # FLAT mode (FAISS `PQy`): ADC over every inverted list — the
@@ -3087,7 +3169,6 @@ def topk_from_ivfadc_artifact(
         eff["subspaces"], eff["width"], eff["scale"]
     )
     codes = _read_pq(spark, f"{path}/codes")
-    cbs = _read_pq(spark, f"{path}/codebooks")
     reps = _read_pq(spark, f"{path}/reps").select(
         "cluster",
         "rvec",
@@ -3119,48 +3200,54 @@ def topk_from_ivfadc_artifact(
             "cluster",
             F.zip_with("qq", "rq", lambda x, r: x - r).alias("qres"),
         )
-        # NOT checkpointed (unlike the in-process build, where the
-        # eager pin overlaps the Lloyd chains): only the 2 LUT
-        # branches re-read this query-batch-sized subtree, the
-        # re-evaluation is two broadcast reads + a tiny window, and
-        # keeping the plan parquet-only preserves the probe
+        # NOT checkpointed: the single LUT projection below is this
+        # subtree's only consumer (plus the DPP subquery duplicate),
+        # and keeping the plan parquet-only preserves the probe
         # contract's "no ExistingRDD" pin (materialization rule 7:
         # never checkpoint a cheap subtree read only twice)
     )
-    luts = []
-    for b in range(subspaces):
-        cent = cbs.filter(F.col("block") == b).select(
-            "codeword", "s", "c"
+    # r15 (r14 verdict Next #3): ONE broadcast LUT relation instead of
+    # one join per block. The codebooks relation is index-header-sized
+    # (subspaces x codebook_k rows) and collected at construction time
+    # — the same driver-side treatment the OPQ rotation and the
+    # encode-append codebooks already get — so each per-block ADC
+    # table rides the probes relation as a codeword->distance MAP
+    # column over a parsed codebook LITERAL, computed by the identical
+    # exact-integer fold (same (c*x - sv)^2 accumulation order, same
+    # single IEEE division), and the corpus-sized codes scan pays ONE
+    # broadcast hash join keyed on the partition column (DPP-pruned)
+    # instead of 2 LUT joins that each re-evaluated the probes subtree
+    # (13 -> 5 scans, 3 fewer joins).
+    packed = [
+        sorted(rows) for rows in _collect_cents(spark, path, subspaces)
+    ]
+
+    # ONE parsed SQL expression per block map (the r14 rule: nested
+    # Column-API lambdas cost hundreds of py4j round trips per
+    # construction); identical parsed tree, identical values.
+    def _lut_map(b: int):
+        sub = f"slice(qres, {b * width + 1}, {width})"
+        dk = (
+            f"CAST(aggregate(zip_with({sub}, ct.s, "
+            "(x, sv) -> (ct.c * x - sv) * (ct.c * x - sv)), "
+            "CAST(0 AS BIGINT), (acc, e) -> acc + e) AS DOUBLE) "
+            "/ CAST(ct.c * ct.c AS DOUBLE)"
         )
-        sub = F.slice(F.col("qres"), b * width + 1, width)
-        sq = F.aggregate(
-            F.zip_with(
-                sub,
-                F.col("s"),
-                lambda x, sv: (F.col("c") * x - sv) * (F.col("c") * x - sv),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        luts.append(
-            probes.crossJoin(F.broadcast(cent)).select(
-                "query_id",
-                "cluster",
-                F.col("codeword").alias(f"c{b}"),
-                (
-                    sq.cast("double")
-                    / (F.col("c") * F.col("c")).cast("double")
-                ).alias(f"dk{b}"),
-            )
-        )
-    scored = codes
-    for b, lut in enumerate(luts):
-        on = ["cluster", f"c{b}"] if b == 0 else [
-            "query_id", "cluster", f"c{b}"
-        ]
-        scored = scored.join(F.broadcast(lut), on)
+        return F.expr(
+            f"map_from_arrays(transform(b{b}, ct -> ct.code), "
+            f"transform(b{b}, ct -> {dk}))"
+        ).alias(f"lut{b}")
+
+    cent = _codebook_relation(spark, packed)
+    lut = probes.crossJoin(F.broadcast(cent)).select(
+        "query_id", "cluster", *[_lut_map(b) for b in range(subspaces)]
+    )
+    scored = codes.join(F.broadcast(lut), "cluster")
     adist = F.round(
-        sum(F.col(f"dk{b}") for b in range(subspaces))
+        sum(
+            F.element_at(F.col(f"lut{b}"), F.col(f"c{b}"))
+            for b in range(subspaces)
+        )
         / float(scale * scale),
         6,
     )
@@ -4133,11 +4220,7 @@ def topk_from_opq_artifact(
     codes = _artifact_codes(spark, path)
     if apply_tombstones:
         codes = _with_tombstones_removed(spark, codes, path, id_col)
-    cbs = _read_pq(spark, f"{path}/codebooks")
-    cents = [
-        cbs.filter(F.col("block") == b).select("cluster", "s", "c")
-        for b in range(subspaces)
-    ]
+    cents = _collect_cents(spark, path, subspaces)
     luts = _pq_query_luts(rq, cents, width, scale, id_col, vec_col)
     if n_probe is None:
         return _pq_adc_rank(codes, luts, k, subspaces, scale, id_col)

@@ -900,13 +900,27 @@ def bigram_logprob_score(
             F.col("w2").alias("tok"),
             F.col("n_pair").alias("cb"),
         )
-        pf = bf.groupBy("prev").agg(F.sum("cb").alias("cp"))
+        # r15: fold the prefix total INTO the bigram table (a window
+        # over the vocab-sized relation — same order-immune long sum
+        # the separate groupBy computed) so the corpus-token-sized
+        # bigram stream pays ONE frequency join instead of two
+        # (guide §2.3/§2.4: every join here re-shuffled the whole
+        # token stream). The artifact relation is parquet-backed, so
+        # its size estimate is honest — no hint: Catalyst broadcasts
+        # the LM table while it fits and falls back to a shuffled
+        # join at corpus scale (the scale-adaptive choice; the old
+        # shuffle_hash pin guarded an explode-derived estimate that
+        # no longer exists on this path).
+        bfp = bf.withColumn(
+            "cp", F.sum("cb").over(_W.partitionBy("prev"))
+        )
+        rows = big.join(bfp, ["prev", "tok"])
     else:
         bf = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
         pf = big.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
-    rows = big.join(bf.hint("shuffle_hash"), ["prev", "tok"]).join(
-        pf.hint("shuffle_hash"), "prev"
-    )
+        rows = big.join(bf.hint("shuffle_hash"), ["prev", "tok"]).join(
+            pf.hint("shuffle_hash"), "prev"
+        )
     lp = rows.select(
         id_col,
         "pos",

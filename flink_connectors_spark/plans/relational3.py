@@ -411,22 +411,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Distinct (order, supplier) pairs with an any-late flag first:
     # avoids the Expand (input duplication) a two-countDistinct
-    # aggregate would plan, and the pairs feed both the per-order
-    # stats and the culprit lookup.
+    # aggregate would plan. r15 (r14 verdict Next #5): the per-order
+    # stats ride a WINDOW over the same pairs frame instead of a
+    # second aggregate branch joined back — the old two-branch shape
+    # re-inlined the lineitem-x-orders subtree into BOTH consumers
+    # (lineitem + orders scanned twice, 6 scans total) and paid a
+    # pairs-vs-per_order sort-merge join; now one scan each, one
+    # aggregate exchange, one window exchange (guide §2.4: two
+    # operations keyed the same way share the partitioning).
     pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("late").cast("int")).alias("is_late")
     )
-    per_order = pairs.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("nsupp"),
-        F.sum("is_late").alias("nlate"),
-    )
+    per_order_w = Window.partitionBy("l_orderkey")
     culprit = (
-        pairs.filter(F.col("is_late") == 1)
-        .join(
-            per_order.filter(
-                (F.col("nsupp") > 1) & (F.col("nlate") == 1)
-            ),
-            "l_orderkey",
+        pairs.withColumn(
+            "nsupp", F.count(F.lit(1)).over(per_order_w)
+        )
+        .withColumn("nlate", F.sum("is_late").over(per_order_w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("nsupp") > 1)
+            & (F.col("nlate") == 1)
         )
         .select("l_orderkey", "l_suppkey")
     )

@@ -530,12 +530,14 @@ def test_ivfadc_probe_plan_reads_artifact_only_no_build(spark, sf_dir):
     assert "dynamicpruningexpression" in plan
     assert plan.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in plan
-    # 13 bounded reads: codes (DPP-pruned) + codebooks x2 + the
-    # UNcheckpointed probes subtree re-evaluated per LUT branch
-    # (reps + query slice, each query-batch/index-metadata-sized)
-    # + DPP subquery duplicates — no corpus-vector scan anywhere
+    # r15: 5 bounded reads — codes (DPP-pruned) + the probes subtree
+    # (reps + query slice) + the DPP subquery re-evaluating it. The
+    # per-block ADC tables ride the probes relation as map columns
+    # over a parsed codebook literal (collected index header), so the
+    # 2 LUT branches that re-read the probes subtree and the 2
+    # codebook scans are gone (was 13).
     n = _count_file_scans(df)
-    assert n <= 13, f"ivfadc probe re-inlined something: {n} scans"
+    assert n <= 5, f"ivfadc probe re-inlined something: {n} scans"
     _release(spark)
 
 
@@ -799,7 +801,11 @@ _SCAN_ALLOWLIST = {
     "pipeline_doc_embedding_audit": 6,
     "pipeline_eval_burn_report": 5,
     "q11_important_part_value": 6,
-    "q21_waiting_suppliers": 6,
+    # r15: per-order stats ride a window over the pairs aggregate
+    # (was a second aggregate branch that re-inlined lineitem+orders
+    # into both consumers: 6 scans); now at the 4-scan default but
+    # kept explicit as the audited shape
+    "q21_waiting_suppliers": 4,
     "q2_min_price_supplier": 5,
     "q5_region_revenue": 6,
     "q7_nation_volume": 6,
@@ -810,51 +816,40 @@ _SCAN_ALLOWLIST = {
     # iterative consumers checkpoint the (tiny) edge read and sit at
     # 0 scans, under the default ceiling.
     "similarity_graph_degree": 2,
-    # r10: topk_ivfpq serves from the persisted artifact — the
-    # similarity_topk_from_artifact probe shape (9, incl. the DPP
-    # subquery duplicates); topk_pq and refine's candidate stage are
-    # the FLAT artifact probe (codes + codebooks x2 + embeddings x2
-    # LUT slices = 5, no routing subtree, no reps read).
-    "similarity_topk_ivfpq": 9,
-    "similarity_topk_pq": 5,
-    # r9 persisted-index probes: codes + codebooks x2 (one per block
-    # LUT) + reps + embeddings x3 (2 LUT slices + routing) = 7, plus
-    # the DPP subquery re-evaluating the TINY probes subtree (reps +
-    # query slice) = 9 — all but the partition-pruned codes scan are
-    # index-metadata- or query-batch-sized; crucially NO per-Lloyd-
-    # iteration corpus scan (audited in
-    # test_ivfpq_probe_plan_reads_artifact_only_no_lloyd).
-    "similarity_topk_from_artifact": 9,
-    "similarity_ivfpq_append_probe": 9,
-    # refine = the flat artifact probe (5) + the candidate re-rank's
-    # two keyed reads (corpus by neighbor_id, queries) = 7 — the
+    # r15: the per-block ADC LUT joins collapsed into ONE broadcast
+    # (query_id, lut-map...) relation over parsed codebook literals —
+    # no codebook scan, no per-block re-read of the query subtree.
+    # topk_ivfpq serves from the persisted artifact (the
+    # similarity_topk_from_artifact probe shape, 6: DPP-pruned codes
+    # + reps + query slice + the DPP subquery re-evaluating the tiny
+    # probes subtree); topk_pq and the flat probes are codes + the
+    # LUT relation's query slice = 2.
+    "similarity_topk_ivfpq": 6,
+    "similarity_topk_pq": 2,
+    "similarity_topk_from_artifact": 6,
+    "similarity_ivfpq_append_probe": 6,
+    # refine = the flat artifact probe (2) + the candidate re-rank's
+    # two keyed reads (corpus by neighbor_id, queries) = 4 — the
     # re-rank reads are broadcast-candidate-bounded, never corpus-wide.
-    "similarity_topk_refine": 7,
-    # r10 persisted-OPQ probes (flat): codes + codebooks x2 (one per
-    # block LUT) + embeddings x2 (2 LUT slices of the rotated query
-    # batch) = 5 — the rotation is driver-side constants (collected
-    # one-row relation), so there is NO rotation scan and NO Lloyd /
-    # power-iteration stage (audited in
+    "similarity_topk_refine": 4,
+    # persisted-OPQ probes (flat): codes + the rotated query batch's
+    # LUT slice = 2 — rotation AND codebooks are driver-side parsed
+    # constants, NO Lloyd / power-iteration stage (audited in
     # test_opq_probe_plan_reads_artifact_only_no_build).
-    "similarity_topk_opq": 5,
-    "similarity_topk_from_opq_artifact": 5,
-    # recall gate = flat OPQ probe (5) + the brute-force exact side
-    # (its corpus/query reads fold into checkpointed audit inputs).
-    # r14: recall meters lost their audit-input checkpoint (the
-    # single-pass left-join+aggregate shape) — the exact brute-force
-    # side's corpus + query-slice scans now appear in-plan (+2), by
-    # design: one read each, no re-inlined branch.
-    "similarity_recall_opq": 7,
+    "similarity_topk_opq": 2,
+    "similarity_topk_from_opq_artifact": 2,
+    # recall gate = flat OPQ probe (2) + the brute-force exact side
+    # in-plan (corpus + query slice, one read each — the r14
+    # single-pass left-join+aggregate shape) = 4.
+    "similarity_recall_opq": 4,
     "similarity_recall_sq8": 5,
     "similarity_recall_rrf": 6,
     "similarity_recall_audit": 6,
-    # routed OPQ probe: flat shape (5) + reps + embeddings routing
-    # projection + DPP subquery re-evaluating the tiny probes
-    # subtree = 9 (the similarity_topk_from_artifact shape).
-    "similarity_topk_ivf_opq": 9,
-    # delete probe = the IVF-PQ artifact probe (9) + the broadcast
-    # tombstone anti-join's index-metadata-sized read = 10.
-    "similarity_ivfpq_delete_probe": 10,
+    # routed OPQ probe = the similarity_topk_from_artifact shape (6).
+    "similarity_topk_ivf_opq": 6,
+    # delete probe = the IVF-PQ artifact probe (6) + the broadcast
+    # tombstone anti-join's index-metadata-sized read = 7.
+    "similarity_ivfpq_delete_probe": 7,
     # r10 shared k-means artifact consumers: the unlabeled IVF
     # search reads the clustered relation twice (reps + the
     # DPP-pruned candidate scan) + the query slice + DPP subquery
@@ -864,18 +859,19 @@ _SCAN_ALLOWLIST = {
     # Lloyd chain is gone from both plans.
     "similarity_topk_ivf_unlabeled": 5,
     "pipeline_cluster_purity": 6,
-    # r10 IVFADC artifact probes: codes + codebooks x2 + the
-    # uncheckpointed probes subtree (reps + query slice) re-evaluated
-    # per LUT branch + DPP subquery duplicates = 13; the recall meter
-    # adds the brute-force side into checkpointed audit inputs.
-    "similarity_topk_ivfadc": 13,
-    "similarity_recall_ivfadc": 15,  # +2: r14 single-pass recall meter
-    # compact probe = the PLAIN artifact probe shape (9): after
+    # r15 IVFADC artifact probes: DPP-pruned codes + the probes
+    # subtree (reps + query slice) + DPP subquery duplicates = 5 (the
+    # per-(query, probed-list) ADC tables ride the probes relation as
+    # map columns over parsed codebook literals); the recall meter
+    # adds the brute-force exact side in-plan (corpus + query slice).
+    "similarity_topk_ivfadc": 5,
+    "similarity_recall_ivfadc": 7,
+    # compact probe = the PLAIN artifact probe shape (6): after
     # physical reclamation there is no tombstone read at all.
-    "similarity_ivfpq_compact_probe": 9,
-    # OPQ incremental ingest probe = the flat OPQ probe shape (5):
+    "similarity_ivfpq_compact_probe": 6,
+    # OPQ incremental ingest probe = the flat OPQ probe shape (2):
     # the merged codes relation is still ONE scan.
-    "similarity_opq_append_probe": 5,
+    "similarity_opq_append_probe": 2,
     # r12 corpus_grams: the census row reads all six stored relations
     # (one count scan each); PMI reads pairs x2 + unigrams x3; the
     # unigram-logprob LM side reads unigrams x5 — every one a
@@ -1344,14 +1340,15 @@ def test_ivfpq_probe_plan_reads_artifact_only_no_lloyd(spark, sf_dir):
     # codes partition pruning: the broadcast probe join reaches the
     # hive layout as a runtime partition filter
     assert "dynamicpruningexpression" in plan
-    # scans: codes + codebooks x2 (one per block LUT) + reps +
-    # embeddings (2 LUT slices + 1 routing projection) = 7, plus the
-    # DPP subquery re-evaluating the tiny probes subtree (reps +
-    # query slice) = 9 — bounded, all but the pruned codes scan are
-    # index-metadata- or query-batch-sized, and crucially NOT the
-    # corpus embedding scan per Lloyd iteration
+    # r15 scans: codes (DPP-pruned) + reps + embeddings (1 routing
+    # projection + 1 LUT-relation query slice) + the DPP subquery
+    # re-evaluating the tiny probes subtree (reps + query slice) = 6
+    # — bounded, all but the pruned codes scan are index-metadata- or
+    # query-batch-sized, and crucially NOT the corpus embedding scan
+    # per Lloyd iteration. The codebooks are a collected parsed
+    # literal (no scan, no per-block LUT branch — was 9).
     n = _count_file_scans(df)
-    assert n <= 9, f"probe plan re-inlined something: {n} file scans"
+    assert n <= 6, f"probe plan re-inlined something: {n} file scans"
 
 
 def test_opq_probe_plan_reads_artifact_only_no_build(spark, sf_dir):
@@ -1367,22 +1364,32 @@ def test_opq_probe_plan_reads_artifact_only_no_build(spark, sf_dir):
     directory)."""
     # ensure the artifact exists (the build query prices the build)
     SPECS["similarity_opq_build_artifact"].fn(spark, sf_dir).count()
+    # r15 shapes: the per-block ADC LUT joins collapsed into ONE
+    # broadcast (query_id, lut-map...) relation over parsed codebook
+    # literals — flat probes are codes + the |Q|-fan-out broadcast
+    # (a BroadcastNestedLoopJoin, same candidate multiplicity the
+    # old per-block c0 hash join produced) = 2 scans; the routed
+    # probe keeps its probes/LUT broadcast hash joins + DPP (6).
     for name, scans, routed in (
-        ("similarity_topk_opq", 5, False),
-        ("similarity_topk_from_opq_artifact", 5, False),
-        ("similarity_topk_ivf_opq", 9, True),
+        ("similarity_topk_opq", 2, False),
+        ("similarity_topk_from_opq_artifact", 2, False),
+        ("similarity_topk_ivf_opq", 6, True),
     ):
         df = SPECS[name].fn(spark, sf_dir)
         plan = _plan(spark, sf_dir, name)
         # no Lloyd/power-iteration leftovers: in-process builds leave
         # ExistingRDD (checkpointed rotated corpus / assignments)
         assert "ExistingRDD" not in plan, name
-        assert plan.count("BroadcastHashJoin") >= 2, name  # 2 ADC LUTs
-        assert plan.count("WindowGroupLimit") >= 2, name
-        assert "CartesianProduct" not in plan, name
         if routed:
+            assert plan.count("BroadcastHashJoin") >= 2, name
             # probed-cluster restriction reaches the hive layout
             assert "dynamicpruningexpression" in plan, name
+        else:
+            # the LUT-map fan-out must still BROADCAST the query side
+            # (never shuffle or loop the code table against it)
+            assert "BroadcastNestedLoopJoin" in plan, name
+        assert plan.count("WindowGroupLimit") >= 2, name
+        assert "CartesianProduct" not in plan, name
         n = _count_file_scans(df)
         assert n <= scans, f"{name}: probe plan re-inlined: {n} scans"
         _release(spark)
@@ -1402,7 +1409,9 @@ def test_ivfpq_delete_probe_plan_and_tombstone_exclusion(
     assert "dynamicpruningexpression" in plan
     assert "CartesianProduct" not in plan
     n = _count_file_scans(df)
-    assert n <= 10, f"delete probe re-inlined something: {n} scans"
+    # r15: the artifact probe shape (6) + the broadcast tombstone
+    # anti-join's index-metadata-sized read = 7 (was 10)
+    assert n <= 7, f"delete probe re-inlined something: {n} scans"
     rows = df.collect()
     assert rows, "delete probe returned nothing"
     for r in rows:
